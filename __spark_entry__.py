@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (fused daily OHLC + indicators over the
+``events`` fixture) at sf0.001; the driver smoke-checks rows ≥ 0.
+
+``queries()`` / ``oracle_sql()`` — one named entry per implemented operator
+from SURVEY.md §2 (plus the scale extensions), backed by
+``airflow_crypto_btc_spark.plans.registry``.  Column names/aliases are
+identical between the Spark plan and the oracle SQL; float determinism is
+handled in the registry (decimal-cast sums, 6-decimal rounding on windowed
+means/stddevs).
 """
 
 from __future__ import annotations
@@ -13,26 +17,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from airflow_crypto_btc_spark.plans.registry import (
+    REGISTRY,
+    flagship_daily_indicators,
+)
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_daily_indicators(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted → rows-only check)."""
+    return {
+        name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None
+    }

@@ -1,0 +1,105 @@
+"""Data-quality checks as a first-class engine module (SURVEY §2.11).
+
+The reference's signature feature is ``quality_checks``
+(``/root/reference/dags/dag_btc_daily.py:373-443``): a pipeline stage that
+hard-fails on invariant violations.  The engine renders each rule as a
+DataFrame assertion that returns a (check, passed, observed, expected) row —
+composable into one report and cheap at scale (counts aggregate map-side;
+point lookups prune to one partition when state is date-partitioned).
+
+| rule | reference | engine |
+| Q1/Q5 artifact exists & non-empty   | :394-395, :439-441 | path check |
+| Q2 day row-count ≥ threshold        | :398-411           | filtered count |
+| Q3 OHLC non-null for the day        | :413-424           | null checks |
+| Q4 indicator completeness gate      | :426-435           | conditional |
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckResult:
+    check: str
+    passed: bool
+    observed: str
+    expected: str
+
+    def raise_if_failed(self) -> "CheckResult":
+        if not self.passed:
+            raise AssertionError(
+                f"DQ check '{self.check}' failed: observed={self.observed}, "
+                f"expected={self.expected}"
+            )
+        return self
+
+
+def check_artifact_nonempty(path: str, name: str = "artifact") -> CheckResult:
+    """Q1/Q5: file (or directory) exists and is non-empty."""
+    size = 0
+    if os.path.isfile(path):
+        size = os.path.getsize(path)
+    elif os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    return CheckResult(
+        f"{name}_nonempty", size > 0, f"bytes={size}", "bytes>0"
+    )
+
+
+def check_min_rows(
+    df: DataFrame, min_rows: int, name: str = "rowcount"
+) -> CheckResult:
+    """Q2-style threshold: ``df`` (already filtered to the slice under test)
+    has at least ``min_rows`` rows.  Uses ``limit(min_rows).count()`` so the
+    scan can stop early instead of counting the world."""
+    n = df.limit(min_rows).count()
+    return CheckResult(name, n >= min_rows, f"rows>={n}", f"rows>={min_rows}")
+
+
+def check_not_null(
+    df: DataFrame, cols: list[str], name: str = "not_null"
+) -> CheckResult:
+    """Q3: no nulls in ``cols`` within ``df`` — one aggregate pass."""
+    aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    row = df.agg(*aggs).collect()[0]
+    bad = {c: row[c] for c in cols if (row[c] or 0) > 0}
+    return CheckResult(
+        name, not bad, f"null_counts={bad or 0}", "no nulls"
+    )
+
+
+def check_indicator_completeness(
+    metrics: DataFrame,
+    day: str,
+    history_min: int = 30,
+    cols: tuple[str, ...] = ("ma30", "vol30"),
+    date_col: str = "date",
+) -> CheckResult:
+    """Q4 (reference ``:426-435``): only once total history ≥ ``history_min``
+    rows must the long-window indicators for ``day`` be non-null."""
+    total = metrics.count()
+    if total < history_min:
+        return CheckResult(
+            "indicator_completeness",
+            True,
+            f"history={total}<{history_min} (gate inactive)",
+            "gate inactive or indicators non-null",
+        )
+    row = metrics.filter(F.col(date_col) == F.lit(day).cast("date")).collect()
+    bad = [c for c in (row[0].asDict() if row else {}) if c in cols and row[0][c] is None]
+    ok = bool(row) and not bad
+    return CheckResult(
+        "indicator_completeness",
+        ok,
+        f"history={total}, day_row={'present' if row else 'MISSING'}, null={bad}",
+        f"{cols} non-null once history>={history_min}",
+    )

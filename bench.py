@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract): runs the engine's headline queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full plan execution, no
+driver-side collect bottleneck).  A tiny warmup query amortizes JVM/codegen
+startup so numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airflow_crypto_btc_spark.plans.registry import REGISTRY  # noqa: E402
+from airflow_crypto_btc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_daily_indicators",
+    "agg_ohlc_daily",
+    "win_vol30",
+    "dedup_keep_first",
+    "sink_table_append_ignore",
+    "sink_table_upsert",
+    "join_broadcast_region_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # Warmup: JVM, parquet footer cache, codegen paths.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Q1-Q5 data-quality rules (reference
+/root/reference/dags/dag_btc_daily.py:373-443) — both the passing and the
+firing side of every rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_crypto_btc_spark.plans.quality import (
+    check_artifact_nonempty,
+    check_indicator_completeness,
+    check_min_rows,
+    check_not_null,
+)
+
+
+def test_artifact_nonempty(tmp_path):
+    p = tmp_path / "report.png"
+    p.write_bytes(b"xx")
+    assert check_artifact_nonempty(str(p)).passed
+    empty = tmp_path / "empty.csv"
+    empty.write_bytes(b"")
+    res = check_artifact_nonempty(str(empty))
+    assert not res.passed
+    with pytest.raises(AssertionError):
+        res.raise_if_failed()
+
+
+def test_min_rows(spark):
+    df = spark.range(25)
+    assert check_min_rows(df, 20).passed  # the ≥20 hourly-candle floor
+    assert not check_min_rows(df, 26).passed
+
+
+def test_not_null(spark):
+    ok = spark.createDataFrame(
+        [(1.0, 2.0)], "open double, close double"
+    )
+    assert check_not_null(ok, ["open", "close"]).passed
+    bad = spark.createDataFrame(
+        [(1.0, None)], "open double, close double"
+    )
+    res = check_not_null(bad, ["open", "close"])
+    assert not res.passed and "close" in res.observed
+
+
+def test_indicator_completeness_gate(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.date(2023, 1, 1) + dt.timedelta(days=i), 1.0, 1.0)
+        for i in range(29)
+    ]
+    short = spark.createDataFrame(
+        rows, "date date, ma30 double, vol30 double"
+    )
+    # history < 30 → gate inactive even with nulls
+    short_nulls = spark.createDataFrame(
+        [(d, None, None) for d, *_ in rows],
+        "date date, ma30 double, vol30 double",
+    )
+    assert check_indicator_completeness(short_nulls, "2023-01-29").passed
+
+    rows31 = [
+        (dt.date(2023, 1, 1) + dt.timedelta(days=i), 1.0, 1.0)
+        for i in range(31)
+    ]
+    full = spark.createDataFrame(
+        rows31, "date date, ma30 double, vol30 double"
+    )
+    assert check_indicator_completeness(full, "2023-01-31").passed
+
+    rows_bad = rows31[:-1] + [(dt.date(2023, 1, 31), None, 1.0)]
+    broken = spark.createDataFrame(
+        rows_bad, "date date, ma30 double, vol30 double"
+    )
+    assert not check_indicator_completeness(broken, "2023-01-31").passed

@@ -17,10 +17,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_crypto_btc_spark.plans.registry import (
-    REGISTRY,
-    flagship_daily_indicators,
-)
+from airflow_crypto_btc_spark.plans.catalog import ALL_QUERIES as REGISTRY
+from airflow_crypto_btc_spark.plans.registry import flagship_daily_indicators
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,105 @@
+"""Portable deterministic hashing kernels.
+
+Cross-engine rule: the only hash both Spark and DuckDB compute bit-identically
+is ``md5`` (hex string).  Every dedup/fingerprint operator therefore derives
+its randomness from md5:
+
+- *numeric hash*: first 8 hex chars → bigint (``conv(...,16,10)`` in Spark,
+  ``('0x'||…)::BIGINT`` in DuckDB) — range [0, 2^32).
+- *minhash*: lexicographic ``array_min`` over md5 strings — fixed-width hex
+  means string-min == numeric-min, no integer conversion needed.
+- *bit extraction* (simhash): parity of the i-th hex digit.
+
+Everything here returns Spark ``Column``s built from SQL expression strings
+(the kernels are HOF-lambda-heavy; expression text keeps them 1:1 with the
+DuckDB oracle SQL in ``plans/registry.py``).  All kernels are **per-row array
+expressions — no explode, no shuffle, no UDF**: at 100 TB each document's
+signature is computed where the row already lives, inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 1_000_000_007
+
+
+def hex8_to_bigint_sql(hex_expr: str) -> str:
+    """Spark SQL text: first 8 hex chars of ``hex_expr`` as bigint."""
+    return f"cast(conv(substr({hex_expr},1,8),16,10) as bigint)"
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization, empty-safe (mirrors DuckDB
+    ``list_filter(regexp_split_to_array(text,'\\s+'), t -> t <> '')``)."""
+    return F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+
+
+def shingles_expr(tokens_col: str = "tokens", k: int = 3) -> Column:
+    """k-token shingles joined by single spaces; empty array below k tokens
+    (guard required: Spark ``sequence(0, negative)`` counts DOWN)."""
+    lam = " || ' ' || ".join(f"{tokens_col}[i+{j}]" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {k} THEN "
+        f"transform(sequence(0, size({tokens_col})-{k}), i -> {lam}) "
+        f"ELSE array() END"
+    )
+
+
+def minhash_signature_expr(
+    shingles_col: str = "shingles", num_hashes: int = 12
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` lexicographic-min md5
+    values over seed-salted shingles.  min(md5) over a fixed-width hex
+    string equals min over the underlying 128-bit integer, so no numeric
+    conversion is needed and DuckDB agrees bit-for-bit."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), j -> "
+        f"array_min(transform({shingles_col}, "
+        f"s -> md5(concat(cast(j as string), '|', s)))))"
+    )
+
+
+def simhash_expr(tokens_col: str = "tokens", bits: int = 16) -> Column:
+    """SimHash fingerprint over ``bits`` bits (≤32: one md5 hex digit per
+    bit).  bit i = sign of sum over tokens of ±1 by parity of hex digit i of
+    md5(token); ties (sum == 0) → 0."""
+    assert bits <= 32
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
+        f"acc + CASE WHEN aggregate({tokens_col}, 0, (a, t) -> a + "
+        f"CASE WHEN cast(conv(substr(md5(t), cast(i+1 as int), 1),16,10) "
+        f"as int) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(cast(1 as bigint), cast(i as int)) ELSE 0 END)"
+    )
+
+
+def rolling_fingerprint_expr(tokens_col: str = "tokens") -> Column:
+    """Polynomial rolling hash over token hashes, mod 1e9+7 — the
+    order-sensitive document fingerprint (reordered tokens hash
+    differently, unlike a bag-of-words md5)."""
+    h = hex8_to_bigint_sql("md5(t)")
+    return F.expr(
+        f"aggregate(transform({tokens_col}, t -> {h}), cast(0 as bigint), "
+        f"(acc, x) -> pmod(acc * 131 + x, {MERSENNE_P}))"
+    )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Float-array dot product in double precision, sequential fold (exact
+    per-element products; sum order = array order)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm2_expr(a: str) -> Column:
+    """Squared L2 norm of a float array, in double."""
+    return F.expr(
+        f"aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )

@@ -1,0 +1,215 @@
+"""Deduplication operators for the training-data pipeline extension:
+exact, MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+
+Scale design (the whole point — SURVEY §7 hard-part 6):
+
+- **Exact dedup** is a hash-groupBy on a content digest: one shuffle of
+  (digest, doc_id) pairs, never of the document bodies.
+- **MinHash signatures** are per-row array expressions (no explode, no
+  UDF) — linear scan, embarrassingly parallel.
+- **LSH banding** turns O(n²) all-pairs into: explode b band keys per doc
+  (b·n rows), shuffle on band key, pair only within buckets.  Candidate
+  pairs are then *verified* with exact Jaccard — false positives die, false
+  negatives are bounded by (1-j^r)^b.
+- **n-gram Jaccard all-pairs** is the exact quadratic baseline; it joins on
+  shared shingles (inverted index) so only pairs with ≥1 common shingle
+  materialize.  Use for small corpora / verification only; the LSH path is
+  the 100 TB path.
+
+Determinism: all hashes derive from md5 (see ``functions/hashing.py``), so
+the DuckDB oracle reproduces signatures, bands, and pair sets bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.functions.hashing import (
+    minhash_signature_expr,
+    shingles_expr,
+    simhash_expr,
+    tokens_expr,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-content md5.  Representative =
+    min id (deterministic).  Returns (fp_md5, rep_id, n_dups)."""
+    normalized = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    return (
+        df.withColumn("fp_md5", F.expr(f"md5({normalized})"))
+        .groupBy("fp_md5")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def with_shingle_sets(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """tokens → k-token shingles → distinct shingle set (the Jaccard
+    universe).  Pure per-row expressions."""
+    return (
+        df.withColumn("tokens", tokens_expr(text_col))
+        .withColumn("shingles", shingles_expr("tokens", k))
+        .withColumn("shingle_set", F.expr("array_distinct(shingles)"))
+        .withColumn("set_size", F.expr("size(shingle_set)"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(id, sig) with sig = array of num_hashes min-md5 values over the
+    shingle *set* (distinct — duplicates can't change a min, but the oracle
+    must use the same universe)."""
+    return with_shingle_sets(df, text_col, k_shingle).withColumn(
+        "sig", minhash_signature_expr("shingle_set", num_hashes)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
+
+    Plan shape: linear signature scan → explode ``bands`` keys/doc →
+    shuffle on (band_idx, band_key) → intra-bucket self-join → distinct
+    candidate pairs → join back shingle sets → exact Jaccard filter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    base = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes)
+    base = base.select(
+        F.col(id_col).alias("id"), "sig", "shingle_set", "set_size"
+    )
+
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"struct(b AS band_idx, md5(array_join(slice(sig, "
+        f"b * {rows_per_band} + 1, {rows_per_band}), '')) AS band_key))"
+    )
+    banded = (
+        base.withColumn("band", F.explode(band_arr))
+        .select("id", "band.band_idx", "band.band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = base.select(
+        F.col("id").alias("id_a"),
+        F.col("shingle_set").alias("set_a"),
+        F.col("set_size").alias("na"),
+    )
+    sb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("shingle_set").alias("set_b"),
+        F.col("set_size").alias("nb"),
+    )
+    inter = F.expr("size(array_intersect(set_a, set_b))")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash fingerprint; near-dups
+    differ in few bits (compare via hamming distance on the bigint)."""
+    return (
+        df.withColumn("tokens", tokens_expr(text_col))
+        .withColumn("simhash", simhash_expr("tokens", bits))
+        .select(F.col(id_col), "simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted shingle index: explode
+    distinct shingles, self-join on shingle (only overlapping pairs
+    materialize), count intersections, Jaccard from set sizes.
+
+    Quadratic in the worst case — the exact baseline for verifying the LSH
+    path at small scale; at 100 TB use :func:`minhash_lsh_pairs`.
+    """
+    base = with_shingle_sets(df, text_col, k_shingle).select(
+        F.col(id_col).alias("id"), "shingle_set", "set_size"
+    )
+    ex = base.select(
+        "id", "set_size", F.explode("shingle_set").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("na"),
+            F.col("b.set_size").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pair_inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (BASELINE.json north star):
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the (small)
+  query set against the full vector table; per-pair dot product as a
+  sequential double fold (native HOFs, no UDF); windowed top-k with a
+  deterministic tie-break.  Linear in |vectors|·|queries| — correct at any
+  scale where |queries| is bounded.
+- **LSH-bucketed near-dup / ANN** — the scale path: random-hyperplane sign
+  buckets (hyperplane weights derived from md5 so the DuckDB oracle can
+  reproduce them), candidates only within a bucket.  Turns all-pairs
+  O(n²·d) into O(n·planes·d) + intra-bucket pairs.
+
+Determinism for the oracle: element products are exact (float→double
+widening then IEEE multiply); only the sum order differs between engines,
+so cosines are rounded to 6 decimals on both sides *before* ranking, with
+the neighbor id as tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.functions.hashing import (
+    dot_expr,
+    hex8_to_bigint_sql,
+    norm2_expr,
+)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 20",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of every vector against a bounded query subset.
+
+    Returns (qid, nid, cosine, rnk), rnk 1..k per qid.  The query side is
+    broadcast (bounded by ``query_filter``); the vector side streams —
+    no shuffle of the big table, one window per qid partition for top-k.
+    """
+    q = vectors.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+    )
+    pairs = v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+    cos = F.round(
+        dot_expr("qe", "ve")
+        / (F.sqrt(norm2_expr("qe")) * F.sqrt(norm2_expr("ve"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+def hyperplane_bucket_expr(
+    vec_col: str = "embedding", planes: int = 8
+) -> F.Column:
+    """Random-hyperplane LSH bucket key: for each plane p, weight on
+    dimension i is md5-derived pseudo-random in [-500, 500]; bucket char =
+    sign bit of the projection.  Deterministic and reproducible in SQL."""
+    w = hex8_to_bigint_sql("md5(concat('p', cast(p as string), ':', cast(i as string)))")
+    proj = (
+        f"aggregate(zip_with({vec_col}, "
+        f"transform(sequence(1, size({vec_col})), "
+        f"i -> cast({w} % 1001 - 500 as double)), "
+        f"(x, wt) -> cast(x as double) * wt), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"concat_ws('', transform(sequence(0, {planes - 1}), "
+        f"p -> CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END))"
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    cosine_threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH bucketing:
+    vectors sharing all ``planes`` sign bits become candidates (near-identical
+    vectors agree on every hyperplane w.h.p.), then exact cosine verifies.
+    Returns (id_a, id_b, cosine), id_a < id_b."""
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("e"),
+        hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("bucket").alias("bucket"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bucket"),
+    )
+    cos = F.round(
+        dot_expr("ea", "eb")
+        / (F.sqrt(norm2_expr("ea")) * F.sqrt(norm2_expr("eb"))),
+        6,
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_norms(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector L2 norm + dimension (cheap scan-shaped sanity query)."""
+    return vectors.select(
+        F.col(id_col),
+        F.expr(f"size({vec_col})").alias("dim"),
+        F.round(F.sqrt(norm2_expr(vec_col)), 6).alias("l2_norm"),
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for the training-data-pipeline extension
+(BASELINE.json north star; no counterpart in the reference — the reference's
+scalar surface is time/casts only, SURVEY §2.8).
+
+All operators are pure column expressions over native functions + HOF
+lambdas: per-row, no shuffle, no Python UDF — the shape that scales to
+100 TB of documents (embarrassingly parallel over partitions, whole-stage
+codegen, columns pruned to ``text`` at the scan).
+
+Operators:
+- token statistics (whitespace + BPE-ish regex token counting)
+- language ID (stopword + Han-script heuristic)
+- quality scoring (length/stopword/uniqueness ratios)
+- document fingerprinting (content md5 + order-sensitive rolling hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.functions.hashing import (
+    rolling_fingerprint_expr,
+    tokens_expr,
+)
+
+# Small per-language stopword sets (public common function words).  The
+# heuristic is intentionally tiny — real language ID would use trained
+# n-gram profiles; the *engine* contract is deterministic scoring + argmax.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est", "dans"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht"),
+    "es": ("el", "los", "las", "una", "y", "es", "por", "que"),
+}
+_LANG_ORDER = ("en", "fr", "de", "es")  # deterministic tie-break priority
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single other symbol.
+BPE_ISH_PATTERN = r"([a-z]+|[0-9]+|[^a-z0-9\s])"
+
+
+def _stop_count(lang: str, tokens_col: str = "tokens") -> Column:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(
+        f"size(filter({tokens_col}, t -> array_contains(array({arr}), t)))"
+    )
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_expr(text_col))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    tokens, total/avg token length."""
+    df = with_tokens(df, text_col)
+    sum_len = (
+        "aggregate(transform(tokens, t -> length(t)), 0, (a, x) -> a + x)"
+    )
+    return (
+        df.withColumn("n_tokens", F.expr("size(tokens)"))
+        .withColumn("n_uniq_tokens", F.expr("size(array_distinct(tokens))"))
+        .withColumn(
+            "n_bpe_tokens",
+            F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 1)),
+        )
+        .withColumn("sum_token_len", F.expr(sum_len))
+        .withColumn(
+            "avg_token_len",
+            F.round(F.col("sum_token_len") * 1.0 / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-argmax language ID with a Han-script fast path.
+
+    Adds per-language scores and ``lang_pred``.  Deterministic: fixed
+    priority order breaks ties; all-zero scores → 'unknown'."""
+    df = with_tokens(df, text_col)
+    for lang in _LANG_ORDER:
+        df = df.withColumn(f"score_{lang}", _stop_count(lang))
+    # Han characters → zh outright (Java regex script class).
+    df = df.withColumn(
+        "score_zh",
+        F.size(F.regexp_extract_all(text_col, F.lit(r"(\p{IsHan})"), 1)),
+    )
+    pred = F.when(F.col("score_zh") > 0, F.lit("zh"))
+    all_zero = None
+    for lang in _LANG_ORDER:
+        c = F.col(f"score_{lang}") == 0
+        all_zero = c if all_zero is None else (all_zero & c)
+    pred = pred.when(all_zero, F.lit("unknown"))
+    for i, lang in enumerate(_LANG_ORDER):
+        cond = None
+        for other in _LANG_ORDER[i + 1 :]:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            pred.when(cond, F.lit(lang))
+            if cond is not None
+            else pred.otherwise(F.lit(lang))
+        )
+    return df.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality heuristic in [0,1]:
+    0.4·length-score + 0.3·stopword-score + 0.3·uniqueness-ratio.
+    Filters garbage (too short, no function words, degenerate repetition) —
+    the standard pretraining-corpus gate shape."""
+    df = with_tokens(df, text_col)
+    n = F.expr("size(tokens)")
+    df = (
+        df.withColumn("n_tokens", n)
+        .withColumn("stop_cnt", _stop_count("en"))
+        .withColumn("n_uniq_tokens", F.expr("size(array_distinct(tokens))"))
+    )
+    len_score = F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
+    stop_score = F.least(
+        F.lit(1.0), 3.0 * F.col("stop_cnt") / F.col("n_tokens")
+    )
+    uniq_ratio = F.col("n_uniq_tokens") * 1.0 / F.col("n_tokens")
+    return df.withColumn(
+        "quality",
+        F.round(0.4 * len_score + 0.3 * stop_score + 0.3 * uniq_ratio, 6),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: content md5 over normalized text (exact-dup
+    key) + order-sensitive polynomial rolling hash over tokens."""
+    df = with_tokens(df, text_col)
+    normalized = (
+        f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    )
+    return df.withColumn("fp_md5", F.expr(f"md5({normalized})")).withColumn(
+        "fp_rolling", rolling_fingerprint_expr()
+    )

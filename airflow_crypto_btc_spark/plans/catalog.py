@@ -1,0 +1,8 @@
+"""Combined query catalog: core reference operators + scale extensions."""
+
+from __future__ import annotations
+
+from airflow_crypto_btc_spark.plans.registry import REGISTRY, QuerySpec
+from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
+
+ALL_QUERIES: dict[str, QuerySpec] = {**REGISTRY, **EXT_REGISTRY}

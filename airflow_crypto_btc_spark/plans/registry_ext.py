@@ -1,0 +1,395 @@
+"""Extension query registry: dedup / similarity / text-analysis operators
+(the training-data-pipeline surface, BASELINE.json north star).
+
+Oracle-parity strategy: every kernel derives randomness from md5 (identical
+hex in Spark and DuckDB), arithmetic is exact integer / per-element IEEE
+double work, and order-sensitive double sums are rounded to 6 decimals on
+both sides before any ranking/threshold.  That makes even MinHash signatures
+and LSH candidate pairs bit-reproducible across engines.
+
+Type alignment: Spark ``size()`` is int32 while DuckDB ``len()`` is int64 —
+every count-ish output is cast to long on the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from airflow_crypto_btc_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    embedding_norms,
+)
+from airflow_crypto_btc_spark.operators.text import (
+    STOPWORDS,
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from airflow_crypto_btc_spark.plans.registry import QuerySpec
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- DuckDB CTEs
+
+_D_TOKENS = """
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+             AS tokens
+    FROM documents
+"""
+
+_D_SHINGLES = f"""
+    SELECT doc_id, tokens,
+      list_distinct(
+        CASE WHEN len(tokens) >= 3 THEN
+          list_transform(range(1, len(tokens)-1),
+            i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+        ELSE [] END) AS shingle_set
+    FROM ({_D_TOKENS})
+"""
+
+_D_SIG = f"""
+    SELECT doc_id, shingle_set, len(shingle_set) AS set_size,
+      list_transform(range(0, 12), j ->
+        list_min(list_transform(shingle_set,
+          s -> md5(j::VARCHAR || '|' || s)))) AS sig
+    FROM ({_D_SHINGLES})
+"""
+
+
+def _duck_stop(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(tokens, t -> list_contains([{words}], t)))"
+    )
+
+
+# ------------------------------------------------------------------ text ops
+
+def q_text_token_stats(spark, sf_dir):
+    out = token_stats(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("sum_token_len").cast("long").alias("sum_token_len"),
+        "avg_token_len",
+    )
+
+
+_SQL_TEXT_TOKEN_STATS = f"""
+    SELECT doc_id,
+      len(tokens) AS n_tokens,
+      len(list_distinct(tokens)) AS n_uniq_tokens,
+      len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1))
+        AS n_bpe_tokens,
+      CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
+        AS sum_token_len,
+      round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
+            * 1.0 / len(tokens), 6) AS avg_token_len
+    FROM ({_D_TOKENS})
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    out = lang_id(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"score_{lg}").cast("long").alias(f"score_{lg}")
+            for lg in ("en", "fr", "de", "es", "zh")
+        ],
+        "lang_pred",
+    )
+
+
+_SQL_TEXT_LANG_ID = f"""
+    SELECT doc_id, score_en, score_fr, score_de, score_es, score_zh,
+      CASE WHEN score_zh > 0 THEN 'zh'
+           WHEN score_en = 0 AND score_fr = 0 AND score_de = 0
+                AND score_es = 0 THEN 'unknown'
+           WHEN score_en >= score_fr AND score_en >= score_de
+                AND score_en >= score_es THEN 'en'
+           WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+           WHEN score_de >= score_es THEN 'de'
+           ELSE 'es' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+        {_duck_stop('en')} AS score_en,
+        {_duck_stop('fr')} AS score_fr,
+        {_duck_stop('de')} AS score_de,
+        {_duck_stop('es')} AS score_es,
+        len(regexp_extract_all(text, '(\\p{{Han}})', 1)) AS score_zh
+      FROM ({_D_TOKENS})
+    )
+"""
+
+
+def q_text_quality_score(spark, sf_dir):
+    out = quality_score(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stop_cnt").cast("long").alias("stop_cnt"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
+        "quality",
+    )
+
+
+_SQL_TEXT_QUALITY_SCORE = f"""
+    SELECT doc_id, n_tokens, stop_cnt, n_uniq_tokens,
+      round(0.4 * least(1.0, n_tokens / 50.0)
+          + 0.3 * least(1.0, 3.0 * stop_cnt / n_tokens)
+          + 0.3 * (n_uniq_tokens * 1.0 / n_tokens), 6) AS quality
+    FROM (
+      SELECT doc_id, len(tokens) AS n_tokens,
+        {_duck_stop('en')} AS stop_cnt,
+        len(list_distinct(tokens)) AS n_uniq_tokens
+      FROM ({_D_TOKENS})
+    )
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    out = fingerprints(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "fp_md5", "fp_rolling")
+
+
+_SQL_TEXT_FINGERPRINT = f"""
+    SELECT doc_id,
+      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(tokens,
+            t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        (a, b) -> (a * 131 + b) % 1000000007) AS fp_rolling
+    FROM ({_D_TOKENS})
+"""
+
+
+# ----------------------------------------------------------------- dedup ops
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+           min(doc_id) AS rep_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+"""
+
+
+def q_dedup_minhash_signature(spark, sf_dir):
+    out = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.expr("array_join(sig, '|')").alias("sig"),
+        F.col("set_size").cast("long").alias("set_size"),
+    )
+
+
+_SQL_DEDUP_MINHASH_SIGNATURE = f"""
+    SELECT doc_id, array_to_string(sig, '|') AS sig, set_size
+    FROM ({_D_SIG})
+"""
+
+
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
+_SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
+    WITH base AS ({_D_SIG}),
+    banded AS (
+      SELECT doc_id AS id, b.b AS band_idx,
+             md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
+      FROM base, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM banded a
+      JOIN banded b2 ON a.band_idx = b2.band_idx
+                    AND a.band_key = b2.band_key AND a.id < b2.id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+        len(list_intersect(x.shingle_set, y.shingle_set)) AS inter,
+        x.set_size AS na, y.set_size AS nb
+      FROM cand
+      JOIN base x ON x.doc_id = cand.id_a
+      JOIN base y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM verified
+    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_SIMHASH = f"""
+    SELECT doc_id,
+      CAST(list_sum(list_transform(range(0, 16), i ->
+        CASE WHEN list_sum(list_transform(tokens, t ->
+          CASE WHEN (('0x' || substr(md5(t), CAST(i+1 AS INT), 1))::INT % 2) = 1
+               THEN 1 ELSE -1 END)) > 0
+        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM ({_D_TOKENS})
+"""
+
+
+def q_dedup_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_SQL_DEDUP_NGRAM_JACCARD_PAIRS = f"""
+    WITH base AS (
+      SELECT doc_id AS id, shingle_set, len(shingle_set) AS set_size
+      FROM ({_D_SHINGLES})
+    ),
+    ex AS (SELECT id, set_size, unnest(shingle_set) AS s FROM base),
+    pair_inter AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             a.set_size AS na, b.set_size AS nb, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM pair_inter
+    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
+"""
+
+
+# ------------------------------------------------------------ similarity ops
+
+def q_sim_cosine_topk(spark, sf_dir):
+    out = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_filter="vec_id < 20",
+        k=10,
+    )
+    return out.select(
+        "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+_SQL_SIM_COSINE_TOPK = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 20),
+    v AS (SELECT vec_id AS nid, embedding AS ve FROM embeddings),
+    p AS (
+      SELECT qid, nid,
+        list_sum(list_transform(range(1, len(qe)+1),
+          i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        list_sum(list_transform(qe,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qn,
+        list_sum(list_transform(ve,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vn
+      FROM v, q WHERE nid <> qid
+    ),
+    c AS (SELECT qid, nid, round(dot / (sqrt(qn) * sqrt(vn)), 6) AS cosine
+          FROM p)
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM c)
+    WHERE rnk <= 10
+"""
+
+
+def q_sim_embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        planes=4,
+        cosine_threshold=0.3,
+    )
+
+
+_SQL_SIM_EMBEDDING_NEAR_DUP = """
+    WITH base AS (
+      SELECT vec_id AS id, embedding AS e,
+        array_to_string(list_transform(range(0, 4), p ->
+          CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i ->
+            CAST(embedding[i] AS DOUBLE) *
+            CAST((('0x' || substr(md5('p' || p::VARCHAR || ':' || i::VARCHAR),
+                    1, 8))::BIGINT % 1001 - 500) AS DOUBLE)
+          )) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+        list_sum(list_transform(range(1, len(a.e)+1),
+          i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) AS dot,
+        list_sum(list_transform(a.e,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        list_sum(list_transform(b.e,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+    FROM pairs
+    WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.3
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    out = embedding_norms(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), "l2_norm"
+    )
+
+
+_SQL_EMBEDDING_NORMS = """
+    SELECT vec_id, len(embedding) AS dim,
+      round(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+"""
+
+
+EXT_REGISTRY: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(q_text_token_stats, _SQL_TEXT_TOKEN_STATS),
+    "text_lang_id": QuerySpec(q_text_lang_id, _SQL_TEXT_LANG_ID),
+    "text_quality_score": QuerySpec(
+        q_text_quality_score, _SQL_TEXT_QUALITY_SCORE
+    ),
+    "text_fingerprint": QuerySpec(q_text_fingerprint, _SQL_TEXT_FINGERPRINT),
+    "dedup_exact": QuerySpec(q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_minhash_signature": QuerySpec(
+        q_dedup_minhash_signature, _SQL_DEDUP_MINHASH_SIGNATURE
+    ),
+    "dedup_minhash_lsh_pairs": QuerySpec(
+        q_dedup_minhash_lsh_pairs, _SQL_DEDUP_MINHASH_LSH_PAIRS
+    ),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, _SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard_pairs": QuerySpec(
+        q_dedup_ngram_jaccard_pairs, _SQL_DEDUP_NGRAM_JACCARD_PAIRS
+    ),
+    "sim_cosine_topk": QuerySpec(q_sim_cosine_topk, _SQL_SIM_COSINE_TOPK),
+    "sim_embedding_near_dup": QuerySpec(
+        q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP
+    ),
+    "embedding_norms": QuerySpec(q_embedding_norms, _SQL_EMBEDDING_NORMS),
+}

@@ -1,0 +1,92 @@
+"""Dedup operator semantics on handcrafted corpora with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_crypto_btc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+# One interior token changed on a 19-token doc → shingle Jaccard 0.7: high
+# enough that the fixed md5 banding (r=3, b=4) deterministically collides.
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets "
+    "slowly behind the green hills today"
+)
+DOCS = [
+    (0, _BASE),
+    (1, _BASE),                                # exact dup of 0
+    (2, _BASE.replace("lazy", "sleepy")),      # near dup of 0
+    (3, "completely different words about spark engines here today now"),
+    (4, "THE  Quick " + _BASE[10:]),           # whitespace/case variant
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["fp_md5"]: r for r in exact_dedup(docs).collect()}
+    # 0, 1, 4 normalize identically (lower + whitespace collapse)
+    groups = sorted((r["rep_id"], r["n_dups"]) for r in got.values())
+    assert (0, 3) in groups          # rep = min id, 3 members
+    assert len(groups) == 3          # {0,1,4}, {2}, {3}
+
+
+def test_minhash_signature_shape(docs):
+    row = minhash_signatures(docs, num_hashes=12).filter("doc_id = 0").collect()[0]
+    assert len(row["sig"]) == 12
+    assert all(len(s) == 32 for s in row["sig"])  # md5 hex
+    # identical docs → identical signatures
+    rows = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(docs, num_hashes=12).collect()
+    }
+    assert rows[0] == rows[1]
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # one-token change → high shingle overlap
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_lsh_subset_of_exact_jaccard(docs):
+    """LSH candidates that survive verification must be exactly the
+    exact-Jaccard pairs they claim to be (no false positives; recall can
+    be < 1 by design)."""
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+
+
+def test_simhash_similar_docs_close(docs):
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs, bits=16).collect()
+    }
+    assert fp[0] == fp[1]  # identical text → identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup differs in strictly fewer bits than the unrelated doc
+    assert hamming(fp[0], fp[2]) < hamming(fp[0], fp[3])

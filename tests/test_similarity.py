@@ -1,0 +1,75 @@
+"""Similarity-search semantics vs a NumPy reference implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from airflow_crypto_btc_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    embedding_norms,
+)
+
+N, DIM = 60, 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    V = rng.randn(N, DIM).astype(np.float32)
+    V[7] = V[3] + rng.randn(DIM).astype(np.float32) * 0.01  # near-dup pair
+    rows = [(i, V[i].tolist()) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return V, df
+
+
+def numpy_topk(V, qids, k):
+    Vd = V.astype(np.float64)
+    n = Vd / np.linalg.norm(Vd, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        cos = n @ n[q]
+        order = sorted(
+            (i for i in range(len(V)) if i != q),
+            key=lambda i: (-round(cos[i], 6), i),
+        )
+        out[q] = [(i, round(cos[i], 6)) for i in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    V, df = vectors
+    got = cosine_topk(df, query_filter="vec_id < 5", k=10).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rnk"])):
+        by_q.setdefault(r["qid"], []).append((r["nid"], r["cosine"]))
+    expected = numpy_topk(V, range(5), 10)
+    for q in range(5):
+        assert [n for n, _ in by_q[q]] == [n for n, _ in expected[q]]
+        np.testing.assert_allclose(
+            [c for _, c in by_q[q]],
+            [c for _, c in expected[q]],
+            atol=2e-6,
+        )
+
+
+def test_near_dup_pair_found(vectors):
+    V, df = vectors
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            df, planes=4, cosine_threshold=0.95
+        ).collect()
+    }
+    assert (3, 7) in pairs and pairs[(3, 7)] > 0.99
+
+
+def test_norms(vectors):
+    V, df = vectors
+    got = {r["vec_id"]: r for r in embedding_norms(df).collect()}
+    for i in (0, 5, 59):
+        assert got[i]["dim"] == DIM
+        assert got[i]["l2_norm"] == pytest.approx(
+            float(np.linalg.norm(V[i].astype(np.float64))), abs=2e-6
+        )

@@ -1,0 +1,124 @@
+"""End-to-end day-fold pipeline tests (SURVEY §5 pipeline-level plan):
+run N consecutive days, check OHLC against an independent pandas
+recomputation, prove day re-runs are idempotent, and check DQ gates fire.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.merge import dedup_keep_first
+from airflow_crypto_btc_spark.pipeline import (
+    Warehouse,
+    normalize_klines,
+    run_day,
+    run_range,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+DAYS = ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+
+def _source_for_day(spark, sf_dir, day):
+    """All event types of the day as one price series (the sf0.001 fixture
+    has only ~5-11 rows per day per type; aggregate to get a dense day)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.to_date("ts") == F.lit(day).cast("date"))
+        .select(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_utc"),
+            F.col("value").alias("price"),
+        )
+        .transform(lambda d: dedup_keep_first(d, ["ts_utc"], "ts_utc"))
+        .orderBy("ts_utc")
+    )
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return Warehouse(str(tmp_path / "warehouse"))
+
+
+def _metrics_pdf(spark, wh) -> pd.DataFrame:
+    return (
+        spark.read.parquet(wh.daily_metrics)
+        .orderBy("date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_run_range_ohlc_matches_pandas(spark, sf_dir, wh):
+    run_range(
+        spark,
+        wh,
+        DAYS,
+        lambda d: _source_for_day(spark, sf_dir, d),
+        min_day_rows=10,
+    )
+    got = _metrics_pdf(spark, wh)
+    assert list(got["date"].astype(str)) == DAYS
+
+    # independent recomputation with reference semantics (iloc[0]/iloc[-1]
+    # on the ts-sorted frame; pct_change)
+    for _, row in got.iterrows():
+        day = str(row["date"])
+        pdf = (
+            _source_for_day(spark, sf_dir, day)
+            .toPandas()
+            .sort_values("ts_utc")
+        )
+        assert row["open"] == pdf["price"].iloc[0]
+        assert row["close"] == pdf["price"].iloc[-1]
+        assert row["high"] == pdf["price"].max()
+        assert row["low"] == pdf["price"].min()
+
+    ret = got["close"].pct_change()
+    assert pd.isna(got["ret"].iloc[0])
+    assert got["ret"].iloc[1:].tolist() == pytest.approx(
+        ret.iloc[1:].tolist()
+    )
+    # only 3 days of history → every min_periods-gated indicator is null
+    assert got[["ma7", "ma30", "vol30"]].isna().all().all()
+
+
+def test_rerun_day_is_idempotent(spark, sf_dir, wh):
+    src = lambda d: _source_for_day(spark, sf_dir, d)  # noqa: E731
+    run_range(spark, wh, DAYS[:2], src, min_day_rows=10)
+    before = _metrics_pdf(spark, wh)
+    raw_before = spark.read.parquet(wh.day_partition(DAYS[0])).count()
+
+    run_day(spark, wh, DAYS[0], src(DAYS[0]), min_day_rows=10)  # re-run
+    after = _metrics_pdf(spark, wh)
+    raw_after = spark.read.parquet(wh.day_partition(DAYS[0])).count()
+
+    pd.testing.assert_frame_equal(before, after)
+    assert raw_before == raw_after
+
+
+def test_quality_gate_fires_on_thin_day(spark, sf_dir, wh):
+    with pytest.raises(AssertionError, match="day_rowcount"):
+        run_day(
+            spark,
+            wh,
+            DAYS[0],
+            _source_for_day(spark, sf_dir, DAYS[0]),
+            min_day_rows=1000,
+        )
+
+
+def test_normalize_klines_shape_and_dedup(spark):
+    rows = [
+        # open_time, o, h, l, close, vol, close_time, qv, n, tb, tq, ignore
+        [1704067200000, "42000", "42100", "41900", "42050.5", "1", 0, 0, 0, 0, 0, 0],
+        [1704070800000, "42050", "42200", "42000", "42150.0", "1", 0, 0, 0, 0, 0, 0],
+        [1704067200000, "99999", "99999", "99999", "99999.0", "1", 0, 0, 0, 0, 0, 0],  # dup ts
+    ]
+    out = normalize_klines(spark, rows).toPandas()
+    assert list(out.columns) == ["ts_utc", "asset", "price"]
+    assert len(out) == 2  # keep-first dedup on ts_utc
+    assert out["ts_utc"].iloc[0] == "2024-01-01T00:00:00Z"
+    assert out["price"].iloc[0] == 42050.5
+    assert (out["asset"] == "BTC-USD").all()

@@ -1,0 +1,113 @@
+"""Structured Streaming tests: streaming OHLC == batch OHLC on the same
+data, and the stateful pct_change operator carries state across separate
+runs (restart-from-checkpoint semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+from airflow_crypto_btc_spark.sources.tables import load_table
+from airflow_crypto_btc_spark.streaming.ohlc_stream import (
+    read_event_stream,
+    run_available_now,
+    run_complete_to_memory,
+    streaming_daily_ohlc,
+    streaming_pct_change,
+)
+
+
+def _land_day_files(spark, sf_dir, days, target):
+    """Simulate files arriving: one parquet file per day slice."""
+    ev = load_table(spark, sf_dir, "events")
+    for day in days:
+        (
+            ev.filter(F.to_date("ts") == F.lit(day).cast("date"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(target)
+        )
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "landing")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    _land_day_files(spark, sf_dir, days, src)
+
+    stream = streaming_daily_ohlc(read_event_stream(spark, src))
+    run_complete_to_memory(
+        stream, "ohlc_snapshot", str(tmp_path / "ckpt_ohlc")
+    )
+    got = (
+        spark.table("ohlc_snapshot")
+        .orderBy("event_type", "date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+    batch = (
+        daily_ohlc(spark.read.parquet(src))
+        .orderBy("event_type", "date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch[got.columns.tolist()])
+    assert sorted(got["date"].astype(str).unique()) == days
+
+
+def test_stateful_pct_change_across_restarts(spark, sf_dir, tmp_path):
+    """Feed days 1-2, drain; feed days 3-4, drain with the SAME checkpoint.
+    ret for day 3 must use day 2's close from the carried state."""
+    landing = str(tmp_path / "daily_landing")
+    ckpt = str(tmp_path / "ckpt_ret")
+    collected: list[pd.DataFrame] = []
+
+    ev = load_table(spark, sf_dir, "events")
+    all_daily = (
+        daily_ohlc(ev)
+        .withColumnRenamed("event_type", "asset")
+        .select("asset", "date", "close")
+    )
+
+    def land(days):
+        all_daily.filter(
+            F.col("date").isin([pd.Timestamp(d).date() for d in days])
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "asset string, date date, close double"
+        ).parquet(landing)
+        out = streaming_pct_change(stream)
+        run_available_now(
+            out,
+            ckpt,
+            output_mode="update",
+            foreach_batch=lambda df, _id: collected.append(df.toPandas()),
+        )
+
+    land(["2024-01-01", "2024-01-02"])
+    drain()
+    land(["2024-01-03", "2024-01-04"])
+    drain()
+
+    got = (
+        pd.concat(collected, ignore_index=True)
+        .sort_values(["asset", "date"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        all_daily.filter(F.col("date") <= F.lit("2024-01-04").cast("date"))
+        .toPandas()
+        .sort_values(["asset", "date"])
+        .reset_index(drop=True)
+    )
+    expected["ret"] = expected.groupby("asset")["close"].pct_change()
+
+    assert len(got) == len(expected)
+    pd.testing.assert_frame_equal(
+        got[["asset", "date", "close", "ret"]],
+        expected[["asset", "date", "close", "ret"]],
+        check_dtype=False,
+    )

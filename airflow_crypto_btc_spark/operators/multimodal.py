@@ -1,0 +1,199 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed metadata,
+with decode / feature-extraction / resize / frame-sampling plumbing.
+
+The reference has no media columns; this is north-star surface for a
+training-data pipeline (BASELINE.json): at 100 TB, images/audio/video live
+as ``binary`` columns (or object-store pointers) beside typed metadata, and
+every per-item transform runs as an Arrow-batched Pandas UDF via
+``mapInPandas`` — never a row-at-a-time Python UDF, never a driver loop.
+
+Container constraint: no image/audio codecs are installed, so the *decode
+kernels* are stubs — ``use_real_codecs=True`` raises ``NotImplementedError``
+at the exact call site a real Pillow/libav decode would occupy, and the
+default path substitutes a **deterministic fake decode** derived from the
+payload bytes.  Everything around the kernel — schemas, UDF signatures,
+Arrow batch shapes, partitioning — is real and tested.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches through Python;
+peak executor memory is one batch (``spark.sql.execution.arrow.
+maxRecordsPerBatch``), not one partition.  Decode is embarrassingly
+parallel — no shuffle at all; the only exchange in this module is the
+optional ``repartition`` to spread large payloads evenly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed "frame" width (characters) for the fake video payload layout.
+FRAME_CHARS = 32
+
+_MIMES = ("image/jpeg", "audio/wav", "video/mp4")
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model a multimodal at-rest table on the ``documents`` fixture: the
+    UTF-8 bytes of ``text`` play the opaque media payload, and a typed
+    metadata struct rides beside it (mime, byte length, md5 checksum).
+
+    All JVM-side expressions — payload construction never touches Python.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.element_at(
+                F.array(*[F.lit(m) for m in _MIMES]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+# ------------------------------------------------------------------- decode
+
+_DECODE_SCHEMA = (
+    "doc_id long, mime string, width int, height int, channels int, "
+    "decode_ok boolean"
+)
+
+
+def decode_media(
+    mm: DataFrame, use_real_codecs: bool = False
+) -> DataFrame:
+    """Per-item "decode" via ``mapInPandas``: batches arrive as pandas
+    DataFrames with ``payload`` as ``bytes`` objects (Arrow binary), the
+    kernel emits typed dimensions.
+
+    STUB: the real-codec branch raises ``NotImplementedError`` —
+    Pillow/libav are not in this container.  The fake branch derives
+    deterministic dimensions from the first payload bytes so tests (and the
+    driver) get stable output with the exact batch shape a real decoder
+    would see.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_codecs:
+                raise NotImplementedError(
+                    "media codecs (Pillow/libav) are not installed in this "
+                    "environment; deterministic fake decode is the default"
+                )
+            payloads = pdf["payload"]
+            first = payloads.map(lambda b: b[0] if len(b) else 0)
+            second = payloads.map(lambda b: b[1] if len(b) > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "width": (1 + first % 64).astype("int32"),
+                    "height": (1 + second % 64).astype("int32"),
+                    "channels": 3,
+                    "decode_ok": payloads.map(len) > 0,
+                }
+            )
+
+    return mm.mapInPandas(_decode, schema=_DECODE_SCHEMA)
+
+
+def resize_media(
+    decoded: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Resize plumbing: consumes decode output, emits target dims + the
+    scale factors a real resampler would apply.  The pixel-resample kernel
+    itself is the stubbed part (needs a codec); the dataflow (narrow
+    transform, no shuffle) is the real design."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real resampling needs an image library; not installed"
+        )
+    return decoded.select(
+        "doc_id",
+        F.lit(target_w).alias("width"),
+        F.lit(target_h).alias("height"),
+        (F.lit(target_w) / F.col("width")).alias("scale_x"),
+        (F.lit(target_h) / F.col("height")).alias("scale_y"),
+    )
+
+
+# ----------------------------------------------------------------- features
+
+_FEATURE_SCHEMA = "doc_id long, feat array<double>, feat_norm double"
+
+
+def extract_byte_features(mm: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic feature extraction: normalized byte-bucket histogram
+    (``dim`` buckets over 0-255) as ``array<double>`` — the stand-in for an
+    embedding model, with the same Spark shape (vectorized numpy over Arrow
+    batches, fixed-width array output feeding the similarity operators)."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, norms = [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if arr.size == 0:
+                    v = np.zeros(dim)
+                else:
+                    hist = np.bincount(arr // (256 // dim), minlength=dim)
+                    v = hist / arr.size
+                feats.append(v.tolist())
+                norms.append(float(np.sqrt((v * v).sum())))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "feat": feats, "feat_norm": norms}
+            )
+
+    return mm.mapInPandas(_feat, schema=_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------ frame sampling
+
+
+def sample_frames(mm: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling for "video" payloads: the decoded payload is treated
+    as a sequence of fixed-width ``FRAME_CHARS`` frames; keep every
+    ``every_n``-th frame (frame 0, n, 2n, …) and emit checksums.
+
+    Character-based slicing (not byte-based) so multi-byte UTF-8 content
+    frames identically in any engine.  Pure JVM-side: ``sequence`` +
+    ``transform`` higher-order functions — no Python in the hot path, fully
+    oracle-checkable.
+    """
+    txt = F.decode(F.col("payload"), "UTF-8")
+    n_frames = F.ceil(F.length(txt) / F.lit(FRAME_CHARS)).cast("long")
+    # sequence(0, -1, +4) errors on empty payloads — guard to empty array
+    idx = F.when(
+        n_frames > 0,
+        F.sequence(
+            F.lit(0).cast("long"), n_frames - 1, F.lit(every_n).cast("long")
+        ),
+    ).otherwise(F.array().cast("array<long>"))  # 0, n, 2n, … < n_frames
+    frames = F.transform(
+        idx,
+        # substring is 1-based; frame i covers chars [i*W, (i+1)*W)
+        lambda i: F.md5(
+            F.encode(
+                F.substring(
+                    txt, (i * FRAME_CHARS + 1).cast("int"), FRAME_CHARS
+                ),
+                "UTF-8",
+            )
+        ),
+    )
+    return mm.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.size(idx).cast("long").alias("n_sampled"),
+        F.array_join(frames, "|").alias("frame_digest"),
+    )

@@ -22,6 +22,12 @@ from airflow_crypto_btc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from airflow_crypto_btc_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    extract_byte_features,
+    sample_frames,
+)
 from airflow_crypto_btc_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -369,6 +375,62 @@ _SQL_EMBEDDING_NORMS = """
 """
 
 
+# ------------------------------------------------------------ multimodal ops
+
+
+def _mm(spark, sf_dir):
+    return attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+
+def q_mm_metadata(spark, sf_dir):
+    mm = _mm(spark, sf_dir)
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+_SQL_MM_METADATA = """
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+           ELSE 'video/mp4' END AS mime,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS checksum
+    FROM documents
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    return sample_frames(_mm(spark, sf_dir), every_n=4)
+
+
+_SQL_MM_FRAME_SAMPLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+        CAST(ceil(length(text) / 32.0) AS BIGINT) AS nf
+      FROM documents
+    )
+    SELECT doc_id, nf AS n_frames,
+      CAST(len(range(0, nf, 4)) AS BIGINT) AS n_sampled,
+      array_to_string(list_transform(range(0, nf, 4),
+        i -> md5(substr(text, CAST(i * 32 + 1 AS INT), 32))), '|')
+        AS frame_digest
+    FROM base
+"""
+
+
+def q_mm_decode_stub(spark, sf_dir):
+    # mapInPandas fake decode — not SQL-expressible; driver rows-only check
+    return decode_media(_mm(spark, sf_dir))
+
+
+def q_mm_byte_features(spark, sf_dir):
+    # vectorized numpy over Arrow batches — rows-only check
+    return extract_byte_features(_mm(spark, sf_dir), dim=8)
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(q_text_token_stats, _SQL_TEXT_TOKEN_STATS),
     "text_lang_id": QuerySpec(q_text_lang_id, _SQL_TEXT_LANG_ID),
@@ -392,4 +454,8 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP
     ),
     "embedding_norms": QuerySpec(q_embedding_norms, _SQL_EMBEDDING_NORMS),
+    "mm_metadata": QuerySpec(q_mm_metadata, _SQL_MM_METADATA),
+    "mm_frame_sample": QuerySpec(q_mm_frame_sample, _SQL_MM_FRAME_SAMPLE),
+    "mm_decode_stub": QuerySpec(q_mm_decode_stub, None),
+    "mm_byte_features": QuerySpec(q_mm_byte_features, None),
 }

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing tests: payload/metadata schema, deterministic
+fake decode over mapInPandas (real Arrow batch shapes), feature extraction,
+frame sampling, and the NotImplementedError codec gate."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from airflow_crypto_btc_spark.operators.multimodal import (
+    FRAME_CHARS,
+    attach_binary_payload,
+    decode_media,
+    extract_byte_features,
+    resize_media,
+    sample_frames,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def mm(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    return attach_binary_payload(docs).cache()
+
+
+def test_payload_schema_and_checksum(mm):
+    schema = dict(mm.dtypes)
+    assert schema["payload"] == "binary"
+    assert schema["meta"].startswith("struct<mime:string,n_bytes:int")
+    rows = mm.limit(5).collect()
+    for r in rows:
+        raw = bytes(r["payload"])
+        assert r["meta"]["n_bytes"] == len(raw)
+        assert r["meta"]["checksum"] == hashlib.md5(raw).hexdigest()
+        assert r["meta"]["mime"] in ("image/jpeg", "audio/wav", "video/mp4")
+
+
+def test_fake_decode_deterministic_and_byte_derived(mm):
+    a = decode_media(mm).orderBy("doc_id").collect()
+    b = decode_media(mm).orderBy("doc_id").collect()
+    assert a == b  # deterministic across runs
+    payloads = {
+        r["doc_id"]: bytes(r["payload"]) for r in mm.collect()
+    }
+    for r in a:
+        raw = payloads[r["doc_id"]]
+        assert r["width"] == 1 + raw[0] % 64
+        assert r["height"] == 1 + raw[1] % 64
+        assert r["channels"] == 3 and r["decode_ok"]
+
+
+def test_real_codec_path_is_stubbed(mm):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_media(mm, use_real_codecs=True).collect()
+    with pytest.raises(NotImplementedError, match="resampling"):
+        resize_media(decode_media(mm), use_real_codecs=True)
+
+
+def test_resize_scale_factors(mm):
+    out = resize_media(decode_media(mm), 32, 48).limit(5).collect()
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 48
+        assert r["scale_x"] > 0 and r["scale_y"] > 0
+
+
+def test_byte_features_match_numpy(mm):
+    out = {r["doc_id"]: r for r in extract_byte_features(mm, dim=8).collect()}
+    for r in mm.limit(5).collect():
+        raw = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        hist = np.bincount(raw // 32, minlength=8) / raw.size
+        got = out[r["doc_id"]]
+        assert got["feat"] == pytest.approx(hist.tolist())
+        assert got["feat_norm"] == pytest.approx(float(np.sqrt((hist**2).sum())))
+        assert sum(got["feat"]) == pytest.approx(1.0)
+
+
+def test_frame_sampling_matches_python(mm):
+    out = {r["doc_id"]: r for r in sample_frames(mm, every_n=4).collect()}
+    for r in mm.limit(5).collect():
+        text = bytes(r["payload"]).decode("utf-8")
+        n_frames = math.ceil(len(text) / FRAME_CHARS)
+        idx = list(range(0, n_frames, 4))
+        digests = [
+            hashlib.md5(
+                text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS].encode()
+            ).hexdigest()
+            for i in idx
+        ]
+        got = out[r["doc_id"]]
+        assert got["n_frames"] == n_frames
+        assert got["n_sampled"] == len(idx)
+        assert got["frame_digest"] == "|".join(digests)

@@ -124,6 +124,90 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 25 = 7",
+    query_filter: str = "vec_id < 20",
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style approximate top-k — the index-shaped scale path.
+
+    Structure of a real IVF index, with a deterministic twist so the DuckDB
+    oracle can replay it exactly:
+
+    1. **Coarse quantizer**: ``centroid_filter`` picks seed vectors as
+       centroids (a k-means training job would produce these offline; the
+       assignment/probe dataflow is identical either way).
+    2. **Assignment**: every vector joins the *broadcast* centroid set and
+       keeps its nearest centroid (cosine, 6-decimal round, centroid-id
+       tie-break) — one linear scan, no shuffle of the vector table.
+    3. **Probe**: each query ranks the same broadcast centroids and keeps
+       the ``n_probe`` nearest inverted lists.
+    4. **Search**: exact cosine only against vectors whose assigned
+       centroid is probed — the search join is on ``cid``, so at scale the
+       vector table can be *partitioned by cid* and each probe touches
+       n_probe/|C| of the data instead of all of it.
+
+    Returns (qid, nid, cosine, rnk) like :func:`cosine_topk`; recall < 1 by
+    construction (that is the speed trade).
+    """
+    cent = vectors.filter(centroid_filter).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+
+    def _nearest(df, id_out, vec_alias, keep, rank_col="__r"):
+        cos = F.round(
+            dot_expr(vec_alias, "ce")
+            / (F.sqrt(norm2_expr(vec_alias)) * F.sqrt(norm2_expr("ce"))),
+            6,
+        ).alias("__ccos")
+        w = Window.partitionBy(id_out).orderBy(
+            F.desc("__ccos"), F.asc("cid")
+        )
+        return (
+            df.join(F.broadcast(cent))
+            .withColumn("__ccos", cos)
+            .withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= keep)
+        )
+
+    assigned = _nearest(
+        vectors.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+        ),
+        "nid",
+        "ve",
+        keep=1,
+    ).select("nid", "ve", "cid")
+
+    probed = _nearest(
+        vectors.filter(query_filter).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+        ),
+        "qid",
+        "qe",
+        keep=n_probe,
+    ).select("qid", "qe", "cid")
+
+    cos = F.round(
+        dot_expr("qe", "ve")
+        / (F.sqrt(norm2_expr("qe")) * F.sqrt(norm2_expr("ve"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        assigned.join(F.broadcast(probed), ["cid"])
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 def embedding_norms(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

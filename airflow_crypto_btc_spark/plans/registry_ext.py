@@ -32,6 +32,7 @@ from airflow_crypto_btc_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     embedding_norms,
+    ivf_topk,
 )
 from airflow_crypto_btc_spark.operators.text import (
     STOPWORDS,
@@ -360,6 +361,62 @@ _SQL_SIM_EMBEDDING_NEAR_DUP = """
 """
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    out = ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        centroid_filter="vec_id % 25 = 7",
+        query_filter="vec_id < 20",
+        n_probe=4,
+        k=10,
+    )
+    return out.select(
+        "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+_D_COS = """round(
+      list_sum(list_transform(range(1, len({a})+1),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform({a},
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b},
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
+_SQL_SIM_IVF_TOPK = f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % 25 = 7),
+    v AS (SELECT vec_id AS nid, embedding AS ve FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < 20),
+    assigned AS (
+      SELECT nid, ve, cid FROM (
+        SELECT nid, ve, cid,
+          row_number() OVER (PARTITION BY nid
+            ORDER BY {_D_COS.format(a="ve", b="ce")} DESC, cid) AS r
+        FROM v, cent)
+      WHERE r = 1
+    ),
+    probed AS (
+      SELECT qid, qe, cid FROM (
+        SELECT qid, qe, cid,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY {_D_COS.format(a="qe", b="ce")} DESC, cid) AS r
+        FROM q, cent)
+      WHERE r <= 4
+    ),
+    scored AS (
+      SELECT qid, nid, {_D_COS.format(a="qe", b="ve")} AS cosine
+      FROM assigned JOIN probed USING (cid)
+      WHERE nid <> qid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM scored)
+    WHERE rnk <= 10
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     out = embedding_norms(load_table(spark, sf_dir, "embeddings"))
     return out.select(
@@ -450,6 +507,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_dedup_ngram_jaccard_pairs, _SQL_DEDUP_NGRAM_JACCARD_PAIRS
     ),
     "sim_cosine_topk": QuerySpec(q_sim_cosine_topk, _SQL_SIM_COSINE_TOPK),
+    "sim_ivf_topk": QuerySpec(q_sim_ivf_topk, _SQL_SIM_IVF_TOPK),
     "sim_embedding_near_dup": QuerySpec(
         q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP
     ),

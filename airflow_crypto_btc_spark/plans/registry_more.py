@@ -1,0 +1,245 @@
+"""Second-wave query registry: time-series joins (as-of, sessionization)
+and the wider star-schema surface (selective filter-agg, per-group top-k
+ranking, rollup grouping sets).
+
+Same determinism discipline as the core registry: decimal-cast group sums,
+identical aliases on both engines, explicit tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.asof import asof_join, sessionize
+from airflow_crypto_btc_spark.plans.registry import QuerySpec, _dec_sum
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def q_asof_purchase_last_error(spark, sf_dir):
+    """Each purchase event joined to the user's most recent error event at
+    or before it (asof backward join, per-user)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        errors,
+        left_ts="ts",
+        right_ts="ts",
+        by=("user_id",),
+        value_cols=("value",),
+    )
+
+
+_SQL_ASOF_PURCHASE_LAST_ERROR = """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'error')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           e.ts AS r_ts, e.value AS r_value
+    FROM p ASOF LEFT JOIN e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+# ------------------------------------------------------------- sessionization
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-user sessions with a 30-minute inactivity gap (native
+    session_window gap-merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, ts_col="ts", key_cols=("user_id",), gap="30 minutes")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        "duration_us",
+    )
+
+
+# Same-session iff gap to previous event is ≤ 30 min — Spark's session
+# window merges an event landing exactly at last+gap (verified in
+# tests/test_asof.py), so the boundary is inclusive on both engines.
+_SQL_SESSION_STATS = """
+    WITH flags AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  <= INTERVAL 30 MINUTE
+             THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id,
+      min(ts) AS session_start,
+      max(ts) AS session_end,
+      count(*) AS n_events,
+      epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, sid
+"""
+
+
+# ------------------------------------------------------------- star schema
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped: highly selective scan-filter-agg — the pushdown
+    showcase (all three predicates reach the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return out
+
+
+_SQL_Q6_FORECAST_REVENUE = """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue,
+      count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_rank_top_customers_per_nation(spark, sf_dir):
+    """Per-group top-k ranking: top 3 customers by order revenue within
+    each nation (row_number with deterministic tie-break)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("o_custkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            F.col("o_custkey").alias("custkey"),
+            "revenue",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_SQL_RANK_TOP_CUSTOMERS_PER_NATION = """
+    WITH rev AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT n_name, o_custkey AS custkey, revenue, rnk FROM (
+      SELECT n_name, o_custkey, revenue,
+        row_number() OVER (PARTITION BY n_name
+                           ORDER BY revenue DESC, o_custkey) AS rnk
+      FROM rev
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey)
+    WHERE rnk <= 3
+"""
+
+
+def q_rollup_revenue_nation_year(spark, sf_dir):
+    """Grouping sets: revenue by (nation, order-year) with ROLLUP subtotals
+    and grand total; NULL grouping slots labeled 'ALL' on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    out = (
+        joined.select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "o_totalprice",
+        )
+        .rollup("n_name", "o_year")
+        .agg(
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias(
+                "year"
+            ),
+            "revenue",
+            "n_orders",
+        )
+    )
+    return out
+
+
+_SQL_ROLLUP_REVENUE_NATION_YEAR = """
+    SELECT
+      COALESCE(n_name, 'ALL') AS nation,
+      COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS year,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      count(*) AS n_orders
+    FROM (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             o_totalprice
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    )
+    GROUP BY ROLLUP (n_name, o_year)
+"""
+
+
+MORE_REGISTRY: dict[str, QuerySpec] = {
+    "asof_purchase_last_error": QuerySpec(
+        q_asof_purchase_last_error, _SQL_ASOF_PURCHASE_LAST_ERROR
+    ),
+    "session_stats": QuerySpec(q_session_stats, _SQL_SESSION_STATS),
+    "q6_forecast_revenue": QuerySpec(
+        q6_forecast_revenue, _SQL_Q6_FORECAST_REVENUE
+    ),
+    "rank_top_customers_per_nation": QuerySpec(
+        q_rank_top_customers_per_nation, _SQL_RANK_TOP_CUSTOMERS_PER_NATION
+    ),
+    "rollup_revenue_nation_year": QuerySpec(
+        q_rollup_revenue_nation_year, _SQL_ROLLUP_REVENUE_NATION_YEAR
+    ),
+}

@@ -73,3 +73,30 @@ def test_norms(vectors):
         assert got[i]["l2_norm"] == pytest.approx(
             float(np.linalg.norm(V[i].astype(np.float64))), abs=2e-6
         )
+
+
+def test_ivf_topk_structure_and_recall(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, k=10).toPandas()
+    approx = ivf_topk(emb, n_probe=4, k=10).toPandas()
+
+    # structural: ≤ k per query, ranks contiguous from 1, cosine descending
+    for qid, grp in approx.groupby("qid"):
+        grp = grp.sort_values("rnk")
+        assert list(grp["rnk"]) == list(range(1, len(grp) + 1))
+        assert (grp["cosine"].diff().dropna() <= 1e-12).all()
+
+    # recall@10 vs brute force: probing 4 of ~20 lists must stay useful
+    exact_sets = exact.groupby("qid")["nid"].apply(set)
+    approx_sets = approx.groupby("qid")["nid"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3

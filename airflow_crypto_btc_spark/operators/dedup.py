@@ -94,9 +94,21 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    base = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes)
-    base = base.select(
-        F.col(id_col).alias("id"), "sig", "shingle_set", "set_size"
+    # Shingle sets once; the expensive num_hashes×|shingles| signature
+    # expression is evaluated ONLY on the banding branch — the verify
+    # branches below reuse the sets and never touch `sig`.
+    # Materialized once (lazy local checkpoint): `sets` feeds the signature
+    # branch AND both verify joins — without this Spark recomputes the
+    # tokenize→shingle pipeline for every consumer (no subplan reuse across
+    # join inputs).  Ids + shingle sets are tiny relative to the corpus,
+    # which is exactly why an LSH index is persisted at scale.
+    sets = (
+        with_shingle_sets(df, text_col, k_shingle)
+        .select(F.col(id_col).alias("id"), "shingle_set", "set_size")
+        .localCheckpoint(eager=False)
+    )
+    base = sets.withColumn(
+        "sig", minhash_signature_expr("shingle_set", num_hashes)
     )
 
     band_arr = F.expr(
@@ -104,9 +116,12 @@ def minhash_lsh_pairs(
         f"struct(b AS band_idx, md5(array_join(slice(sig, "
         f"b * {rows_per_band} + 1, {rows_per_band}), '')) AS band_key))"
     )
+    # Same treatment for the band projection: it feeds both sides of the
+    # candidate self-join.
     banded = (
         base.withColumn("band", F.explode(band_arr))
         .select("id", "band.band_idx", "band.band_key")
+        .localCheckpoint(eager=False)
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -121,12 +136,12 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = base.select(
+    sa = sets.select(
         F.col("id").alias("id_a"),
         F.col("shingle_set").alias("set_a"),
         F.col("set_size").alias("na"),
     )
-    sb = base.select(
+    sb = sets.select(
         F.col("id").alias("id_b"),
         F.col("shingle_set").alias("set_b"),
         F.col("set_size").alias("nb"),
@@ -184,7 +199,7 @@ def ngram_jaccard_pairs(
     )
     ex = base.select(
         "id", "set_size", F.explode("shingle_set").alias("s")
-    )
+    ).localCheckpoint(eager=False)  # reused by both sides of the self-join
     a, b = ex.alias("a"), ex.alias("b")
     pair_inter = (
         a.join(

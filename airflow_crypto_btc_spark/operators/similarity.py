@@ -99,7 +99,8 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("e"),
         hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)  # planes×dim projection runs once, not
+    # once per self-join side
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("e").alias("ea"),

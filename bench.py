@@ -19,10 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from airflow_crypto_btc_spark.plans.registry import REGISTRY  # noqa: E402
+from airflow_crypto_btc_spark.plans.catalog import ALL_QUERIES  # noqa: E402
 from airflow_crypto_btc_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # core reference parity
     "flagship_daily_indicators",
     "agg_ohlc_daily",
     "win_vol30",
@@ -33,6 +34,22 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    # star-schema second wave
+    "q6_forecast_revenue",
+    "rank_top_customers_per_nation",
+    "rollup_revenue_nation_year",
+    # time series
+    "asof_purchase_last_error",
+    "session_stats",
+    # training-data extensions
+    "text_token_stats",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "mm_frame_sample",
+    "mm_byte_features",
 ]
 
 
@@ -46,7 +63,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        spec = REGISTRY.get(name)
+        spec = ALL_QUERIES.get(name)
         if spec is None:
             continue
         t0 = time.perf_counter()

@@ -228,7 +228,83 @@ _SQL_ROLLUP_REVENUE_NATION_YEAR = """
 """
 
 
+# ------------------------------------------------------- scalar fn battery
+
+
+def q_scalar_functions(spark, sf_dir):
+    """F1-F8 exercised in one projection over events: epoch round-trips,
+    ISO formatting (lexicographic = chronological), date arithmetic, casts,
+    null predicates, and the pct-change kernel — all JVM built-ins inside
+    whole-stage codegen (SURVEY §2.8/§2.10)."""
+    from airflow_crypto_btc_spark.functions.timeutil import (
+        date_str,
+        ts_to_iso,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ts_to_iso(F.col("ts")).alias("ts_iso"),  # F2
+        date_str(F.to_date("ts")).alias("day_str"),  # F4
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("epoch_ms"),  # F1⁻¹
+        F.date_sub(F.to_date("ts"), 60).alias("day_minus_60"),  # F6
+        F.col("value").cast("string").cast("double").alias("value_rt"),  # F3
+        F.col("props").isNull().alias("props_is_null"),  # F7
+        F.round(
+            F.col("value") / (F.col("value") + F.lit(1.0)) - F.lit(1.0), 6
+        ).alias("ratio_m1"),  # F8 kernel shape (nonzero divisor)
+    )
+
+
+_SQL_SCALAR_FUNCTIONS = """
+    SELECT event_id,
+      strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+      strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,
+      epoch_ms(ts) AS epoch_ms,
+      CAST(ts AS DATE) - INTERVAL 60 DAY AS day_minus_60,
+      CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_rt,
+      props IS NULL AS props_is_null,
+      round(value / (value + 1.0) - 1.0, 6) AS ratio_m1
+    FROM events
+"""
+
+
+# -------------------------------------------------------------- DQ as data
+
+
+def q_dq_day_completeness(spark, sf_dir):
+    """Q2/Q3 rendered as a distributed report: per (event_type, day) row
+    count against the ≥20 floor and null-value count — the quality stage as
+    one aggregate pass instead of per-day point queries (SURVEY §2.11)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        )
+        .withColumn("pass_min_rows", F.col("n_rows") >= 20)
+        .withColumn("pass_no_nulls", F.col("n_null_value") == 0)
+    )
+
+
+_SQL_DQ_DAY_COMPLETENESS = """
+    SELECT event_type, CAST(ts AS DATE) AS date,
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null_value,
+      count(*) >= 20 AS pass_min_rows,
+      sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 AS pass_no_nulls
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 MORE_REGISTRY: dict[str, QuerySpec] = {
+    "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "dq_day_completeness": QuerySpec(
+        q_dq_day_completeness, _SQL_DQ_DAY_COMPLETENESS
+    ),
     "asof_purchase_last_error": QuerySpec(
         q_asof_purchase_last_error, _SQL_ASOF_PURCHASE_LAST_ERROR
     ),

@@ -43,17 +43,18 @@ def cosine_topk(
     broadcast (bounded by ``query_filter``); the vector side streams —
     no shuffle of the big table, one window per qid partition for top-k.
     """
+    # Norms are per-vector, so hoist them out of the pair loop: |q|·|v|
+    # pairs each evaluate only the dot product, not three O(d) folds.
+    # sqrt(norm2) is the same double either way — bit-identical cosines.
     q = vectors.filter(query_filter).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
-    )
+    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
     v = vectors.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
-    )
+    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
     pairs = v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
     cos = F.round(
-        dot_expr("qe", "ve")
-        / (F.sqrt(norm2_expr("qe")) * F.sqrt(norm2_expr("ve"))),
-        6,
+        dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -95,26 +96,29 @@ def embedding_near_dup_pairs(
     vectors sharing all ``planes`` sign bits become candidates (near-identical
     vectors agree on every hyperplane w.h.p.), then exact cosine verifies.
     Returns (id_a, id_b, cosine), id_a < id_b."""
-    base = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("e"),
-        hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
-    ).localCheckpoint(eager=False)  # planes×dim projection runs once, not
-    # once per self-join side
+    base = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("e"),
+            hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+        )
+        .withColumn("nrm", F.sqrt(norm2_expr("e")))
+        .localCheckpoint(eager=False)
+    )  # planes×dim projection + norm run once, not once per self-join side
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
         F.col("bucket").alias("bucket"),
     )
     b = base.select(
         F.col("id").alias("id_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
         F.col("bucket").alias("bucket"),
     )
     cos = F.round(
-        dot_expr("ea", "eb")
-        / (F.sqrt(norm2_expr("ea")) * F.sqrt(norm2_expr("eb"))),
-        6,
+        dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, ["bucket"])
@@ -157,13 +161,14 @@ def ivf_topk(
     """
     cent = vectors.filter(centroid_filter).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
-    )
+    ).withColumn("cn", F.sqrt(norm2_expr("ce")))
 
     def _nearest(df, id_out, vec_alias, keep, rank_col="__r"):
+        # per-side norms precomputed; only the dot runs per pair
+        norm_col = "__n_" + vec_alias
+        df = df.withColumn(norm_col, F.sqrt(norm2_expr(vec_alias)))
         cos = F.round(
-            dot_expr(vec_alias, "ce")
-            / (F.sqrt(norm2_expr(vec_alias)) * F.sqrt(norm2_expr("ce"))),
-            6,
+            dot_expr(vec_alias, "ce") / (F.col(norm_col) * F.col("cn")), 6
         ).alias("__ccos")
         w = Window.partitionBy(id_out).orderBy(
             F.desc("__ccos"), F.asc("cid")
@@ -182,7 +187,7 @@ def ivf_topk(
         "nid",
         "ve",
         keep=1,
-    ).select("nid", "ve", "cid")
+    ).select("nid", "ve", F.col("__n_ve").alias("vn"), "cid")
 
     probed = _nearest(
         vectors.filter(query_filter).select(
@@ -191,12 +196,10 @@ def ivf_topk(
         "qid",
         "qe",
         keep=n_probe,
-    ).select("qid", "qe", "cid")
+    ).select("qid", "qe", F.col("__n_qe").alias("qn"), "cid")
 
     cos = F.round(
-        dot_expr("qe", "ve")
-        / (F.sqrt(norm2_expr("qe")) * F.sqrt(norm2_expr("ve"))),
-        6,
+        dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

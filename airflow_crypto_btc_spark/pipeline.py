@@ -387,6 +387,57 @@ def enrich_indicators(spark: SparkSession, wh: Warehouse) -> DataFrame:
     return spark.read.parquet(wh.daily_metrics)
 
 
+def enrich_indicators_incremental(
+    spark: SparkSession,
+    wh: Warehouse,
+    day: str,
+    lookback_rows: int = 30,
+) -> DataFrame:
+    """Stage 4, the O(new data) variant: the reference recomputes every
+    indicator over the whole history each run (``:254-295`` — quadratic
+    over the pipeline's lifetime).  All four indicators are trailing
+    row-frames of ≤30 rows, so the target day's values depend on at most
+    ``lookback_rows + 1`` trailing daily rows per asset: slice exactly
+    those, window over the slice, and merge ONLY the day's indicator
+    columns back (S8 update_cols semantics).
+
+    At scale this is the difference between touching 365×assets rows and
+    touching 31×assets rows per day — and the slice is partition-prunable
+    when ``daily_metrics`` is stored date-partitioned.
+    """
+    from pyspark.sql import Window
+
+    metrics = spark.read.parquet(wh.daily_metrics)
+    d = F.lit(day).cast("date")
+    # last (lookback+1) rows per asset at or before `day`: row frames are
+    # ROW-based, so slice by trailing row rank, not calendar arithmetic
+    w = Window.partitionBy("asset").orderBy(F.desc("date"))
+    ctx = (
+        metrics.filter(F.col("date") <= d)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= lookback_rows + 1)
+        .drop("__rn")
+    )
+    enriched_day = (
+        with_indicators(
+            ctx.drop(*INDICATOR_COLS),
+            date_col="date",
+            close_col="close",
+            key_cols=("asset",),
+        )
+        .filter(F.col("date") == d)
+        .select("date", "asset", *INDICATOR_COLS)
+    )
+    merged = upsert_by_key(
+        metrics,
+        enriched_day,
+        key_cols=("date", "asset"),
+        update_cols=INDICATOR_COLS,
+    )
+    overwrite_staged(merged, wh.daily_metrics)
+    return spark.read.parquet(wh.daily_metrics)
+
+
 def plot_report(
     spark: SparkSession, wh: Warehouse, day: str, window_days: int = 60
 ) -> str:

@@ -1,0 +1,190 @@
+"""Property-based tests (hypothesis): the engine's exact-semantics claims
+hold on arbitrary inputs, not just the fixtures.
+
+- indicators == pandas pct_change / rolling(min_periods) / std(ddof=1)
+- merge writers: append_ignore idempotent + first-writer-wins,
+  upsert last-writer-wins on update_cols only
+- asof_join == pandas.merge_asof (backward, by-key)
+
+Examples are kept small (Spark job per example); 5 examples per property
+still covers degenerate shapes (empty, single row, all-duplicate keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+closes = st.lists(
+    st.floats(
+        min_value=0.1, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(closes=closes)
+@SETTINGS
+def test_indicators_match_pandas(spark, closes):
+    from airflow_crypto_btc_spark.operators.indicators import with_indicators
+
+    pdf = pd.DataFrame(
+        {
+            "asset": "A",
+            "date": pd.date_range("2024-01-01", periods=len(closes)).date,
+            "close": closes,
+        }
+    )
+    got = (
+        with_indicators(
+            spark.createDataFrame(pdf), key_cols=("asset",)
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    s = pd.Series(closes)
+    exp_ret = s.pct_change()
+    exp_ma7 = s.rolling(7, min_periods=7).mean()
+    exp_ma30 = s.rolling(30, min_periods=30).mean()
+    exp_vol30 = exp_ret.rolling(30, min_periods=30).std()  # ddof=1
+    for col, exp in (
+        ("ret", exp_ret),
+        ("ma7", exp_ma7),
+        ("ma30", exp_ma30),
+        ("vol30", exp_vol30),
+    ):
+        np.testing.assert_allclose(
+            got[col].to_numpy(dtype=float),
+            exp.to_numpy(dtype=float),
+            rtol=1e-9,
+            equal_nan=True,
+            err_msg=col,
+        )
+
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(existing=kv_rows, incoming=kv_rows)
+@SETTINGS
+def test_append_ignore_first_writer_wins_and_idempotent(
+    spark, existing, incoming
+):
+    from airflow_crypto_btc_spark.operators.merge import append_ignore
+
+    schema = "k int, seq int, v int"
+    e = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(existing)], schema
+    )
+    i_ = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(incoming)], schema
+    )
+    once = append_ignore(e, i_, key_cols=("k",), order_col="seq").toPandas()
+    twice = append_ignore(
+        spark.createDataFrame(once, schema), i_, key_cols=("k",),
+        order_col="seq",
+    ).toPandas()
+
+    # idempotent: reapplying the same batch changes nothing
+    key = ["k", "seq", "v"]
+    pd.testing.assert_frame_equal(
+        once.sort_values(key).reset_index(drop=True),
+        twice.sort_values(key).reset_index(drop=True),
+    )
+    # first-writer-wins: every existing row survives untouched, and a key
+    # never appears more than once unless it was already duplicated
+    e_pdf = e.toPandas()
+    merged_keys = set(once["k"])
+    assert set(e_pdf["k"]).issubset(merged_keys)
+    new_keys = merged_keys - set(e_pdf["k"])
+    for k in new_keys:
+        assert (once["k"] == k).sum() == 1  # intra-batch dedup keep-first
+        first_seq = min(s for (kk, s, v) in i_.collect() if kk == k)
+        assert once.loc[once["k"] == k, "seq"].iloc[0] == first_seq
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left=asof_rows, right=asof_rows)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    lpdf = pd.DataFrame(
+        [
+            {"g": g, "ts": ts(m), "lv": float(v), "rid": i}
+            for i, (g, m, v) in enumerate(left)
+        ]
+    )
+    # dedupe right on (g, ts): merge_asof picks the LAST of equal
+    # timestamps while the engine's window picks a deterministic one —
+    # equal-ts right rows are ambiguous by construction, so drop them
+    rpdf = (
+        pd.DataFrame(
+            [
+                {"g": g, "ts": ts(m), "rv": float(v)}
+                for (g, m, v) in right
+            ]
+        ).drop_duplicates(subset=["g", "ts"], keep="last")
+        if right
+        else pd.DataFrame(
+            {
+                "g": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[ns]"),
+                "rv": pd.Series(dtype="float64"),
+            }
+        )
+    )
+    if lpdf.empty:
+        return
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf, "g int, ts timestamp, rv double"),
+            left_ts="ts",
+            right_ts="ts",
+            by=("g",),
+            value_cols=("rv",),
+        )
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="g",
+        direction="backward",
+    ).sort_values("rid").reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["r_rv"].to_numpy(dtype=float),
+        exp["rv"].to_numpy(dtype=float),
+        equal_nan=True,
+    )

@@ -111,3 +111,47 @@ def test_stateful_pct_change_across_restarts(spark, sf_dir, tmp_path):
         expected[["asset", "date", "close", "ret"]],
         check_dtype=False,
     )
+
+
+def test_append_mode_emits_finalized_windows_to_parquet(
+    spark, sf_dir, tmp_path
+):
+    """Append mode + 1-day watermark: a day's OHLC window lands in the
+    parquet sink only after the watermark passes its end — earlier drains
+    leave it in state, later drains emit it finalized, and the emitted
+    values match the batch aggregation."""
+    src = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = streaming_daily_ohlc(
+            read_event_stream(spark, src, max_files_per_trigger=1)
+        )
+        run_available_now(stream, ckpt, sink_path=sink, output_mode="append")
+
+    _land_day_files(spark, sf_dir, ["2024-01-01", "2024-01-02"], src)
+    drain()
+    _land_day_files(spark, sf_dir, ["2024-01-03", "2024-01-04"], src)
+    drain()
+
+    got = spark.read.parquet(sink)
+    emitted_days = sorted(
+        r["date"].isoformat()
+        for r in got.select("date").distinct().collect()
+    )
+    # data through Jan 4 ⇒ watermark ≈ Jan 3 → Jan 1 and Jan 2 finalized
+    assert "2024-01-01" in emitted_days
+    assert "2024-01-04" not in emitted_days  # not past watermark yet
+
+    batch = daily_ohlc(spark.read.parquet(src)).toPandas()
+    gpdf = got.toPandas()
+    merged = gpdf.merge(
+        batch,
+        on=["event_type", "date"],
+        suffixes=("", "_b"),
+        validate="one_to_one",
+    )
+    assert len(merged) == len(gpdf)
+    for c in ("open", "high", "low", "close", "n_obs"):
+        assert (merged[c] == merged[f"{c}_b"]).all()

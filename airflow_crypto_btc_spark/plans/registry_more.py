@@ -300,8 +300,174 @@ _SQL_DQ_DAY_COMPLETENESS = """
 """
 
 
+# --------------------------------------------------- ranking-function battery
+
+
+def q_window_rank_battery(spark, sf_dir):
+    """rank / dense_rank / ntile / lead in one window pass (SURVEY §2.5
+    notes the reference uses none of these; the engine ships the full
+    ranking surface).  Total order inside each partition (value desc,
+    event_id asc) makes every output deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+_SQL_WINDOW_RANK_BATTERY = """
+    SELECT event_id, event_type, value,
+      rank()       OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      ntile(4)     OVER w AS quartile,
+      lead(value)  OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+"""
+
+
+# ------------------------------------------------------------------- set ops
+
+
+def q_setops_customer_cohorts(spark, sf_dir):
+    """INTERSECT / EXCEPT over yearly customer cohorts: who ordered in both
+    1994 and 1995, only 1994, only 1995."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(year):
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = cohort(1994), cohort(1995)
+    return (
+        a.intersect(b).withColumn("cohort", F.lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("cohort", F.lit("only_1994")))
+        .unionByName(b.exceptAll(a).withColumn("cohort", F.lit("only_1995")))
+    )
+
+
+_SQL_SETOPS_CUSTOMER_COHORTS = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1994),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995)
+    SELECT o_custkey, 'both' AS cohort FROM (TABLE a INTERSECT TABLE b)
+    UNION ALL
+    SELECT o_custkey, 'only_1994' FROM (TABLE a EXCEPT TABLE b)
+    UNION ALL
+    SELECT o_custkey, 'only_1995' FROM (TABLE b EXCEPT TABLE a)
+"""
+
+
+# ----------------------------------------------------- embedding aggregation
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label centroid components in long form: posexplode the embedding
+    array, aggregate (label, dim position) with decimal sums.  The
+    distributed shape of k-means' M-step — shuffle carries (label, pos)
+    partial sums, never whole vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(38,12)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_SQL_EMB_LABEL_CENTROIDS = """
+    SELECT label, u.pos AS pos,
+      round(CAST(sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,12)))
+                 AS DOUBLE) / count(*), 6) AS c,
+      count(*) AS n
+    FROM (
+      SELECT label,
+        unnest(list_transform(range(1, len(embedding)+1),
+          i -> {'pos': i-1, 'x': embedding[i]})) AS u
+      FROM embeddings
+    )
+    GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- top tokens per source
+
+
+def q_text_top_tokens(spark, sf_dir):
+    """Top-5 tokens per source by frequency (explode → count → ranked
+    window): the corpus-statistics shape — token partial counts combine
+    map-side, the window sees only (source, token, count)."""
+    from airflow_crypto_btc_spark.functions.hashing import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+_SQL_TEXT_TOP_TOKENS = """
+    WITH counts AS (
+      SELECT source, u.t AS token, count(*) AS n
+      FROM (
+        SELECT source,
+          unnest(list_transform(
+            list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+            t -> {'t': t})) AS u
+        FROM documents
+      )
+      GROUP BY 1, 2
+    )
+    SELECT source, token, n, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY n DESC, token) AS rnk
+      FROM counts)
+    WHERE rnk <= 5
+"""
+
+
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "window_rank_battery": QuerySpec(
+        q_window_rank_battery, _SQL_WINDOW_RANK_BATTERY
+    ),
+    "setops_customer_cohorts": QuerySpec(
+        q_setops_customer_cohorts, _SQL_SETOPS_CUSTOMER_COHORTS
+    ),
+    "emb_label_centroids": QuerySpec(
+        q_emb_label_centroids, _SQL_EMB_LABEL_CENTROIDS
+    ),
+    "text_top_tokens": QuerySpec(q_text_top_tokens, _SQL_TEXT_TOP_TOKENS),
     "dq_day_completeness": QuerySpec(
         q_dq_day_completeness, _SQL_DQ_DAY_COMPLETENESS
     ),

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale properties the engine claims
+(pushdown, pruning, broadcast joins, shared window exchanges) are asserted
+on the actual Catalyst output, so a refactor that silently de-optimizes a
+plan fails here — not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_crypto_btc_spark.plans.catalog import ALL_QUERIES
+
+
+def _plan(
+    spark, sf_dir, name: str, mode: str = "formatted", execute: bool = False
+) -> str:
+    df = ALL_QUERIES[name].fn(spark, sf_dir)
+    if execute:
+        # AQE finalizes (and annotates codegen stages on) the plan only
+        # after execution
+        df.write.format("noop").mode("overwrite").save()
+        df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_pushes_all_predicates_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = next(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, f"{frag} not pushed to the scan"
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    # projection pruned to exactly the 4 referenced columns
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    assert "l_orderkey" not in read and "l_comment" not in read
+
+
+def test_q5_broadcasts_every_dimension(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_nation_revenue", "simple")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan  # fact table is never shuffled
+
+
+def test_flagship_shares_one_window_exchange(spark, sf_dir):
+    """All four indicators share one window family: Spark plans two Window
+    operators (offset frame for lag, rolling frames for ma/vol) but they
+    share ONE sort and the whole plan has exactly two exchanges (groupBy +
+    window) — not one per indicator."""
+    plan = _plan(spark, sf_dir, "flagship_daily_indicators", "simple")
+    assert plan.count("Window") <= 2
+    assert plan.count("Sort") == 1
+    # two exchanges total: one for the OHLC groupBy, one for the window
+    assert plan.count("Exchange") <= 2
+
+
+def test_ohlc_uses_partial_aggregation_no_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_ohlc_daily", "simple")
+    assert "HashAggregate" in plan
+    assert "Sort" not in plan  # min_by/max_by, not sort+first/last
+    assert plan.count("Exchange") == 1
+
+
+def test_topk_query_broadcasts_the_bounded_query_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_cosine_topk", "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue"],
+)
+def test_tpch_shaped_queries_stay_in_codegen(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name, execute=True)
+    assert "codegen id" in plan  # whole-stage codegen spans in final plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs

@@ -1,0 +1,106 @@
+"""Physical-layout operators: skew-salted aggregation and bucketed
+co-located joins.
+
+These are the knobs a 100 TB deployment turns that small-scale code never
+needs — shipped as first-class operators with equivalence tests so they are
+*provably* semantics-preserving:
+
+- **Salted aggregation**: a skewed group key (one entity with 100× the
+  rows) makes one reducer the straggler.  Two-phase aggregation shards each
+  key across ``salt`` sub-keys (map-side partials per shard, then a final
+  combine) so the hot key's work spreads over ``salt`` reducers.  AQE's
+  skew-join splitting handles *joins*; this handles *aggregations*, which
+  AQE does not re-shard.
+- **Bucketed tables**: pre-shuffling both sides of a recurring equi-join
+  into the same bucket layout (``bucketBy`` + ``sortBy``) makes every later
+  join on that key exchange-free — the classic amortization for fact-fact
+  joins run daily.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: agg name → (partial expr builder, final expr builder).  Each aggregate
+#: must decompose into a per-shard partial and an associative final combine.
+_DECOMPOSABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe groupBy.
+
+    ``aggs`` is a list of (column, agg_name, alias) with agg_name in
+    {sum, count, min, max} — the decomposable aggregates.  Equivalent to
+    ``df.groupBy(keys).agg(...)`` for any input (see
+    tests/test_physical.py), but the first shuffle key is
+    ``keys + salt_shard`` so a pathologically hot key fans out over
+    ``salt`` reducers instead of one.
+
+    avg/stddev callers: decompose into sum+count (avg) or
+    sum+sum-of-squares+count (stddev) and finish with column arithmetic.
+    """
+    keys = list(key_cols)
+    shard = (F.rand(seed=0) * salt).cast("int").alias("__shard")
+    partials, finals = [], []
+    for col, name, alias in aggs:
+        if name not in _DECOMPOSABLE:
+            raise ValueError(
+                f"{name} is not decomposable; use sum/count/min/max"
+            )
+        partial_fn, final_fn = _DECOMPOSABLE[name]
+        partials.append(partial_fn(F.col(col)).alias(f"__p_{alias}"))
+        finals.append(final_fn(F.col(f"__p_{alias}")).alias(alias))
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy(*keys, "__shard")
+        .agg(*partials)
+        .groupBy(*keys)
+        .agg(*finals)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by the join key.
+    Spark's bucketing lives in the session catalog (``saveAsTable``), not
+    plain parquet paths — both sides of a later join on ``bucket_cols``
+    then read pre-shuffled and the join plans with zero Exchange."""
+    writer = df.write.mode("overwrite").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join_is_exchange_free(
+    spark: SparkSession, left_table: str, right_table: str, on: Sequence[str]
+) -> tuple[DataFrame, bool]:
+    """Join two bucketed tables and report whether the plan is free of
+    *shuffle* exchanges (bucket layouts matched — the sort-merge join reads
+    both sides pre-partitioned).  Note the planner prefers a broadcast join
+    when one side is small enough, which bypasses bucketing entirely — the
+    layout pays off on big-big joins."""
+    joined = spark.table(left_table).join(
+        spark.table(right_table), list(on)
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return joined, "Exchange hashpartitioning" not in plan

@@ -1,0 +1,82 @@
+"""Physical-layout operator tests: salted aggregation is semantics-
+preserving, and bucketed tables join without an exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.physical import (
+    bucketed_join_is_exchange_free,
+    salted_aggregate,
+    write_bucketed,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+
+def test_salted_aggregate_equals_plain_groupby(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        ("value", "sum", "sum_v"),
+        ("value", "count", "n"),
+        ("value", "min", "min_v"),
+        ("value", "max", "max_v"),
+    ]
+    salted = {
+        r["event_type"]: r
+        for r in salted_aggregate(ev, ["event_type"], aggs, salt=8).collect()
+    }
+    plain = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("sum_v"),
+            F.count("value").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k]["n"] == plain[k]["n"]
+        assert salted[k]["min_v"] == plain[k]["min_v"]
+        assert salted[k]["max_v"] == plain[k]["max_v"]
+        assert salted[k]["sum_v"] == pytest.approx(
+            plain[k]["sum_v"], rel=1e-12
+        )
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_aggregate(ev, ["event_type"], [("value", "avg", "a")])
+
+
+def test_bucketed_join_plans_without_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "orders_b", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        ["o_custkey"],
+        8,
+        ["o_custkey"],
+    )
+    # force the big-big join shape bucketing exists for (otherwise the
+    # planner broadcasts the small side and never consults the buckets)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, shuffle_free = bucketed_join_is_exchange_free(
+            spark, "orders_b", "customer_b", ["o_custkey"]
+        )
+        assert shuffle_free, "bucketed join still shuffled"
+        # sanity: the join result matches the unbucketed join
+        expected = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)

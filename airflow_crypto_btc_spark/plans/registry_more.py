@@ -300,6 +300,136 @@ _SQL_DQ_DAY_COMPLETENESS = """
 """
 
 
+# ------------------------------------------------------- semi / anti joins
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4-shaped: EXISTS semi-join — orders in a quarter having at
+    least one late lineitem, counted per priority.  left_semi never
+    duplicates or widens rows; the probe side is the filtered fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        window.join(
+            flagged, window.o_orderkey == flagged.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_SQL_Q4_ORDER_PRIORITY = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join_customers_without_orders(spark, sf_dir):
+    """NOT EXISTS anti-join: customers with no 1995 orders, counted per
+    market segment (the left-anti building block the merge writers use,
+    surfaced as a query)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    ).select("o_custkey")
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_SQL_ANTI_JOIN_CUSTOMERS_WITHOUT_ORDERS = """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND year(o_orderdate) = 1995)
+    GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------- semi-structured
+
+
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured column path: parse the ``props`` JSON string,
+    extract ``$.k``, aggregate per event type.  ``get_json_object`` is a
+    JVM-side expression — at 100 TB prefer parsing once into a typed
+    column at ingest, but the ad-hoc path must not fall back to Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_PROPS_STATS = """
+    SELECT event_type,
+      count(k) AS n,
+      CAST(sum(k) AS BIGINT) AS sum_k,
+      min(k) AS min_k,
+      max(k) AS max_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------ percentiles
+
+
+def q_percentile_summary(spark, sf_dir):
+    """Exact interpolated percentiles (median/IQR) of order totals per
+    segment: Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition, so results round-match.  At 100 TB
+    swap in ``percentile_approx`` (t-digest) — same query shape, bounded
+    memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+_SQL_PERCENTILE_SUMMARY = """
+    SELECT c_mktsegment,
+      round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+      round(quantile_cont(o_totalprice, 0.5), 6) AS median,
+      round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+      count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------- ranking-function battery
 
 
@@ -458,6 +588,17 @@ _SQL_TEXT_TOP_TOKENS = """
 
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "q4_order_priority": QuerySpec(
+        q4_order_priority, _SQL_Q4_ORDER_PRIORITY
+    ),
+    "anti_join_customers_without_orders": QuerySpec(
+        q_anti_join_customers_without_orders,
+        _SQL_ANTI_JOIN_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "json_props_stats": QuerySpec(q_json_props_stats, _SQL_JSON_PROPS_STATS),
+    "percentile_summary": QuerySpec(
+        q_percentile_summary, _SQL_PERCENTILE_SUMMARY
+    ),
     "window_rank_battery": QuerySpec(
         q_window_rank_battery, _SQL_WINDOW_RANK_BATTERY
     ),

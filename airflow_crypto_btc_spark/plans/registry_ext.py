@@ -488,7 +488,71 @@ def q_mm_byte_features(spark, sf_dir):
     return extract_byte_features(_mm(spark, sf_dir), dim=8)
 
 
+# --------------------------------------------------------- curation pipeline
+
+
+def q_curate_training_docs(spark, sf_dir):
+    """The end-to-end training-data curation shape, composed from the
+    operator library in ONE lazy plan: language-ID filter (en) + quality
+    gate (≥0.5) + exact-dedup representative selection.  Catalyst fuses the
+    three per-row operator columns into a single scan; the only shuffles
+    are the dedup groupBy and the joins back onto doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    qual = quality_score(docs).select(
+        "doc_id", "quality", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    reps = exact_dedup(docs).select(
+        F.col("rep_id").alias("doc_id"), "n_dups"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(reps, "doc_id")  # inner join keeps only dup-group reps
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .select(
+            "doc_id", "source", "lang_pred", "quality", "n_tokens", "n_dups"
+        )
+    )
+
+
+_SQL_CURATE_TRAINING_DOCS = f"""
+    WITH lang AS ({_SQL_TEXT_LANG_ID}),
+         qual AS ({_SQL_TEXT_QUALITY_SCORE}),
+         reps AS ({_SQL_DEDUP_EXACT})
+    SELECT d.doc_id, d.source, lang.lang_pred, qual.quality,
+           qual.n_tokens, reps.n_dups
+    FROM documents d
+    JOIN lang USING (doc_id)
+    JOIN qual USING (doc_id)
+    JOIN reps ON reps.rep_id = d.doc_id
+    WHERE lang.lang_pred = 'en' AND qual.quality >= 0.5
+"""
+
+
+def q_approx_distinct_tokens(spark, sf_dir):
+    """HLL sketch surface: approximate distinct-token count per source.
+    Sketch internals differ across engines, so this is a rows-only check;
+    tests/test_text.py bounds the estimate against the exact count."""
+    from airflow_crypto_btc_spark.functions.hashing import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("source")
+        .agg(
+            F.approx_count_distinct("token").alias("approx_uniq_tokens"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 EXT_REGISTRY: dict[str, QuerySpec] = {
+    "curate_training_docs": QuerySpec(
+        q_curate_training_docs, _SQL_CURATE_TRAINING_DOCS
+    ),
+    "approx_distinct_tokens": QuerySpec(q_approx_distinct_tokens, None),
     "text_token_stats": QuerySpec(q_text_token_stats, _SQL_TEXT_TOKEN_STATS),
     "text_lang_id": QuerySpec(q_text_lang_id, _SQL_TEXT_LANG_ID),
     "text_quality_score": QuerySpec(

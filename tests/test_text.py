@@ -67,3 +67,32 @@ def test_fingerprints(spark):
     assert r[0]["fp_md5"] == r[1]["fp_md5"]
     assert r[0]["fp_rolling"] != r[2]["fp_rolling"]  # order-sensitive
     assert r[0]["fp_md5"] != r[2]["fp_md5"]
+
+
+def test_approx_distinct_tokens_bounds(spark, sf_dir):
+    """HLL estimate stays within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_btc_spark.functions.hashing import tokens_expr
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        q_approx_distinct_tokens,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    approx = {
+        r["source"]: r["approx_uniq_tokens"]
+        for r in q_approx_distinct_tokens(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["source"]: r["exact"]
+        for r in docs.select(
+            "source", F.explode(tokens_expr("text")).alias("token")
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("token").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for src in exact:
+        assert abs(approx[src] - exact[src]) / exact[src] < 0.05

@@ -1,0 +1,65 @@
+"""Scaling probe: run representative queries at every available scale
+factor and report runtime ratios vs data-size ratios.
+
+A plan that holds at 100 TB shows work growing ~linearly (or better, for
+selective scans) with input size; quadratic operators reveal themselves
+immediately.  Usage: python tools/scale_probe.py [q1 q2 ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from airflow_crypto_btc_spark.plans.catalog import ALL_QUERIES  # noqa: E402
+from airflow_crypto_btc_spark.session import get_spark  # noqa: E402
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+DEFAULT = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "flagship_daily_indicators",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "session_stats",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(app_name="scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, dict[str, float]] = {}
+    for name in names:
+        fn = ALL_QUERIES[name].fn
+        per_sf: dict[str, float] = {}
+        for sf_dir in SF_DIRS:
+            sf = sf_dir.rsplit("sf", 1)[-1]
+            # warm plan/codegen once, time the second run (steady state)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            per_sf[sf] = round(time.perf_counter() - t0, 4)
+        per_sf["x100_data_runtime_ratio"] = round(
+            per_sf["0.1"] / per_sf["0.001"], 2
+        )
+        results[name] = per_sf
+        print(json.dumps({name: per_sf}))
+
+    print(json.dumps({"scale_probe": results}))
+
+
+if __name__ == "__main__":
+    main()

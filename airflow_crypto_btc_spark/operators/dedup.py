@@ -180,6 +180,61 @@ def simhash_fingerprints(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with banded candidate generation.
+
+    Pigeonhole banding: split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` bands — any pair within ``max_hamming`` bit flips
+    agrees EXACTLY on at least one band (no false negatives), so candidates
+    are a shuffle on (band_idx, band_bits), never all-pairs.  Candidates
+    are verified with the true hamming distance (popcount of xor).
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    n_bands = max_hamming + 1
+    band_width = bits // n_bands
+    fps = simhash_fingerprints(df, id_col, text_col, bits).select(
+        F.col(id_col).alias("id"), "simhash"
+    ).localCheckpoint(eager=False)  # feeds banding AND both verify sides
+
+    band_arr = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> struct("
+        f"b AS band_idx, "
+        f"(simhash div cast(pow(2, b * {band_width}) as bigint)) "
+        f"% cast(pow(2, {band_width}) as bigint) AS band_bits))"
+    )
+    banded = (
+        fps.withColumn("band", F.explode(band_arr))
+        .select("id", "band.band_idx", "band.band_bits")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ha = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    hb = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    hamming = F.bit_count(F.expr("sa ^ sb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

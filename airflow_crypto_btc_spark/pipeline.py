@@ -536,15 +536,22 @@ def run_day(
     asset: str = "BTC-USD",
     min_day_rows: int = 20,
     retries: int = 1,
+    incremental: bool = False,
 ) -> RunResult:
     """One logical day through all six stages — re-run safe (S5/S8/S7 merge
-    discipline), mirroring one Airflow DAG run of the reference."""
+    discipline), mirroring one Airflow DAG run of the reference.
+    ``incremental=True`` swaps the full-history indicator rewrite for the
+    O(new data) per-day repair (same results, see
+    tests/test_pipeline.py)."""
 
     def _go() -> RunResult:
         csv_path = extract(spark, wh, day, source)
         load_raw(spark, wh, day, asset=asset)
         compute_daily_metrics(spark, wh, day, asset=asset)
-        enrich_indicators(spark, wh)
+        if incremental:
+            enrich_indicators_incremental(spark, wh, day)
+        else:
+            enrich_indicators(spark, wh)
         report = plot_report(spark, wh, day)
         checks = quality_checks(
             spark, wh, day, report, asset=asset, min_day_rows=min_day_rows

@@ -21,6 +21,7 @@ from airflow_crypto_btc_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_near_dup_pairs,
 )
 from airflow_crypto_btc_spark.operators.multimodal import (
     attach_binary_payload,
@@ -261,6 +262,40 @@ _SQL_DEDUP_SIMHASH = f"""
                THEN 1 ELSE -1 END)) > 0
         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
     FROM ({_D_TOKENS})
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), bits=16, max_hamming=2
+    )
+
+
+# Pigeonhole banding: 3 disjoint 5-bit bands of the 16-bit fingerprint —
+# ≤2 bit flips leave at least one band identical (no false negatives);
+# exact popcount(xor) verifies candidates.
+_SQL_DEDUP_SIMHASH_PAIRS = f"""
+    WITH fps AS (
+      SELECT doc_id, simhash FROM ({_SQL_DEDUP_SIMHASH})
+    ),
+    banded AS (
+      SELECT doc_id AS id, b.b AS band_idx,
+        (simhash // CAST(pow(2, b.b * 5) AS BIGINT))
+          % CAST(pow(2, 5) AS BIGINT) AS band_bits
+      FROM fps, (SELECT unnest(range(0, 3)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM banded a
+      JOIN banded c ON a.band_idx = c.band_idx
+                   AND a.band_bits = c.band_bits AND a.id < c.id
+    )
+    SELECT id_a, id_b,
+      CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN fps x ON x.doc_id = cand.id_a
+    JOIN fps y ON y.doc_id = cand.id_b
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
 """
 
 
@@ -567,6 +602,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_dedup_minhash_lsh_pairs, _SQL_DEDUP_MINHASH_LSH_PAIRS
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": QuerySpec(
+        q_dedup_simhash_pairs, _SQL_DEDUP_SIMHASH_PAIRS
+    ),
     "dedup_ngram_jaccard_pairs": QuerySpec(
         q_dedup_ngram_jaccard_pairs, _SQL_DEDUP_NGRAM_JACCARD_PAIRS
     ),

@@ -300,6 +300,129 @@ _SQL_DQ_DAY_COMPLETENESS = """
 """
 
 
+# -------------------------------------------------- more TPC-H join shapes
+
+
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12-shaped: fact-fact join + CASE-conditional counts — per
+    return flag, how many line items belong to high- vs low-priority
+    orders.  The join is lineitem⋈orders on orderkey (the one big-big join
+    in the fixture schema; at scale this is the bucketed-join candidate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_Q12_PRIORITY_SHIPPING = """
+    SELECT l_returnflag,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14-shaped: conditional-revenue ratio over a dimension join —
+    the ECONOMY part type's share of one month's revenue.  Decimal sums on
+    both numerator and denominator keep the ratio bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _dec_sum(econ, "econ_revenue"),
+            _dec_sum(rev, "total_revenue"),
+        )
+        .select(
+            "econ_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0) * F.col("econ_revenue")
+                / F.col("total_revenue"),
+                6,
+            ).alias("econ_share_pct"),
+        )
+    )
+    return out
+
+
+_SQL_Q14_PROMO_REVENUE_SHARE = """
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS econ_revenue,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        AND l_shipdate <  TIMESTAMP '1995-10-01'
+    )
+    SELECT econ_revenue, total_revenue,
+           round(100.0 * econ_revenue / total_revenue, 6) AS econ_share_pct
+    FROM agg
+"""
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19-shaped: OR-of-ANDs predicate across a join — the planner
+    must push the common l_quantity bounds and evaluate the disjunction
+    post-join without falling back to a cartesian shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+            & (F.col("p_size") <= 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") <= 10)
+        )
+    )
+    return joined.filter(cond).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount")), "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_SQL_Q19_DISJUNCTIVE_PREDICATES = """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue,
+      count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+           AND p_size <= 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+           AND p_size <= 10)
+"""
+
+
 # ------------------------------------------------------- semi / anti joins
 
 
@@ -588,6 +711,15 @@ _SQL_TEXT_TOP_TOKENS = """
 
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "q12_priority_shipping": QuerySpec(
+        q12_priority_shipping, _SQL_Q12_PRIORITY_SHIPPING
+    ),
+    "q14_promo_revenue_share": QuerySpec(
+        q14_promo_revenue_share, _SQL_Q14_PROMO_REVENUE_SHARE
+    ),
+    "q19_disjunctive_predicates": QuerySpec(
+        q19_disjunctive_predicates, _SQL_Q19_DISJUNCTIVE_PREDICATES
+    ),
     "q4_order_priority": QuerySpec(
         q4_order_priority, _SQL_Q4_ORDER_PRIORITY
     ),

@@ -90,3 +90,38 @@ def test_simhash_similar_docs_close(docs):
 
     # near-dup differs in strictly fewer bits than the unrelated doc
     assert hamming(fp[0], fp[2]) < hamming(fp[0], fp[3])
+
+
+def test_simhash_banding_finds_all_close_pairs(spark, sf_dir):
+    """Banded candidate generation must find every pair the brute-force
+    hamming scan finds (pigeonhole: ≤2 flips can't dirty all 3 bands)."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_btc_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            docs, bits=16, max_hamming=2
+        ).collect()
+    }
+    fps = simhash_fingerprints(docs).select(
+        F.col("doc_id").alias("id"), "simhash"
+    )
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sa ^ sb")).cast("long")
+        )
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert banded == brute

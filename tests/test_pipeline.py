@@ -185,3 +185,17 @@ def test_incremental_indicators_match_full_recompute(spark, sf_dir, wh):
         got.sort_values(key).reset_index(drop=True)[full.columns.tolist()],
         full.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_incremental_run_day_matches_full(spark, sf_dir, tmp_path):
+    """run_day(incremental=True) produces the same daily_metrics as the
+    full-rewrite path over a 3-day fold."""
+    src = lambda d: _source_for_day(spark, sf_dir, d)  # noqa: E731
+    wh_full = Warehouse(str(tmp_path / "full"))
+    wh_inc = Warehouse(str(tmp_path / "inc"))
+    for d in DAYS:
+        run_day(spark, wh_full, d, src(d), min_day_rows=10)
+        run_day(spark, wh_inc, d, src(d), min_day_rows=10, incremental=True)
+    pd.testing.assert_frame_equal(
+        _metrics_pdf(spark, wh_full), _metrics_pdf(spark, wh_inc)
+    )

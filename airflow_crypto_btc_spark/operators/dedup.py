@@ -152,12 +152,17 @@ def minhash_lsh_pairs(
         .join(sb, "id_b")
         .withColumn("inter", inter)
         .withColumn(
+            # empty-set guard: two shingle-less docs can band together;
+            # their union is 0 and ANSI mode errors on /0
             "jaccard",
-            F.round(
-                F.col("inter")
-                * 1.0
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
+            F.when(
+                F.col("na") + F.col("nb") - F.col("inter") > 0,
+                F.round(
+                    F.col("inter")
+                    * 1.0
+                    / (F.col("na") + F.col("nb") - F.col("inter")),
+                    6,
+                ),
             ),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -273,11 +278,14 @@ def ngram_jaccard_pairs(
     return (
         pair_inter.withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                * 1.0
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
+            F.when(
+                F.col("na") + F.col("nb") - F.col("inter") > 0,
+                F.round(
+                    F.col("inter")
+                    * 1.0
+                    / (F.col("na") + F.col("nb") - F.col("inter")),
+                    6,
+                ),
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -55,7 +55,21 @@ def with_indicators(
     f_vol = w.rowsBetween(-(vol_window - 1), 0)
 
     close = F.col(close_col)
-    ret = close / F.lag(close, 1).over(w) - F.lit(1.0)
+    prev = F.lag(close, 1).over(w)
+    # pandas pct_change on a 0 previous close yields ±inf (x/0) or NaN
+    # (0/0).  Spark 4 runs ANSI mode by default, where a bare division by
+    # zero THROWS — so the zero-divisor branches are made explicit, both
+    # reproducing the reference semantics (SURVEY §7 hard-part 5) and
+    # keeping the pipeline alive on degenerate data.  (DuckDB returns NULL
+    # for double x/0 — the oracle fixtures contain no zero closes, so the
+    # engines agree wherever the comparison runs.)
+    ret = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(prev != 0, close / prev - F.lit(1.0))
+        .when(close > 0, F.lit(float("inf")))
+        .when(close < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
 
     df = df.withColumn("ret", ret)
     r = F.col("ret")

@@ -53,8 +53,10 @@ def cosine_topk(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
     ).withColumn("vn", F.sqrt(norm2_expr("ve")))
     pairs = v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
-    cos = F.round(
-        dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+    # zero-norm guard: ANSI mode errors on /0; degenerate vectors get null
+    cos = F.when(
+        F.col("qn") * F.col("vn") != 0,
+        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -117,8 +119,9 @@ def embedding_near_dup_pairs(
         F.col("nrm").alias("nb"),
         F.col("bucket").alias("bucket"),
     )
-    cos = F.round(
-        dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6
+    cos = F.when(
+        F.col("na") * F.col("nb") != 0,
+        F.round(dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6),
     )
     return (
         a.join(b, ["bucket"])
@@ -167,8 +170,12 @@ def ivf_topk(
         # per-side norms precomputed; only the dot runs per pair
         norm_col = "__n_" + vec_alias
         df = df.withColumn(norm_col, F.sqrt(norm2_expr(vec_alias)))
-        cos = F.round(
-            dot_expr(vec_alias, "ce") / (F.col(norm_col) * F.col("cn")), 6
+        cos = F.when(
+            F.col(norm_col) * F.col("cn") != 0,
+            F.round(
+                dot_expr(vec_alias, "ce") / (F.col(norm_col) * F.col("cn")),
+                6,
+            ),
         ).alias("__ccos")
         w = Window.partitionBy(id_out).orderBy(
             F.desc("__ccos"), F.asc("cid")
@@ -198,8 +205,9 @@ def ivf_topk(
         keep=n_probe,
     ).select("qid", "qe", F.col("__n_qe").alias("qn"), "cid")
 
-    cos = F.round(
-        dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+    cos = F.when(
+        F.col("qn") * F.col("vn") != 0,
+        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

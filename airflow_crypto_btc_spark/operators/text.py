@@ -66,8 +66,12 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("sum_token_len", F.expr(sum_len))
         .withColumn(
+            # empty-doc guard: ANSI mode (Spark 4 default) errors on /0
             "avg_token_len",
-            F.round(F.col("sum_token_len") * 1.0 / F.col("n_tokens"), 6),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("sum_token_len") * 1.0 / F.col("n_tokens"), 6),
+            ),
         )
     )
 
@@ -123,7 +127,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     uniq_ratio = F.col("n_uniq_tokens") * 1.0 / F.col("n_tokens")
     return df.withColumn(
         "quality",
-        F.round(0.4 * len_score + 0.3 * stop_score + 0.3 * uniq_ratio, 6),
+        # empty doc → quality 0 (ANSI /0 guard; fixture docs are non-empty)
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(0.4 * len_score + 0.3 * stop_score + 0.3 * uniq_ratio, 6),
+        ).otherwise(F.lit(0.0)),
     )
 
 

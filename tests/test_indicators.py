@@ -121,3 +121,62 @@ def test_trailing_days_slice(daily):
     assert min(dates) == end - dt.timedelta(days=60)
     assert max(dates) == end
     assert len(dates) == 61
+
+
+def test_pct_change_zero_divisor_semantics(spark):
+    """SURVEY §7 hard-part 5: pandas pct_change yields inf when the
+    previous close is 0; Spark double division yields Infinity for x/0
+    (x≠0) and NaN-free null for 0/0 only under ANSI off — pin the actual
+    engine behavior so a Spark upgrade can't silently change it."""
+    import math
+
+    from airflow_crypto_btc_spark.operators.indicators import with_indicators
+
+    rows = [
+        ("A", "2024-01-01", 10.0),
+        ("A", "2024-01-02", 0.0),
+        ("A", "2024-01-03", 5.0),   # prev close 0 → 5/0 - 1 = +inf
+        ("A", "2024-01-04", 0.0),   # 0/5 - 1 = -1
+        ("A", "2024-01-05", 0.0),   # 0/0 - 1 → NaN
+    ]
+    df = spark.createDataFrame(rows, "asset string, date string, close double")
+    got = {
+        str(r["date"]): r["ret"]
+        for r in with_indicators(
+            df.selectExpr("asset", "cast(date as date) date", "close"),
+            key_cols=("asset",),
+        ).collect()
+    }
+    assert got["2024-01-01"] is None
+    assert got["2024-01-02"] == -1.0
+    assert math.isinf(got["2024-01-03"]) and got["2024-01-03"] > 0
+    assert got["2024-01-04"] == -1.0
+    assert math.isnan(got["2024-01-05"])
+
+
+def test_spark_sql_entry_path_matches_dataframe(spark, sf_dir):
+    """SURVEY §3 entry point 2: the engine exposes registered views for the
+    spark.sql path; a SQL rendering of daily OHLC must equal the DataFrame
+    operator output."""
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+    from airflow_crypto_btc_spark.sources.tables import (
+        load_table,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(
+        """
+        SELECT event_type, to_date(ts) AS date,
+               min_by(value, ts) AS open, max(value) AS high,
+               min(value) AS low, max_by(value, ts) AS close,
+               count(value) AS n_obs
+        FROM events GROUP BY 1, 2
+        """
+    ).orderBy("event_type", "date").collect()
+    via_df = (
+        daily_ohlc(load_table(spark, sf_dir, "events"))
+        .orderBy("event_type", "date")
+        .collect()
+    )
+    assert via_sql == via_df

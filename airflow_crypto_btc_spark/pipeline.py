@@ -124,9 +124,13 @@ class Warehouse:
     def daily_metrics(self) -> str:
         return os.path.join(self.root, "daily_metrics")
 
-    def day_csv(self, day: str) -> str:
-        # path scheme mirrors reference ``:49`` (btc_prices_<day>.csv)
-        return os.path.join(self.data_dir, f"prices_{day}.csv")
+    def day_csv(self, day: str, asset: str = "BTC-USD") -> str:
+        # path scheme mirrors reference ``:49`` (btc_prices_<day>.csv);
+        # the asset component generalizes the reference's single-asset
+        # layout so one day's extracts for different assets never collide
+        # with each other's idempotency short-circuit
+        safe = asset.replace("/", "_")
+        return os.path.join(self.data_dir, f"prices_{safe}_{day}.csv")
 
     def day_partition(self, day: str) -> str:
         return os.path.join(self.raw_prices, f"date={day}")
@@ -270,12 +274,16 @@ def extract_day_from_events(
 
 
 def extract(
-    spark: SparkSession, wh: Warehouse, day: str, source: DataFrame
+    spark: SparkSession,
+    wh: Warehouse,
+    day: str,
+    source: DataFrame,
+    asset: str = "BTC-USD",
 ) -> str:
     """Stage 1 (reference ``:26-104``): land the day's ``(ts_utc, price)``
     batch as a CSV artifact.  Idempotency short-circuit: skip if the day's
     CSV already exists non-empty (``:52-53``)."""
-    path = wh.day_csv(day)
+    path = wh.day_csv(day, asset)
     if check_artifact_nonempty(path).passed:
         return path
     os.makedirs(wh.data_dir, exist_ok=True)
@@ -296,7 +304,7 @@ def load_raw(
     csv = (
         spark.read.option("header", True)
         .schema(DAY_CSV_SCHEMA)
-        .csv(wh.day_csv(day))
+        .csv(wh.day_csv(day, asset))
     )
     if csv.isEmpty():  # P7 empty guard, reference ``:126-127``
         raise ValueError(f"empty day CSV for {day}")
@@ -490,7 +498,7 @@ def quality_checks(
     day_rows = read_raw_day(spark, wh, day).filter(F.col("asset") == asset)
     day_metrics = metrics.filter(F.col("date") == F.lit(day).cast("date"))
     results = [
-        check_artifact_nonempty(wh.day_csv(day), "day_csv"),  # Q1
+        check_artifact_nonempty(wh.day_csv(day, asset), "day_csv"),  # Q1
         check_min_rows(day_rows, min_day_rows, "day_rowcount"),  # Q2
         check_not_null(day_metrics, list(OHLC_COLS), "ohlc_not_null"),  # Q3
         check_indicator_completeness(metrics, day),  # Q4
@@ -545,7 +553,7 @@ def run_day(
     tests/test_pipeline.py)."""
 
     def _go() -> RunResult:
-        csv_path = extract(spark, wh, day, source)
+        csv_path = extract(spark, wh, day, source, asset=asset)
         load_raw(spark, wh, day, asset=asset)
         compute_daily_metrics(spark, wh, day, asset=asset)
         if incremental:

@@ -553,6 +553,40 @@ _SQL_PERCENTILE_SUMMARY = """
 """
 
 
+# ----------------------------------------------------- statistical aggregates
+
+
+def q_stats_moments(spark, sf_dir):
+    """Co-moment aggregate surface: Pearson correlation, sample covariance
+    / stddev / variance per group — single-pass streaming moments that
+    combine associatively across partitions (Catalyst's ImperativeAggregate
+    path), rounded at 1e-6 where engines' merge orders differ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+        F.count("*").alias("n"),
+    )
+
+
+_SQL_STATS_MOMENTS = """
+    SELECT l_returnflag,
+      round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+      round(stddev_samp(l_quantity), 6) AS std_qty,
+      round(var_samp(l_discount), 6) AS var_discount,
+      count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------- ranking-function battery
 
 
@@ -731,6 +765,7 @@ MORE_REGISTRY: dict[str, QuerySpec] = {
     "percentile_summary": QuerySpec(
         q_percentile_summary, _SQL_PERCENTILE_SUMMARY
     ),
+    "stats_moments": QuerySpec(q_stats_moments, _SQL_STATS_MOMENTS),
     "window_rank_battery": QuerySpec(
         q_window_rank_battery, _SQL_WINDOW_RANK_BATTERY
     ),

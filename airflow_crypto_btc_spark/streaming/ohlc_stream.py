@@ -106,6 +106,27 @@ def streaming_daily_ohlc(
     )
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sessionization over a stream: the SAME ``session_window`` gap-merge
+    as the batch operator (operators/asof.sessionize), plus a watermark so
+    closed sessions finalize and state is evicted.  Batch/stream parity is
+    by construction — one operator definition, two execution modes."""
+    from airflow_crypto_btc_spark.operators.asof import sessionize
+
+    return sessionize(
+        events.withWatermark(ts_col, watermark),
+        ts_col=ts_col,
+        key_cols=key_cols,
+        gap=gap,
+    )
+
+
 # ------------------------------------------------- stateful incremental ret
 
 _RET_OUTPUT_SCHEMA = StructType(

@@ -199,3 +199,58 @@ def test_incremental_run_day_matches_full(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         _metrics_pdf(spark, wh_full), _metrics_pdf(spark, wh_inc)
     )
+
+
+def test_multi_asset_day_folds_are_isolated(spark, sf_dir, tmp_path):
+    """Two assets folded into one warehouse: per-asset extracts don't
+    collide, the day partition holds both, and indicators are computed
+    within each asset independently."""
+    from airflow_crypto_btc_spark.pipeline import Warehouse as WH
+
+    wh = WH(str(tmp_path / "multi"))
+
+    def src(day, event_type):
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.filter(
+                (F.to_date("ts") == F.lit(day).cast("date"))
+                & (F.col("event_type") == event_type)
+            )
+            .select(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                    "ts_utc"
+                ),
+                F.col("value").alias("price"),
+            )
+            .transform(lambda d: dedup_keep_first(d, ["ts_utc"], "ts_utc"))
+        )
+
+    for day in DAYS[:2]:
+        for asset, etype in (("ERR", "error"), ("SGN", "signup")):
+            run_day(
+                spark, wh, day, src(day, etype), asset=asset, min_day_rows=2
+            )
+
+    got = (
+        spark.read.parquet(wh.daily_metrics)
+        .orderBy("asset", "date")
+        .toPandas()
+    )
+    assert len(got) == 4  # 2 assets × 2 days
+    assert sorted(got["asset"].unique()) == ["ERR", "SGN"]
+
+    # per-asset OHLC equals its own single-asset source
+    for asset, etype in (("ERR", "error"), ("SGN", "signup")):
+        for day in DAYS[:2]:
+            pdf = src(day, etype).toPandas().sort_values("ts_utc")
+            row = got[
+                (got["asset"] == asset) & (got["date"].astype(str) == day)
+            ].iloc[0]
+            assert row["open"] == pdf["price"].iloc[0]
+            assert row["close"] == pdf["price"].iloc[-1]
+    # ret partitions by asset: day-2 ret uses the SAME asset's day-1 close
+    for asset in ("ERR", "SGN"):
+        sub = got[got["asset"] == asset].sort_values("date")
+        assert pd.isna(sub["ret"].iloc[0])
+        expected = sub["close"].iloc[1] / sub["close"].iloc[0] - 1.0
+        assert sub["ret"].iloc[1] == pytest.approx(expected)

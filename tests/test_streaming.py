@@ -155,3 +155,47 @@ def test_append_mode_emits_finalized_windows_to_parquet(
     assert len(merged) == len(gpdf)
     for c in ("open", "high", "low", "close", "n_obs"):
         assert (merged[c] == merged[f"{c}_b"]).all()
+
+
+def test_streaming_sessionize_matches_batch_for_finalized(
+    spark, sf_dir, tmp_path
+):
+    """Sessions finalized by the watermark must exactly match the batch
+    sessionization of the same data (same operator, streaming mode)."""
+    from airflow_crypto_btc_spark.operators.asof import sessionize
+    from airflow_crypto_btc_spark.streaming.ohlc_stream import (
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = streaming_sessionize(
+            read_event_stream(spark, src, max_files_per_trigger=1)
+        )
+        run_available_now(stream, ckpt, sink_path=sink, output_mode="append")
+
+    _land_day_files(spark, sf_dir, ["2024-01-01", "2024-01-02"], src)
+    drain()
+    _land_day_files(spark, sf_dir, ["2024-01-03", "2024-01-04"], src)
+    drain()
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    batch = sessionize(spark.read.parquet(src)).toPandas()
+    merged = got.merge(
+        batch,
+        on=["user_id", "session_start"],
+        suffixes=("", "_b"),
+        validate="one_to_one",
+    )
+    assert len(merged) == len(got)  # every emitted session exists in batch
+    for c in ("session_end", "n_events", "duration_us"):
+        assert (merged[c] == merged[f"{c}_b"]).all()

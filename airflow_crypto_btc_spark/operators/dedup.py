@@ -94,13 +94,11 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # Shingle sets once; the expensive num_hashes×|shingles| signature
-    # expression is evaluated ONLY on the banding branch — the verify
-    # branches below reuse the sets and never touch `sig`.
-    # Materialized once (lazy local checkpoint): `sets` feeds the signature
-    # branch AND both verify joins — without this Spark recomputes the
-    # tokenize→shingle pipeline for every consumer (no subplan reuse across
-    # join inputs).  Ids + shingle sets are tiny relative to the corpus,
+    # Shingle sets: computed once and materialized (lazy local checkpoint)
+    # — they feed the signature branch AND both verify joins, and Spark
+    # has no subplan reuse across join inputs.  The expensive
+    # num_hashes×|shingles| signature expression is evaluated ONLY on the
+    # banding branch.  Ids + shingle sets are tiny relative to the corpus,
     # which is exactly why an LSH index is persisted at scale.
     sets = (
         with_shingle_sets(df, text_col, k_shingle)

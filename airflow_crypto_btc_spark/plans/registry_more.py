@@ -553,6 +553,44 @@ _SQL_PERCENTILE_SUMMARY = """
 """
 
 
+# ------------------------------------------------------------------- pivot
+
+
+def q_pivot_daily_event_counts(spark, sf_dir):
+    """Pivot (crosstab): events per day × type as columns.  Spark's pivot
+    plans as a single aggregate with one output column per pivot value —
+    values are enumerated explicitly so the plan is static (at scale,
+    always pass the value list; inferring it costs an extra job)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.to_date("ts").alias("date"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves missing cells null; normalize to 0 for both engines
+    return out.select(
+        "date", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+_SQL_PIVOT_DAILY_EVENT_COUNTS = """
+    SELECT CAST(ts AS DATE) AS date,
+      CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)
+           AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)
+           AS BIGINT) AS error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)
+           AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)
+           AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+"""
+
+
 # ----------------------------------------------------- statistical aggregates
 
 
@@ -766,6 +804,9 @@ MORE_REGISTRY: dict[str, QuerySpec] = {
         q_percentile_summary, _SQL_PERCENTILE_SUMMARY
     ),
     "stats_moments": QuerySpec(q_stats_moments, _SQL_STATS_MOMENTS),
+    "pivot_daily_event_counts": QuerySpec(
+        q_pivot_daily_event_counts, _SQL_PIVOT_DAILY_EVENT_COUNTS
+    ),
     "window_rank_battery": QuerySpec(
         q_window_rank_battery, _SQL_WINDOW_RANK_BATTERY
     ),

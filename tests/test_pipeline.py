@@ -254,3 +254,39 @@ def test_multi_asset_day_folds_are_isolated(spark, sf_dir, tmp_path):
         assert pd.isna(sub["ret"].iloc[0])
         expected = sub["close"].iloc[1] / sub["close"].iloc[0] - 1.0
         assert sub["ret"].iloc[1] == pytest.approx(expected)
+
+
+def test_json_landing_roundtrip_matches_direct_normalization(spark, tmp_path):
+    """Fetcher lands JSON-lines pages; the schema'd Spark scan of the
+    landing zone equals direct in-memory normalization of the same rows."""
+    from airflow_crypto_btc_spark.sources.json_landing import (
+        land_klines_json,
+        read_klines_landing,
+    )
+
+    rows = [
+        [1704067200000, "42000", "42100", "41900", "42050.5", "1.0"],
+        [1704070800000, "42050", "42200", "42000", "42150.0", "2.0"],
+        [1704067200000, "9", "9", "9", "99999.0", "0.1"],  # dup ts, dropped
+    ]
+    landing = str(tmp_path / "landing")
+    land_klines_json(rows[:2], landing, "2024-01-01")
+    land_klines_json(rows[2:], landing, "2024-01-01b")
+
+    via_landing = (
+        read_klines_landing(spark, landing)
+        .orderBy("ts_utc")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    via_direct = (
+        normalize_klines(spark, [r + [0] * 6 for r in rows])
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(via_landing) == 2
+    assert list(via_landing["ts_utc"]) == list(via_direct["ts_utc"])
+    # keep-first across files: the file-order winner for the dup ts is
+    # whichever row dedup_keep_first ranks first on the tie-break — both
+    # engines use the same rule, so prices agree
+    assert via_landing["price"].iloc[1] == via_direct["price"].iloc[1]

@@ -135,6 +135,32 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def train_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/test assignment by content-independent id hash:
+    bucket = md5(id) mod ``buckets``; buckets < ``test_pct`` are 'test'.
+
+    Hash-based (not ``randomSplit``): the assignment is a pure function of
+    the id, so it is stable across runs, engines, repartitions, and
+    incremental appends — new documents never reshuffle old ones between
+    splits (the property that keeps eval sets uncontaminated as a corpus
+    grows)."""
+    bucket = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 8), 16, 10) "
+        f"as bigint) % {buckets}"
+    )
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < test_pct, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: content md5 over normalized text (exact-dup
     key) + order-sensitive polynomial rolling hash over tokens."""

@@ -41,6 +41,7 @@ from airflow_crypto_btc_spark.operators.text import (
     lang_id,
     quality_score,
     token_stats,
+    train_test_split,
 )
 from airflow_crypto_btc_spark.plans.registry import QuerySpec
 from airflow_crypto_btc_spark.sources.tables import load_table
@@ -566,6 +567,22 @@ _SQL_CURATE_TRAINING_DOCS = f"""
 """
 
 
+def q_train_test_split(spark, sf_dir):
+    out = train_test_split(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "split_bucket", "split")
+
+
+_SQL_TRAIN_TEST_SPLIT = """
+    SELECT doc_id,
+      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        AS split_bucket,
+      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < 10
+           THEN 'test' ELSE 'train' END AS split
+    FROM documents
+"""
+
+
 def q_approx_distinct_tokens(spark, sf_dir):
     """HLL sketch surface: approximate distinct-token count per source.
     Sketch internals differ across engines, so this is a rows-only check;
@@ -588,6 +605,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
         q_curate_training_docs, _SQL_CURATE_TRAINING_DOCS
     ),
     "approx_distinct_tokens": QuerySpec(q_approx_distinct_tokens, None),
+    "train_test_split": QuerySpec(
+        q_train_test_split, _SQL_TRAIN_TEST_SPLIT
+    ),
     "text_token_stats": QuerySpec(q_text_token_stats, _SQL_TEXT_TOKEN_STATS),
     "text_lang_id": QuerySpec(q_text_lang_id, _SQL_TEXT_LANG_ID),
     "text_quality_score": QuerySpec(

@@ -96,3 +96,18 @@ def test_approx_distinct_tokens_bounds(spark, sf_dir):
     assert set(approx) == set(exact)
     for src in exact:
         assert abs(approx[src] - exact[src]) / exact[src] < 0.05
+
+
+def test_train_test_split_is_stable_and_proportional(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.text import train_test_split
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs.repartition(7)).collect()
+    }
+    assert a == b  # partitioning-independent assignment
+    test_frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.03 < test_frac < 0.2  # ~10% ± hash noise at 500 docs

@@ -31,6 +31,7 @@ from airflow_crypto_btc_spark.operators.multimodal import (
 )
 from airflow_crypto_btc_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_fast,
     embedding_near_dup_pairs,
     embedding_norms,
     ivf_topk,
@@ -630,6 +631,17 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim_cosine_topk": QuerySpec(q_sim_cosine_topk, _SQL_SIM_COSINE_TOPK),
     "sim_ivf_topk": QuerySpec(q_sim_ivf_topk, _SQL_SIM_IVF_TOPK),
+    # numpy-matmul twin of sim_cosine_topk: BLAS sum order differs at the
+    # last ulp so no hash oracle; neighbor-set equality with the exact
+    # operator is asserted in tests/test_similarity.py
+    "sim_cosine_topk_fast": QuerySpec(
+        lambda spark, sf_dir: cosine_topk_fast(
+            load_table(spark, sf_dir, "embeddings"),
+            query_filter="vec_id < 20",
+            k=10,
+        ).select("qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")),
+        None,
+    ),
     "sim_embedding_near_dup": QuerySpec(
         q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP
     ),

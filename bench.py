@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
+    "sim_cosine_topk_fast",
     "sim_ivf_topk",
     "mm_frame_sample",
     "mm_byte_features",

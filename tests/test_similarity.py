@@ -100,3 +100,24 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir):
         for q in exact_sets.index
     ]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_cosine_topk_fast_matches_exact_operator(spark, sf_dir):
+    """The vectorized mapInPandas path returns the same neighbors as the
+    HOF-exact operator (cosines agree to 1e-6; identical tie-breaks)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_fast,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, k=10).toPandas()
+    fast = cosine_topk_fast(emb, k=10).toPandas()
+    key = ["qid", "rnk"]
+    e = exact.sort_values(key).reset_index(drop=True)
+    f = fast.sort_values(key).reset_index(drop=True)
+    assert len(e) == len(f)
+    assert (e["qid"] == f["qid"]).all()
+    assert (e["nid"] == f["nid"]).all()
+    assert (e["cosine"] - f["cosine"]).abs().max() <= 2e-6

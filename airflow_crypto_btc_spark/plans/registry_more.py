@@ -423,6 +423,129 @@ _SQL_Q19_DISJUNCTIVE_PREDICATES = """
 """
 
 
+def q15_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15-shaped: aggregate-of-aggregate — supplier revenue for a
+    quarter, keep the max-revenue supplier(s).  The inner agg is reused by
+    both the outer max and the final filter (a "view" in TPC-H terms);
+    decimal sums make the max/equality comparison exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+_SQL_Q15_TOP_SUPPLIER_REVENUE = """
+    WITH rev AS (
+      SELECT l_suppkey,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey AS suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18-shaped: HAVING on an aggregate feeding a semi-join —
+    orders whose total quantity exceeds a threshold, with customer
+    context."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > 270)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+_SQL_Q18_LARGE_VOLUME_CUSTOMERS = """
+    WITH big AS (
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 270
+    )
+    SELECT c_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice, sum_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_range_window_weekly_activity(spark, sf_dir):
+    """True RANGE frame (calendar bound, not row count): per user, daily
+    event count + trailing-7-calendar-day sum.  Users have SPARSE activity
+    days, so a 7-ROW frame would be wrong — the range frame closes the gap
+    the reference's row-frame indicators don't cover (SURVEY W5 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("date")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "date",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+    )
+
+
+_SQL_RANGE_WINDOW_WEEKLY_ACTIVITY = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, date, n,
+      CAST(sum(n) OVER (PARTITION BY user_id
+                   ORDER BY date_diff('day', DATE '1970-01-01', date)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_7d
+    FROM daily
+"""
+
+
 # ------------------------------------------------------- semi / anti joins
 
 
@@ -783,6 +906,15 @@ _SQL_TEXT_TOP_TOKENS = """
 
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "q15_top_supplier_revenue": QuerySpec(
+        q15_top_supplier_revenue, _SQL_Q15_TOP_SUPPLIER_REVENUE
+    ),
+    "q18_large_volume_customers": QuerySpec(
+        q18_large_volume_customers, _SQL_Q18_LARGE_VOLUME_CUSTOMERS
+    ),
+    "range_window_weekly_activity": QuerySpec(
+        q_range_window_weekly_activity, _SQL_RANGE_WINDOW_WEEKLY_ACTIVITY
+    ),
     "q12_priority_shipping": QuerySpec(
         q12_priority_shipping, _SQL_Q12_PRIORITY_SHIPPING
     ),

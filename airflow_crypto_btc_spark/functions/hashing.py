@@ -76,6 +76,21 @@ def simhash_expr(tokens_col: str = "tokens", bits: int = 16) -> Column:
     )
 
 
+def simhash_from_md5_expr(md5s_col: str = "tok_md5", bits: int = 16) -> Column:
+    """:func:`simhash_expr` over PRE-hashed tokens (``md5s_col`` = array of
+    md5 hex strings).  Hoisting ``md5(t)`` into a separate per-row
+    projection evaluates it once per token instead of once per (token, bit)
+    — identical fingerprints, ``bits``× fewer digest computations."""
+    assert bits <= 32
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
+        f"acc + CASE WHEN aggregate({md5s_col}, 0, (a, h) -> a + "
+        f"CASE WHEN cast(conv(substr(h, cast(i+1 as int), 1),16,10) "
+        f"as int) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(cast(1 as bigint), cast(i as int)) ELSE 0 END)"
+    )
+
+
 def rolling_fingerprint_expr(tokens_col: str = "tokens") -> Column:
     """Polynomial rolling hash over token hashes, mod 1e9+7 — the
     order-sensitive document fingerprint (reordered tokens hash

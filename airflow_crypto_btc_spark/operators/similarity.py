@@ -201,6 +201,7 @@ def ivf_topk(
     query_filter: str = "vec_id < 20",
     n_probe: int = 4,
     k: int = 10,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k — the index-shaped scale path.
 
@@ -222,10 +223,16 @@ def ivf_topk(
 
     Returns (qid, nid, cosine, rnk) like :func:`cosine_topk`; recall < 1 by
     construction (that is the speed trade).
+
+    Pass ``centroids`` — ``(cid, ce array<double>)``, e.g. from
+    :func:`kmeans_centroid_arrays` — to search a *trained* coarse
+    quantizer; otherwise ``centroid_filter`` picks seed vectors.
     """
-    cent = vectors.filter(centroid_filter).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
-    ).withColumn("cn", F.sqrt(norm2_expr("ce")))
+    if centroids is None:
+        centroids = vectors.filter(centroid_filter).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        )
+    cent = centroids.withColumn("cn", F.sqrt(norm2_expr("ce")))
 
     def _nearest(df, id_out, vec_alias, keep, rank_col="__r"):
         # per-side norms precomputed; only the dot runs per pair
@@ -278,6 +285,109 @@ def ivf_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_filter: str = "vec_id % 25 = 7",
+    iterations: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over spherical (cosine) distance — the
+    trainer that produces IVF coarse-quantizer centroids (the
+    assignment/probe dataflow in :func:`ivf_topk` consumes them).
+
+    Per iteration:
+
+    1. **Assign** — every vector joins the *broadcast* centroid set and
+       keeps its nearest centroid by cosine (6-decimal round, centroid-id
+       tie-break).  Expressed as a partial-aggregatable
+       ``groupBy(nid).agg(max_by(cid, (cosine, -cid)))`` so the pair table
+       is reduced map-side: the shuffle carries one row per vector, never
+       the |v|·|c| pair blow-up — at 100 TB the assignment cost is one
+       linear scan plus a vector-count-sized shuffle.
+    2. **Update** — new centroid = element-wise mean of assigned members:
+       ``posexplode`` → per ``(cid, dim)`` decimal sum (associative —
+       shuffle order cannot change it) / member count, rounded to 6
+       decimals so the next iteration's cosines are cross-engine
+       deterministic.
+
+    Determinism contract (DuckDB oracle replays the whole training run):
+    seeds are picked by ``seed_filter``; all sums are decimal; every
+    centroid component and cosine is rounded to 6 before comparison; a
+    zero-norm vector gets sentinel cosine -2.0 (< any real cosine) instead
+    of an ANSI divide-by-zero.
+
+    Returns the LAST iteration's update in exploded form
+    ``(cid, pos, val, n_members)`` — ``pos`` 1-based to match SQL list
+    indexing; empty clusters simply vanish (no rows), as in classic Lloyd.
+    """
+    to_dbl = "transform({c}, x -> cast(x as double))"
+    cent = vectors.filter(seed_filter).select(
+        F.col(id_col).alias("cid"),
+        F.expr(to_dbl.format(c=vec_col)).alias("ce"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.expr(to_dbl.format(c=vec_col)).alias("ve"),
+    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+
+    means = None
+    for _ in range(iterations):
+        cent = cent.withColumn("cn", F.sqrt(norm2_expr("ce")))
+        cos = F.when(
+            F.col("vn") * F.col("cn") != 0,
+            F.round(dot_expr("ve", "ce") / (F.col("vn") * F.col("cn")), 6),
+        ).otherwise(F.lit(-2.0))
+        assigned = (
+            v.join(F.broadcast(cent))
+            .groupBy("nid")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(cos.alias("c"), (-F.col("cid")).alias("t"))
+                ).alias("cid"),
+                F.first("ve").alias("ve"),  # constant within the nid group
+            )
+        )
+        exploded = assigned.select(
+            "cid", F.posexplode("ve").alias("pos0", "val")
+        )
+        means = exploded.groupBy(
+            "cid", (F.col("pos0") + 1).cast("long").alias("pos")
+        ).agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("val"),
+            F.count("*").alias("n_members"),
+        )
+        cent = means.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, val))), "
+                "s -> s.val)"
+            ).alias("ce")
+        )
+    return means
+
+
+def kmeans_centroid_arrays(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_filter: str = "vec_id % 25 = 7",
+    iterations: int = 2,
+) -> DataFrame:
+    """Trained centroids re-assembled as ``(cid, ce array<double>)`` —
+    the shape :func:`ivf_topk` accepts via its ``centroids`` parameter."""
+    means = kmeans_train(vectors, id_col, vec_col, seed_filter, iterations)
+    return means.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, val))), "
+            "s -> s.val)"
+        ).alias("ce")
     )
 
 

@@ -4,10 +4,12 @@ from __future__ import annotations
 
 from airflow_crypto_btc_spark.plans.registry import REGISTRY, QuerySpec
 from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
 
 ALL_QUERIES: dict[str, QuerySpec] = {
     **REGISTRY,
     **EXT_REGISTRY,
     **MORE_REGISTRY,
+    **ML_REGISTRY,
 }

@@ -1,0 +1,215 @@
+"""ML-adjacent query registry: k-means centroid training for the IVF
+coarse quantizer, and the trained-quantizer ANN search built on it.
+
+The reference (`/root/reference/dags/dag_btc_daily.py`) has no ML surface;
+these extend the BASELINE.json similarity-search north star: `sim_ivf_topk`
+(registry_ext) searches *seed* centroids, here we TRAIN the centroids with
+distributed Lloyd iterations and search the trained quantizer.
+
+Oracle-parity strategy (see operators/similarity.kmeans_train): seeds via a
+deterministic filter, decimal per-dimension sums (associative → shuffle-
+order-proof), 6-decimal rounding of every centroid component and cosine
+before any comparison, and a -2.0 sentinel for zero-norm cosines — DuckDB
+replays the entire training run bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.dedup_fast import (
+    minhash_signatures_fast,
+    simhash_fingerprints_fast,
+)
+from airflow_crypto_btc_spark.operators.similarity import (
+    ivf_topk,
+    kmeans_centroid_arrays,
+    kmeans_train,
+)
+from airflow_crypto_btc_spark.plans.registry import QuerySpec
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+_SEED_FILTER = "vec_id % 25 = 7"
+_ITERATIONS = 2
+
+# ------------------------------------------------------------------ oracle
+
+# dot of two double-lists (1-based SQL indexing)
+_D_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> {a}[i] * {b}[i]))"
+)
+_D_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _assign_update_ctes(i: int, cent_in: str) -> str:
+    """One Lloyd iteration as DuckDB CTE text: assignment of every vector
+    in ``v`` to its nearest centroid of ``cent_in``, then per-(cid, pos)
+    decimal-mean update.  Emits CTEs a{i}, m{i}, cent{i}."""
+    cos = (
+        f"CASE WHEN v.vn * c.cn <> 0 "
+        f"THEN round({_D_DOT.format(a='v.ve', b='c.ce')} / (v.vn * c.cn), 6) "
+        f"ELSE -2.0 END"
+    )
+    return f"""
+    a{i} AS (
+      SELECT nid, ve, cid FROM (
+        SELECT v.nid, v.ve, c.cid,
+          row_number() OVER (PARTITION BY v.nid
+            ORDER BY {cos} DESC, c.cid ASC) AS r
+        FROM v, (SELECT cid, ce, {_D_NORM.format(a='ce')} AS cn
+                 FROM {cent_in}) c)
+      WHERE r = 1
+    ),
+    m{i} AS (
+      SELECT cid, pos,
+        round(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*),
+              6) AS val,
+        COUNT(*) AS n_members
+      FROM (SELECT cid, unnest(range(1, len(ve)+1)) AS pos,
+                   unnest(ve) AS val
+            FROM a{i})
+      GROUP BY cid, pos
+    ),
+    cent{i} AS (
+      SELECT cid, list(val ORDER BY pos) AS ce FROM m{i} GROUP BY cid
+    )"""
+
+
+def _kmeans_ctes(iterations: int = _ITERATIONS) -> str:
+    """v + cent0 + ``iterations`` Lloyd rounds; final centroids in
+    cent{iterations}, final exploded means in m{iterations}."""
+    parts = [
+        f"""
+    v AS (
+      SELECT vec_id AS nid,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+        sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cid,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings WHERE {_SEED_FILTER}
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(_assign_update_ctes(i, f"cent{i - 1}"))
+    return ",".join(parts)
+
+
+_SQL_KMEANS_CENTROIDS = f"""
+    WITH {_kmeans_ctes()}
+    SELECT cid, pos, val, n_members FROM m{_ITERATIONS}
+"""
+
+# trained-quantizer ANN: the ivf_topk dataflow (registry_ext) with cent{N}
+# in place of the seed-vector centroid set
+_D_COS6 = (
+    "round({dot} / ({na} * {nb}), 6)"
+)
+
+
+def _ivf_trained_sql(n_probe: int = 4, k: int = 10) -> str:
+    dot_vc = _D_DOT.format(a="ve", b="ce")
+    dot_qc = _D_DOT.format(a="qe", b="ce")
+    dot_qv = _D_DOT.format(a="qe", b="ve")
+    return f"""
+    WITH {_kmeans_ctes()},
+    cent AS (SELECT cid, ce, {_D_NORM.format(a='ce')} AS cn
+             FROM cent{_ITERATIONS}),
+    q AS (SELECT nid AS qid, ve AS qe, vn AS qn FROM v WHERE nid < 20),
+    assigned AS (
+      SELECT nid, ve, vn, cid FROM (
+        SELECT v.nid, v.ve, v.vn, cent.cid,
+          row_number() OVER (PARTITION BY v.nid ORDER BY
+            CASE WHEN v.vn * cent.cn <> 0
+                 THEN {_D_COS6.format(dot=dot_vc, na='v.vn', nb='cent.cn')}
+                 ELSE -2.0 END DESC, cent.cid ASC) AS r
+        FROM v, cent)
+      WHERE r = 1
+    ),
+    probed AS (
+      SELECT qid, qe, qn, cid FROM (
+        SELECT q.qid, q.qe, q.qn, cent.cid,
+          row_number() OVER (PARTITION BY q.qid ORDER BY
+            CASE WHEN q.qn * cent.cn <> 0
+                 THEN {_D_COS6.format(dot=dot_qc, na='q.qn', nb='cent.cn')}
+                 ELSE -2.0 END DESC, cent.cid ASC) AS r
+        FROM q, cent)
+      WHERE r <= {n_probe}
+    ),
+    scored AS (
+      SELECT qid, nid,
+        CASE WHEN qn * vn <> 0
+             THEN {_D_COS6.format(dot=dot_qv, na='qn', nb='vn')} END AS cosine
+      FROM assigned JOIN probed USING (cid)
+      WHERE nid <> qid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+"""
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_sim_kmeans_centroids(spark, sf_dir):
+    return kmeans_train(
+        load_table(spark, sf_dir, "embeddings"),
+        seed_filter=_SEED_FILTER,
+        iterations=_ITERATIONS,
+    ).select("cid", "pos", "val", "n_members")
+
+
+def q_sim_ivf_topk_trained(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroid_arrays(
+        emb, seed_filter=_SEED_FILTER, iterations=_ITERATIONS
+    )
+    out = ivf_topk(
+        emb, query_filter="vec_id < 20", n_probe=4, k=10, centroids=cent
+    )
+    return out.select(
+        "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+def q_dedup_minhash_signature_fast(spark, sf_dir):
+    return minhash_signatures_fast(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_fast(spark, sf_dir):
+    return simhash_fingerprints_fast(load_table(spark, sf_dir, "documents"))
+
+
+def _exact_twin_sql():
+    """The vectorized twins are md5-exact (no float associativity), so they
+    share the HOF operators' DuckDB oracles verbatim."""
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _SQL_DEDUP_MINHASH_SIGNATURE,
+        _SQL_DEDUP_SIMHASH,
+    )
+
+    return _SQL_DEDUP_MINHASH_SIGNATURE, _SQL_DEDUP_SIMHASH
+
+
+_SQL_MINHASH_SIG, _SQL_SIMHASH = _exact_twin_sql()
+
+
+ML_REGISTRY: dict[str, QuerySpec] = {
+    "sim_kmeans_centroids": QuerySpec(
+        q_sim_kmeans_centroids, _SQL_KMEANS_CENTROIDS
+    ),
+    "sim_ivf_topk_trained": QuerySpec(
+        q_sim_ivf_topk_trained, _ivf_trained_sql()
+    ),
+    "dedup_minhash_signature_fast": QuerySpec(
+        q_dedup_minhash_signature_fast, _SQL_MINHASH_SIG
+    ),
+    "dedup_simhash_fast": QuerySpec(q_dedup_simhash_fast, _SQL_SIMHASH),
+}

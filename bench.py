@@ -49,6 +49,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_cosine_topk_fast",
     "sim_ivf_topk",
+    "dedup_simhash_fast",
     "mm_frame_sample",
     "mm_byte_features",
 ]

@@ -125,3 +125,50 @@ def test_simhash_banding_finds_all_close_pairs(spark, sf_dir):
         .collect()
     }
     assert banded == brute
+
+
+def test_fast_twins_match_hof_operators(spark, sf_dir):
+    """mapInPandas twins are md5-exact: frame equality with the HOF path
+    on the real documents fixture (CJK whitespace included)."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_btc_spark.operators.dedup_fast import (
+        minhash_signatures_fast,
+        simhash_fingerprints_fast,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    hof_mh = (
+        minhash_signatures(docs)
+        .select(
+            "doc_id",
+            F.expr("array_join(sig, '|')").alias("sig"),
+            F.col("set_size").cast("long").alias("set_size"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fast_mh = (
+        minhash_signatures_fast(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert hof_mh.equals(fast_mh)
+
+    hof_sh = (
+        simhash_fingerprints(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fast_sh = (
+        simhash_fingerprints_fast(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert hof_sh.equals(fast_sh)

@@ -121,3 +121,81 @@ def test_cosine_topk_fast_matches_exact_operator(spark, sf_dir):
     assert (e["qid"] == f["qid"]).all()
     assert (e["nid"] == f["nid"]).all()
     assert (e["cosine"] - f["cosine"]).abs().max() <= 2e-6
+
+
+def numpy_kmeans(V, seed_ids, iterations=2):
+    """Lloyd reference with the engine's determinism rules: cosine rounded
+    to 6 before argmax, smaller-cid tie-break, per-dim mean rounded to 6."""
+    Vd = V.astype(np.float64)
+    norms = np.linalg.norm(Vd, axis=1)
+    cents = {int(c): Vd[c].copy() for c in seed_ids}
+    assign = None
+    for _ in range(iterations):
+        cids = sorted(cents)
+        C = np.array([cents[c] for c in cids])
+        cn = np.linalg.norm(C, axis=1)
+        assign = {}
+        for i in range(len(Vd)):
+            best = max(
+                range(len(cids)),
+                key=lambda j: (
+                    round(Vd[i] @ C[j] / (norms[i] * cn[j]), 6)
+                    if norms[i] * cn[j] != 0
+                    else -2.0,
+                    -cids[j],
+                ),
+            )
+            assign[i] = cids[best]
+        cents = {}
+        for cid in set(assign.values()):
+            members = [i for i, c in assign.items() if c == cid]
+            cents[cid] = np.round(Vd[members].mean(axis=0), 6)
+    return cents, assign
+
+
+def test_kmeans_train_matches_numpy_lloyd(vectors):
+    from airflow_crypto_btc_spark.operators.similarity import kmeans_train
+
+    V, df = vectors
+    got = kmeans_train(df, seed_filter="vec_id % 25 = 7", iterations=2)
+    pdf = got.toPandas()
+    seed_ids = [i for i in range(N) if i % 25 == 7]
+    cents, assign = numpy_kmeans(V, seed_ids, iterations=2)
+
+    assert set(pdf["cid"]) == set(cents)
+    counts = {c: sum(1 for a in assign.values() if a == c) for c in cents}
+    for cid, grp in pdf.groupby("cid"):
+        assert set(grp["pos"]) == set(range(1, DIM + 1))
+        assert (grp["n_members"] == counts[cid]).all()
+        vals = grp.sort_values("pos")["val"].to_numpy()
+        np.testing.assert_allclose(vals, cents[cid], atol=2e-6)
+
+
+def test_kmeans_improves_quantizer_recall(spark, sf_dir):
+    """Trained centroids must not hurt ANN recall vs seed centroids (the
+    whole point of training the coarse quantizer)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroid_arrays,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, k=10).toPandas()
+    cent = kmeans_centroid_arrays(emb, iterations=2)
+    trained = ivf_topk(emb, n_probe=4, k=10, centroids=cent).toPandas()
+    seeded = ivf_topk(emb, n_probe=4, k=10).toPandas()
+
+    exact_sets = exact.groupby("qid")["nid"].apply(set)
+
+    def mean_recall(approx):
+        sets = approx.groupby("qid")["nid"].apply(set)
+        return sum(
+            len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets.index
+        ) / len(exact_sets)
+
+    r_trained, r_seeded = mean_recall(trained), mean_recall(seeded)
+    assert r_trained >= 0.3
+    assert r_trained >= r_seeded - 0.05  # training never craters recall

@@ -300,6 +300,88 @@ _SQL_DQ_DAY_COMPLETENESS = """
 """
 
 
+def q_dq_window_monitor(spark, sf_dir):
+    """The streaming DQ monitor's aggregation in batch mode (one builder,
+    two execution modes — streaming/dq_monitor.py; stream ≡ batch by
+    construction, so THIS oracle also certifies the streaming plan)."""
+    from airflow_crypto_btc_spark.streaming.dq_monitor import quality_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    return quality_metrics(
+        ev, min_rows=20, value_lo=0.0, value_hi=450.0
+    )
+
+
+_SQL_DQ_WINDOW_MONITOR = """
+    SELECT event_type, CAST(ts AS DATE) AS date,
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null,
+      CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_below,
+      CAST(sum(CASE WHEN value > 450.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_above,
+      min(value) AS min_value,
+      max(value) AS max_value,
+      CASE WHEN count(value) > 0 THEN
+        round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+              / count(value), 6) END AS mean_value,
+      count(*) >= 20 AS ok_rows,
+      sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0 AS ok_nulls,
+      sum(CASE WHEN value < 0.0 OR value > 450.0 THEN 1 ELSE 0 END) = 0
+        AS ok_range,
+      count(*) >= 20
+        AND sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN value < 0.0 OR value > 450.0 THEN 1 ELSE 0 END) = 0
+        AS passed
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_snapshot_table_lifecycle(spark, sf_dir):
+    """End-to-end run of the log-structured snapshot format
+    (sources/snapshot_table.py): append two days transactionally, re-run
+    day 1 (idempotent skip via txn id — the reference's skip-if-done,
+    :52-53), then read the committed snapshot and aggregate.  The oracle
+    aggregates the raw fixture directly: any double-append, lost commit, or
+    phantom read breaks the match."""
+    import tempfile
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def day(d):
+        return ev.filter(F.to_date("ts") == F.lit(d).cast("date"))
+
+    tbl = tempfile.mkdtemp(prefix="snaptbl_")
+    append(spark, day("2024-01-01"), tbl, txn_id="day=2024-01-01")
+    append(spark, day("2024-01-02"), tbl, txn_id="day=2024-01-02")
+    append(spark, day("2024-01-01"), tbl, txn_id="day=2024-01-01")  # no-op
+    return (
+        read_snapshot(spark, tbl)
+        .groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_TABLE_LIFECYCLE = """
+    SELECT event_type, CAST(ts AS DATE) AS date,
+      count(*) AS n_rows,
+      CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-02'
+    GROUP BY 1, 2
+"""
+
+
 # -------------------------------------------------- more TPC-H join shapes
 
 
@@ -951,6 +1033,12 @@ MORE_REGISTRY: dict[str, QuerySpec] = {
     "text_top_tokens": QuerySpec(q_text_top_tokens, _SQL_TEXT_TOP_TOKENS),
     "dq_day_completeness": QuerySpec(
         q_dq_day_completeness, _SQL_DQ_DAY_COMPLETENESS
+    ),
+    "dq_window_monitor": QuerySpec(
+        q_dq_window_monitor, _SQL_DQ_WINDOW_MONITOR
+    ),
+    "snapshot_table_lifecycle": QuerySpec(
+        q_snapshot_table_lifecycle, _SQL_SNAPSHOT_TABLE_LIFECYCLE
     ),
     "asof_purchase_last_error": QuerySpec(
         q_asof_purchase_last_error, _SQL_ASOF_PURCHASE_LAST_ERROR

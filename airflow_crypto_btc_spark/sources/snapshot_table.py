@@ -1,0 +1,193 @@
+"""Log-structured snapshot table format — ACID semantics for plain parquet.
+
+The reference gets transactional rewrites from SQLite
+(`/root/reference/dags/dag_btc_daily.py:287-295` — ``BEGIN; DELETE;
+INSERT; COMMIT``) and idempotent re-runs from a unique index (``:147-155``).
+Plain parquet directories have neither: ``mode("overwrite")`` deletes
+before it writes (a reader can see an empty table), and a re-run day
+double-appends.  This module adds the standard log-structured fix, the
+same public design Delta Lake / Iceberg use, reduced to its core:
+
+- Data files are immutable parquet parts under ``<table>/data/``;
+  **the log, not the directory listing, defines the table**.
+- ``<table>/_log/<version 8-digit>.json`` holds one commit each: a JSON
+  record of ``add`` / ``remove`` file actions plus optional app-level
+  transaction ids.
+- A commit is ONE ``O_CREAT|O_EXCL`` create of the next version file —
+  atomic on POSIX and object stores with put-if-absent.  Losers of a race
+  re-read the log and retry (optimistic concurrency).
+- Readers replay the log to a version: old snapshots stay fully readable
+  (time travel), concurrent readers never observe a half-written state
+  because data files are written *before* the log entry that reveals them.
+
+Scale notes: the log is tiny (file names, not data) and replay is
+O(#commits); at 100 TB the data files are the same parquet Spark already
+scans — predicate pushdown / partition pruning are untouched.  Upsert is
+copy-on-write MERGE: rewrite only with the merged result, never in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: list[str]
+    txn_ids: set[str] = field(default_factory=set)
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json")
+    )
+
+
+def current_snapshot(table: str, version: int | None = None) -> Snapshot:
+    """Replay the commit log up to ``version`` (default: latest).  The
+    returned file set IS the table at that version."""
+    versions = _list_versions(table)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    files: set[str] = set()
+    txns: set[str] = set()
+    last = -1
+    for v in versions:
+        with open(_log_path(table, v)) as fh:
+            entry = json.load(fh)
+        for a in entry.get("add", []):
+            files.add(a)
+        for r in entry.get("remove", []):
+            files.discard(r)
+        if entry.get("txn_id"):
+            txns.add(entry["txn_id"])
+        last = v
+    return Snapshot(version=last, files=sorted(files), txn_ids=txns)
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Scan exactly the files live at ``version`` — a consistent snapshot
+    regardless of concurrent commits or leftover uncommitted parts."""
+    snap = current_snapshot(table, version)
+    if not snap.files:
+        raise ValueError(f"snapshot table {table} is empty at v{version}")
+    return spark.read.parquet(
+        *[os.path.join(table, _DATA_DIR, f) for f in snap.files]
+    )
+
+
+def _write_parts(df: DataFrame, table: str) -> list[str]:
+    """Stage immutable data files (INVISIBLE until a commit references
+    them).  One part dir per staged write keeps names collision-free."""
+    part = f"part-{uuid.uuid4().hex}"
+    out = os.path.join(table, _DATA_DIR, part)
+    df.write.mode("error").parquet(out)
+    return [part]
+
+
+def _try_commit(table: str, version: int, entry: dict) -> bool:
+    """put-if-absent of the next log file — the atomic commit point."""
+    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    path = _log_path(table, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        json.dump(entry, fh)
+    return True
+
+
+def commit(
+    table: str,
+    add: list[str],
+    remove: list[str],
+    operation: str,
+    txn_id: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Optimistic-concurrency commit loop: losers re-read the log and retry
+    at the next version.  Append-shaped commits are always safe to retry;
+    full-replace commits pass their ``remove`` set computed at staging time
+    (last-writer-wins, like the reference's DELETE+INSERT)."""
+    for _ in range(max_retries):
+        version = (current_snapshot(table).version) + 1
+        if txn_id and txn_id in current_snapshot(table).txn_ids:
+            return -1  # already committed by a racing idempotent retry
+        entry = {
+            "version": version,
+            "operation": operation,
+            "add": add,
+            "remove": remove,
+            **({"txn_id": txn_id} if txn_id else {}),
+        }
+        if _try_commit(table, version, entry):
+            return version
+    raise RuntimeError(f"commit contention on {table} after {max_retries} tries")
+
+
+def append(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    txn_id: str | None = None,
+) -> int:
+    """Transactional append.  ``txn_id`` makes a re-run idempotent: if a
+    commit with this id is already in the log (the reference's
+    skip-if-done, ``:52-53``), nothing is staged and no commit happens.
+    Returns the committed version, or -1 for an idempotent skip."""
+    if txn_id and txn_id in current_snapshot(table).txn_ids:
+        return -1
+    parts = _write_parts(df, table)
+    return commit(table, add=parts, remove=[], operation="append",
+                  txn_id=txn_id)
+
+
+def overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:
+    """The reference's transactional rewrite (S7): stage the new data,
+    then one commit swaps the entire live set.  Readers see the old table
+    until the commit lands, the new one after — never both, never neither."""
+    old = current_snapshot(table).files
+    parts = _write_parts(df, table)
+    return commit(table, add=parts, remove=old, operation="overwrite")
+
+
+def upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table: str,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+) -> int:
+    """Copy-on-write MERGE (S8 semantics via operators/merge.upsert_by_key):
+    read the current snapshot, merge, stage the merged result, commit as a
+    full swap.  At scale the rewrite narrows to only the files whose key
+    ranges intersect the incoming batch (file-level min/max pruning) — the
+    snapshot mechanics are identical."""
+    from airflow_crypto_btc_spark.operators.merge import upsert_by_key
+
+    existing = read_snapshot(spark, table)
+    merged = upsert_by_key(existing, incoming, key_cols, update_cols)
+    old = current_snapshot(table).files
+    parts = _write_parts(merged, table)
+    return commit(table, add=parts, remove=old, operation="upsert")

@@ -50,6 +50,7 @@ HEADLINE = [
     "sim_cosine_topk_fast",
     "sim_ivf_topk",
     "dedup_simhash_fast",
+    "dq_window_monitor",
     "mm_frame_sample",
     "mm_byte_features",
 ]

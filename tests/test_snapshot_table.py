@@ -1,0 +1,126 @@
+"""Snapshot table format: ACID commit/read semantics on plain parquet."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    _write_parts,
+    append,
+    commit,
+    current_snapshot,
+    read_snapshot,
+    overwrite,
+    upsert,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def day_slices(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+
+    def day(d):
+        return ev.filter(F.to_date("ts") == F.lit(d).cast("date"))
+
+    return day
+
+
+def test_append_read_roundtrip_and_versioning(spark, day_slices, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    d1, d2 = day_slices("2024-01-01"), day_slices("2024-01-02")
+
+    v0 = append(spark, d1, tbl, txn_id="day=2024-01-01")
+    assert v0 == 0
+    assert read_snapshot(spark, tbl).count() == d1.count()
+
+    v1 = append(spark, d2, tbl, txn_id="day=2024-01-02")
+    assert v1 == 1
+    assert read_snapshot(spark, tbl).count() == d1.count() + d2.count()
+
+    # time travel: v0 still exactly day 1
+    assert read_snapshot(spark, tbl, version=0).count() == d1.count()
+
+
+def test_append_is_idempotent_by_txn_id(spark, day_slices, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    d1 = day_slices("2024-01-01")
+    append(spark, d1, tbl, txn_id="day=2024-01-01")
+    # the re-run: same logical day, must be a no-op (reference :52-53)
+    assert append(spark, d1, tbl, txn_id="day=2024-01-01") == -1
+    assert read_snapshot(spark, tbl).count() == d1.count()
+    assert current_snapshot(tbl).version == 0
+
+
+def test_staged_files_invisible_until_commit(spark, day_slices, tmp_path):
+    """The log defines the table: parquet parts on disk without a commit
+    (a crashed writer) change nothing for readers."""
+    tbl = str(tmp_path / "tbl")
+    d1, d2 = day_slices("2024-01-01"), day_slices("2024-01-02")
+    append(spark, d1, tbl)
+    _write_parts(d2, tbl)  # staged, never committed
+    assert read_snapshot(spark, tbl).count() == d1.count()
+
+
+def test_overwrite_swaps_atomically_with_time_travel(
+    spark, day_slices, tmp_path
+):
+    tbl = str(tmp_path / "tbl")
+    d1, d2 = day_slices("2024-01-01"), day_slices("2024-01-02")
+    append(spark, d1, tbl)
+    v = overwrite(spark, d2, tbl)
+    assert read_snapshot(spark, tbl).count() == d2.count()  # replaced
+    assert read_snapshot(spark, tbl, version=v - 1).count() == d1.count()
+
+
+def test_commit_race_retries_to_next_version(spark, day_slices, tmp_path):
+    """Optimistic concurrency: if another writer lands version N first,
+    this commit must re-read and land at N+1, not clobber."""
+    tbl = str(tmp_path / "tbl")
+    d1 = day_slices("2024-01-01")
+    append(spark, d1, tbl)  # v0
+    # a "racing writer" grabs v1 with an empty commit
+    os.makedirs(os.path.join(tbl, "_log"), exist_ok=True)
+    with open(os.path.join(tbl, "_log", "00000001.json"), "w") as fh:
+        fh.write('{"version": 1, "operation": "noop", "add": [], "remove": []}')
+    parts = _write_parts(d1, tbl)
+    v = commit(tbl, add=parts, remove=[], operation="append")
+    assert v == 2
+    assert read_snapshot(spark, tbl).count() == 2 * d1.count()
+
+
+def test_upsert_matches_dataframe_merge(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE through the log equals the pure-DataFrame
+    upsert_by_key on the same inputs."""
+    from airflow_crypto_btc_spark.operators.merge import upsert_by_key
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_ohlc(ev).filter(F.col("date") <= F.lit("2024-01-10"))
+    base = daily.filter(F.col("date") <= F.lit("2024-01-07"))
+    patch = daily.filter(F.col("date") >= F.lit("2024-01-06")).withColumn(
+        "close", F.col("close") * 2
+    )
+
+    tbl = str(tmp_path / "metrics")
+    append(spark, base, tbl)
+    upsert(spark, patch, tbl, key_cols=["event_type", "date"])
+
+    got = (
+        read_snapshot(spark, tbl)
+        .orderBy("event_type", "date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        upsert_by_key(base, patch, ["event_type", "date"])
+        .orderBy("event_type", "date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])

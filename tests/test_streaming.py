@@ -199,3 +199,41 @@ def test_streaming_sessionize_matches_batch_for_finalized(
     assert len(merged) == len(got)  # every emitted session exists in batch
     for c in ("session_end", "n_events", "duration_us"):
         assert (merged[c] == merged[f"{c}_b"]).all()
+
+
+def test_streaming_dq_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """The DQ monitor is one metric builder in two modes: the streaming
+    verdicts (complete snapshot) must equal the batch report row-for-row,
+    and the chosen bounds must exercise both pass and fail verdicts."""
+    from airflow_crypto_btc_spark.streaming.dq_monitor import (
+        quality_metrics,
+        streaming_quality_monitor,
+    )
+
+    src = str(tmp_path / "dq_landing")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    _land_day_files(spark, sf_dir, days, src)
+
+    stream = streaming_quality_monitor(
+        read_event_stream(spark, src), min_rows=5, value_lo=0.0,
+        value_hi=200.0,
+    )
+    run_complete_to_memory(stream, "dq_snapshot", str(tmp_path / "ckpt_dq"))
+    got = (
+        spark.table("dq_snapshot")
+        .orderBy("event_type", "date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+    batch = (
+        quality_metrics(
+            spark.read.parquet(src), min_rows=5, value_lo=0.0,
+            value_hi=200.0,
+        )
+        .orderBy("event_type", "date")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch[got.columns.tolist()])
+    assert got["passed"].any() and not got["passed"].all()

@@ -6,10 +6,12 @@ from airflow_crypto_btc_spark.plans.registry import REGISTRY, QuerySpec
 from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_tpch2 import TPCH2_REGISTRY
 
 ALL_QUERIES: dict[str, QuerySpec] = {
     **REGISTRY,
     **EXT_REGISTRY,
     **MORE_REGISTRY,
     **ML_REGISTRY,
+    **TPCH2_REGISTRY,
 }

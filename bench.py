@@ -36,6 +36,9 @@ HEADLINE = [
     "q5_nation_revenue",
     # star-schema second wave
     "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q10_returned_items",
+    "q13_order_count_distribution",
     "rank_top_customers_per_nation",
     "rollup_revenue_nation_year",
     # time series

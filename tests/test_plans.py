@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from airflow_crypto_btc_spark.plans.catalog import ALL_QUERIES
+from airflow_crypto_btc_spark.sources.tables import load_table
 
 
 def _plan(
@@ -84,3 +85,30 @@ def test_tpch_shaped_queries_stay_in_codegen(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name, execute=True)
     assert "codegen id" in plan  # whole-stage codegen spans in final plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+def test_q7_q10_broadcast_dims_fact_join_only_shuffle(spark, sf_dir):
+    """The third TPC-H wave keeps the join discipline: every dimension
+    broadcasts; only the lineitem⋈orders fact join may shuffle."""
+    for name, n_bcast in (("q7_nation_pair_volume", 4),
+                          ("q10_returned_items", 2)):
+        plan = _plan(spark, sf_dir, name, "simple")
+        assert plan.count("BroadcastHashJoin") >= n_bcast, name
+        assert plan.count("SortMergeJoin") <= 1, name
+
+
+def test_q13_outer_join_preserves_zero_order_customers(spark, sf_dir):
+    """The c_count=0 bucket must exist (anti-regression for the classic
+    inner-join mistake) whenever some customer has only URGENT orders."""
+    from airflow_crypto_btc_spark.plans.registry_tpch2 import (
+        q13_order_count_distribution,
+    )
+
+    pdf = q13_order_count_distribution(spark, sf_dir).toPandas()
+    total = pdf["custdist"].sum()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert total == n_cust  # every customer lands in exactly one bucket
+
+
+def test_q17_threshold_join_broadcasts_the_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue", "simple")
+    assert "BroadcastHashJoin" in plan

@@ -347,12 +347,241 @@ _SQL_Q22_IDLE_RICH_CUSTOMERS = """
 """
 
 
+def q8_market_share(spark, sf_dir):
+    """Q8-shaped: one supplier nation's share of MEDIUM-part volume sold to
+    AMERICA-region customers, by order year.  Conditional-sum / total-sum
+    over the same grouped rows — a single aggregation, no self-join; both
+    sums decimal-exact so the division is bitwise reproducible, then
+    round(…, 6) on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "MEDIUM"
+    )
+    lo = _ts_bound(orders, "o_orderdate", "1996-01-01 00:00:00")
+    hi = _ts_bound(orders, "o_orderdate", "1998-01-01 00:00:00")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    volume = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        0.0
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(reg), F.col("cn_regionkey") == F.col("r_regionkey")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_vol.cast("decimal(38,6)")).cast("double")
+                / F.sum(volume.cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_SQL_Q8_MARKET_SHARE = """
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      round(
+        CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                   THEN l_extendedprice * (1.0 - l_discount)
+                   ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(38,6))) AS DOUBLE),
+        6) AS mkt_share
+    FROM lineitem
+    JOIN part      ON l_partkey = p_partkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'MEDIUM' AND r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+"""
+
+
+def q9_product_type_profit(spark, sf_dir):
+    """Q9-shaped: profit by supplier nation and order year over a
+    part-name substring filter.  The fixture has no partsupp, so unit cost
+    is modeled as 60% of p_retailprice — the join/agg structure (fact ⋈
+    two broadcast dims ⋈ fact, two-key groupBy) is the point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    profit = F.col("l_extendedprice") * (1.0 - F.col("l_discount")) - (
+        0.6 * F.col("p_retailprice")
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dec_sum(profit, "sum_profit"))
+    )
+
+
+_SQL_Q9_PRODUCT_TYPE_PROFIT = """
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    - (0.6 * p_retailprice) * l_quantity
+               AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21-shaped: suppliers from one nation who were the *sole late
+    supplier* in a finished multi-supplier order — EXISTS (another
+    supplier shipped in the order) plus NOT EXISTS (another supplier was
+    also late), rendered as a left-semi and a left-anti self-join on the
+    fact table, both keyed on l_orderkey with a suppkey inequality.
+
+    The fixture lineitem has no receipt/commit dates, so "late" is
+    l_shipdate > o_orderdate + 1500 days (~p92 of the observed ship
+    delay); the reshaped predicate keeps TPC-H Q21's planner structure
+    intact (two correlated EXISTS over the same fact)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_9"
+    )
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 1500 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.join(
+        F.broadcast(
+            supp.join(
+                F.broadcast(nat),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_SQL_Q21_WAITING_SUPPLIERS = """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 1500 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+"""
+
+
 TPCH2_REGISTRY: dict[str, QuerySpec] = {
     "q2_min_cost_supplier": QuerySpec(
         q2_min_cost_supplier, _SQL_Q2_MIN_COST_SUPPLIER
     ),
     "q7_nation_pair_volume": QuerySpec(
         q7_nation_pair_volume, _SQL_Q7_NATION_PAIR_VOLUME
+    ),
+    "q8_market_share": QuerySpec(q8_market_share, _SQL_Q8_MARKET_SHARE),
+    "q9_product_type_profit": QuerySpec(
+        q9_product_type_profit, _SQL_Q9_PRODUCT_TYPE_PROFIT
+    ),
+    "q21_waiting_suppliers": QuerySpec(
+        q21_waiting_suppliers, _SQL_Q21_WAITING_SUPPLIERS
     ),
     "q10_returned_items": QuerySpec(
         q10_returned_items, _SQL_Q10_RETURNED_ITEMS

@@ -37,8 +37,10 @@ HEADLINE = [
     # star-schema second wave
     "q6_forecast_revenue",
     "q7_nation_pair_volume",
+    "q8_market_share",
     "q10_returned_items",
     "q13_order_count_distribution",
+    "q21_waiting_suppliers",
     "rank_top_customers_per_nation",
     "rollup_revenue_nation_year",
     # time series

@@ -112,3 +112,17 @@ def test_q13_outer_join_preserves_zero_order_customers(spark, sf_dir):
 def test_q17_threshold_join_broadcasts_the_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q17_small_quantity_revenue", "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q8_market_share_broadcasts_all_six_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share", "simple")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1  # only lineitem⋈orders shuffles
+
+
+def test_q21_self_joins_are_semi_and_anti(spark, sf_dir):
+    """EXISTS/NOT EXISTS must compile to semi/anti joins — never an inner
+    join + dedup, which would duplicate l1 rows per matching sibling."""
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers", "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

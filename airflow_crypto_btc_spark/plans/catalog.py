@@ -6,6 +6,7 @@ from airflow_crypto_btc_spark.plans.registry import REGISTRY, QuerySpec
 from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_stream import STREAM_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch2 import TPCH2_REGISTRY
 
 ALL_QUERIES: dict[str, QuerySpec] = {
@@ -14,4 +15,5 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     **MORE_REGISTRY,
     **ML_REGISTRY,
     **TPCH2_REGISTRY,
+    **STREAM_REGISTRY,
 }

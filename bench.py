@@ -56,6 +56,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "dedup_simhash_fast",
     "dq_window_monitor",
+    "indicators_incremental",
     "mm_frame_sample",
     "mm_byte_features",
 ]

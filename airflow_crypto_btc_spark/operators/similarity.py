@@ -193,6 +193,82 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    query_filter: str = "vec_id < 20",
+    k: int = 10,
+    max_hamming: int | None = 1,
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN top-k — the bucket-pruned scale path
+    beside :func:`ivf_topk` (index-shaped) and :func:`cosine_topk` (exact).
+
+    Every vector hashes to ONE sign-bit bucket (so the candidate join can
+    never duplicate a pair); a query probes its own bucket plus every
+    bucket within ``max_hamming`` bit flips (multi-probe LSH: near
+    neighbors most often differ in exactly one marginal hyperplane).
+    Exact cosine then ranks candidates.  ``max_hamming=None`` probes all
+    2^planes buckets — the exhaustive limit, equal to brute force by
+    construction (asserted in tests).
+
+    At scale the vector table is written partitioned by ``bucket``; a
+    query touches ``1 + planes`` partitions out of ``2^planes`` — the same
+    pruning fraction regardless of data volume.
+    """
+    base = (
+        vectors.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("ve"),
+            hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+        )
+        .withColumn("vn", F.sqrt(norm2_expr("ve")))
+    )
+    q = (
+        vectors.filter(query_filter)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qe"),
+            hyperplane_bucket_expr(vec_col, planes).alias("qb"),
+        )
+        .withColumn("qn", F.sqrt(norm2_expr("qe")))
+    )
+    if max_hamming is None:  # exhaustive limit: probe every bucket
+        probe = (
+            f"transform(sequence(0, {2 ** planes - 1}), "
+            f"i -> lpad(bin(i), {planes}, '0'))"
+        )
+    elif max_hamming == 0:
+        probe = "array(qb)"
+    elif max_hamming == 1:
+        flip = (
+            f"transform(sequence(1, {planes}), p -> concat("
+            "substr(qb, 1, p - 1), "
+            "CASE WHEN substr(qb, p, 1) = '1' THEN '0' ELSE '1' END, "
+            f"substr(qb, p + 1, {planes} - p)))"
+        )
+        probe = f"concat(array(qb), {flip})"
+    else:
+        raise ValueError("max_hamming must be 0, 1, or None (=all)")
+    probes = q.select(
+        "qid", "qe", "qn", F.explode(F.expr(probe)).alias("bucket")
+    )
+    cos = F.when(
+        F.col("qn") * F.col("vn") != 0,
+        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        base.join(F.broadcast(probes), ["bucket"])
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -398,6 +398,66 @@ _SQL_SIM_EMBEDDING_NEAR_DUP = """
 """
 
 
+def q_sim_lsh_topk(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.similarity import lsh_topk
+
+    out = lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        planes=4,
+        query_filter="vec_id < 20",
+        k=10,
+        max_hamming=1,
+    )
+    return out.select(
+        "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+_SQL_SIM_LSH_TOPK = """
+    WITH base AS (
+      SELECT vec_id AS nid, embedding AS ve,
+        array_to_string(list_transform(range(0, 4), p ->
+          CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i ->
+            CAST(embedding[i] AS DOUBLE) *
+            CAST((('0x' || substr(md5('p' || p::VARCHAR || ':' || i::VARCHAR),
+                    1, 8))::BIGINT % 1001 - 500) AS DOUBLE)
+          )) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT nid AS qid, ve AS qe, bucket AS qb FROM base
+      WHERE nid < 20
+    ),
+    plists AS (
+      SELECT qid, qe, [qb] || list_transform(range(1, 5), p ->
+        substr(qb, 1, p - 1) ||
+        CASE WHEN substr(qb, p, 1) = '1' THEN '0' ELSE '1' END ||
+        substr(qb, p + 1, 4 - p)) AS plist
+      FROM q
+    ),
+    probes AS (
+      SELECT qid, qe, UNNEST(plist) AS bucket FROM plists
+    ),
+    c AS (
+      SELECT qid, nid,
+        round(
+          list_sum(list_transform(range(1, len(qe)+1),
+            i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ve,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+      FROM base JOIN probes USING (bucket)
+      WHERE nid <> qid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM c)
+    WHERE rnk <= 10
+"""
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     out = ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
@@ -645,6 +705,7 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "sim_embedding_near_dup": QuerySpec(
         q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP
     ),
+    "sim_lsh_topk": QuerySpec(q_sim_lsh_topk, _SQL_SIM_LSH_TOPK),
     "embedding_norms": QuerySpec(q_embedding_norms, _SQL_EMBEDDING_NORMS),
     "mm_metadata": QuerySpec(q_mm_metadata, _SQL_MM_METADATA),
     "mm_frame_sample": QuerySpec(q_mm_frame_sample, _SQL_MM_FRAME_SAMPLE),

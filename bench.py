@@ -54,6 +54,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_cosine_topk_fast",
     "sim_ivf_topk",
+    "sim_lsh_topk",
     "dedup_simhash_fast",
     "dq_window_monitor",
     "indicators_incremental",

@@ -199,3 +199,49 @@ def test_kmeans_improves_quantizer_recall(spark, sf_dir):
     r_trained, r_seeded = mean_recall(trained), mean_recall(seeded)
     assert r_trained >= 0.3
     assert r_trained >= r_seeded - 0.05  # training never craters recall
+
+
+def test_lsh_topk_exhaustive_probe_equals_brute_force(vectors):
+    """With max_hamming=None every bucket is probed, so the candidate set
+    is the full table and lsh_topk must equal cosine_topk row for row."""
+    from airflow_crypto_btc_spark.operators.similarity import lsh_topk
+
+    _, df = vectors
+    exact = cosine_topk(df, query_filter="vec_id < 5", k=8).toPandas()
+    lsh = lsh_topk(
+        df, planes=4, query_filter="vec_id < 5", k=8, max_hamming=None
+    ).toPandas()
+    key = ["qid", "rnk"]
+    pdt = __import__("pandas").testing
+    pdt.assert_frame_equal(
+        lsh.sort_values(key).reset_index(drop=True),
+        exact.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_lsh_topk_probe_sets_nest(vectors):
+    """hamming-0 candidates ⊆ hamming-1 candidates ⊆ all, and every
+    reported cosine equals the exact pair cosine (pruning never changes
+    values, only candidate coverage)."""
+    from airflow_crypto_btc_spark.operators.similarity import lsh_topk
+
+    _, df = vectors
+    got = {
+        h: lsh_topk(
+            df, planes=4, query_filter="vec_id < 5", k=60, max_hamming=h
+        ).toPandas()
+        for h in (0, 1, None)
+    }
+    pairs = {
+        h: set(zip(g["qid"], g["nid"])) for h, g in got.items()
+    }
+    assert pairs[0] <= pairs[1] <= pairs[None]
+    assert len(pairs[1]) > 0
+    exact = {
+        (r.qid, r.nid): r.cosine
+        for r in cosine_topk(df, query_filter="vec_id < 5", k=60)
+        .toPandas()
+        .itertuples()
+    }
+    for r in got[1].itertuples():
+        assert exact[(r.qid, r.nid)] == r.cosine

@@ -70,8 +70,35 @@ _SQL_INDICATORS_INCREMENTAL = f"""
 """
 
 
+def q_join_range_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from airflow_crypto_btc_spark.sources.tables import load_table
+    from airflow_crypto_btc_spark.streaming.joins import (
+        range_join_attribution,
+    )
+
+    return range_join_attribution(load_table(spark, sf_dir, "events"))
+
+
+_SQL_JOIN_RANGE_ATTRIBUTION = """
+    SELECT c.user_id,
+           c.event_id AS cause_id,   c.ts    AS cause_ts,
+           p.event_id AS effect_id,  p.ts    AS effect_ts,
+           p.value    AS effect_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 STREAM_REGISTRY: dict[str, QuerySpec] = {
     "indicators_incremental": QuerySpec(
         q_indicators_incremental, _SQL_INDICATORS_INCREMENTAL
+    ),
+    "join_range_attribution": QuerySpec(
+        q_join_range_attribution, _SQL_JOIN_RANGE_ATTRIBUTION
     ),
 }

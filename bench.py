@@ -45,6 +45,7 @@ HEADLINE = [
     "rollup_revenue_nation_year",
     # time series
     "asof_purchase_last_error",
+    "join_range_attribution",
     "session_stats",
     # training-data extensions
     "text_token_stats",

@@ -1,0 +1,97 @@
+"""Stream-stream range join ≡ batch twin, and streaming dedup drops
+cross-batch duplicates (first writer wins)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.sources.tables import load_table
+from airflow_crypto_btc_spark.streaming.joins import (
+    range_join_attribution,
+    streaming_dedup_within_watermark,
+    streaming_range_join_attribution,
+)
+from airflow_crypto_btc_spark.streaming.ohlc_stream import (
+    EVENT_STREAM_SCHEMA,
+)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["user_id", "cause_id", "effect_id"]).reset_index(
+        drop=True
+    )
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Two chronological slices → ≥2 micro-batches: pairs whose click and
+    purchase land in DIFFERENT batches must still join (buffered join
+    state), so the drained stream equals the batch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "landing")
+    for lo, hi in (("2024-01-01", "2024-01-16"), ("2024-01-16", "2024-02-15")):
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        streaming_range_join_attribution(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _canon(spark.read.parquet(sink).toPandas())
+    want = _canon(range_join_attribution(ev).toPandas())
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+    assert len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """The same event_id landed in two different micro-batches (an
+    at-least-once source redelivery) must survive exactly once."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 5, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 5, "click", 2.0, "{}"),
+    ]
+    dup = [(1, "2024-01-01 10:00:00", 5, "click", 1.0, "{}")]
+    landing = str(tmp_path / "landing")
+    for batch in (rows, dup):
+        spark.createDataFrame(
+            [
+                (i, pd.Timestamp(t).to_pydatetime(), u, e, v, p)
+                for i, t, u, e, v, p in batch
+            ],
+            EVENT_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        streaming_dedup_within_watermark(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(sink).toPandas()
+    assert sorted(got["event_id"].tolist()) == [1, 2]

@@ -986,8 +986,43 @@ _SQL_TEXT_TOP_TOKENS = """
 """
 
 
+def q_src_day_csv_pruned(spark, sf_dir):
+    """S1/S3/S4 as a first-class Spark source: land events as the
+    reference's one-CSV-per-day layout, read back through the custom
+    ``day_csv`` Python DataSource, and prune days via pushed filters —
+    only the 5 matching files are opened (tests/test_day_csv_source.py
+    asserts the pruning; this entry oracle-checks the values)."""
+    import tempfile
+
+    from airflow_crypto_btc_spark.sources import day_csv_source as dcs
+
+    pdf = (
+        load_table(spark, sf_dir, "events").select("ts", "value").toPandas()
+    )
+    path = tempfile.mkdtemp(prefix="day_csv_landing_")
+    dcs.write_day_csvs(pdf, path)
+    dcs.register(spark)
+    return (
+        spark.read.format("day_csv")
+        .option("path", path)
+        .load()
+        .filter((F.col("day") >= "2024-01-05") & (F.col("day") < "2024-01-10"))
+    )
+
+
+_SQL_SRC_DAY_CSV_PRUNED = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, ts AS ts_utc, value AS price
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+"""
+
+
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "src_day_csv_pruned": QuerySpec(
+        q_src_day_csv_pruned, _SQL_SRC_DAY_CSV_PRUNED
+    ),
     "q15_top_supplier_revenue": QuerySpec(
         q15_top_supplier_revenue, _SQL_Q15_TOP_SUPPLIER_REVENUE
     ),

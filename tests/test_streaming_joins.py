@@ -95,3 +95,49 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     got = spark.read.parquet(sink).toPandas()
     assert sorted(got["event_id"].tolist()) == [1, 2]
+
+
+def test_snapshot_sink_replay_is_exactly_once(spark, tmp_path):
+    """Drain a 2-file stream into the snapshot table, then re-run the SAME
+    data with a FRESH checkpoint (full replay: batch ids 0..1 recur).  The
+    replayed batches' txn_ids are already in the commit log, so the table
+    must not grow — at-least-once delivery, exactly-once state."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.streaming.snapshot_sink import (
+        snapshot_append_sink,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "snap_table")
+    for lo in (0, 100):
+        spark.range(lo, lo + 50).coalesce(1).write.mode("append").parquet(
+            landing
+        )
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(
+                snapshot_append_sink(table, "ids_stream")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(str(tmp_path / "ckpt1"))
+    first = sorted(
+        read_snapshot(spark, table).toPandas()["id"].tolist()
+    )
+    assert len(first) == 100
+
+    drain(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    second = sorted(
+        read_snapshot(spark, table).toPandas()["id"].tolist()
+    )
+    assert second == first  # no duplicate commits

@@ -168,6 +168,79 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the step
+    a real dedup pipeline runs AFTER pair generation: pairs (a,b),(b,c)
+    must collapse into ONE cluster {a,b,c} with one surviving
+    representative, which pairwise output alone cannot express.
+
+    Iterative min-label propagation: every doc starts labeled with its own
+    id; each round every node takes the minimum label among itself and its
+    neighbors; fixed point = every node labeled with its component's
+    minimum id.  The result is iteration-order and shuffle independent
+    (min is idempotent/commutative), so the output is deterministic and
+    a DuckDB recursive CTE can replay it exactly.
+
+    Scale: each round is one shuffle join on the PAIR set (candidate pairs
+    ≪ corpus after LSH) plus a broadcast-size label update; rounds needed =
+    component diameter, which for near-dup clusters is tiny (dup groups
+    are cliques-ish).  Lineage is cut every round (the convergence count
+    materializes the checkpoint), so plans stay constant-size.  For
+    adversarial long-chain graphs swap in the large-star/small-star
+    variant; the contract (min-id labeling) is unchanged.
+
+    Returns (doc_id, cluster_id); singletons cluster to themselves.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(F.col(id_col).alias("id")).withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("label").alias("slabel")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("slabel").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh_min, labels.id == neigh_min.dst, "left")
+            .select(
+                "id",
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("new_label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = updated.filter(
+            F.col("new_label") != F.col("label")
+        ).count()  # action: also materializes the checkpoint
+        labels = updated.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -252,6 +252,39 @@ _SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
 """
 
 
+def q_dedup_near_clusters(spark, sf_dir):
+    """Near-dup clustering: minhash-LSH pairs → connected components →
+    (doc_id, cluster_id).  cluster_id = min doc id of the component, so
+    the representative-selection rule (`keep cluster_id == doc_id`) is
+    deterministic."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    return near_dup_clusters(docs, pairs)
+
+
+_SQL_DEDUP_NEAR_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -678,6 +711,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_signature": QuerySpec(
         q_dedup_minhash_signature, _SQL_DEDUP_MINHASH_SIGNATURE
+    ),
+    "dedup_near_clusters": QuerySpec(
+        q_dedup_near_clusters, _SQL_DEDUP_NEAR_CLUSTERS
     ),
     "dedup_minhash_lsh_pairs": QuerySpec(
         q_dedup_minhash_lsh_pairs, _SQL_DEDUP_MINHASH_LSH_PAIRS

@@ -52,6 +52,7 @@ HEADLINE = [
     "text_quality_score",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_near_clusters",
     "sim_cosine_topk",
     "sim_cosine_topk_fast",
     "sim_ivf_topk",

@@ -172,3 +172,32 @@ def test_fast_twins_match_hof_operators(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert hof_sh.equals(fast_sh)
+
+
+def test_near_dup_clusters_multi_hop_chain(spark):
+    """A 5-node chain (diameter 4) must fully converge to one cluster —
+    exercises multiple propagation rounds — while an isolated node stays a
+    singleton and a separate pair keeps its own min label."""
+    from airflow_crypto_btc_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0), (6, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
+
+
+def test_near_dup_clusters_no_pairs_all_singletons(spark):
+    from airflow_crypto_btc_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = near_dup_clusters(docs, pairs).collect()
+    assert all(r.doc_id == r.cluster_id for r in got) and len(got) == 4

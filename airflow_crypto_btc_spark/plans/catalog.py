@@ -8,6 +8,7 @@ from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_stream import STREAM_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch2 import TPCH2_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_tpch3 import TPCH3_REGISTRY
 
 ALL_QUERIES: dict[str, QuerySpec] = {
     **REGISTRY,
@@ -15,5 +16,6 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     **MORE_REGISTRY,
     **ML_REGISTRY,
     **TPCH2_REGISTRY,
+    **TPCH3_REGISTRY,
     **STREAM_REGISTRY,
 }

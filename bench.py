@@ -39,7 +39,10 @@ HEADLINE = [
     "q7_nation_pair_volume",
     "q8_market_share",
     "q10_returned_items",
+    "q11_important_stock",
     "q13_order_count_distribution",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "rank_top_customers_per_nation",
     "rollup_revenue_nation_year",

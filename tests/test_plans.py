@@ -126,3 +126,31 @@ def test_q21_self_joins_are_semi_and_anti(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q21_waiting_suppliers", "simple")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q11_scalar_threshold_stays_broadcast(spark, sf_dir):
+    """Q11's HAVING threshold is a one-row statistics aggregate — it must
+    reach the per-part side as a broadcast (nested-loop or hash), never as
+    a shuffled join on a degenerate key."""
+    plan = _plan(spark, sf_dir, "q11_important_stock", "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_q16_exclusion_is_anti_join_distinct_agg_two_phase(spark, sf_dir):
+    """NOT IN compiles to a broadcast anti-join, and the distinct count
+    runs as partial-distinct + final (two Exchange max), not a raw
+    collect-and-count."""
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts", "simple")
+    assert "BroadcastHashJoin" in plan  # anti + dim joins broadcast
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q20_group_and_window_share_one_shuffle(spark, sf_dir):
+    """The explicit part-key repartition must serve both the
+    (part, supplier) grouping and the per-part window — exactly one more
+    hash exchange (the small supplier-distinct) is allowed."""
+    plan = _plan(spark, sf_dir, "q20_dominant_suppliers", "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("SortMergeJoin") == 0

@@ -1,0 +1,175 @@
+"""Corpus-curation operators for the training-data pipeline extension:
+TF-IDF term weighting, train/eval contamination detection, and
+token-budget sequence packing.
+
+No counterpart in the reference (its text surface is empty — SURVEY §2.8
+covers time/casts only); these are the operations a 100 TB pretraining
+corpus pipeline runs between dedup and tokenizer sharding.
+
+Scale design:
+- **TF-IDF** shuffles once on (doc, token) for term frequencies; the
+  document-frequency table is vocabulary-sized (Zipf-bounded, partial
+  aggregation collapses the head) and broadcasts back onto the term rows.
+- **Contamination** broadcasts the *eval-side* shingle set (eval
+  benchmarks are KB-MB even when the train side is 100 TB) as a semi-join
+  prune before any wide shuffle — the train corpus is never exploded into
+  a shuffle except for the matched shingles.
+- **Packing** is one hash-shard shuffle + one in-shard window cumsum;
+  bins are a pure function of (shard, doc order), so re-runs and
+  repartitions produce identical packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.functions.hashing import (
+    shingles_expr,
+    tokens_expr,
+)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    ``idf = round(ln((N + 1) / (df + 1)), 6)`` (smoothed); the round-6 on
+    idf and again on the product keeps Spark's and DuckDB's last-ulp
+    ``ln`` differences out of the comparison (see the registry's
+    determinism rules).  Ties rank deterministically by token text.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_counts = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6),
+        )
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, F.col("rnk").cast("long").alias("rnk"), "token",
+                "tf", "tfidf")
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_containment: float = 0.1,
+) -> DataFrame:
+    """Train→eval contamination: pairs of (test doc, train doc) sharing
+    ≥ ``min_containment`` of the test doc's distinct ``shingle_k``-token
+    shingles.
+
+    The decontamination pattern for corpus-scale inputs: shingle both
+    sides, then BROADCAST the eval side's shingles into a semi-prune of
+    the train side's — only train shingles that actually hit an eval
+    shingle enter the pairing shuffle.  Containment (overlap / test size),
+    not symmetric Jaccard: a tiny eval doc fully embedded in a huge train
+    doc is 100% contaminated however large the train doc is.
+    """
+
+    def shingled(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.explode(
+                    F.array_distinct(
+                        shingles_expr(f"_tk_{prefix}", k=shingle_k)
+                    )
+                ).alias("shingle"),
+            )
+            .withColumn("sh", F.md5("shingle"))
+            .drop("shingle")
+        )
+
+    test_sh = shingled(
+        test.withColumn("_tk_t", tokens_expr(text_col)), "t"
+    )
+    train_sh = shingled(
+        train.withColumn("_tk_tr", tokens_expr(text_col)), "tr"
+    )
+    test_sizes = test_sh.groupBy("t_id").agg(
+        F.count("*").cast("long").alias("test_shingles")
+    )
+    hits = train_sh.join(F.broadcast(test_sh), "sh")
+    return (
+        hits.groupBy("t_id", "tr_id")
+        .agg(F.count("*").cast("long").alias("overlap"))
+        .join(F.broadcast(test_sizes), "t_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("overlap") / F.col("test_shingles"), 6),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            F.col("t_id").alias("test_doc_id"),
+            F.col("tr_id").alias("train_doc_id"),
+            "overlap",
+            "containment",
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-budget
+    training bins.
+
+    Documents hash deterministically into ``shards`` independent streams;
+    within a shard (ordered by id) each doc starts at its exclusive token
+    cumsum and bins are ``cum_tokens div budget`` — contiguous packing
+    where a doc straddling a boundary overflows its bin (training
+    pipelines split or truncate at the tokenizer; bin assignment only
+    needs to be deterministic and balanced).  Pure integer arithmetic —
+    exact in any engine; parallelism = #shards regardless of corpus size,
+    and adding documents never repacks earlier shards' prefixes.
+    """
+    with_n = docs.select(
+        F.col(id_col),
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) "
+            f"as bigint) % {shards}"
+        ).alias("shard"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_n.withColumn(
+            "cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn("bin", F.expr(f"cum_excl div {budget}"))
+        .withColumn("bin_offset", F.expr(f"cum_excl % {budget}"))
+        .select(id_col, "shard", "n_tokens", "bin", "bin_offset")
+    )

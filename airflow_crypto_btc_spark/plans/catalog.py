@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from airflow_crypto_btc_spark.plans.registry import REGISTRY, QuerySpec
+from airflow_crypto_btc_spark.plans.registry_curation import CURATION_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
@@ -17,5 +18,6 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     **ML_REGISTRY,
     **TPCH2_REGISTRY,
     **TPCH3_REGISTRY,
+    **CURATION_REGISTRY,
     **STREAM_REGISTRY,
 }

@@ -1,0 +1,158 @@
+"""Registry entries for the corpus-curation operators (TF-IDF,
+contamination detection, sequence packing) — see operators/curation.py
+for the scale design of each.
+
+Determinism notes (plans/registry.py rules): idf is round-6'd BEFORE the
+tf multiply and the product round-6'd again (Spark's and DuckDB's libm
+``ln`` may differ in the last ulp); every count is cast to long on the
+Spark side; packing is pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.curation import (
+    contamination_pairs,
+    pack_sequences,
+    tfidf_top_terms,
+)
+from airflow_crypto_btc_spark.operators.text import train_test_split
+from airflow_crypto_btc_spark.plans.registry import QuerySpec
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+_D_TOKENS = """
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+             AS tokens
+    FROM documents
+"""
+
+# 5-token shingles, distinct, md5'd — mirrors shingles_expr(k=5) + md5.
+_D_SHINGLES5 = f"""
+    SELECT doc_id,
+      list_distinct(
+        CASE WHEN len(tokens) >= 5 THEN
+          list_transform(range(1, len(tokens)-3),
+            i -> md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                     || ' ' || tokens[i+3] || ' ' || tokens[i+4]))
+        ELSE [] END) AS shs
+    FROM ({_D_TOKENS})
+"""
+
+_D_SPLIT_BUCKET = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+)
+
+
+def q_text_tfidf_top_terms(spark, sf_dir):
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_SQL_TEXT_TFIDF_TOP_TERMS = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(tokens) AS token FROM ({_D_TOKENS})
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+        round(tf.tf * round(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6), 6)
+          AS tfidf
+      FROM tf
+      JOIN dfreq USING (token)
+      CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf, tfidf,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, rnk, token, tf, tfidf FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_curate_contamination(spark, sf_dir):
+    """Eval-set decontamination over the deterministic hash split: which
+    train documents share ≥10% of a test document's 5-gram shingles."""
+    docs = train_test_split(load_table(spark, sf_dir, "documents"))
+    return contamination_pairs(
+        docs.filter(F.col("split") == "train").select("doc_id", "text"),
+        docs.filter(F.col("split") == "test").select("doc_id", "text"),
+    )
+
+
+_SQL_CURATE_CONTAMINATION = f"""
+    WITH sh AS ({_D_SHINGLES5}),
+    split AS (
+      SELECT doc_id, shs,
+        CASE WHEN {_D_SPLIT_BUCKET} < 10 THEN 'test' ELSE 'train' END
+          AS split
+      FROM sh
+    ),
+    test_sh AS (
+      SELECT doc_id AS t_id, unnest(shs) AS sh FROM split
+      WHERE split = 'test'
+    ),
+    train_sh AS (
+      SELECT doc_id AS tr_id, unnest(shs) AS sh FROM split
+      WHERE split = 'train'
+    ),
+    sizes AS (
+      SELECT t_id, COUNT(*) AS test_shingles FROM test_sh GROUP BY t_id
+    ),
+    hits AS (
+      SELECT t_id, tr_id, COUNT(*) AS overlap
+      FROM train_sh JOIN test_sh USING (sh)
+      GROUP BY t_id, tr_id
+    )
+    SELECT t_id AS test_doc_id, tr_id AS train_doc_id, overlap,
+           round(overlap * 1.0 / test_shingles, 6) AS containment
+    FROM hits JOIN sizes USING (t_id)
+    WHERE round(overlap * 1.0 / test_shingles, 6) >= 0.1
+"""
+
+
+def q_curate_pack_sequences(spark, sf_dir):
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CURATE_PACK_SEQUENCES = f"""
+    WITH n AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+          AS shard,
+        len(tokens) AS n_tokens
+      FROM ({_D_TOKENS})
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_excl
+      FROM n
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_excl // 512 AS bin, cum_excl % 512 AS bin_offset
+    FROM c
+"""
+
+
+CURATION_REGISTRY: dict[str, QuerySpec] = {
+    "text_tfidf_top_terms": QuerySpec(
+        q_text_tfidf_top_terms, _SQL_TEXT_TFIDF_TOP_TERMS
+    ),
+    "curate_contamination": QuerySpec(
+        q_curate_contamination, _SQL_CURATE_CONTAMINATION
+    ),
+    "curate_pack_sequences": QuerySpec(
+        q_curate_pack_sequences, _SQL_CURATE_PACK_SEQUENCES
+    ),
+}

@@ -53,6 +53,9 @@ HEADLINE = [
     # training-data extensions
     "text_token_stats",
     "text_quality_score",
+    "text_tfidf_top_terms",
+    "curate_contamination",
+    "curate_pack_sequences",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",

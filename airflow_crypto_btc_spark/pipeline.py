@@ -333,6 +333,27 @@ def load_raw(
     return read_raw_day(spark, wh, day)
 
 
+def read_raw_range(
+    spark: SparkSession, wh: Warehouse, lo_day: str, hi_day: str
+) -> DataFrame:
+    """Multi-day analytical scan of ``raw_prices`` via Hive-style partition
+    discovery: the ``date=<day>`` directory layout becomes a real ``date``
+    partition column and the range predicate is resolved at PLANNING time
+    (``PartitionFilters`` in the scan node — directories outside the range
+    are never listed into tasks, let alone read).
+
+    This is the 100 TB path the day-granular layout exists for (SURVEY
+    §4.3): a year-long backfill query over a petabyte table costs only the
+    days it touches.  ``read_raw_day`` stays the single-partition fast
+    path for the per-day pipeline fold.
+    """
+    df = spark.read.option("basePath", wh.raw_prices).parquet(wh.raw_prices)
+    return df.filter(
+        (F.col("date") >= F.lit(lo_day).cast("date"))
+        & (F.col("date") <= F.lit(hi_day).cast("date"))
+    )
+
+
 def read_raw_day(spark: SparkSession, wh: Warehouse, day: str) -> DataFrame:
     """Partition-pruned day slice of ``raw_prices`` (P3+P4: the reference's
     ``asset=? AND ts_utc BETWEEN day 00:00:00Z AND 23:59:59Z``, ``:185``)."""

@@ -290,3 +290,48 @@ def test_json_landing_roundtrip_matches_direct_normalization(spark, tmp_path):
     # whichever row dedup_keep_first ranks first on the tie-break — both
     # engines use the same rule, so prices agree
     assert via_landing["price"].iloc[1] == via_direct["price"].iloc[1]
+
+
+def test_read_raw_range_prunes_partitions_at_planning_time(
+    spark, sf_dir, wh
+):
+    """The hive-layout table must expose `date` as a partition column and
+    push the day range into PartitionFilters — 1 of 3 day-directories
+    never enters the scan."""
+    from airflow_crypto_btc_spark.pipeline import (
+        read_raw_day,
+        read_raw_range,
+    )
+
+    run_range(
+        spark,
+        wh,
+        DAYS,
+        lambda d: _source_for_day(spark, sf_dir, d),
+        min_day_rows=10,
+    )
+    assert len(DAYS) >= 3
+    lo, hi = DAYS[0], DAYS[1]
+    df = read_raw_range(spark, wh, lo, hi)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    expect = sum(
+        read_raw_day(spark, wh, d).count() for d in (lo, hi)
+    )
+    # behavioral pruning proof: a corrupt file planted in the
+    # out-of-range partition is never opened by the pruned scan (reading
+    # it would throw), and the in-range data still comes back complete
+    import os
+
+    poison = os.path.join(
+        wh.day_partition(DAYS[2]), "part-poison.parquet"
+    )
+    with open(poison, "wb") as f:
+        f.write(b"this is not a parquet file")
+    try:
+        assert read_raw_range(spark, wh, lo, hi).count() == expect
+    finally:
+        os.remove(poison)
+    assert set(
+        r.date.isoformat() for r in df.select("date").distinct().collect()
+    ) == {lo, hi}

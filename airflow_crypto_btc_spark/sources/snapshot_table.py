@@ -172,6 +172,68 @@ def overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:
     return commit(table, add=parts, remove=old, operation="overwrite")
 
 
+def compact(
+    spark: SparkSession,
+    table: str,
+    target_parts: int = 1,
+    max_retries: int = 5,
+) -> int:
+    """OPTIMIZE: rewrite the current live set into ``target_parts`` larger
+    parts in one atomic commit — the small-file answer for a table fed by
+    many incremental appends (a year of day-commits = hundreds of tiny
+    parts whose per-file open/footer cost dominates a 100 TB scan).
+
+    Data-preserving by construction (pure rewrite of the snapshot it
+    read), and time travel to pre-compaction versions keeps working
+    because old parts are only de-referenced, not deleted (``vacuum``
+    reclaims them).  Concurrency: the commit is attempted ONLY at
+    ``base_version + 1`` — if any writer lands first, the staged rewrite
+    is abandoned and the whole compact retries against the new snapshot,
+    so a concurrent append can never be silently dropped by the
+    compaction's remove-set.
+    """
+    for _ in range(max_retries):
+        base = current_snapshot(table)
+        if not base.files:
+            raise ValueError(f"nothing to compact in {table}")
+        df = read_snapshot(spark, table, base.version).coalesce(target_parts)
+        parts = _write_parts(df, table)
+        entry = {
+            "version": base.version + 1,
+            "operation": "compact",
+            "add": parts,
+            "remove": base.files,
+        }
+        if _try_commit(table, base.version + 1, entry):
+            return base.version + 1
+    raise RuntimeError(f"compact contention on {table} after {max_retries} tries")
+
+
+def vacuum(table: str, keep_versions: int = 2) -> list[str]:
+    """Physically delete data parts no longer referenced by the last
+    ``keep_versions`` snapshots.  Time travel older than the horizon stops
+    working (exactly Delta/Iceberg VACUUM semantics); parts never
+    mentioned in the log are left alone — they may be another writer's
+    in-flight staging.  Returns the deleted part names."""
+    import shutil
+
+    versions = _list_versions(table)
+    if not versions:
+        return []
+    kept = versions[-keep_versions:]
+    keep_refs: set[str] = set()
+    for v in kept:
+        keep_refs.update(current_snapshot(table, v).files)
+    ever_refs: set[str] = set()
+    for v in versions:
+        ever_refs.update(current_snapshot(table, v).files)
+    doomed = sorted(ever_refs - keep_refs)
+    for part in doomed:
+        shutil.rmtree(os.path.join(table, _DATA_DIR, part),
+                      ignore_errors=True)
+    return doomed
+
+
 def upsert(
     spark: SparkSession,
     incoming: DataFrame,

@@ -124,3 +124,83 @@ def test_upsert_matches_dataframe_merge(spark, sf_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+def test_compact_preserves_data_and_old_versions(
+    spark, day_slices, tmp_path
+):
+    from airflow_crypto_btc_spark.sources.snapshot_table import compact
+
+    tbl = str(tmp_path / "tbl")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    for d in days:
+        append(spark, day_slices(d), tbl, txn_id=d)
+    before = current_snapshot(tbl)
+    assert len(before.files) == 3
+    rows_before = sorted(
+        read_snapshot(spark, tbl).select("event_id").toPandas().event_id
+    )
+
+    v = compact(spark, tbl)
+    after = current_snapshot(tbl)
+    assert after.version == v and len(after.files) == 1
+    rows_after = sorted(
+        read_snapshot(spark, tbl).select("event_id").toPandas().event_id
+    )
+    assert rows_after == rows_before
+    # time travel to the pre-compaction snapshot still reads 3 parts
+    assert read_snapshot(spark, tbl, before.version).count() == len(
+        rows_before
+    )
+
+
+def test_compact_aborts_and_retries_on_concurrent_append(
+    spark, day_slices, tmp_path, monkeypatch
+):
+    """A writer landing between compaction's stage and commit must NOT
+    lose its rows: the stale-versioned commit is refused and compact
+    re-reads the new snapshot."""
+    import airflow_crypto_btc_spark.sources.snapshot_table as st
+
+    tbl = str(tmp_path / "tbl")
+    append(spark, day_slices("2024-01-01"), tbl)
+    late = day_slices("2024-01-02")
+    real_write = st._write_parts
+    fired = {}
+
+    def racing_write(df, table):
+        parts = real_write(df, table)
+        if "done" not in fired:  # inject one concurrent append mid-compact
+            fired["done"] = True
+            st.append(spark, late, table)
+        return parts
+
+    monkeypatch.setattr(st, "_write_parts", racing_write)
+    st.compact(spark, tbl)
+    total = day_slices("2024-01-01").count() + late.count()
+    assert read_snapshot(spark, tbl).count() == total
+
+
+def test_vacuum_reclaims_only_expired_parts(spark, day_slices, tmp_path):
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        _DATA_DIR,
+        compact,
+        vacuum,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for d in ["2024-01-01", "2024-01-02"]:
+        append(spark, day_slices(d), tbl)
+    pre = current_snapshot(tbl)
+    compact(spark, tbl)
+    # an uncommitted staged part (another writer's in-flight work) must
+    # survive any vacuum
+    orphan = _write_parts(day_slices("2024-01-03"), tbl)[0]
+
+    deleted = vacuum(tbl, keep_versions=1)
+    assert sorted(deleted) == sorted(pre.files)
+    assert os.path.exists(os.path.join(tbl, _DATA_DIR, orphan))
+    # current snapshot intact; pre-horizon time travel is gone
+    assert read_snapshot(spark, tbl).count() > 0
+    with pytest.raises(Exception):
+        read_snapshot(spark, tbl, pre.version).count()

@@ -133,6 +133,44 @@ def contamination_pairs(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows (size ``window``,
+    step ``stride`` — consecutive chunks share ``window - stride``
+    tokens), the context-window chunking step between curation and
+    tokenizer sharding.
+
+    Pure per-row array expressions + one ``posexplode`` — no UDF, no
+    shuffle: each document's chunks are produced where the row lives, so
+    the operator is embarrassingly parallel at any corpus size and the
+    output inherits the input's partitioning.  Empty documents produce no
+    chunks; the last chunk of a document may be shorter than ``window``.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    starts = F.expr(
+        f"filter(sequence(0, size(tokens) - 1), x -> x % {stride} = 0)"
+    )
+    exploded = toks.select(
+        id_col,
+        "tokens",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.expr(f"slice(tokens, start + 1, {window})")
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 512,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.operators.curation import (
+    chunk_documents,
     contamination_pairs,
     pack_sequences,
     tfidf_top_terms,
@@ -145,7 +146,30 @@ _SQL_CURATE_PACK_SEQUENCES = f"""
 """
 
 
+def q_curate_chunk_documents(spark, sf_dir):
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CURATE_CHUNK_DOCUMENTS = f"""
+    WITH t AS ({_D_TOKENS}),
+    s AS (
+      SELECT doc_id, tokens, len(tokens) AS n,
+             unnest(range(0, len(tokens), 96)) AS start
+      FROM t WHERE len(tokens) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 96 AS BIGINT) AS chunk_idx,
+           array_to_string(tokens[start + 1 : least(start + 128, n)], ' ')
+             AS chunk_text,
+           CAST(least(start + 128, n) - start AS BIGINT) AS n_chunk_tokens
+    FROM s
+"""
+
+
 CURATION_REGISTRY: dict[str, QuerySpec] = {
+    "curate_chunk_documents": QuerySpec(
+        q_curate_chunk_documents, _SQL_CURATE_CHUNK_DOCUMENTS
+    ),
     "text_tfidf_top_terms": QuerySpec(
         q_text_tfidf_top_terms, _SQL_TEXT_TFIDF_TOP_TERMS
     ),

@@ -56,6 +56,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "curate_contamination",
     "curate_pack_sequences",
+    "curate_chunk_documents",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.operators.curation import (
+    chunk_documents,
     contamination_pairs,
     pack_sequences,
     tfidf_top_terms,
@@ -100,3 +101,51 @@ def test_contamination_prunes_train_side_with_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    toks = [f"t{i}" for i in range(300)]
+    docs = _docs(spark, [(1, " ".join(toks)), (2, ""), (3, "short doc")])
+    out = (
+        chunk_documents(docs, window=128, stride=96)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty doc yields no chunks; short doc yields one full-copy chunk
+    assert 2 not in by_doc
+    assert [c.chunk_text for c in by_doc[3]] == ["short doc"]
+    # 300 tokens, stride 96 → starts 0,96,192,288 → 4 chunks
+    chunks = by_doc[1]
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2, 3]
+    assert [c.n_chunk_tokens for c in chunks] == [128, 128, 108, 12]
+    # consecutive chunks overlap by window - stride = 32 tokens
+    a, b = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert a[96:] == b[:32]
+    # stride-prefixes reconstruct the document exactly
+    recon = []
+    for c in chunks:
+        recon.extend(c.chunk_text.split()[:96])
+    assert recon == toks
+
+
+def test_every_registry_plan_avoids_row_python(spark, sf_dir):
+    """Engine-wide hygiene: no query in the catalog may compile to
+    BatchEvalPython (row-at-a-time Python UDF).  Python is allowed only
+    Arrow-vectorized (MapInPandas / FlatMapGroupsInPandas), and only in
+    the ops designed around it."""
+    from airflow_crypto_btc_spark.plans.catalog import ALL_QUERIES
+
+    offenders = []
+    for name, spec in ALL_QUERIES.items():
+        plan = (
+            spec.fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []

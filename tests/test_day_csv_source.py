@@ -104,3 +104,49 @@ def test_filtered_read_matches_source_table(spark, sf_dir, tmp_path):
     want = pdf[(m >= "2024-01-02") & (m < "2024-01-04") & (pdf["value"] > 100.0)]
     assert sorted(got["ts_utc"]) == sorted(want["ts"])
     assert len(got) > 0
+
+
+def test_streaming_tail_ingests_only_new_days_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """availableNow run 1 ingests all landed days; after a new day lands,
+    run 2 from the same checkpoint appends ONLY that day — no re-reads,
+    no gaps (day-string offsets + immutable files = exactly-once)."""
+    pdf, path = _land(spark, sf_dir, tmp_path, days=3)
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("day_csv")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == len(pdf)
+    assert got1.select("day").distinct().count() == 3
+
+    # a fourth day lands
+    ev = load_table(spark, sf_dir, "events")
+    late = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-04").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+        )
+        .select("ts", "value")
+        .toPandas()
+    )
+    write_day_csvs(late, path)
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == len(pdf) + len(late)
+    assert got2.select("day", "ts_utc").distinct().count() == got2.count()

@@ -211,6 +211,41 @@ def q_rollup_revenue_nation_year(spark, sf_dir):
     return out
 
 
+def q_cube_event_type_dow(spark, sf_dir):
+    """Full CUBE over (event_type, day-of-week) with ``grouping_id`` to
+    disambiguate subtotal rows from genuine NULL keys — the grouping-sets
+    shape ROLLUP can't express (per-dow totals across all types need the
+    (dow)-only grouping set).  Engine note: Spark's ``dayofweek`` is
+    1-based Sunday=1, DuckDB's 0-based — the oracle shifts by +1; both
+    engines put the leftmost cube column in the grouping id's MSB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.dayofweek("ts").cast("long").alias("dow"),
+            "value",
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+    )
+
+
+_SQL_CUBE_EVENT_TYPE_DOW = """
+    SELECT event_type, dow, GROUPING(event_type, dow) AS gid,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value
+      FROM events
+    )
+    GROUP BY CUBE (event_type, dow)
+"""
+
+
 _SQL_ROLLUP_REVENUE_NATION_YEAR = """
     SELECT
       COALESCE(n_name, 'ALL') AS nation,
@@ -1084,6 +1119,9 @@ MORE_REGISTRY: dict[str, QuerySpec] = {
     ),
     "rank_top_customers_per_nation": QuerySpec(
         q_rank_top_customers_per_nation, _SQL_RANK_TOP_CUSTOMERS_PER_NATION
+    ),
+    "cube_event_type_dow": QuerySpec(
+        q_cube_event_type_dow, _SQL_CUBE_EVENT_TYPE_DOW
     ),
     "rollup_revenue_nation_year": QuerySpec(
         q_rollup_revenue_nation_year, _SQL_ROLLUP_REVENUE_NATION_YEAR

@@ -172,10 +172,45 @@ def overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:
     return commit(table, add=parts, remove=old, operation="overwrite")
 
 
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-value expression: min-max scale each (numeric) cluster column to a
+    ``bits``-bit integer, then interleave the bits so that files sorted by
+    the result are locality-clustered in EVERY clustered dimension at
+    once.  Stats come from one driver-side aggregate over the snapshot —
+    compaction is a maintenance command, the action is intended."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        if mx == mn:  # constant column: contributes nothing to ordering
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            scaled.append(
+                F.least(
+                    F.lit(top),
+                    ((F.col(c) - mn) / (mx - mn) * top).cast("long"),
+                )
+            )
+    z = F.lit(0).cast("long")
+    n = len(scaled)
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + (n - 1 - j)))
+    return z
+
+
 def compact(
     spark: SparkSession,
     table: str,
     target_parts: int = 1,
+    cluster_by: list[str] | None = None,
     max_retries: int = 5,
 ) -> int:
     """OPTIMIZE: rewrite the current live set into ``target_parts`` larger
@@ -191,12 +226,28 @@ def compact(
     is abandoned and the whole compact retries against the new snapshot,
     so a concurrent append can never be silently dropped by the
     compaction's remove-set.
+
+    ``cluster_by`` additionally Z-ORDERS the rewrite (numeric columns):
+    rows are range-partitioned and sorted by an interleaved-bit z-value,
+    so each output file covers a narrow min/max range in EVERY clustered
+    column and parquet row-group stats prune multi-dimensional predicates
+    — the data-skipping layout a 100 TB scan lives or dies by.
     """
     for _ in range(max_retries):
         base = current_snapshot(table)
         if not base.files:
             raise ValueError(f"nothing to compact in {table}")
-        df = read_snapshot(spark, table, base.version).coalesce(target_parts)
+        df = read_snapshot(spark, table, base.version)
+        if cluster_by:
+            z = _zorder_column(df, cluster_by)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_parts, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(target_parts)
         parts = _write_parts(df, table)
         entry = {
             "version": base.version + 1,

@@ -204,3 +204,55 @@ def test_vacuum_reclaims_only_expired_parts(spark, day_slices, tmp_path):
     assert read_snapshot(spark, tbl).count() > 0
     with pytest.raises(Exception):
         read_snapshot(spark, tbl, pre.version).count()
+
+
+def test_compact_zorder_clusters_files_for_data_skipping(spark, tmp_path):
+    """Z-ordered compaction must leave each output file covering a small
+    rectangle of the (x, y) domain, where plain compaction of shuffled
+    input leaves every file spanning nearly the whole domain — the
+    per-file min/max stats that parquet row-group pruning consumes."""
+    import glob
+
+    import pandas as pd
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        _DATA_DIR,
+        compact,
+        current_snapshot,
+    )
+
+    grid = (
+        spark.range(10_000)
+        .selectExpr("id % 100 AS x", "id DIV 100 AS y", "id AS payload")
+        .orderBy(F.md5(F.col("payload").cast("string")))  # shuffle rows
+    )
+
+    def file_area(table):
+        part = current_snapshot(table).files[0]
+        total = 0.0
+        files = glob.glob(
+            os.path.join(table, _DATA_DIR, part, "*.parquet")
+        )
+        assert len(files) >= 4
+        for fp in files:
+            pdf = pd.read_parquet(fp)
+            total += (pdf.x.max() - pdf.x.min() + 1) * (
+                pdf.y.max() - pdf.y.min() + 1
+            )
+        return total
+
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    for tbl in (plain, zed):
+        append(spark, grid.repartition(8), tbl)
+    compact(spark, plain, target_parts=8)
+    compact(spark, zed, target_parts=8, cluster_by=["x", "y"])
+
+    assert read_snapshot(spark, zed).count() == 10_000
+    assert (
+        read_snapshot(spark, zed).agg(F.sum("payload")).collect()[0][0]
+        == read_snapshot(spark, plain).agg(F.sum("payload")).collect()[0][0]
+    )
+    # clustered files cover far less of the domain than shuffled files,
+    # and within 2x of the perfect tiling (z-curve boundary straggle)
+    assert file_area(zed) < 0.5 * file_area(plain)
+    assert file_area(zed) <= 2 * 100 * 100

@@ -186,6 +186,10 @@ class DayCsvStreamReader(SimpleDataSourceStreamReader):
         if not self._path:
             raise ValueError("day_csv source requires option 'path'")
         self._prefix = options.get("prefix", "btc_prices_")
+        # micro-batch sizing (maxFilesPerTrigger analog): cap how many
+        # day files one batch ingests so a cold start over a deep backlog
+        # becomes many bounded batches instead of one giant one
+        self._max_days = int(options.get("max_days_per_batch", 0)) or None
 
     def initialOffset(self) -> dict:
         return {"day": ""}  # before every ISO date
@@ -196,10 +200,15 @@ class DayCsvStreamReader(SimpleDataSourceStreamReader):
                 yield from _read_day_file(day, fp)
 
     def read(self, start: dict):
-        days = _list_days(self._path, self._prefix)
-        if not days or days[-1][0] <= start["day"]:
+        days = [
+            d for d, _ in _list_days(self._path, self._prefix)
+            if d > start["day"]
+        ]
+        if not days:
             return iter(()), start
-        end = {"day": days[-1][0]}
+        if self._max_days:
+            days = days[: self._max_days]
+        end = {"day": days[-1]}
         # materialized, not a generator: the prefetch cache copy.copy()s
         # the iterator (a batch is one small day file — driver-safe)
         return iter(list(self._rows_between(start["day"], end["day"]))), end

@@ -150,3 +150,44 @@ def test_streaming_tail_ingests_only_new_days_exactly_once(
     got2 = spark.read.parquet(out)
     assert got2.count() == len(pdf) + len(late)
     assert got2.select("day", "ts_utc").distinct().count() == got2.count()
+
+
+def test_streaming_max_days_per_batch_bounds_each_microbatch(
+    spark, sf_dir, tmp_path
+):
+    """With max_days_per_batch=1, an availableNow run over a 3-day backlog
+    must produce 3 one-day batches (bounded cold start), and still land
+    every row exactly once."""
+    pdf, path = _land(spark, sf_dir, tmp_path, days=3)
+    register(spark)
+
+    batches = []
+
+    def sink(df, epoch_id):
+        days = [r.day for r in df.select("day").distinct().collect()]
+        batches.append(sorted(days))
+
+    q = (
+        spark.readStream.format("day_csv")
+        .option("path", path)
+        .option("max_days_per_batch", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import time
+
+    try:
+        deadline = time.time() + 90
+        while (
+            sum(len(b) for b in batches) < 3 and time.time() < deadline
+        ):
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    non_empty = [b for b in batches if b]
+    assert non_empty == [
+        ["2024-01-01"], ["2024-01-02"], ["2024-01-03"]
+    ]

@@ -80,3 +80,53 @@ def test_bucketed_join_plans_without_exchange(spark, sf_dir):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew evidence: a 500k-row 99%-one-key fact joined to a
+    dense key table under tight skew thresholds must come back from AQE
+    with the skewed partition split (`isSkew=true` / skew=true marker in
+    the final SMJ), while results stay exact."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        fact = spark.range(500_000).selectExpr(
+            "CASE WHEN id % 100 < 99 THEN 0 ELSE id % 1000 END AS k",
+            "id AS v",
+        )
+        dim = spark.range(1000).selectExpr("id AS k", "id * 10 AS w")
+        # no downstream grouping on the join key: requiring hash(k) after
+        # the join would forbid the skew split (it breaks co-partitioning)
+        joined = fact.join(dim, "k").selectExpr(
+            "count(*) AS n", "sum(v) AS sv"
+        )
+        # execute THIS DataFrame's QueryExecution so AQE finalizes it
+        row = joined.collect()[0]
+        assert row.n == 500_000  # every fact row matches exactly one dim
+        assert row.sv == 500_000 * 499_999 // 2
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan or "isSkew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

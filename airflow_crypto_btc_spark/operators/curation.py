@@ -133,6 +133,37 @@ def contamination_pairs(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample: rank documents inside
+    each stratum by ``md5(id)`` (a uniform, content-independent order) and
+    keep the first ``n_per_stratum``.
+
+    The hash ranking gives reservoir-sampling statistics with none of its
+    nondeterminism: the sample is a pure function of the ids, identical
+    across engines, runs, and repartitions, and STABLE under corpus growth
+    in the prefix sense (a doc already sampled stays sampled unless a new
+    doc hash-ranks above it).  One shuffle on the stratum key; skewed
+    strata cost one window pass over their own rows only.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(
+            id_col,
+            strata_col,
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     window: int = 128,

@@ -16,6 +16,7 @@ from airflow_crypto_btc_spark.operators.curation import (
     chunk_documents,
     contamination_pairs,
     pack_sequences,
+    stratified_sample,
     tfidf_top_terms,
 )
 from airflow_crypto_btc_spark.operators.text import train_test_split
@@ -166,7 +167,28 @@ _SQL_CURATE_CHUNK_DOCUMENTS = f"""
 """
 
 
+def q_curate_stratified_sample(spark, sf_dir):
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CURATE_STRATIFIED_SAMPLE = """
+    SELECT doc_id, source, sample_rank
+    FROM (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 20
+"""
+
+
 CURATION_REGISTRY: dict[str, QuerySpec] = {
+    "curate_stratified_sample": QuerySpec(
+        q_curate_stratified_sample, _SQL_CURATE_STRATIFIED_SAMPLE
+    ),
     "curate_chunk_documents": QuerySpec(
         q_curate_chunk_documents, _SQL_CURATE_CHUNK_DOCUMENTS
     ),

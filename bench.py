@@ -57,6 +57,7 @@ HEADLINE = [
     "curate_contamination",
     "curate_pack_sequences",
     "curate_chunk_documents",
+    "curate_stratified_sample",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",

@@ -149,3 +149,38 @@ def test_every_registry_plan_avoids_row_python(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_stratified_sample_deterministic_and_prefix_stable(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rows = [(i, f"text {i}", "en", f"src{i % 3}", 10) for i in range(200)]
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    docs = spark.createDataFrame(rows, schema)
+    s1 = {
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample(docs, n_per_stratum=10).collect()
+    }
+    assert len(s1) == 30  # 3 strata x 10
+    # repartition cannot change the sample
+    s2 = {
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample(
+            docs.repartition(17), n_per_stratum=10
+        ).collect()
+    }
+    assert s2 == s1
+    # growing the corpus only displaces hash-outranked members: the new
+    # sample of each stratum is a subset of old sample + new doc ids
+    grown = spark.createDataFrame(
+        rows + [(i, f"t{i}", "en", f"src{i % 3}", 5) for i in range(200, 260)],
+        schema,
+    )
+    s3_ids = {
+        r.doc_id
+        for r in stratified_sample(grown, n_per_stratum=10).collect()
+    }
+    old_ids = {d for d, _ in s1}
+    assert s3_ids <= old_ids | set(range(200, 260))

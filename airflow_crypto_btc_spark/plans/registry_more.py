@@ -12,7 +12,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.operators.asof import asof_join, sessionize
-from airflow_crypto_btc_spark.plans.registry import QuerySpec, _dec_sum
+from airflow_crypto_btc_spark.plans.registry import (
+    QuerySpec,
+    _dec_sum,
+    _SQL_DAILY,
+)
 from airflow_crypto_btc_spark.sources.tables import load_table
 
 
@@ -289,6 +293,68 @@ def q_scalar_functions(spark, sf_dir):
             F.col("value") / (F.col("value") + F.lit(1.0)) - F.lit(1.0), 6
         ).alias("ratio_m1"),  # F8 kernel shape (nonzero divisor)
     )
+
+
+def q_scalar_string_battery(spark, sf_dir):
+    """String-function surface over unicode documents (the fixtures carry
+    CJK/accents, so every slice is CHARACTER-based in both engines):
+    length, case, substring, translate, reverse, substring search, and
+    levenshtein — the edit-distance primitive fuzzy dedup reaches for.
+    All JVM built-ins, one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    head20 = F.substring("text", 1, 20)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_rt"),
+        F.upper(head20).alias("head_upper"),
+        F.translate(
+            F.lower(F.substring("text", 1, 40)), "aeiou", "_____"
+        ).alias("devoweled"),
+        F.reverse(F.substring("text", 1, 10)).alias("head_rev"),
+        F.instr("text", "the").cast("long").alias("the_pos"),
+        F.levenshtein(head20, F.lit("the quick brown fox"))
+        .cast("long")
+        .alias("lev_to_pangram"),
+    )
+
+
+_SQL_SCALAR_STRING_BATTERY = """
+    SELECT doc_id,
+      length(text) AS n_chars_rt,
+      upper(substr(text, 1, 20)) AS head_upper,
+      translate(lower(substr(text, 1, 40)), 'aeiou', '_____') AS devoweled,
+      reverse(substr(text, 1, 10)) AS head_rev,
+      strpos(text, 'the') AS the_pos,
+      levenshtein(substr(text, 1, 20), 'the quick brown fox')
+        AS lev_to_pangram
+    FROM documents
+"""
+
+
+def q_unpivot_ohlc_long(spark, sf_dir):
+    """Wide→long reshaping (the inverse of pivot): per-day OHLC unpivoted
+    to (event_type, date, metric, value) — one stack expression per row,
+    no shuffle beyond the OHLC aggregate itself."""
+    from airflow_crypto_btc_spark.plans.registry import _events_daily
+
+    return _events_daily(spark, sf_dir).unpivot(
+        ["event_type", "date"],
+        ["open", "high", "low", "close"],
+        "metric",
+        "value",
+    )
+
+
+_SQL_UNPIVOT_OHLC_LONG = f"""
+    WITH daily AS ({_SQL_DAILY})
+    SELECT event_type, date, 'open' AS metric, open AS value FROM daily
+    UNION ALL
+    SELECT event_type, date, 'high', high FROM daily
+    UNION ALL
+    SELECT event_type, date, 'low', low FROM daily
+    UNION ALL
+    SELECT event_type, date, 'close', close FROM daily
+"""
 
 
 _SQL_SCALAR_FUNCTIONS = """
@@ -1055,6 +1121,12 @@ _SQL_SRC_DAY_CSV_PRUNED = """
 
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "scalar_string_battery": QuerySpec(
+        q_scalar_string_battery, _SQL_SCALAR_STRING_BATTERY
+    ),
+    "unpivot_ohlc_long": QuerySpec(
+        q_unpivot_ohlc_long, _SQL_UNPIVOT_OHLC_LONG
+    ),
     "src_day_csv_pruned": QuerySpec(
         q_src_day_csv_pruned, _SQL_SRC_DAY_CSV_PRUNED
     ),

@@ -848,6 +848,25 @@ def q_percentile_summary(spark, sf_dir):
     )
 
 
+def q_percentile_approx_summary(spark, sf_dir):
+    """The 100 TB path of `percentile_summary`: `approx_percentile`
+    (bounded-memory sketch, mergeable across partitions — no global sort)
+    over the same grouping.  Sketch outputs are engine-specific, so this
+    is a rows-only entry; tests/test_plans.py bounds each approx quantile
+    inside the exact IQR neighborhood from the exact twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_q"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 _SQL_PERCENTILE_SUMMARY = """
     SELECT c_mktsegment,
       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
@@ -1121,6 +1140,7 @@ _SQL_SRC_DAY_CSV_PRUNED = """
 
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
+    "percentile_approx_summary": QuerySpec(q_percentile_approx_summary, None),
     "scalar_string_battery": QuerySpec(
         q_scalar_string_battery, _SQL_SCALAR_STRING_BATTERY
     ),

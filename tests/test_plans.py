@@ -154,3 +154,32 @@ def test_q20_group_and_window_share_one_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q20_dominant_suppliers", "simple")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_approx_percentiles_land_inside_exact_iqr_neighborhood(
+    spark, sf_dir
+):
+    """The t-digest twin must produce quantiles within half an IQR of the
+    exact interpolated values, per segment — the accuracy contract that
+    justifies swapping it in at 100 TB."""
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        q_percentile_approx_summary,
+        q_percentile_summary,
+    )
+
+    exact = {
+        r.c_mktsegment: r
+        for r in q_percentile_summary(spark, sf_dir).collect()
+    }
+    approx = {
+        r.c_mktsegment: r
+        for r in q_percentile_approx_summary(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for seg, e in exact.items():
+        iqr = e.p75 - e.p25
+        a25, a50, a75 = approx[seg].approx_q
+        assert abs(a25 - e.p25) <= 0.5 * iqr, seg
+        assert abs(a50 - e.median) <= 0.5 * iqr, seg
+        assert abs(a75 - e.p75) <= 0.5 * iqr, seg
+        assert approx[seg].n_orders == e.n_orders

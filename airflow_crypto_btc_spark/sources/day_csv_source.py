@@ -38,9 +38,12 @@ import re
 from dataclasses import dataclass
 from datetime import datetime
 
+from dataclasses import dataclass as _dc
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -49,6 +52,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA_DDL = "day string, ts_utc timestamp_ntz, price double"
@@ -217,6 +221,97 @@ class DayCsvStreamReader(SimpleDataSourceStreamReader):
         return self._rows_between(start["day"], end["day"])
 
 
+@_dc
+class _DayFilesCommit(WriterCommitMessage):
+    staged: list  # [(day, staging_path)]
+
+
+class DayCsvWriter(DataSourceWriter):
+    """Write side of the connector — two-phase commit onto the
+    one-file-per-day layout.
+
+    Tasks (``write``) stream their rows into STAGING files (one per day
+    per task, invisible to readers: no ``.csv`` suffix) and report them
+    in the commit message.  The driver (``commit``) first validates that
+    no day was produced by two tasks — the layout's "one file per day"
+    unique-index analog; callers ``repartition("day")`` to guarantee it —
+    then atomically renames every staging file into place.  A failed job
+    (``abort``) removes staging only: readers never observe a torn
+    multi-day write.  Rows must be (day, ts_utc, price) as in the read
+    schema; ``overwrite`` re-lands existing days, otherwise colliding
+    with an existing day file is an error (append-new-days semantics).
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("day_csv sink requires option 'path'")
+        self._prefix = options.get("prefix", "btc_prices_")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _DayFilesCommit:
+        import uuid as _uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        handles: dict = {}
+        staged: list = []
+        try:
+            for row in iterator:
+                day = row[0]
+                if day not in handles:
+                    sp = os.path.join(
+                        self._path,
+                        f".staging-{self._prefix}{day}-{_uuid.uuid4().hex}",
+                    )
+                    fh = open(sp, "w", newline="")
+                    w = csv.writer(fh)
+                    w.writerow(["ts_utc", "price"])
+                    handles[day] = (fh, w)
+                    staged.append((day, sp))
+                ts = row[1]
+                handles[day][1].writerow(
+                    [ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ"), repr(float(row[2]))]
+                )
+        finally:
+            for fh, _ in handles.values():
+                fh.close()
+        return _DayFilesCommit(staged=staged)
+
+    def _final(self, day: str) -> str:
+        return os.path.join(self._path, f"{self._prefix}{day}.csv")
+
+    def commit(self, messages) -> None:
+        staged = [
+            pair for m in messages if m is not None for pair in m.staged
+        ]
+        days = [d for d, _ in staged]
+        dupes = {d for d in days if days.count(d) > 1}
+        if dupes:
+            self.abort(messages)
+            raise ValueError(
+                f"day(s) {sorted(dupes)} written by multiple tasks — "
+                "repartition('day') before writing to day_csv"
+            )
+        if not self._overwrite:
+            clashes = [d for d in days if os.path.exists(self._final(d))]
+            if clashes:
+                self.abort(messages)
+                raise ValueError(
+                    f"day file(s) already exist: {sorted(clashes)} "
+                    "(use mode('overwrite') to re-land)"
+                )
+        for day, sp in staged:
+            os.replace(sp, self._final(day))  # atomic per file
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for _, sp in m.staged:
+                if os.path.exists(sp):
+                    os.remove(sp)
+
+
 class DayCsvDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -230,6 +325,9 @@ class DayCsvDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> DayCsvStreamReader:
         return DayCsvStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DayCsvWriter:
+        return DayCsvWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -191,3 +191,66 @@ def test_streaming_max_days_per_batch_bounds_each_microbatch(
     assert non_empty == [
         ["2024-01-01"], ["2024-01-02"], ["2024-01-03"]
     ]
+
+
+def test_writer_round_trips_through_the_day_layout(spark, sf_dir, tmp_path):
+    """df → day_csv sink → day_csv source must round-trip exactly, with
+    one file per day in the reference's naming scheme."""
+    import glob
+    import os
+
+    pdf, src_path = _land(spark, sf_dir, tmp_path, days=3)
+    register(spark)
+    src = (
+        spark.read.format("day_csv").option("path", src_path).load()
+    )
+    dst = str(tmp_path / "dst")
+    (
+        src.repartition("day")
+        .write.format("day_csv")
+        .option("path", dst)
+        .mode("append")
+        .save()
+    )
+    assert sorted(os.path.basename(p) for p in glob.glob(dst + "/*.csv")) == [
+        f"btc_prices_2024-01-0{i}.csv" for i in (1, 2, 3)
+    ]
+    back = spark.read.format("day_csv").option("path", dst).load()
+    a = src.orderBy("ts_utc").toPandas().reset_index(drop=True)
+    b = back.orderBy("ts_utc").toPandas().reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_writer_append_refuses_existing_day_and_stays_clean(
+    spark, sf_dir, tmp_path
+):
+    """Colliding with an already-landed day in append mode must fail the
+    job AND leave no staging debris and the original file untouched;
+    overwrite mode re-lands it."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    _, src_path = _land(spark, sf_dir, tmp_path, days=2)
+    register(spark)
+    src = spark.read.format("day_csv").option("path", src_path).load()
+    dst = str(tmp_path / "dst")
+
+    def land(mode, df=src):
+        (
+            df.repartition("day")
+            .write.format("day_csv")
+            .option("path", dst)
+            .mode(mode)
+            .save()
+        )
+
+    land("append")
+    before = open(dst + "/btc_prices_2024-01-01.csv").read()
+    with _pytest.raises(Exception, match="already exist"):
+        land("append", src.filter(F.col("day") == "2024-01-01"))
+    assert open(dst + "/btc_prices_2024-01-01.csv").read() == before
+    assert glob.glob(dst + "/.staging-*") == []
+    land("overwrite", src.filter(F.col("day") == "2024-01-01"))
+    assert open(dst + "/btc_prices_2024-01-01.csv").read() == before

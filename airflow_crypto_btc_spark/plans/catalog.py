@@ -8,6 +8,7 @@ from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_stream import STREAM_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_ta import TA_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch2 import TPCH2_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch3 import TPCH3_REGISTRY
 
@@ -20,4 +21,5 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     **TPCH3_REGISTRY,
     **CURATION_REGISTRY,
     **STREAM_REGISTRY,
+    **TA_REGISTRY,
 }

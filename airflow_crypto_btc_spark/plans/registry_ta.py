@@ -1,0 +1,324 @@
+"""Technical-analysis query wave: the indicator family a user of the
+reference pipeline (`/root/reference/dags/dag_btc_daily.py:264-267`) would
+add next, over the same keyed daily-OHLC base as W1-W4.
+
+All finite-frame indicators (RSI / Bollinger / median / z-score) are pure
+window expressions sharing one exchange+sort per query; the EWM family is
+the designed Arrow slow-path (`operators/ta.ewm_indicators`) with an exact
+recursive-CTE oracle.  Gap-fill and TWAP extend the time-series surface
+(resampling + irregular-interval weighting).
+
+Float discipline follows `registry.py`: sliding-frame aggregates are
+rounded to 6 decimals on both engines; recursive accumulations use the
+identical floating-point operation order on both sides before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.ta import (
+    ewm_indicators,
+    with_bollinger,
+    with_rolling_median,
+    with_rsi,
+    with_zscore_outliers,
+)
+from airflow_crypto_btc_spark.plans.registry import (
+    QuerySpec,
+    _events_daily,
+    _SQL_DAILY,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------------- RSI 14
+
+def q_win_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_rsi(_events_daily(spark, sf_dir))
+    return out.select(
+        "event_type", "date", "close", F.round("rsi14", 6).alias("rsi14")
+    )
+
+
+_SQL_WIN_RSI14 = f"""
+    WITH d AS (
+      SELECT event_type, date, close,
+        close - lag(close) OVER w AS diff
+      FROM ({_SQL_DAILY})
+      WINDOW w AS (PARTITION BY event_type ORDER BY date)
+    )
+    SELECT event_type, date, close,
+      round(CASE WHEN count(diff) OVER f >= 14 THEN
+        CASE WHEN avg(greatest(-diff, 0.0)) OVER f = 0 THEN 100.0
+             ELSE 100.0 - 100.0 /
+                  (1.0 + (avg(greatest(diff, 0.0)) OVER f)
+                       / (avg(greatest(-diff, 0.0)) OVER f))
+        END END, 6) AS rsi14
+    FROM d
+    WINDOW f AS (PARTITION BY event_type ORDER BY date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------- Bollinger bands
+
+def q_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_bollinger(_events_daily(spark, sf_dir))
+    return out.select(
+        "event_type", "date", "close",
+        F.round("bb_mid", 6).alias("bb_mid"),
+        F.round("bb_upper", 6).alias("bb_upper"),
+        F.round("bb_lower", 6).alias("bb_lower"),
+        F.round("bb_pct_b", 6).alias("bb_pct_b"),
+    )
+
+
+_SQL_WIN_BOLLINGER = f"""
+    WITH d AS (SELECT event_type, date, close FROM ({_SQL_DAILY})),
+    g AS (
+      SELECT event_type, date, close,
+        CASE WHEN count(close) OVER f >= 20
+             THEN avg(close) OVER f END AS mid,
+        CASE WHEN count(close) OVER f >= 20
+             THEN stddev_samp(close) OVER f END AS sd
+      FROM d
+      WINDOW f AS (PARTITION BY event_type ORDER BY date
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, date, close,
+      round(mid, 6) AS bb_mid,
+      round(mid + 2.0 * sd, 6) AS bb_upper,
+      round(mid - 2.0 * sd, 6) AS bb_lower,
+      round(CASE WHEN sd > 0 THEN
+        (close - (mid - 2.0 * sd)) / ((mid + 2.0 * sd) - (mid - 2.0 * sd))
+      END, 6) AS bb_pct_b
+    FROM g
+"""
+
+
+# ---------------------------------------------------------- rolling median
+
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_rolling_median(_events_daily(spark, sf_dir))
+    return out.select(
+        "event_type", "date", "close",
+        F.round("median7", 6).alias("median7"),
+    )
+
+
+_SQL_WIN_ROLLING_MEDIAN = f"""
+    SELECT event_type, date, close,
+      round(CASE WHEN count(close) OVER f >= 7
+                 THEN median(close) OVER f END, 6) AS median7
+    -- DuckDB's windowed median on an odd 7-row frame is the same exact
+    -- middle order statistic the Spark plan selects via array_sort.
+    FROM ({_SQL_DAILY})
+    WINDOW f AS (PARTITION BY event_type ORDER BY date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------- z-score outliers
+
+def q_win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_zscore_outliers(_events_daily(spark, sf_dir))
+    return out.select(
+        "event_type", "date",
+        F.round("ret", 6).alias("ret"),
+        F.round("zscore", 6).alias("zscore"),
+        "is_outlier",
+    )
+
+
+_SQL_WIN_ZSCORE_OUTLIERS = f"""
+    WITH d AS (
+      SELECT event_type, date, close,
+        close / lag(close) OVER w - 1.0 AS ret
+      FROM ({_SQL_DAILY})
+      WINDOW w AS (PARTITION BY event_type ORDER BY date)
+    ),
+    z AS (
+      SELECT event_type, date, ret,
+        CASE WHEN count(ret) OVER f >= 30 THEN
+          CASE WHEN stddev_samp(ret) OVER f > 0 THEN
+            (ret - avg(ret) OVER f) / (stddev_samp(ret) OVER f)
+          END END AS zscore
+      FROM d
+      WINDOW f AS (PARTITION BY event_type ORDER BY date
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, date, round(ret, 6) AS ret,
+      round(zscore, 6) AS zscore,
+      coalesce(abs(zscore) > 2.0, false) AS is_outlier
+    FROM z
+"""
+
+
+# ----------------------------------------------- EWM family (recursive op)
+
+def q_ewm_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA12/EMA26/MACD/signal — the recursive slow-path operator.  The
+    oracle is a DuckDB recursive CTE stepping the same recurrence in the
+    same floating-point operation order."""
+    out = ewm_indicators(_events_daily(spark, sf_dir))
+    return out.select(
+        "event_type", "date", "close",
+        F.round("ema_fast", 6).alias("ema12"),
+        F.round("ema_slow", 6).alias("ema26"),
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+    )
+
+
+# Recurrence (both engines, identical op order):
+#   ema_t = a*x_t + (1-a)*ema_{t-1};  seeded ema_1 = x_1
+#   macd_t = ema12_t - ema26_t;       signal seeded at macd_1
+_SQL_EWM_MACD = f"""
+    WITH RECURSIVE base AS (
+      SELECT event_type, date, close,
+        row_number() OVER (PARTITION BY event_type ORDER BY date) AS rn
+      FROM ({_SQL_DAILY})
+    ),
+    rec AS (
+      SELECT event_type, date, close, rn,
+        close AS ema12, close AS ema26,
+        CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS signal
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_type, b.date, b.close, b.rn,
+        (2.0/13.0) * b.close + (1.0 - 2.0/13.0) * r.ema12,
+        (2.0/27.0) * b.close + (1.0 - 2.0/27.0) * r.ema26,
+        ((2.0/13.0) * b.close + (1.0 - 2.0/13.0) * r.ema12)
+          - ((2.0/27.0) * b.close + (1.0 - 2.0/27.0) * r.ema26),
+        (2.0/10.0) * (((2.0/13.0) * b.close + (1.0 - 2.0/13.0) * r.ema12)
+                      - ((2.0/27.0) * b.close + (1.0 - 2.0/27.0) * r.ema26))
+          + (1.0 - 2.0/10.0) * r.signal
+      FROM base b JOIN rec r
+        ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, date, close,
+      round(ema12, 6) AS ema12,
+      round(ema26, 6) AS ema26,
+      round(macd, 6) AS macd,
+      round(signal, 6) AS signal
+    FROM rec
+"""
+
+
+# ------------------------------------------------- calendar spine gap-fill
+
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each key's daily series onto a dense calendar spine
+    (`sequence` + `explode` — generated, not shuffled) and forward-fill
+    close with `last(ignorenulls)`.  The classic time-series regularization
+    op; spine generation is per-key and embarrassingly parallel."""
+    d = _events_daily(spark, sf_dir).select("event_type", "date", "close")
+    spine = (
+        d.groupBy("event_type")
+        .agg(F.min("date").alias("mn"), F.max("date").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("date"),
+        )
+    )
+    joined = spine.join(d, ["event_type", "date"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type", "date", "close",
+        F.last("close", ignorenulls=True).over(w).alias("close_ffill"),
+        F.col("close").isNull().alias("is_gap"),
+    )
+
+
+_SQL_TS_GAP_FILL = f"""
+    WITH d AS (SELECT event_type, date, close FROM ({_SQL_DAILY})),
+    b AS (
+      SELECT event_type, min(date) AS mn, max(date) AS mx
+      FROM d GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, CAST(g AS DATE) AS date
+      FROM (
+        SELECT event_type,
+          unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                 CAST(mx AS TIMESTAMP),
+                                 INTERVAL 1 DAY)) AS g
+        FROM b
+      )
+    )
+    SELECT s.event_type, s.date, d.close,
+      last_value(d.close IGNORE NULLS) OVER (
+        PARTITION BY s.event_type ORDER BY s.date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+      d.close IS NULL AS is_gap
+    FROM spine s LEFT JOIN d
+      ON s.event_type = d.event_type AND s.date = d.date
+"""
+
+
+# --------------------------------------------- time-weighted average price
+
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP over irregular intra-day observations: each event's value is
+    weighted by the microseconds until the next event in the same
+    (key, day); the day's last observation carries no weight.  Decimal
+    accumulation keeps the weighted sum shuffle-order-insensitive."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("date"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    w = Window.partitionBy("event_type", "date").orderBy("us")
+    dt = (F.lead("us", 1).over(w) - F.col("us")).alias("dt")
+    weighted = ev.select("event_type", "date", "value", dt)
+    out = weighted.groupBy("event_type", "date").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(F.sum("dt"), F.lit(0)).alias("span_us"),
+        F.round(
+            F.sum((F.col("value") * F.col("dt")).cast("decimal(38,6)"))
+            .cast("double")
+            / F.when(F.sum("dt") > 0, F.sum("dt")),
+            6,
+        ).alias("twap"),
+    )
+    return out
+
+
+_SQL_TS_TWAP = """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS date, value,
+        lead(epoch_us(ts)) OVER (
+          PARTITION BY event_type, CAST(ts AS DATE) ORDER BY epoch_us(ts))
+          - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT event_type, date,
+      count(*) AS n_events,
+      CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_us,
+      round(CAST(sum(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE)
+            / CASE WHEN sum(dt) > 0 THEN sum(dt) END, 6) AS twap
+    FROM e
+    GROUP BY 1, 2
+"""
+
+
+TA_REGISTRY: dict[str, QuerySpec] = {
+    "win_rsi14": QuerySpec(q_win_rsi14, _SQL_WIN_RSI14),
+    "win_bollinger": QuerySpec(q_win_bollinger, _SQL_WIN_BOLLINGER),
+    "win_rolling_median": QuerySpec(
+        q_win_rolling_median, _SQL_WIN_ROLLING_MEDIAN
+    ),
+    "win_zscore_outliers": QuerySpec(
+        q_win_zscore_outliers, _SQL_WIN_ZSCORE_OUTLIERS
+    ),
+    "ewm_macd": QuerySpec(q_ewm_macd, _SQL_EWM_MACD),
+    "ts_gap_fill": QuerySpec(q_ts_gap_fill, _SQL_TS_GAP_FILL),
+    "ts_twap": QuerySpec(q_ts_twap, _SQL_TS_TWAP),
+}

@@ -1,0 +1,242 @@
+"""Technical-analysis operator tests (operators/ta.py, registry_ta.py).
+
+Semantics anchored to pandas — the reference's own engine for its rolling
+indicators (`/root/reference/dags/dag_btc_daily.py:264-267`) — extended to
+the TA family: RSI, Bollinger, rolling median, z-score outliers, EWM/MACD.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.ta import (
+    ewm_indicators,
+    with_bollinger,
+    with_rolling_median,
+    with_rsi,
+    with_zscore_outliers,
+)
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    """Two keys, 40 days of deterministic prices (enough to clear every
+    min_periods gate), one key with a price plateau (flat-window edge)."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for key in ("a", "b"):
+        base = 100.0 if key == "a" else 50.0
+        for i in range(40):
+            price = base + float(rng.randn()) * 5.0
+            if key == "b" and 10 <= i < 15:
+                price = 77.0  # plateau: zero-std window edge case
+            rows.append((key, dt.date(2024, 1, 1) + dt.timedelta(days=i), price))
+    return spark.createDataFrame(
+        rows, "event_type string, date date, close double"
+    )
+
+
+def _pdf(daily):
+    return (
+        daily.toPandas()
+        .sort_values(["event_type", "date"])
+        .reset_index(drop=True)
+    )
+
+
+def test_rsi_matches_pandas(spark, daily):
+    got = (
+        with_rsi(daily)
+        .toPandas()
+        .sort_values(["event_type", "date"])
+        .reset_index(drop=True)
+    )
+    pdf = _pdf(daily)
+    for key, g in pdf.groupby("event_type"):
+        diff = g["close"].diff()
+        gain = diff.clip(lower=0).rolling(14, min_periods=14).mean()
+        loss = (-diff).clip(lower=0).rolling(14, min_periods=14).mean()
+        rsi = np.where(loss == 0, 100.0, 100.0 - 100.0 / (1.0 + gain / loss))
+        rsi = pd.Series(rsi, index=g.index).where(loss.notna())
+        sub = got[got["event_type"] == key].reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            sub["rsi14"],
+            rsi.reset_index(drop=True).rename("rsi14"),
+            rtol=1e-9,
+        )
+
+
+def test_rsi_gate_boundary(spark, daily):
+    got = with_rsi(daily).filter("event_type = 'a'").orderBy("date").toPandas()
+    # 14 diffs need 15 rows: rows 0..13 null, row 14 first non-null
+    assert got["rsi14"].iloc[:14].isna().all()
+    assert got["rsi14"].iloc[14:].notna().all()
+
+
+def test_bollinger_matches_pandas(spark, daily):
+    got = (
+        with_bollinger(daily)
+        .toPandas()
+        .sort_values(["event_type", "date"])
+        .reset_index(drop=True)
+    )
+    pdf = _pdf(daily)
+    for key, g in pdf.groupby("event_type"):
+        mid = g["close"].rolling(20, min_periods=20).mean()
+        sd = g["close"].rolling(20, min_periods=20).std()  # ddof=1
+        sub = got[got["event_type"] == key].reset_index(drop=True)
+        np.testing.assert_allclose(
+            sub["bb_upper"], (mid + 2 * sd).reset_index(drop=True), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            sub["bb_lower"], (mid - 2 * sd).reset_index(drop=True), rtol=1e-9
+        )
+
+
+def test_rolling_median_matches_pandas(spark, daily):
+    got = (
+        with_rolling_median(daily)
+        .toPandas()
+        .sort_values(["event_type", "date"])
+        .reset_index(drop=True)
+    )
+    pdf = _pdf(daily)
+    expect = (
+        pdf.groupby("event_type")["close"]
+        .rolling(7, min_periods=7)
+        .median()
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["median7"], expect, rtol=1e-12)
+
+
+def test_rolling_median_rejects_even_period(daily):
+    with pytest.raises(ValueError, match="odd"):
+        with_rolling_median(daily, period=6)
+
+
+def test_zscore_outlier_flag_never_null(spark, daily):
+    got = with_zscore_outliers(daily).toPandas()
+    assert got["is_outlier"].notna().all()
+    # gated region: no z-scores before 30 rets exist (31 rows)
+    a = got[got["event_type"] == "a"].sort_values("date")
+    assert a["zscore"].iloc[:30].isna().all()
+    assert a["zscore"].iloc[30:].notna().all()
+
+
+def test_ewm_matches_pandas(spark, daily):
+    got = (
+        ewm_indicators(daily)
+        .toPandas()
+        .sort_values(["event_type", "date"])
+        .reset_index(drop=True)
+    )
+    pdf = _pdf(daily)
+    for key, g in pdf.groupby("event_type"):
+        e12 = g["close"].ewm(span=12, adjust=False).mean()
+        e26 = g["close"].ewm(span=26, adjust=False).mean()
+        macd = e12 - e26
+        sig = macd.ewm(span=9, adjust=False).mean()
+        sub = got[got["event_type"] == key].reset_index(drop=True)
+        np.testing.assert_allclose(
+            sub["ema_fast"], e12.reset_index(drop=True), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            sub["ema_slow"], e26.reset_index(drop=True), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            sub["macd"], macd.reset_index(drop=True), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            sub["signal"], sig.reset_index(drop=True), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_gap_fill_forward_fills_missing_days(spark):
+    from airflow_crypto_btc_spark.plans.registry_ta import q_ts_gap_fill
+
+    # craft a gappy series through the registry path's shape by checking
+    # invariants on real fixture output instead: spine is dense, ffill is
+    # never null after the first observed day, gaps flagged iff close null
+    out = q_ts_gap_fill(spark, "/root/testdata/sf0.001").toPandas()
+    for key, g in out.groupby("event_type"):
+        g = g.sort_values("date").reset_index(drop=True)
+        days = pd.to_datetime(g["date"])
+        assert (days.diff().dropna() == pd.Timedelta(days=1)).all(), (
+            "spine must be dense"
+        )
+        assert g["close_ffill"].notna().all()
+        assert (g["is_gap"] == g["close"].isna()).all()
+
+
+def test_gap_fill_ffill_values(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1), 10.0),
+            ("a", dt.date(2024, 1, 4), 13.0),
+            ("a", dt.date(2024, 1, 6), 16.0),
+        ],
+        "event_type string, date date, close double",
+    )
+    spine = (
+        df.groupBy("event_type")
+        .agg(F.min("date").alias("mn"), F.max("date").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        spine.join(df, ["event_type", "date"], "left")
+        .select(
+            "date",
+            F.last("close", ignorenulls=True).over(w).alias("close_ffill"),
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    assert out["close_ffill"].tolist() == [10.0, 10.0, 10.0, 13.0, 13.0, 16.0]
+
+
+def test_twap_hand_computed(spark):
+    from airflow_crypto_btc_spark.plans.registry_ta import q_ts_twap
+
+    out = q_ts_twap(spark, "/root/testdata/sf0.001").toPandas()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["date"] = ev["ts"].dt.date
+    grp = ev.sort_values("ts").groupby(["event_type", "date"])
+    for (key, day), g in list(grp)[:5]:
+        us = g["ts"].astype("int64") // 1000  # ns → us
+        dtv = us.diff().shift(-1)
+        mask = dtv.notna()
+        expect = (
+            (g["value"][mask] * dtv[mask]).sum() / dtv[mask].sum()
+            if mask.any()
+            else None
+        )
+        row = out[(out["event_type"] == key) & (out["date"] == day)]
+        assert len(row) == 1
+        if expect is not None:
+            assert row["twap"].iloc[0] == pytest.approx(expect, rel=1e-6)
+
+
+def test_ta_plans_stay_jvm_side(spark, daily):
+    """Everything except the EWM family must plan zero Python nodes, and
+    each indicator family shares a single window sort."""
+    for fn in (with_rsi, with_bollinger, with_rolling_median,
+               with_zscore_outliers):
+        plan = fn(daily)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, f"{fn.__name__} fell off the JVM path"
+    ewm_plan = (
+        ewm_indicators(daily)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in ewm_plan

@@ -171,3 +171,117 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.expr(f"md5({normalized})")).withColumn(
         "fp_rolling", rolling_fingerprint_expr()
     )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: top-token fraction,
+    type-token ratio, and duplicate-bigram fraction.
+
+    Scale design: the top-token count runs as explode → two keyed
+    aggregations (work O(total tokens), map-side partial combine; never
+    O(doc_len²) per row), while the bigram stats are per-row array
+    expressions (O(doc_len)) carried through the first groupBy as
+    constants — one scan, no self-join.  Documents with zero tokens are
+    excluded (no denominator).
+    """
+    from airflow_crypto_btc_spark.functions.hashing import shingles_expr
+
+    tok = with_tokens(df, text_col).filter(F.expr("size(tokens) > 0"))
+    bi = shingles_expr("tokens", 2)
+    ex = tok.select(
+        "doc_id",
+        F.size(bi).alias("n_bi"),
+        F.size(F.array_distinct(bi)).alias("n_bi_d"),
+        F.explode("tokens").alias("t"),
+    )
+    counts = ex.groupBy("doc_id", "t").agg(
+        F.count("*").alias("c"),
+        F.first("n_bi").alias("n_bi"),
+        F.first("n_bi_d").alias("n_bi_d"),
+    )
+    one = F.lit(1.0)
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round((F.max("c") * one) / F.sum("c"), 6).alias("top_token_frac"),
+        F.round((F.count("*") * one) / F.sum("c"), 6).alias("type_token_ratio"),
+        F.round(
+            F.when(
+                F.first("n_bi") > 0,
+                one - (F.first("n_bi_d") * one) / F.first("n_bi"),
+            ).otherwise(F.lit(None).cast("double")),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k bigrams by pointwise mutual
+    information, `pmi = ln((c_ab/NB) / ((c_a/NU)(c_b/NU)))`, restricted to
+    bigrams seen ≥ `min_count` times.
+
+    Scale design: unigram and bigram counts are keyed aggregations with
+    map-side combine; the unigram vocabulary (Zipf-bounded, ≪ corpus) is
+    broadcast to both probability joins; the scalar corpus totals ride a
+    broadcast single-row cross join.  Ranking is a deterministic global
+    top-k on (rounded pmi DESC, bigram) — the rounded sort key makes the
+    cut identical across engines.
+    """
+    from airflow_crypto_btc_spark.functions.hashing import shingles_expr
+
+    tok = with_tokens(df, text_col).filter(F.expr("size(tokens) > 0"))
+    uni = (
+        tok.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        tok.select(F.explode(shingles_expr("tokens", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("nu"),
+    ).crossJoin(
+        tok.select(F.explode(shingles_expr("tokens", 2)).alias("b"))
+        .agg(F.count("*").cast("double").alias("nb"))
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    joined = (
+        big.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(
+            F.broadcast(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "c_a")),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "c_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(top_k)
+    )

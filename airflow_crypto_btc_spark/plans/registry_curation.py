@@ -185,7 +185,128 @@ _SQL_CURATE_STRATIFIED_SAMPLE = """
 """
 
 
+# ---------------------------------------------- repetition quality signals
+
+
+def q_text_repetition_score(spark, sf_dir):
+    """Gopher-style per-doc repetition signals (top-token fraction,
+    type-token ratio, duplicate-bigram fraction) — see
+    operators/text.repetition_scores for the one-scan no-self-join design."""
+    from airflow_crypto_btc_spark.operators.text import repetition_scores
+
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_REPETITION_SCORE = f"""
+    WITH tok AS (
+      SELECT doc_id, tokens FROM ({_D_TOKENS}) WHERE len(tokens) > 0
+    ),
+    bstats AS (
+      SELECT doc_id,
+        len(bigrams) AS n_bi,
+        len(list_distinct(bigrams)) AS n_bi_d
+      FROM (
+        SELECT doc_id,
+          CASE WHEN len(tokens) >= 2 THEN
+            list_transform(range(1, len(tokens)),
+                           i -> tokens[i] || ' ' || tokens[i+1])
+          ELSE [] END AS bigrams
+        FROM tok
+      )
+    ),
+    counts AS (
+      SELECT doc_id, u.t AS t, count(*) AS c
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(tokens, t -> {{'t': t}})) AS u
+        FROM tok
+      )
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        max(c) AS top_cnt
+      FROM counts GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_types,
+      round((top_cnt * 1.0) / n_tokens, 6) AS top_token_frac,
+      round((n_types * 1.0) / n_tokens, 6) AS type_token_ratio,
+      round(CASE WHEN n_bi > 0
+                 THEN 1.0 - (n_bi_d * 1.0) / n_bi END, 6) AS dup_bigram_frac
+    FROM stats s JOIN bstats b ON s.doc_id = b.doc_id
+"""
+
+
+# ------------------------------------------------- bigram PMI collocations
+
+
+def q_text_bigram_pmi(spark, sf_dir):
+    """Corpus-level top-20 bigram collocations by PMI (min count 5) — see
+    operators/text.bigram_pmi for the broadcast-vocabulary scale design."""
+    from airflow_crypto_btc_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_BIGRAM_PMI = f"""
+    WITH tok AS (
+      SELECT doc_id, tokens FROM ({_D_TOKENS}) WHERE len(tokens) > 0
+    ),
+    uni AS (
+      SELECT u.t AS t, count(*) AS c
+      FROM (SELECT unnest(list_transform(tokens, t -> {{'t': t}})) AS u
+            FROM tok)
+      GROUP BY 1
+    ),
+    big AS (
+      SELECT u.b AS bigram, count(*) AS c_ab
+      FROM (
+        SELECT unnest(list_transform(
+          CASE WHEN len(tokens) >= 2 THEN
+            list_transform(range(1, len(tokens)),
+                           i -> tokens[i] || ' ' || tokens[i+1])
+          ELSE [] END, b -> {{'b': b}})) AS u
+        FROM tok
+      )
+      GROUP BY 1
+      HAVING count(*) >= 5
+    ),
+    totals AS (
+      SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nu,
+             (SELECT CAST(sum(c_ab0) AS DOUBLE) FROM (
+                SELECT count(*) AS c_ab0
+                FROM (
+                  SELECT unnest(list_transform(
+                    CASE WHEN len(tokens) >= 2 THEN
+                      list_transform(range(1, len(tokens)),
+                                     i -> tokens[i] || ' ' || tokens[i+1])
+                    ELSE [] END, b -> {{'b': b}})) AS u
+                  FROM tok
+                ) GROUP BY u.b
+              )) AS nb
+    )
+    SELECT bigram,
+      CAST(c_ab AS BIGINT) AS c_ab,
+      CAST(a.c AS BIGINT) AS c_a,
+      CAST(b2.c AS BIGINT) AS c_b,
+      round(ln((CAST(c_ab AS DOUBLE) * nu * nu)
+               / (nb * a.c * b2.c)), 6) AS pmi
+    FROM big
+    JOIN uni a ON a.t = string_split(bigram, ' ')[1]
+    JOIN uni b2 ON b2.t = string_split(bigram, ' ')[2]
+    CROSS JOIN totals
+    ORDER BY pmi DESC, bigram
+    LIMIT 20
+"""
+
+
 CURATION_REGISTRY: dict[str, QuerySpec] = {
+    "text_repetition_score": QuerySpec(
+        q_text_repetition_score, _SQL_TEXT_REPETITION_SCORE
+    ),
+    "text_bigram_pmi": QuerySpec(q_text_bigram_pmi, _SQL_TEXT_BIGRAM_PMI),
     "curate_stratified_sample": QuerySpec(
         q_curate_stratified_sample, _SQL_CURATE_STRATIFIED_SAMPLE
     ),

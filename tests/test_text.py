@@ -111,3 +111,65 @@ def test_train_test_split_is_stable_and_proportional(spark, sf_dir):
     assert a == b  # partitioning-independent assignment
     test_frac = sum(1 for v in a.values() if v == "test") / len(a)
     assert 0.03 < test_frac < 0.2  # ~10% ± hash noise at 500 docs
+
+
+# ------------------------- repetition signals & PMI (round-2 curation wave)
+
+
+def test_repetition_scores_hand_computed(spark):
+    from airflow_crypto_btc_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top a=3/4; types 2/4; bigrams: aa aa ab → dup 1/3
+            (2, "x y"),              # no repetition; 1 bigram, 0 dup
+            (3, "z"),                # single token: 0 bigrams → null frac
+            (4, "   "),              # tokenless: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_scores(docs).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_types"] == 2
+    assert got[1]["top_token_frac"] == 0.75
+    assert got[1]["dup_bigram_frac"] == round(1 - 2 / 3, 6)
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["dup_bigram_frac"] is None
+    assert got[3]["top_token_frac"] == 1.0
+
+
+def test_bigram_pmi_hand_computed(spark):
+    import math
+
+    from airflow_crypto_btc_spark.operators.text import bigram_pmi
+
+    # "u v" appears 3 times; fillers are distinct so only "u v" clears min_count
+    docs = spark.createDataFrame(
+        [(i, "u v") for i in range(3)] + [(10, "p q r")],
+        "doc_id long, text string",
+    )
+    out = bigram_pmi(docs, min_count=3, top_k=5).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["bigram"] == "u v"
+    nu, nb = 9.0, 5.0  # 9 unigrams, 5 bigrams
+    expect = math.log((3 * nu * nu) / (nb * 3 * 3))
+    assert row["pmi"] == round(expect, 6)
+
+
+def test_repetition_and_pmi_stay_jvm_side(spark, sf_dir):
+    from airflow_crypto_btc_spark.plans.registry_curation import (
+        q_text_bigram_pmi,
+        q_text_repetition_score,
+    )
+
+    for fn in (q_text_repetition_score, q_text_bigram_pmi):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+    # vocabulary joins must be broadcast, not shuffled
+    plan = q_text_bigram_pmi(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

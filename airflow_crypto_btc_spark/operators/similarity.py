@@ -476,3 +476,74 @@ def embedding_norms(
         F.expr(f"size({vec_col})").alias("dim"),
         F.round(F.sqrt(norm2_expr(vec_col)), 6).alias("l2_norm"),
     )
+
+
+def int8_quantize(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``scale = 127/max|x|``,
+    ``q_i = round(x_i · scale)`` — the 4× memory-compression step a
+    100 TB-scale vector store applies before ANN serving.  Pure array
+    higher-order functions (JVM-side, no UDF); a zero vector quantizes to
+    null (no scale exists).  Quantized dot products are *integer* math, so
+    downstream similarity is exact and engine-reproducible."""
+    maxabs = F.expr(
+        f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    )
+    df = vectors.withColumn("_maxabs", maxabs)
+    scale = F.when(F.col("_maxabs") > 0, F.lit(127.0) / F.col("_maxabs"))
+    df = df.withColumn("q_scale", scale)
+    q = F.when(
+        F.col("q_scale").isNotNull(),
+        F.expr(
+            f"transform({vec_col}, "
+            "x -> cast(round(cast(x as double) * q_scale) as int))"
+        ),
+    )
+    return df.withColumn("q_vec", q).drop("_maxabs")
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 20",
+    k: int = 10,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the memory-bound scale
+    path.  Same plan shape as `cosine_topk` (broadcast bounded query set,
+    streamed vector side, windowed top-k), but every pair evaluates an
+    integer dot product over arrays a quarter the size.  Integer sums are
+    associative, so the quantized cosine is bit-deterministic across
+    engines (only the final double division needs rounding)."""
+    qz = int8_quantize(vectors, id_col, vec_col).filter(
+        F.col("q_vec").isNotNull()
+    )
+    intdot = (
+        "aggregate(zip_with(qe, ve, (x, y) -> cast(x as bigint) * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    intnorm2 = (
+        "aggregate({0}, cast(0 as bigint), "
+        "(acc, x) -> acc + cast(x as bigint) * x)"
+    )
+    q = qz.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col("q_vec").alias("qe")
+    ).withColumn("qn2", F.expr(intnorm2.format("qe")))
+    v = qz.select(
+        F.col(id_col).alias("nid"), F.col("q_vec").alias("ve")
+    ).withColumn("vn2", F.expr(intnorm2.format("ve")))
+    pairs = v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+    denom = F.sqrt(F.col("qn2").cast("double")) * F.sqrt(
+        F.col("vn2").cast("double")
+    )
+    cos = F.when(denom != 0, F.round(F.expr(intdot) / denom, 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("q_cosine"), F.asc("nid"))
+    return (
+        pairs.withColumn("q_cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "q_cosine", "rnk")
+    )

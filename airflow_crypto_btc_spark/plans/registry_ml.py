@@ -201,7 +201,114 @@ def _exact_twin_sql():
 _SQL_MINHASH_SIG, _SQL_SIMHASH = _exact_twin_sql()
 
 
+# ------------------------------------------- int8 quantization (PQ-lite)
+
+
+def q_emb_int8_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization summary — the 4× compression
+    step before ANN serving (operators/similarity.int8_quantize).  Array
+    contents are summarized as exact integer stats so the comparison is
+    scalar-typed."""
+    from airflow_crypto_btc_spark.operators.similarity import int8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = int8_quantize(emb)
+    return qz.select(
+        "vec_id",
+        "label",
+        F.size("q_vec").cast("long").alias("n_dims"),
+        F.round("q_scale", 6).alias("q_scale"),
+        F.expr(
+            "aggregate(q_vec, cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("sum_q"),
+        F.expr("array_min(q_vec)").alias("min_q"),
+        F.expr("array_max(q_vec)").alias("max_q"),
+    )
+
+
+_SQL_EMB_INT8_QUANTIZE = """
+    WITH s AS (
+      SELECT vec_id, label,
+        127.0 / nullif(list_max(list_transform(
+          embedding, x -> abs(CAST(x AS DOUBLE)))), 0) AS q_scale,
+        embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, q_scale,
+        CASE WHEN q_scale IS NOT NULL THEN
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * q_scale) AS INTEGER))
+        END AS q_vec
+      FROM s
+    )
+    SELECT vec_id, label,
+      CAST(len(q_vec) AS BIGINT) AS n_dims,
+      round(q_scale, 6) AS q_scale,
+      CAST(list_sum(q_vec) AS BIGINT) AS sum_q,
+      CAST(list_min(q_vec) AS INTEGER) AS min_q,
+      CAST(list_max(q_vec) AS INTEGER) AS max_q
+    FROM q
+"""
+
+
+def q_sim_quantized_topk(spark, sf_dir):
+    """Cosine top-k over the int8-quantized vectors
+    (operators/similarity.quantized_topk): integer dot products are
+    associative, so unlike the float path this ANN variant is exactly
+    oracle-checkable, not just rows-only."""
+    from airflow_crypto_btc_spark.operators.similarity import quantized_topk
+
+    out = quantized_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+_SQL_SIM_QUANTIZED_TOPK = """
+    WITH s AS (
+      SELECT vec_id,
+        127.0 / nullif(list_max(list_transform(
+          embedding, x -> abs(CAST(x AS DOUBLE)))), 0) AS q_scale,
+        embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * q_scale) AS BIGINT)) AS qv
+      FROM s WHERE q_scale IS NOT NULL
+    ),
+    n AS (
+      SELECT vec_id, qv,
+        list_sum(list_transform(qv, x -> x * x)) AS n2
+      FROM q
+    ),
+    pairs AS (
+      SELECT qs.vec_id AS qid, vs.vec_id AS nid,
+        CASE WHEN sqrt(CAST(qs.n2 AS DOUBLE)) * sqrt(CAST(vs.n2 AS DOUBLE))
+                  <> 0 THEN
+          round(CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+                     i -> qs.qv[i] * vs.qv[i])) AS DOUBLE)
+                / (sqrt(CAST(qs.n2 AS DOUBLE)) * sqrt(CAST(vs.n2 AS DOUBLE))),
+                6)
+        END AS q_cosine
+      FROM n qs JOIN n vs ON vs.vec_id <> qs.vec_id
+      WHERE qs.vec_id < 20
+    )
+    SELECT qid, nid, q_cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY q_cosine DESC, nid) AS rnk
+      FROM pairs)
+    WHERE rnk <= 10
+"""
+
+
 ML_REGISTRY: dict[str, QuerySpec] = {
+    "emb_int8_quantize": QuerySpec(
+        q_emb_int8_quantize, _SQL_EMB_INT8_QUANTIZE
+    ),
+    "sim_quantized_topk": QuerySpec(
+        q_sim_quantized_topk, _SQL_SIM_QUANTIZED_TOPK
+    ),
     "sim_kmeans_centroids": QuerySpec(
         q_sim_kmeans_centroids, _SQL_KMEANS_CENTROIDS
     ),

@@ -245,3 +245,59 @@ def test_lsh_topk_probe_sets_nest(vectors):
     }
     for r in got[1].itertuples():
         assert exact[(r.qid, r.nid)] == r.cosine
+
+
+# ----------------------------- int8 quantization (round-2 wave)
+
+
+def test_int8_quantize_bounds_and_zero_vector(spark):
+    from airflow_crypto_btc_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0, 0.0]),  # zero vector: no scale
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in int8_quantize(df).collect()}
+    assert rows[1]["q_vec"] == [64, -127, 32]  # 127/2 per unit
+    assert max(abs(x) for x in rows[1]["q_vec"]) == 127
+    assert rows[2]["q_vec"] is None and rows[2]["q_scale"] is None
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve neighbor structure: recall@10 vs the
+    exact float cosine top-k stays high on the fixture embeddings."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb).collect()
+    quant = quantized_topk(emb).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    got = {}
+    for r in quant:
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    assert set(got) == set(truth)
+    recalls = [
+        len(truth[q] & got[q]) / len(truth[q]) for q in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_quantized_topk_plan_broadcasts_queries(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.similarity import quantized_topk
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    plan = (
+        quantized_topk(load_table(spark, sf_dir, "embeddings"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in plan

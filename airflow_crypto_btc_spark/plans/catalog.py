@@ -5,6 +5,7 @@ from __future__ import annotations
 from airflow_crypto_btc_spark.plans.registry import REGISTRY, QuerySpec
 from airflow_crypto_btc_spark.plans.registry_curation import CURATION_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_ext2 import EXT2_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_stream import STREAM_REGISTRY
@@ -15,6 +16,7 @@ from airflow_crypto_btc_spark.plans.registry_tpch3 import TPCH3_REGISTRY
 ALL_QUERIES: dict[str, QuerySpec] = {
     **REGISTRY,
     **EXT_REGISTRY,
+    **EXT2_REGISTRY,
     **MORE_REGISTRY,
     **ML_REGISTRY,
     **TPCH2_REGISTRY,

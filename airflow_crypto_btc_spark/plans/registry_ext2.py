@@ -1,0 +1,210 @@
+"""Round-2 surface extensions: date/array scalar batteries and two
+curation sampling operators (Efraimidis-Spirakis weighted reservoir and
+configured-mixture quota sampling).
+
+Determinism rules as in plans/registry.py; the weighted-sample libm ``pow``
+is rounded to 12 decimals before ranking with a doc_id tie-break so both
+engines make the identical top-k cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from airflow_crypto_btc_spark.plans.registry import QuerySpec
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------- date function battery
+
+
+def q_scalar_date_battery(spark, sf_dir):
+    """Calendar scalar functions over the distinct shipdate domain:
+    month bounds, parts, ISO week, clamped month arithmetic, day diffs.
+    Distinct-first keeps the battery O(|dates|), not O(|lineitem|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(F.to_date("l_shipdate").alias("d")).distinct()
+    return d.select(
+        "d",
+        F.last_day("d").alias("month_end"),
+        F.trunc("d", "month").alias("month_start"),
+        F.year("d").cast("long").alias("yr"),
+        F.quarter("d").cast("long").alias("qtr"),
+        F.month("d").cast("long").alias("mo"),
+        F.dayofmonth("d").cast("long").alias("dom"),
+        F.dayofweek("d").cast("long").alias("dow"),
+        F.dayofyear("d").cast("long").alias("doy"),
+        F.weekofyear("d").cast("long").alias("iso_week"),
+        F.add_months("d", 3).alias("plus_3m"),
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+_SQL_SCALAR_DATE_BATTERY = """
+    WITH d AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem)
+    SELECT d,
+      last_day(d) AS month_end,
+      CAST(date_trunc('month', d) AS DATE) AS month_start,
+      CAST(year(d) AS BIGINT) AS yr,
+      CAST(quarter(d) AS BIGINT) AS qtr,
+      CAST(month(d) AS BIGINT) AS mo,
+      CAST(day(d) AS BIGINT) AS dom,
+      CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+      CAST(dayofyear(d) AS BIGINT) AS doy,
+      CAST(weekofyear(d) AS BIGINT) AS iso_week,
+      CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+      CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT)
+        AS days_since_95
+    FROM d
+"""
+
+
+# ---------------------------------------------------- array function battery
+
+
+def q_scalar_array_battery(spark, sf_dir):
+    """Array higher-order surface over document token arrays: slicing,
+    reversal, set ops vs a literal stopword array, membership/position —
+    all JVM-side array expressions, zero shuffles."""
+    from airflow_crypto_btc_spark.operators.text import with_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = with_tokens(docs).select("doc_id", "tokens")
+    stop = "array('the', 'a', 'of', 'and')"
+    return t.select(
+        "doc_id",
+        F.expr("size(tokens)").cast("long").alias("n_tokens"),
+        F.expr("array_join(slice(tokens, 1, 5), ' ')").alias("first5"),
+        F.expr(
+            "CASE WHEN size(tokens) >= 3 "
+            "THEN array_join(slice(tokens, -3, 3), ' ') END"
+        ).alias("last3"),
+        F.expr("size(array_distinct(tokens))").cast("long").alias("n_types"),
+        F.expr("element_at(reverse(tokens), 1)").alias("last_token"),
+        F.expr("array_contains(tokens, 'the')").alias("has_the"),
+        F.expr("array_position(tokens, 'the')").cast("long").alias("pos_the"),
+        F.expr(
+            "array_join(array_sort(array_distinct("
+            f"array_intersect(tokens, {stop}))), ',')"
+        ).alias("stop_overlap"),
+    )
+
+
+_SQL_SCALAR_ARRAY_BATTERY = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+          AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(tokens) AS BIGINT) AS n_tokens,
+      array_to_string(list_slice(tokens, 1, 5), ' ') AS first5,
+      CASE WHEN len(tokens) >= 3
+           THEN array_to_string(list_slice(tokens, -3, -1), ' ')
+      END AS last3,
+      CAST(len(list_distinct(tokens)) AS BIGINT) AS n_types,
+      tokens[-1] AS last_token,
+      list_contains(tokens, 'the') AS has_the,
+      CAST(coalesce(list_position(tokens, 'the'), 0) AS BIGINT) AS pos_the,
+      coalesce(array_to_string(list_sort(list_distinct(
+        list_intersect(tokens, ['the', 'a', 'of', 'and']))), ','), '')
+        AS stop_overlap
+    FROM t
+"""
+
+
+# ------------------------------------- weighted reservoir sample (A-ES key)
+
+
+def q_curate_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: rank by
+    ``u^(1/w)`` with a deterministic per-doc uniform (md5-derived) and
+    weight = document length.  One global top-k over a derived key — at
+    scale this is a per-partition partial top-k + tiny final merge (Spark's
+    TakeOrderedAndProject), never a full sort."""
+    from airflow_crypto_btc_spark.functions.hashing import hex8_to_bigint_sql
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = hex8_to_bigint_sql("md5(concat(cast(doc_id as string), ':ws'))")
+    u = f"(({h}) + 0.5) / 4294967296.0"
+    key = F.round(
+        F.pow(F.expr(u), F.lit(1.0) / F.col("n_chars").cast("double")), 12
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_CURATE_WEIGHTED_SAMPLE = """
+    SELECT doc_id, source, n_chars,
+      round(pow(
+        (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))::BIGINT
+         + 0.5) / 4294967296.0,
+        1.0 / CAST(n_chars AS DOUBLE)), 12) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key DESC, doc_id
+    LIMIT 20
+"""
+
+
+# ------------------------------------------------ mixture quota sampling
+
+
+def q_curate_mixture(spark, sf_dir):
+    """Training-mixture construction: per-language quotas (out of a
+    100-doc budget) filled by deterministic hash rank — the data-mixing
+    step of a pretraining pipeline.  The quota table is a broadcast
+    dimension; ranking is one window per language partition."""
+    from airflow_crypto_btc_spark.functions.hashing import hex8_to_bigint_sql
+
+    quotas = [("en", 40), ("zh", 25), ("fr", 15), ("es", 10), ("de", 10)]
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = docs.sparkSession.createDataFrame(quotas, "lang string, quota int")
+    h = hex8_to_bigint_sql("md5(concat(cast(doc_id as string), ':mx'))")
+    w = Window.partitionBy("lang").orderBy(F.expr(h), F.col("doc_id"))
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "mix_rank", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(qdf), "lang")
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "mix_rank")
+    )
+
+
+_SQL_CURATE_MIXTURE = """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mx'),
+                    1, 8))::BIGINT, doc_id) AS mix_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(mix_rank AS BIGINT) AS mix_rank
+    FROM ranked
+    JOIN (VALUES ('en', 40), ('zh', 25), ('fr', 15), ('es', 10), ('de', 10))
+      AS q(lang2, quota) ON lang = lang2
+    WHERE mix_rank <= quota
+"""
+
+
+EXT2_REGISTRY: dict[str, QuerySpec] = {
+    "scalar_date_battery": QuerySpec(
+        q_scalar_date_battery, _SQL_SCALAR_DATE_BATTERY
+    ),
+    "scalar_array_battery": QuerySpec(
+        q_scalar_array_battery, _SQL_SCALAR_ARRAY_BATTERY
+    ),
+    "curate_weighted_sample": QuerySpec(
+        q_curate_weighted_sample, _SQL_CURATE_WEIGHTED_SAMPLE
+    ),
+    "curate_mixture": QuerySpec(q_curate_mixture, _SQL_CURATE_MIXTURE),
+}

@@ -184,3 +184,66 @@ def test_stratified_sample_deterministic_and_prefix_stable(spark):
     }
     old_ids = {d for d, _ in s1}
     assert s3_ids <= old_ids | set(range(200, 260))
+
+
+# --------------------------- round-2 sampling ops (registry_ext2)
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """E-S keys rank by u^(1/w): the sampled set's mean length must exceed
+    the corpus mean (weight = n_chars)."""
+    from airflow_crypto_btc_spark.plans.registry_ext2 import (
+        q_curate_weighted_sample,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    got = q_curate_weighted_sample(spark, sf_dir).toPandas()
+    assert len(got) == 20
+    assert got["es_key"].between(0, 1).all()
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    assert got["n_chars"].mean() > corpus_mean
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark, sf_dir):
+    from airflow_crypto_btc_spark.plans.registry_ext2 import (
+        q_curate_weighted_sample,
+    )
+
+    plan = (
+        q_curate_weighted_sample(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # partial top-k, no global sort
+
+
+def test_mixture_respects_quotas_and_broadcasts(spark, sf_dir):
+    from airflow_crypto_btc_spark.plans.registry_ext2 import q_curate_mixture
+
+    df = q_curate_mixture(spark, sf_dir)
+    got = df.toPandas()
+    quotas = {"en": 40, "zh": 25, "fr": 15, "es": 10, "de": 10}
+    counts = got.groupby("lang")["doc_id"].count().to_dict()
+    for lang, quota in quotas.items():
+        assert counts.get(lang, 0) <= quota
+    assert got["doc_id"].is_unique
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_stable_under_repartition(spark, sf_dir):
+    """Hash-rank selection must be independent of physical layout."""
+    from airflow_crypto_btc_spark.plans.registry_ext2 import q_curate_mixture
+
+    a = set(
+        q_curate_mixture(spark, sf_dir).toPandas()["doc_id"]
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        b = set(q_curate_mixture(spark, sf_dir).toPandas()["doc_id"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert a == b

@@ -246,11 +246,11 @@ def bigram_pmi(
         .agg(F.count("*").alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
     )
-    totals = uni.agg(
-        F.sum("c").cast("double").alias("nu"),
-    ).crossJoin(
-        tok.select(F.explode(shingles_expr("tokens", 2)).alias("b"))
-        .agg(F.count("*").cast("double").alias("nb"))
+    # One-pass corpus totals, no second explode: every doc with n ≥ 1
+    # tokens contributes n−1 bigrams, so NB = NU − #docs.
+    totals = tok.agg(
+        F.sum(F.size("tokens")).cast("double").alias("nu"),
+        (F.sum(F.size("tokens")) - F.count("*")).cast("double").alias("nb"),
     )
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     w2 = F.split(F.col("bigram"), " ").getItem(1)

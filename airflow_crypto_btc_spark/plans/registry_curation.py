@@ -274,18 +274,10 @@ _SQL_TEXT_BIGRAM_PMI = f"""
       HAVING count(*) >= 5
     ),
     totals AS (
-      SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nu,
-             (SELECT CAST(sum(c_ab0) AS DOUBLE) FROM (
-                SELECT count(*) AS c_ab0
-                FROM (
-                  SELECT unnest(list_transform(
-                    CASE WHEN len(tokens) >= 2 THEN
-                      list_transform(range(1, len(tokens)),
-                                     i -> tokens[i] || ' ' || tokens[i+1])
-                    ELSE [] END, b -> {{'b': b}})) AS u
-                  FROM tok
-                ) GROUP BY u.b
-              )) AS nb
+      -- NB = NU - #docs: every doc with n >= 1 tokens has n-1 bigrams
+      SELECT CAST(sum(len(tokens)) AS DOUBLE) AS nu,
+             CAST(sum(len(tokens)) - count(*) AS DOUBLE) AS nb
+      FROM tok
     )
     SELECT bigram,
       CAST(c_ab AS BIGINT) AS c_ab,

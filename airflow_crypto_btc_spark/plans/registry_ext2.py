@@ -196,7 +196,46 @@ _SQL_CURATE_MIXTURE = """
 """
 
 
+# --------------------------------------------- SQL-text entry point (§3.2)
+
+# ONE dialect-neutral ANSI string executed verbatim by BOTH engines —
+# Spark's Catalyst path via spark.sql over registered views (the reference's
+# pd.read_sql_query lifecycle, /root/reference/dags/dag_btc_daily.py:181-190)
+# and DuckDB as the oracle.  Decimal-cast sums + deterministic rank
+# tie-breaks per the registry float rules.
+_SHARED_SQL_MONTHLY_RANK = """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+        CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+    )
+    SELECT nation, month, revenue,
+      CAST(row_number() OVER (
+        PARTITION BY month ORDER BY revenue DESC, nation) AS BIGINT) AS rnk
+    FROM rev
+"""
+
+
+def q_sql_text_entrypoint(spark, sf_dir):
+    """SURVEY §3 entry point 2 — the SQL-string lifecycle: text → Catalyst
+    parse/analyze/optimize over registered views.  The exact same string is
+    the DuckDB oracle, proving the engine speaks portable ANSI SQL."""
+    from airflow_crypto_btc_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL_MONTHLY_RANK)
+
+
 EXT2_REGISTRY: dict[str, QuerySpec] = {
+    "sql_text_entrypoint": QuerySpec(
+        q_sql_text_entrypoint, _SHARED_SQL_MONTHLY_RANK
+    ),
     "scalar_date_battery": QuerySpec(
         q_scalar_date_battery, _SQL_SCALAR_DATE_BATTERY
     ),

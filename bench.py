@@ -70,6 +70,15 @@ HEADLINE = [
     "indicators_incremental",
     "mm_frame_sample",
     "mm_byte_features",
+    # round-2 wave: TA indicators, time-series utilities, curation/ANN
+    "win_rsi14",
+    "ewm_macd",
+    "ts_gap_fill",
+    "ts_twap",
+    "text_repetition_score",
+    "text_bigram_pmi",
+    "sim_quantized_topk",
+    "curate_weighted_sample",
 ]
 
 

@@ -3,6 +3,9 @@
 from __future__ import annotations
 
 from airflow_crypto_btc_spark.plans.registry import REGISTRY, QuerySpec
+from airflow_crypto_btc_spark.plans.registry_analytics import (
+    ANALYTICS_REGISTRY,
+)
 from airflow_crypto_btc_spark.plans.registry_curation import CURATION_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ext2 import EXT2_REGISTRY
@@ -24,4 +27,5 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     **CURATION_REGISTRY,
     **STREAM_REGISTRY,
     **TA_REGISTRY,
+    **ANALYTICS_REGISTRY,
 }

@@ -232,10 +232,37 @@ def q_sql_text_entrypoint(spark, sf_dir):
     return spark.sql(_SHARED_SQL_MONTHLY_RANK)
 
 
+# ------------------------------------------- mergeable HLL sketch rollup
+
+
+def q_approx_hll_users_rollup(spark, sf_dir):
+    """Two-level distinct counting with mergeable Datasketches HLL: one
+    sketch per (event_type, day) partition, then a union-merge per
+    event_type — the pattern that makes incremental/rollup distinct counts
+    possible at 100 TB (per-partition sketches persist; a new day unions
+    in O(sketch) instead of rescanning history).  Approximate → rows-only
+    driver check; accuracy vs exact is pinned by tests/test_analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("approx_users"),
+            F.count("*").cast("long").alias("n_days_merged"),
+        )
+    )
+
+
 EXT2_REGISTRY: dict[str, QuerySpec] = {
     "sql_text_entrypoint": QuerySpec(
         q_sql_text_entrypoint, _SHARED_SQL_MONTHLY_RANK
     ),
+    "approx_hll_users_rollup": QuerySpec(q_approx_hll_users_rollup, None),
     "scalar_date_battery": QuerySpec(
         q_scalar_date_battery, _SQL_SCALAR_DATE_BATTERY
     ),

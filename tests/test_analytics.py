@@ -70,3 +70,27 @@ def test_equiwidth_bins_cover_all_rows(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     assert got["n"].sum() == total
     assert got["bin"].between(0, 19).all()
+
+
+def test_hll_rollup_accuracy_vs_exact(spark, sf_dir):
+    """Merged per-day HLL sketches must estimate per-type distinct users
+    within HLL's error envelope (lgK=12 → ~1.6% σ; allow 5%)."""
+    from airflow_crypto_btc_spark.plans.registry_ext2 import (
+        q_approx_hll_users_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in q_approx_hll_users_rollup(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(1, 0.05 * n), (et, got[et], n)

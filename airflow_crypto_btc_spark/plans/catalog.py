@@ -11,6 +11,7 @@ from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ext2 import EXT2_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_sql import SQL_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_stream import STREAM_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ta import TA_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch2 import TPCH2_REGISTRY
@@ -28,4 +29,5 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     **STREAM_REGISTRY,
     **TA_REGISTRY,
     **ANALYTICS_REGISTRY,
+    **SQL_REGISTRY,
 }

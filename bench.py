@@ -79,6 +79,9 @@ HEADLINE = [
     "text_bigram_pmi",
     "sim_quantized_topk",
     "curate_weighted_sample",
+    "funnel_stages",
+    "cohort_retention",
+    "histogram_equidepth",
 ]
 
 

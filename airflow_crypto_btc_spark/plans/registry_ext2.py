@@ -258,7 +258,127 @@ def q_approx_hll_users_rollup(spark, sf_dir):
     )
 
 
+# --------------------------------------------- declarative DQ expectation suite
+
+
+def q_dq_expectation_suite(spark, sf_dir):
+    """Great-Expectations-style declarative rule suite evaluated in ONE
+    aggregation pass (the reference's quality_checks stage,
+    `/root/reference/dags/dag_btc_daily.py:373-443`, generalized to a rule
+    table): each rule row carries its metric, threshold, and verdict.
+    One single-row aggregate + a stack unpivot; the scan count is a
+    constant of the suite (2, from the two distinct-aggregates), never a
+    function of how many rules it evaluates."""
+    ev = load_table(spark, sf_dir, "events")
+    allowed = "('click','view','purchase','signup','error')"
+    m = ev.agg(
+        F.count("*").cast("double").alias("row_count"),
+        (F.count("ts") * F.lit(1.0) / F.count("*")).alias("ts_not_null"),
+        (
+            F.count(F.when(F.expr(f"event_type IN {allowed}"), 1))
+            * F.lit(1.0)
+            / F.count("*")
+        ).alias("type_valid"),
+        F.countDistinct("user_id").cast("double").alias("distinct_users"),
+        F.datediff(
+            F.to_date(F.max("ts")), F.lit("2024-01-01").cast("date")
+        ).cast("double").alias("freshness_days"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("event_id") * F.lit(1.0) / F.count("*")
+        ).alias("dup_rate"),
+    )
+    rules = [
+        ("row_count_min", "row_count", 1000.0, ">="),
+        ("ts_not_null_frac", "ts_not_null", 1.0, ">="),
+        ("event_type_valid_frac", "type_valid", 1.0, ">="),
+        ("distinct_users_min", "distinct_users", 10.0, ">="),
+        ("freshness_days_min", "freshness_days", 25.0, ">="),
+        ("event_id_dup_rate_max", "dup_rate", 0.0, "<="),
+    ]
+    stack_args = ", ".join(
+        f"'{name}', round({col}, 6), cast({thr} as double), "
+        + (f"{col} >= {thr}" if op == ">=" else f"{col} <= {thr}")
+        for name, col, thr, op in rules
+    )
+    return m.selectExpr(
+        f"stack({len(rules)}, {stack_args}) "
+        "as (rule, metric, threshold, passed)"
+    )
+
+
+_SQL_DQ_EXPECTATION_SUITE = """
+    WITH m AS (
+      SELECT
+        CAST(count(*) AS DOUBLE) AS row_count,
+        count(ts) * 1.0 / count(*) AS ts_not_null,
+        count(*) FILTER (WHERE event_type IN
+          ('click','view','purchase','signup','error')) * 1.0 / count(*)
+          AS type_valid,
+        CAST(count(DISTINCT user_id) AS DOUBLE) AS distinct_users,
+        CAST(date_diff('day', DATE '2024-01-01', CAST(max(ts) AS DATE))
+             AS DOUBLE) AS freshness_days,
+        1.0 - count(DISTINCT event_id) * 1.0 / count(*) AS dup_rate
+      FROM events
+    )
+    SELECT 'row_count_min' AS rule, round(row_count, 6) AS metric,
+           CAST(1000.0 AS DOUBLE) AS threshold, row_count >= 1000.0 AS passed
+    FROM m
+    UNION ALL SELECT 'ts_not_null_frac', round(ts_not_null, 6),
+           1.0, ts_not_null >= 1.0 FROM m
+    UNION ALL SELECT 'event_type_valid_frac', round(type_valid, 6),
+           1.0, type_valid >= 1.0 FROM m
+    UNION ALL SELECT 'distinct_users_min', round(distinct_users, 6),
+           10.0, distinct_users >= 10.0 FROM m
+    UNION ALL SELECT 'freshness_days_min', round(freshness_days, 6),
+           25.0, freshness_days >= 25.0 FROM m
+    UNION ALL SELECT 'event_id_dup_rate_max', round(dup_rate, 6),
+           0.0, dup_rate <= 0.0 FROM m
+"""
+
+
+# ------------------------------------------------ blocked fuzzy-match join
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Entity-resolution pattern: candidate pairs by cheap blocking key
+    (name prefix), exact Levenshtein ≤ 1 inside each block.  Blocking
+    turns the O(n²) all-pairs edit-distance into O(Σ block²) with
+    bounded blocks — the standard scale path for fuzzy joins; the
+    equi-join on the block key shuffles both sides once."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.expr("substr(c_name, 10, 7)").alias("blk")
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(b, "blk").filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        pairs.withColumn("lev", lev)
+        .filter(F.col("lev") <= 1)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("lev").cast("long").alias("lev"),
+        )
+    )
+
+
+_SQL_FUZZY_NAME_PAIRS = """
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+      CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 EXT2_REGISTRY: dict[str, QuerySpec] = {
+    "dq_expectation_suite": QuerySpec(
+        q_dq_expectation_suite, _SQL_DQ_EXPECTATION_SUITE
+    ),
+    "fuzzy_name_pairs": QuerySpec(q_fuzzy_name_pairs, _SQL_FUZZY_NAME_PAIRS),
     "sql_text_entrypoint": QuerySpec(
         q_sql_text_entrypoint, _SHARED_SQL_MONTHLY_RANK
     ),

@@ -94,3 +94,16 @@ def test_hll_rollup_accuracy_vs_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for et, n in exact.items():
         assert abs(got[et] - n) <= max(1, 0.05 * n), (et, got[et], n)
+
+
+def test_fuzzy_pairs_blocked_join_properties(spark, sf_dir):
+    from airflow_crypto_btc_spark.plans.registry_ext2 import (
+        q_fuzzy_name_pairs,
+    )
+
+    df = q_fuzzy_name_pairs(spark, sf_dir)
+    got = df.toPandas()
+    assert (got["lev"] <= 1).all()
+    assert (got["custkey_a"] < got["custkey_b"]).all()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # blocking key = equi-join

@@ -75,3 +75,55 @@ def test_indicator_completeness_gate(spark):
         rows_bad, "date date, ma30 double, vol30 double"
     )
     assert not check_indicator_completeness(broken, "2023-01-31").passed
+
+
+def test_expectation_suite_passes_on_fixture(spark, sf_dir):
+    """All six declarative rules hold on clean fixture data, and the rule
+    count adds no extra scans (single aggregate + stack unpivot)."""
+    from airflow_crypto_btc_spark.plans.registry_ext2 import (
+        q_dq_expectation_suite,
+    )
+
+    df = q_dq_expectation_suite(spark, sf_dir)
+    rows = {r["rule"]: r for r in df.collect()}
+    assert len(rows) == 6
+    assert all(r["passed"] for r in rows.values()), rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two distinct-aggregates (user_id, event_id) cost one extra scan;
+    # scan count is a constant of the suite, not of the rule count
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_expectation_suite_catches_violations(spark, tmp_path):
+    """A corrupted slice (dup ids, null ts, bad type) must flip the
+    matching rules to failed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_btc_spark.plans.registry_ext2 import (
+        q_dq_expectation_suite,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    bad = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 2), 7, "bogus_type", 1.0, "{}"),
+            (1, None, 8, "click", 2.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    bad = bad.withColumn("ts", F.col("ts").cast(src.schema["ts"].dataType))
+    src.unionByName(bad).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    rows = {
+        r["rule"]: r["passed"]
+        for r in q_dq_expectation_suite(spark, str(tmp_path)).collect()
+    }
+    assert not rows["ts_not_null_frac"]
+    assert not rows["event_type_valid_frac"]
+    assert not rows["event_id_dup_rate_max"]
+    assert rows["row_count_min"]

@@ -116,3 +116,20 @@ def overwrite_atomic(df: DataFrame, path: str) -> None:
     snapshot never see a half-written table (Delta/Iceberg make this fully
     ACID; plain parquet is atomic per job commit)."""
     df.write.mode("overwrite").parquet(path)
+
+
+def overwrite_day_partitions(
+    df: DataFrame, path: str, partition_col: str = "date"
+) -> None:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present in
+    ``df``, leaving sibling partitions' files untouched — the idempotent
+    per-day re-run the reference gets from its day-keyed upsert
+    (``/root/reference/dags/dag_btc_daily.py:219-230``), expressed as a
+    partitioned-table write.  At 100 TB this is the difference between
+    re-running one day (one partition swap) and rewriting the table."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1,0 +1,68 @@
+"""Write-path semantics: dynamic partition overwrite (idempotent day
+re-runs touch only their partition) and schema-evolution reads."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.merge import overwrite_day_partitions
+
+
+def _files(path, day):
+    return sorted(glob.glob(os.path.join(path, f"date={day}", "*.parquet")))
+
+
+def test_dynamic_overwrite_touches_only_its_partition(spark, tmp_path):
+    target = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0)],
+        "date string, close double",
+    )
+    overwrite_day_partitions(base, target)
+    before = {d: _files(target, d) for d in
+              ("2024-01-01", "2024-01-02", "2024-01-03")}
+    mtimes_before = {d: [os.path.getmtime(f) for f in fs]
+                     for d, fs in before.items()}
+
+    # re-run day 2 with corrected value
+    fix = spark.createDataFrame(
+        [("2024-01-02", 2.5)], "date string, close double"
+    )
+    overwrite_day_partitions(fix, target)
+
+    got = {
+        str(r["date"]): r["close"]  # partition values read back typed
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"2024-01-01": 1.0, "2024-01-02": 2.5, "2024-01-03": 3.0}
+    # untouched partitions keep their exact files
+    for d in ("2024-01-01", "2024-01-03"):
+        assert _files(target, d) == before[d]
+        assert [os.path.getmtime(f) for f in _files(target, d)] == \
+            mtimes_before[d]
+    # day 2's files were replaced
+    assert _files(target, "2024-01-02") != before["2024-01-02"]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Old files lack the new column; mergeSchema unifies and backfills
+    nulls — the append-only landing-zone evolution story."""
+    target = str(tmp_path / "landing")
+    v1 = spark.createDataFrame(
+        [("2024-01-01", 10.0)], "date string, close double"
+    )
+    v1.write.mode("append").parquet(target)
+    v2 = spark.createDataFrame(
+        [("2024-01-02", 11.0, 42.0)],
+        "date string, close double, volume double",
+    )
+    v2.write.mode("append").parquet(target)
+
+    merged = spark.read.option("mergeSchema", True).parquet(target)
+    assert set(merged.columns) == {"date", "close", "volume"}
+    rows = {r["date"]: r for r in merged.collect()}
+    assert rows["2024-01-01"]["volume"] is None
+    assert rows["2024-01-02"]["volume"] == 42.0

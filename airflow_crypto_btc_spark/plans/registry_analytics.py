@@ -260,7 +260,77 @@ _SQL_HISTOGRAM_EQUIWIDTH = """
 """
 
 
+# ------------------------------------- TPC-DS-style moving-average deviation
+
+
+def q_category_sales_deviation(spark, sf_dir):
+    """TPC-DS Q47-shaped: monthly revenue per part category vs its
+    centered 3-month moving average; report months deviating ≥ 10%.
+    Fact-to-dim broadcast join → one (category, month) aggregate → one
+    window pass over the tiny aggregate — raw-data growth only touches
+    the first stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    monthly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_type").alias("category"),
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("category").orderBy("month").rowsBetween(-1, 1)
+    avg3 = F.when(
+        F.count("revenue").over(w) == 3, F.avg("revenue").over(w)
+    )
+    out = monthly.withColumn("avg3", F.round(avg3, 6)).withColumn(
+        "dev_ratio",
+        F.round(
+            F.when(F.col("avg3") > 0, F.col("revenue") / F.col("avg3")), 6
+        ),
+    )
+    return out.filter(
+        (F.col("dev_ratio") >= 1.1) | (F.col("dev_ratio") <= 0.9)
+    ).select("category", "month", F.round("revenue", 6).alias("revenue"),
+             "avg3", "dev_ratio")
+
+
+_SQL_CATEGORY_SALES_DEVIATION = """
+    WITH monthly AS (
+      SELECT p.p_type AS category,
+        CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT category, month, revenue,
+        round(CASE WHEN count(revenue) OVER f = 3
+                   THEN avg(revenue) OVER f END, 6) AS avg3
+      FROM monthly
+      WINDOW f AS (PARTITION BY category ORDER BY month
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    )
+    SELECT category, month, round(revenue, 6) AS revenue, avg3,
+      round(CASE WHEN avg3 > 0 THEN revenue / avg3 END, 6) AS dev_ratio
+    FROM win
+    WHERE round(CASE WHEN avg3 > 0 THEN revenue / avg3 END, 6) >= 1.1
+       OR round(CASE WHEN avg3 > 0 THEN revenue / avg3 END, 6) <= 0.9
+"""
+
+
 ANALYTICS_REGISTRY: dict[str, QuerySpec] = {
+    "category_sales_deviation": QuerySpec(
+        q_category_sales_deviation, _SQL_CATEGORY_SALES_DEVIATION
+    ),
     "funnel_stages": QuerySpec(q_funnel_stages, _SQL_FUNNEL_STAGES),
     "cohort_retention": QuerySpec(
         q_cohort_retention, _SQL_COHORT_RETENTION

@@ -188,3 +188,67 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         exp["rv"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+@given(closes=closes)
+@SETTINGS
+def test_rsi_bounded_and_ewm_matches_pandas(spark, closes):
+    """RSI stays in [0, 100] wherever defined, and the EWM recursion
+    matches pandas ewm(adjust=False) on arbitrary positive series."""
+    from airflow_crypto_btc_spark.operators.ta import ewm_indicators, with_rsi
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": "A",
+            "date": pd.date_range("2024-01-01", periods=len(closes)).date,
+            "close": closes,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rsi = (
+        with_rsi(df).orderBy("date").toPandas()["rsi14"].dropna()
+    )
+    assert ((rsi >= 0) & (rsi <= 100)).all()
+
+    got = ewm_indicators(df).orderBy("date").toPandas()
+    e12 = pdf["close"].ewm(span=12, adjust=False).mean()
+    np.testing.assert_allclose(got["ema_fast"], e12, rtol=1e-9)
+
+
+@given(closes=closes)
+@SETTINGS
+def test_gap_fill_identity_on_dense_series(spark, closes):
+    """Gap-filling an already-dense daily series is the identity: no gap
+    rows, ffill == close everywhere."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": "A",
+            "date": pd.date_range("2024-01-01", periods=len(closes)).date,
+            "close": closes,
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    spine = (
+        d.groupBy("event_type")
+        .agg(F.min("date").alias("mn"), F.max("date").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        spine.join(d, ["event_type", "date"], "left")
+        .select(
+            "close",
+            F.last("close", ignorenulls=True).over(w).alias("ffill"),
+            F.col("close").isNull().alias("is_gap"),
+        )
+        .toPandas()
+    )
+    assert not out["is_gap"].any()
+    assert (out["ffill"] == out["close"]).all()

@@ -28,6 +28,7 @@ copy-on-write MERGE: rewrite only with the merged result, never in place.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import uuid
@@ -38,12 +39,19 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
+#: column types that get min/max stats in the commit log (data skipping)
+_STATS_TYPES = {
+    "int", "bigint", "smallint", "tinyint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "string",
+}
+
 
 @dataclass
 class Snapshot:
     version: int
     files: list[str]
     txn_ids: set[str] = field(default_factory=set)
+    stats: dict[str, dict] = field(default_factory=dict)
 
 
 def _log_path(table: str, version: int) -> str:
@@ -69,40 +77,112 @@ def current_snapshot(table: str, version: int | None = None) -> Snapshot:
         versions = [v for v in versions if v <= version]
     files: set[str] = set()
     txns: set[str] = set()
+    stats: dict[str, dict] = {}
     last = -1
     for v in versions:
         with open(_log_path(table, v)) as fh:
             entry = json.load(fh)
         for a in entry.get("add", []):
             files.add(a)
+            if a in entry.get("stats", {}):
+                stats[a] = entry["stats"][a]
         for r in entry.get("remove", []):
             files.discard(r)
+            stats.pop(r, None)
         if entry.get("txn_id"):
             txns.add(entry["txn_id"])
         last = v
-    return Snapshot(version=last, files=sorted(files), txn_ids=txns)
-
-
-def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
-) -> DataFrame:
-    """Scan exactly the files live at ``version`` — a consistent snapshot
-    regardless of concurrent commits or leftover uncommitted parts."""
-    snap = current_snapshot(table, version)
-    if not snap.files:
-        raise ValueError(f"snapshot table {table} is empty at v{version}")
-    return spark.read.parquet(
-        *[os.path.join(table, _DATA_DIR, f) for f in snap.files]
+    return Snapshot(
+        version=last, files=sorted(files), txn_ids=txns, stats=stats
     )
 
 
-def _write_parts(df: DataFrame, table: str) -> list[str]:
+def _json_safe(v):
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _collect_stats(df: DataFrame) -> dict:
+    """Per-part min/max column stats, computed at staging time (one small
+    aggregate job) and recorded in the commit entry — the data-skipping
+    metadata Delta/Iceberg keep per file.  JSON-safe: temporal values as
+    ISO strings (lexicographic order == chronological order)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in _STATS_TYPES
+    ]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}")]
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {
+        c: [_json_safe(row[f"mn__{c}"]), _json_safe(row[f"mx__{c}"])]
+        for c in cols
+        if row[f"mn__{c}"] is not None
+    }
+
+
+def _overlaps(file_stats: dict, col: str, lo, hi) -> bool:
+    """Conservative overlap test: a file is skippable ONLY when its stats
+    prove [min,max] ∩ [lo,hi] = ∅; missing stats keep the file."""
+    rng = (file_stats or {}).get(col)
+    if not rng:
+        return True
+    mn, mx = rng
+    lo, hi = _json_safe(lo), _json_safe(hi)
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: tuple | None = None,
+) -> DataFrame:
+    """Scan exactly the files live at ``version`` — a consistent snapshot
+    regardless of concurrent commits or leftover uncommitted parts.
+
+    ``prune=(col, lo, hi)`` additionally skips every file whose logged
+    min/max range provably misses [lo, hi] (None = unbounded side) —
+    log-level data skipping on top of parquet row-group pruning.  The
+    caller still applies its own row filter; pruning is a correct-by-
+    construction superset of the matching files."""
+    snap = current_snapshot(table, version)
+    if not snap.files:
+        raise ValueError(f"snapshot table {table} is empty at v{version}")
+    files = snap.files
+    if prune is not None:
+        col, lo, hi = prune
+        files = [
+            f for f in files if _overlaps(snap.stats.get(f), col, lo, hi)
+        ]
+    paths = [os.path.join(table, _DATA_DIR, f) for f in snap.files]
+    if not files:  # nothing can match: keep the schema, return zero rows
+        return spark.read.parquet(paths[0]).filter("1 = 0")
+    return spark.read.parquet(
+        *[os.path.join(table, _DATA_DIR, f) for f in files]
+    )
+
+
+def _write_parts(df: DataFrame, table: str) -> tuple[list[str], dict]:
     """Stage immutable data files (INVISIBLE until a commit references
-    them).  One part dir per staged write keeps names collision-free."""
+    them) plus their min/max column stats.  One part dir per staged write
+    keeps names collision-free; stats granularity is the part."""
     part = f"part-{uuid.uuid4().hex}"
     out = os.path.join(table, _DATA_DIR, part)
     df.write.mode("error").parquet(out)
-    return [part]
+    df_back = df.sparkSession.read.parquet(out)
+    return [part], {part: _collect_stats(df_back)}
 
 
 def _try_commit(table: str, version: int, entry: dict) -> bool:
@@ -125,6 +205,7 @@ def commit(
     operation: str,
     txn_id: str | None = None,
     max_retries: int = 20,
+    stats: dict | None = None,
 ) -> int:
     """Optimistic-concurrency commit loop: losers re-read the log and retry
     at the next version.  Append-shaped commits are always safe to retry;
@@ -139,6 +220,7 @@ def commit(
             "operation": operation,
             "add": add,
             "remove": remove,
+            **({"stats": stats} if stats else {}),
             **({"txn_id": txn_id} if txn_id else {}),
         }
         if _try_commit(table, version, entry):
@@ -158,9 +240,9 @@ def append(
     Returns the committed version, or -1 for an idempotent skip."""
     if txn_id and txn_id in current_snapshot(table).txn_ids:
         return -1
-    parts = _write_parts(df, table)
+    parts, stats = _write_parts(df, table)
     return commit(table, add=parts, remove=[], operation="append",
-                  txn_id=txn_id)
+                  txn_id=txn_id, stats=stats)
 
 
 def overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:
@@ -168,8 +250,9 @@ def overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:
     then one commit swaps the entire live set.  Readers see the old table
     until the commit lands, the new one after — never both, never neither."""
     old = current_snapshot(table).files
-    parts = _write_parts(df, table)
-    return commit(table, add=parts, remove=old, operation="overwrite")
+    parts, stats = _write_parts(df, table)
+    return commit(table, add=parts, remove=old, operation="overwrite",
+                  stats=stats)
 
 
 def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16):
@@ -248,12 +331,13 @@ def compact(
             )
         else:
             df = df.coalesce(target_parts)
-        parts = _write_parts(df, table)
+        parts, stats = _write_parts(df, table)
         entry = {
             "version": base.version + 1,
             "operation": "compact",
             "add": parts,
             "remove": base.files,
+            "stats": stats,
         }
         if _try_commit(table, base.version + 1, entry):
             return base.version + 1
@@ -302,5 +386,6 @@ def upsert(
     existing = read_snapshot(spark, table)
     merged = upsert_by_key(existing, incoming, key_cols, update_cols)
     old = current_snapshot(table).files
-    parts = _write_parts(merged, table)
-    return commit(table, add=parts, remove=old, operation="upsert")
+    parts, stats = _write_parts(merged, table)
+    return commit(table, add=parts, remove=old, operation="upsert",
+                  stats=stats)

@@ -86,8 +86,8 @@ def test_commit_race_retries_to_next_version(spark, day_slices, tmp_path):
     os.makedirs(os.path.join(tbl, "_log"), exist_ok=True)
     with open(os.path.join(tbl, "_log", "00000001.json"), "w") as fh:
         fh.write('{"version": 1, "operation": "noop", "add": [], "remove": []}')
-    parts = _write_parts(d1, tbl)
-    v = commit(tbl, add=parts, remove=[], operation="append")
+    parts, stats = _write_parts(d1, tbl)
+    v = commit(tbl, add=parts, remove=[], operation="append", stats=stats)
     assert v == 2
     assert read_snapshot(spark, tbl).count() == 2 * d1.count()
 
@@ -195,7 +195,7 @@ def test_vacuum_reclaims_only_expired_parts(spark, day_slices, tmp_path):
     compact(spark, tbl)
     # an uncommitted staged part (another writer's in-flight work) must
     # survive any vacuum
-    orphan = _write_parts(day_slices("2024-01-03"), tbl)[0]
+    orphan = _write_parts(day_slices("2024-01-03"), tbl)[0][0]
 
     deleted = vacuum(tbl, keep_versions=1)
     assert sorted(deleted) == sorted(pre.files)
@@ -256,3 +256,84 @@ def test_compact_zorder_clusters_files_for_data_skipping(spark, tmp_path):
     # and within 2x of the perfect tiling (z-curve boundary straggle)
     assert file_area(zed) < 0.5 * file_area(plain)
     assert file_area(zed) <= 2 * 100 * 100
+
+
+# ---------------------- log-level data skipping (round-2: file stats)
+
+
+def test_stats_pruned_read_skips_disjoint_files(spark, tmp_path):
+    """Three appends with disjoint date ranges → a pruned read opens only
+    the overlapping part's files, and still returns exactly the filtered
+    rows."""
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        current_snapshot,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    for month, vals in ((1, [1.0, 2.0]), (2, [3.0]), (3, [4.0, 5.0])):
+        df = spark.createDataFrame(
+            [(dt.date(2024, month, i + 1), v) for i, v in enumerate(vals)],
+            "date date, close double",
+        )
+        append(spark, df, table)
+
+    snap = current_snapshot(table)
+    assert len(snap.files) == 3
+    assert all(f in snap.stats and "date" in snap.stats[f]
+               for f in snap.files)
+
+    pruned = read_snapshot(
+        spark, table,
+        prune=("date", dt.date(2024, 2, 1), dt.date(2024, 2, 28)),
+    )
+    # only the February part's files are opened
+    opened = {p.split("/data/")[1].split("/")[0]
+              for p in pruned.inputFiles()}
+    assert len(opened) == 1
+    got = sorted(r["close"] for r in pruned.collect())
+    assert got == [3.0]
+
+    # unbounded-side prune: everything from March on
+    tail = read_snapshot(spark, table, prune=("date", dt.date(2024, 3, 1),
+                                              None))
+    assert sorted(r["close"] for r in tail.collect()) == [4.0, 5.0]
+
+
+def test_stats_pruned_read_empty_and_statless_files(spark, tmp_path):
+    """A range matching nothing returns an empty (schema-stable) frame;
+    a legacy commit without stats keeps its file (conservative)."""
+    import datetime as dt
+    import json
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        _log_path,
+        append,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1.0)], "date date, close double"
+    )
+    append(spark, df, table)
+
+    nothing = read_snapshot(
+        spark, table, prune=("date", dt.date(2030, 1, 1), None)
+    )
+    assert nothing.count() == 0
+    assert set(nothing.columns) == {"date", "close"}
+
+    # strip stats from the log entry → file must survive any prune
+    path = _log_path(table, 0)
+    entry = json.load(open(path))
+    entry.pop("stats", None)
+    json.dump(entry, open(path, "w"))
+    legacy = read_snapshot(
+        spark, table, prune=("date", dt.date(2030, 1, 1), None)
+    )
+    assert legacy.count() == 1

@@ -144,3 +144,20 @@ def streaming_dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+) -> DataFrame:
+    """Stream-static dimension enrichment: every micro-batch inner-joins
+    the (small, broadcast) static dimension — no state, no watermark; the
+    dim is re-resolvable per batch, so a replaced dim table is picked up
+    on the next trigger.  The streaming rendering of the reference's
+    constant `asset` dimension column
+    (`/root/reference/dags/dag_btc_daily.py:130`) generalized to a real
+    dimension join."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, "inner")

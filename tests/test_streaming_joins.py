@@ -141,3 +141,67 @@ def test_snapshot_sink_replay_is_exactly_once(spark, tmp_path):
         read_snapshot(spark, table).toPandas()["id"].tolist()
     )
     assert second == first  # no duplicate commits
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: drained enrichment equals the batch
+    join, including rows whose micro-batch differs."""
+    from airflow_crypto_btc_spark.streaming.joins import (
+        streaming_enrich_with_dim,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # static dim: per-user segment derived once, written as a table
+    dim = (
+        ev.groupBy("user_id")
+        .count()
+        .select(
+            "user_id",
+            (F.col("count") % 3).cast("int").alias("segment"),
+        )
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    static_dim = spark.read.parquet(dim_path)
+
+    landing = str(tmp_path / "landing")
+    for lo, hi in (("2024-01-01", "2024-01-16"), ("2024-01-16", "2024-02-15")):
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        streaming_enrich_with_dim(stream, static_dim)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("segment")
+        .count()
+        .toPandas()
+        .set_index("segment")["count"]
+        .to_dict()
+    )
+    want = (
+        ev.join(static_dim, "user_id")
+        .groupBy("segment")
+        .count()
+        .toPandas()
+        .set_index("segment")["count"]
+        .to_dict()
+    )
+    assert got == want and sum(got.values()) == ev.count()

@@ -518,8 +518,15 @@ def quantized_topk(
     integer dot product over arrays a quarter the size.  Integer sums are
     associative, so the quantized cosine is bit-deterministic across
     engines (only the final double division needs rounding)."""
-    qz = int8_quantize(vectors, id_col, vec_col).filter(
-        F.col("q_vec").isNotNull()
+    # Materialization barrier: in production the int8 vectors are a STORED
+    # column (quantize once at ingest); inline, the barrier keeps Catalyst
+    # from re-deriving the quantization expressions into the scan filter
+    # and join-side projections (measured 2× at sf0.1).  One tiny shuffle
+    # of int8 arrays — a quarter of the float bytes.
+    qz = (
+        int8_quantize(vectors, id_col, vec_col)
+        .filter(F.col("q_vec").isNotNull())
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     )
     intdot = (
         "aggregate(zip_with(qe, ve, (x, y) -> cast(x as bigint) * y), "

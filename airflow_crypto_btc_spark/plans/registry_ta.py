@@ -309,7 +309,112 @@ _SQL_TS_TWAP = """
 """
 
 
+# ------------------------------------------------------------ max drawdown
+
+
+def q_win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak / drawdown series per key with the trough flagged:
+    ``dd = close/runmax − 1`` over an expanding window, trough = the
+    deterministically-ranked minimum.  The running max is an exact
+    comparison (no accumulation), so only the ratio is rounded."""
+    d = _events_daily(spark, sf_dir).select("event_type", "date", "close")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    d = d.withColumn("peak", peak)
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc("drawdown"), F.asc("date")
+    )
+    return (
+        d.withColumn("drawdown", F.round(
+            F.when(F.col("peak") != 0, F.col("close") / F.col("peak") - 1), 6
+        ))
+        .withColumn("is_trough", F.row_number().over(wr) == 1)
+        .select("event_type", "date", "close", "peak", "drawdown",
+                "is_trough")
+    )
+
+
+_SQL_WIN_MAX_DRAWDOWN = f"""
+    WITH d AS (
+      SELECT event_type, date, close,
+        max(close) OVER (PARTITION BY event_type ORDER BY date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS peak
+      FROM ({_SQL_DAILY})
+    ),
+    dd AS (
+      SELECT event_type, date, close, peak,
+        round(CASE WHEN peak <> 0 THEN close / peak - 1 END, 6) AS drawdown
+      FROM d
+    )
+    SELECT event_type, date, close, peak, drawdown,
+      row_number() OVER (PARTITION BY event_type
+                         ORDER BY drawdown ASC, date ASC) = 1 AS is_trough
+    FROM dd
+"""
+
+
+# ----------------------------------------------- cross-asset correlation
+
+
+def q_corr_matrix_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily returns between asset keys:
+    date-aligned self-join of the (tiny, aggregated) returns table, one
+    co-moment aggregate per unordered pair.  The join input is days ×
+    keys regardless of raw volume."""
+    d = _events_daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("date")
+    prev = F.lag("close", 1).over(w)
+    r = d.select(
+        "event_type", "date",
+        F.when(prev != 0, F.col("close") / prev - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.select(
+        F.col("event_type").alias("asset_a"),
+        "date",
+        F.col("ret").alias("ret_a"),
+    )
+    b = r.select(
+        F.col("event_type").alias("asset_b"),
+        "date",
+        F.col("ret").alias("ret_b"),
+    )
+    return (
+        a.join(b, "date")
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .groupBy("asset_a", "asset_b")
+        .agg(
+            F.round(F.corr("ret_a", "ret_b"), 6).alias("ret_corr"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )
+
+
+_SQL_CORR_MATRIX_ASSETS = f"""
+    WITH r AS (
+      SELECT event_type, date,
+        close / lag(close) OVER (PARTITION BY event_type ORDER BY date)
+          - 1 AS ret
+      FROM ({_SQL_DAILY})
+    ),
+    rr AS (SELECT * FROM r WHERE ret IS NOT NULL)
+    SELECT a.event_type AS asset_a, b.event_type AS asset_b,
+      round(corr(a.ret, b.ret), 6) AS ret_corr,
+      CAST(count(*) AS BIGINT) AS n_days
+    FROM rr a JOIN rr b ON a.date = b.date AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+
 TA_REGISTRY: dict[str, QuerySpec] = {
+    "win_max_drawdown": QuerySpec(q_win_max_drawdown, _SQL_WIN_MAX_DRAWDOWN),
+    "corr_matrix_assets": QuerySpec(
+        q_corr_matrix_assets, _SQL_CORR_MATRIX_ASSETS
+    ),
     "win_rsi14": QuerySpec(q_win_rsi14, _SQL_WIN_RSI14),
     "win_bollinger": QuerySpec(q_win_bollinger, _SQL_WIN_BOLLINGER),
     "win_rolling_median": QuerySpec(

@@ -240,3 +240,28 @@ def test_ta_plans_stay_jvm_side(spark, daily):
         ewm_indicators(daily)._jdf.queryExecution().executedPlan().toString()
     )
     assert "FlatMapGroupsInPandas" in ewm_plan
+
+
+def test_max_drawdown_invariants(spark):
+    from airflow_crypto_btc_spark.plans.registry_ta import q_win_max_drawdown
+
+    got = q_win_max_drawdown(spark, "/root/testdata/sf0.001").toPandas()
+    assert (got["drawdown"] <= 0).all()  # never above the running peak
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("date").reset_index(drop=True)
+        assert (g["peak"].cummax() == g["peak"]).all()  # peak is monotone
+        assert g["is_trough"].sum() == 1
+        trough = g[g["is_trough"]].iloc[0]
+        assert trough["drawdown"] == g["drawdown"].min()
+
+
+def test_corr_matrix_symmetric_bounds(spark):
+    from airflow_crypto_btc_spark.plans.registry_ta import (
+        q_corr_matrix_assets,
+    )
+
+    got = q_corr_matrix_assets(spark, "/root/testdata/sf0.001").toPandas()
+    assert (got["asset_a"] < got["asset_b"]).all()  # unordered pairs once
+    assert got["ret_corr"].dropna().between(-1, 1).all()
+    n = got[["asset_a", "asset_b"]].stack().nunique()
+    assert len(got) == n * (n - 1) // 2  # full matrix upper triangle

@@ -410,7 +410,188 @@ _SQL_CORR_MATRIX_ASSETS = f"""
 """
 
 
+# ------------------------------------------- stochastic oscillator & ATR
+
+
+def q_win_stochastic_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K over the trailing 14-day high/low range,
+    %D = 3-day mean of %K) and Average True Range (Wilder's TR with a
+    14-day simple mean) — both straight window expressions over the daily
+    OHLC base, sharing one exchange+sort.  Flat-range days (%K undefined)
+    stay null."""
+    d = _events_daily(spark, sf_dir).select(
+        "event_type", "date", "high", "low", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("date")
+    f14 = w.rowsBetween(-13, 0)
+    f3 = w.rowsBetween(-2, 0)
+    hi14 = F.max("high").over(f14)
+    lo14 = F.min("low").over(f14)
+    n14 = F.count("close").over(f14)
+    prev_close = F.lag("close", 1).over(w)
+    pct_k = F.when(
+        (n14 >= 14) & (hi14 != lo14),
+        (F.col("close") - lo14) / (hi14 - lo14) * 100.0,
+    )
+    d = d.withColumn("pct_k", F.round(pct_k, 6))
+    pct_d = F.when(
+        F.count("pct_k").over(f3) >= 3, F.avg("pct_k").over(f3)
+    )
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_close),
+        F.abs(F.col("low") - prev_close),
+    )
+    d = d.withColumn("tr", tr)
+    atr = F.when(
+        F.count("tr").over(f14) >= 14, F.avg("tr").over(f14)
+    )
+    return d.select(
+        "event_type", "date", "close",
+        "pct_k",
+        F.round(pct_d, 6).alias("pct_d"),
+        F.round("tr", 6).alias("tr"),
+        F.round(atr, 6).alias("atr14"),
+    )
+
+
+_SQL_WIN_STOCHASTIC_ATR = f"""
+    WITH d AS (SELECT event_type, date, high, low, close
+               FROM ({_SQL_DAILY})),
+    k AS (
+      SELECT event_type, date, close, high, low,
+        round(CASE WHEN count(close) OVER f14 >= 14
+                    AND max(high) OVER f14 <> min(low) OVER f14
+              THEN (close - min(low) OVER f14)
+                   / (max(high) OVER f14 - min(low) OVER f14) * 100.0
+              END, 6) AS pct_k,
+        greatest(high - low,
+                 abs(high - lag(close) OVER w),
+                 abs(low  - lag(close) OVER w)) AS tr
+      FROM d
+      WINDOW
+        f14 AS (PARTITION BY event_type ORDER BY date
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        w AS (PARTITION BY event_type ORDER BY date)
+    )
+    SELECT event_type, date, close, pct_k,
+      round(CASE WHEN count(pct_k) OVER f3 >= 3
+                 THEN avg(pct_k) OVER f3 END, 6) AS pct_d,
+      round(tr, 6) AS tr,
+      round(CASE WHEN count(tr) OVER f14 >= 14
+                 THEN avg(tr) OVER f14 END, 6) AS atr14
+    FROM k
+    WINDOW
+      f3 AS (PARTITION BY event_type ORDER BY date
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      f14 AS (PARTITION BY event_type ORDER BY date
+              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------- anomaly runs (gaps & islands)
+
+
+def q_anomaly_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-anomaly detection: consecutive days with |ret| above one
+    trailing stddev (10-day frame) collapse into runs (gaps-and-islands over the outlier
+    flag), reporting each run's span and peak |z|.  Composition of the
+    z-score operator with the islands pattern — two window passes over the
+    same keyed ordering + one aggregate."""
+    from airflow_crypto_btc_spark.operators.ta import with_zscore_outliers
+
+    z = with_zscore_outliers(
+        _events_daily(spark, sf_dir), period=10, threshold=1.0
+    ).select("event_type", "date", F.round("zscore", 6).alias("zscore"),
+             "is_outlier")
+    w = Window.partitionBy("event_type").orderBy("date")
+    flag = F.col("is_outlier").cast("int")
+    z = z.withColumn(
+        "new_run",
+        F.when(
+            flag
+            == 1,
+            F.when(
+                F.lag(flag, 1, 0).over(w) == 0, 1
+            ).otherwise(0),
+        ).otherwise(0),
+    )
+    z = z.withColumn(
+        "run_id",
+        F.when(
+            F.col("is_outlier"),
+            F.sum("new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ),
+    )
+    return (
+        z.filter(F.col("is_outlier"))
+        .groupBy("event_type", "run_id")
+        .agg(
+            F.min("date").alias("run_start"),
+            F.max("date").alias("run_end"),
+            F.count("*").cast("long").alias("run_days"),
+            F.round(F.max(F.abs(F.col("zscore"))), 6).alias("peak_abs_z"),
+        )
+        .withColumn("run_id", F.col("run_id").cast("long"))
+    )
+
+
+_SQL_ANOMALY_RUNS = f"""
+    WITH d AS (
+      SELECT event_type, date, close,
+        close / lag(close) OVER w - 1.0 AS ret
+      FROM ({_SQL_DAILY})
+      WINDOW w AS (PARTITION BY event_type ORDER BY date)
+    ),
+    z AS (
+      SELECT event_type, date,
+        round(CASE WHEN count(ret) OVER f >= 10 THEN
+          CASE WHEN stddev_samp(ret) OVER f > 0 THEN
+            (ret - avg(ret) OVER f) / (stddev_samp(ret) OVER f)
+          END END, 6) AS zscore
+      FROM d
+      WINDOW f AS (PARTITION BY event_type ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    flags AS (
+      SELECT event_type, date, zscore,
+        coalesce(abs(zscore) > 1.0, false) AS is_outlier
+      FROM z
+    ),
+    starts AS (
+      SELECT event_type, date, zscore, is_outlier,
+        CASE WHEN is_outlier AND NOT coalesce(
+               lag(is_outlier) OVER (PARTITION BY event_type ORDER BY date),
+               false)
+             THEN 1 ELSE 0 END AS new_run
+      FROM flags
+    ),
+    runs AS (
+      SELECT event_type, date, zscore, is_outlier,
+        CASE WHEN is_outlier THEN
+          sum(new_run) OVER (PARTITION BY event_type ORDER BY date
+                             ROWS UNBOUNDED PRECEDING)
+        END AS run_id
+      FROM starts
+    )
+    SELECT event_type, CAST(run_id AS BIGINT) AS run_id,
+      min(date) AS run_start,
+      max(date) AS run_end,
+      CAST(count(*) AS BIGINT) AS run_days,
+      round(max(abs(zscore)), 6) AS peak_abs_z
+    FROM runs
+    WHERE is_outlier
+    GROUP BY 1, 2
+"""
+
+
 TA_REGISTRY: dict[str, QuerySpec] = {
+    "win_stochastic_atr": QuerySpec(
+        q_win_stochastic_atr, _SQL_WIN_STOCHASTIC_ATR
+    ),
+    "anomaly_runs": QuerySpec(q_anomaly_runs, _SQL_ANOMALY_RUNS),
     "win_max_drawdown": QuerySpec(q_win_max_drawdown, _SQL_WIN_MAX_DRAWDOWN),
     "corr_matrix_assets": QuerySpec(
         q_corr_matrix_assets, _SQL_CORR_MATRIX_ASSETS

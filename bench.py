@@ -90,8 +90,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # Warmup: JVM, parquet footer cache, codegen paths.
+    # Warmup: JVM, codegen paths, and the one-time parquet datasource /
+    # Hadoop initialization (otherwise the first timed query absorbs ~3 s
+    # of cold-start that is not plan-execution cost).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(
+        1
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

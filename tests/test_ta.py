@@ -265,3 +265,38 @@ def test_corr_matrix_symmetric_bounds(spark):
     assert got["ret_corr"].dropna().between(-1, 1).all()
     n = got[["asset_a", "asset_b"]].stack().nunique()
     assert len(got) == n * (n - 1) // 2  # full matrix upper triangle
+
+
+def test_stochastic_atr_invariants(spark):
+    from airflow_crypto_btc_spark.plans.registry_ta import (
+        q_win_stochastic_atr,
+    )
+
+    got = q_win_stochastic_atr(spark, "/root/testdata/sf0.001").toPandas()
+    k = got["pct_k"].dropna()
+    assert k.between(0, 100).all()  # close sits inside the 14-day range
+    assert (got["tr"].dropna() >= 0).all()
+    assert (got["atr14"].dropna() >= 0).all()
+    # %D only defined once 3 %K values exist
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("date")
+        first_k = g["pct_k"].notna().idxmax()
+        assert g["pct_d"].loc[:first_k].isna().all()
+
+
+def test_anomaly_runs_are_maximal(spark):
+    from airflow_crypto_btc_spark.plans.registry_ta import q_anomaly_runs
+
+    got = q_anomaly_runs(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(got) > 0
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("run_start")
+        # runs don't overlap and are separated by at least one calm day
+        prev_end = None
+        for _, r in g.iterrows():
+            assert r["run_end"] >= r["run_start"]
+            span = (r["run_end"] - r["run_start"]).days + 1
+            assert span == r["run_days"]
+            if prev_end is not None:
+                assert (r["run_start"] - prev_end).days >= 2
+            prev_end = r["run_end"]

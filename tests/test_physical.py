@@ -130,3 +130,31 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_global_sorted_export_files_are_range_disjoint(spark, sf_dir, tmp_path):
+    """Sorted export: repartitionByRange + sortWithinPartitions writes files
+    whose [min,max] key ranges don't overlap — a totally-ordered layout
+    (range-prunable, mergeable) without a single-reducer global sort."""
+    import pyarrow.parquet as pq
+
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    out = str(tmp_path / "sorted")
+    (
+        ev.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.parquet(out)
+    )
+    ranges = []
+    import glob
+
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f, columns=["event_id"])["event_id"].to_pylist()
+        assert t == sorted(t)  # sorted within file
+        ranges.append((min(t), max(t)))
+    ranges.sort()
+    assert len(ranges) >= 3
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, totally ordered across files

@@ -374,7 +374,93 @@ _SQL_FUZZY_NAME_PAIRS = """
 """
 
 
+# --------------------------------------------- error-safe scalar battery
+
+
+def q_scalar_try_battery(spark, sf_dir):
+    """ANSI-mode error-safe scalars: Spark 4 runs ANSI by default, where
+    bare division-by-zero and malformed casts THROW; the try_* family
+    yields null instead.  The oracle mirrors with TRY_CAST and guarded
+    division (DuckDB's double division is non-ANSI IEEE).  Exercised on
+    real data plus literal poison values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("try_divide(value, value - value)").alias("div_by_zero"),
+        F.expr("try_divide(value, 2.0)").alias("safe_half"),
+        F.expr("try_cast(props AS INT)").alias("json_as_int"),
+        F.expr("try_cast(substr(cast(ts as string), 1, 10) AS DATE)")
+        .alias("ts_prefix_date"),
+    )
+
+
+_SQL_SCALAR_TRY_BATTERY = """
+    SELECT event_id,
+      CASE WHEN value - value <> 0.0 THEN value / (value - value)
+      END AS div_by_zero,
+      value / 2.0 AS safe_half,
+      TRY_CAST(props AS INTEGER) AS json_as_int,
+      TRY_CAST(substr(CAST(ts AS VARCHAR), 1, 10) AS DATE)
+        AS ts_prefix_date
+    FROM events
+"""
+
+
+# --------------------------------------------- nested struct build/unnest
+
+
+def q_nested_struct_roundtrip(spark, sf_dir):
+    """Nested-type surface: collect each order's lineitems into a sorted
+    array of structs, compute on the nested value (size, struct field
+    access via element_at, higher-order sum over struct fields), i.e. the
+    document-model round trip relational → nested → scalars.  The oracle
+    states the same VALUES relationally (min_by / count / decimal sum) —
+    the comparison pins semantics, not representation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_partkey", "l_quantity")
+                )
+            ).alias("items")
+        )
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.col("items")[0]["l_partkey"].alias("first_part"),
+        F.element_at("items", -1)["l_linenumber"]
+        .cast("long")
+        .alias("last_line"),
+        F.expr(
+            "cast(aggregate(items, cast(0 as decimal(38,6)), "
+            "(acc, x) -> acc + cast(x.l_quantity as decimal(38,6))) "
+            "as double)"
+        ).alias("total_qty"),
+    )
+
+
+_SQL_NESTED_STRUCT_ROUNDTRIP = """
+    SELECT l_orderkey,
+      CAST(count(*) AS BIGINT) AS n_items,
+      min_by(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey)
+        AS first_part,
+      CAST(max(l_linenumber) AS BIGINT) AS last_line,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+"""
+
+
 EXT2_REGISTRY: dict[str, QuerySpec] = {
+    "scalar_try_battery": QuerySpec(
+        q_scalar_try_battery, _SQL_SCALAR_TRY_BATTERY
+    ),
+    "nested_struct_roundtrip": QuerySpec(
+        q_nested_struct_roundtrip, _SQL_NESTED_STRUCT_ROUNDTRIP
+    ),
     "dq_expectation_suite": QuerySpec(
         q_dq_expectation_suite, _SQL_DQ_EXPECTATION_SUITE
     ),

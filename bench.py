@@ -82,6 +82,11 @@ HEADLINE = [
     "funnel_stages",
     "cohort_retention",
     "histogram_equidepth",
+    "win_max_drawdown",
+    "anomaly_runs",
+    "category_sales_deviation",
+    "dq_expectation_suite",
+    "sql_recursive_return_index",
 ]
 
 

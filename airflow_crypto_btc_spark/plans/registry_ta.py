@@ -587,7 +587,149 @@ _SQL_ANOMALY_RUNS = f"""
 """
 
 
+# --------------------------------------------- OHLC resample daily→weekly
+
+
+def q_ohlc_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granularity rollup of OHLC bars: weekly candles from daily candles
+    (open = first-by-date, close = last-by-date, high/low = extrema,
+    volume-proxy = summed n_obs) — the same order-deterministic
+    min_by/max_by discipline as the daily aggregation (A1), applied one
+    level up.  Mergeable: weekly bars from daily bars equal weekly bars
+    from raw events."""
+    d = _events_daily(spark, sf_dir)
+    week = F.to_date(F.date_trunc("week", "date"))
+    return (
+        d.groupBy("event_type", week.alias("week"))
+        .agg(
+            F.expr("min_by(open, date)").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.expr("max_by(close, date)").alias("close"),
+            F.sum("n_obs").cast("long").alias("n_obs"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )
+
+
+_SQL_OHLC_RESAMPLE_WEEKLY = f"""
+    SELECT event_type,
+      CAST(date_trunc('week', date) AS DATE) AS week,
+      arg_min(open, date) AS open,
+      max(high) AS high,
+      min(low) AS low,
+      arg_max(close, date) AS close,
+      CAST(sum(n_obs) AS BIGINT) AS n_obs,
+      CAST(count(*) AS BIGINT) AS n_days
+    FROM ({_SQL_DAILY})
+    GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- MA-crossover backtest
+
+
+def q_backtest_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal backtest over the indicator table: long when ma7 > ma30
+    (positions lag the signal by one day — no lookahead), strategy return
+    = position × daily return.  Per-key summary: days in market, signal
+    flips, decimal-summed strategy vs buy-and-hold return.  The whole
+    backtest is two window passes + one aggregation over the daily table
+    — the pattern that makes parameter sweeps cheap at scale (each sweep
+    point is another column, not another scan)."""
+    from airflow_crypto_btc_spark.operators.indicators import with_indicators
+
+    d = with_indicators(
+        _events_daily(spark, sf_dir), ma_short=7, ma_long=10, vol_window=10
+    )
+    w = Window.partitionBy("event_type").orderBy("date")
+    signal = F.when(
+        F.col("ma7").isNotNull() & F.col("ma30").isNotNull(),
+        (F.col("ma7") > F.col("ma30")).cast("int"),
+    ).otherwise(0)
+    d = d.withColumn("signal", signal)
+    d = d.withColumn("position", F.lag("signal", 1, 0).over(w))
+    d = d.withColumn(
+        "strat_ret",
+        F.when(
+            (F.col("position") == 1) & F.col("ret").isNotNull(),
+            F.col("ret"),
+        ).otherwise(F.lit(0.0)),
+    )
+    flip = (F.col("signal") != F.lag("signal", 1, 0).over(w)).cast("int")
+    d = d.withColumn("flip", flip)
+    return d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("position").cast("long").alias("days_in_market"),
+        F.sum("flip").cast("long").alias("n_flips"),
+        F.round(
+            F.sum(F.col("strat_ret").cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("strategy_return"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("ret"), F.lit(0.0)).cast("decimal(38,12)")
+            ).cast("double"),
+            6,
+        ).alias("buy_hold_return"),
+    )
+
+
+# ma_long/vol shortened to 10 so signals exist inside the 30-day fixture
+# window; the Spark side uses the identical windows via with_indicators
+# (column names stay ma7/ma30 per the reference DDL).
+_SQL_BACKTEST_MA_CROSSOVER = f"""
+    WITH d AS (
+      SELECT event_type, date, close,
+        close / lag(close) OVER w - 1.0 AS ret,
+        CASE WHEN count(close) OVER f7 >= 7
+             THEN avg(close) OVER f7 END AS ma7,
+        CASE WHEN count(close) OVER f10 >= 10
+             THEN avg(close) OVER f10 END AS ma30
+      FROM ({_SQL_DAILY})
+      WINDOW
+        w AS (PARTITION BY event_type ORDER BY date),
+        f7 AS (PARTITION BY event_type ORDER BY date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        f10 AS (PARTITION BY event_type ORDER BY date
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    sig AS (
+      SELECT event_type, date, ret,
+        CASE WHEN ma7 IS NOT NULL AND ma30 IS NOT NULL AND ma7 > ma30
+             THEN 1 ELSE 0 END AS signal
+      FROM d
+    ),
+    pos AS (
+      SELECT event_type, date, ret, signal,
+        coalesce(lag(signal) OVER w, 0) AS position,
+        CASE WHEN signal <> coalesce(lag(signal) OVER w, 0)
+             THEN 1 ELSE 0 END AS flip
+      FROM sig
+      WINDOW w AS (PARTITION BY event_type ORDER BY date)
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_days,
+      CAST(sum(position) AS BIGINT) AS days_in_market,
+      CAST(sum(flip) AS BIGINT) AS n_flips,
+      round(CAST(sum(CAST(CASE WHEN position = 1 AND ret IS NOT NULL
+                               THEN ret ELSE 0.0 END
+                          AS DECIMAL(38,12))) AS DOUBLE), 6)
+        AS strategy_return,
+      round(CAST(sum(CAST(coalesce(ret, 0.0) AS DECIMAL(38,12)))
+                 AS DOUBLE), 6) AS buy_hold_return
+    FROM pos
+    GROUP BY 1
+"""
+
+
 TA_REGISTRY: dict[str, QuerySpec] = {
+    "ohlc_resample_weekly": QuerySpec(
+        q_ohlc_resample_weekly, _SQL_OHLC_RESAMPLE_WEEKLY
+    ),
+    "backtest_ma_crossover": QuerySpec(
+        q_backtest_ma_crossover, _SQL_BACKTEST_MA_CROSSOVER
+    ),
     "win_stochastic_atr": QuerySpec(
         q_win_stochastic_atr, _SQL_WIN_STOCHASTIC_ATR
     ),

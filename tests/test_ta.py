@@ -300,3 +300,65 @@ def test_anomaly_runs_are_maximal(spark):
             if prev_end is not None:
                 assert (r["run_start"] - prev_end).days >= 2
             prev_end = r["run_end"]
+
+
+def test_weekly_resample_merges_with_daily(spark):
+    """Weekly bars re-aggregated from daily bars must equal weekly bars
+    computed straight from raw events (mergeability of OHLC)."""
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+    from airflow_crypto_btc_spark.plans.registry_ta import (
+        q_ohlc_resample_weekly,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_ohlc_resample_weekly(spark, sf)
+        .toPandas()
+        .sort_values(["event_type", "week"])
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, sf, "events")
+    direct = (
+        daily_ohlc(
+            ev.withColumn("ts_w", F.expr("date_trunc('week', ts)")),
+            ts_col="ts",
+            price_col="value",
+            key_cols=("event_type",),
+        )
+    )
+    # weekly from raw: group daily ohlc of week granularity
+    import pandas as pd
+
+    raw = ev.toPandas()
+    raw["week"] = (
+        pd.to_datetime(raw["ts"]).dt.to_period("W").dt.start_time.dt.date
+    )
+    raw = raw.sort_values("ts")
+    ref = (
+        raw.groupby(["event_type", "week"])
+        .agg(
+            open=("value", "first"),
+            high=("value", "max"),
+            low=("value", "min"),
+            close=("value", "last"),
+            n_obs=("value", "size"),
+        )
+        .reset_index()
+        .sort_values(["event_type", "week"])
+        .reset_index(drop=True)
+    )
+    for c in ("open", "high", "low", "close"):
+        assert (got[c].values == ref[c].values).all(), c
+    assert (got["n_obs"].values == ref["n_obs"].values).all()
+
+
+def test_backtest_no_lookahead_and_consistency(spark):
+    from airflow_crypto_btc_spark.plans.registry_ta import (
+        q_backtest_ma_crossover,
+    )
+
+    got = q_backtest_ma_crossover(spark, "/root/testdata/sf0.01").toPandas()
+    assert (got["days_in_market"] <= got["n_days"]).all()
+    assert (got["days_in_market"] > 0).any()  # signals actually fire
+    assert (got["n_flips"] >= 1).all() or (got["days_in_market"] == 0).any()

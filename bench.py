@@ -86,7 +86,12 @@ HEADLINE = [
     "anomaly_runs",
     "category_sales_deviation",
     "dq_expectation_suite",
-    "sql_recursive_return_index",
+    # NOT sql_recursive_return_index: Spark's WITH RECURSIVE runs one job
+    # per iteration (~12 s for 30 days at sf0.1) — kept in the catalog as
+    # SQL-surface coverage; the engine's fast renditions of the same
+    # recurrence are ewm_macd (applyInPandas) and window cumulatives.
+    "backtest_ma_crossover",
+    "ohlc_resample_weekly",
 ]
 
 

@@ -104,3 +104,62 @@ def bucketed_join_is_exchange_free(
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     return joined, "Exchange hashpartitioning" not in plan
+
+
+def binned_range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_day",
+    end_col: str = "end_day",
+    bin_col: str = "_bin",
+) -> DataFrame:
+    """Keyless interval join without a nested-loop plan: explode each
+    interval into its covered day bins, equi-join facts on their day bin,
+    then re-check the exact range predicate.
+
+    A pure ``ts BETWEEN start AND end`` join with no equi-key compiles to
+    BroadcastNestedLoopJoin / CartesianProduct — O(|facts|·|intervals|)
+    comparisons, a non-starter at 100 TB.  Binning turns it into a hash
+    join whose probe work is O(|facts| + Σ interval_days), at the cost of
+    replicating each interval once per covered bin (bounded by interval
+    length — choose bin granularity accordingly).  Tested equivalent to
+    the naive join and asserted BNLJ-free (tests/test_physical.py)."""
+    day = F.to_date(F.col(ts_col))
+    exploded = intervals.withColumn(
+        bin_col,
+        F.explode(F.sequence(F.col(start_col), F.col(end_col))),
+    )
+    return (
+        facts.withColumn(bin_col, day)
+        .join(exploded, bin_col)
+        .filter(day.between(F.col(start_col), F.col(end_col)))
+        .drop(bin_col)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-proof inner equi-join: replicate the small side ``salt`` times
+    and scatter the big side's hot keys across salt shards, so no single
+    reducer owns a hot key's entire row set.
+
+    AQE's skew-join splitting usually makes this unnecessary — but AQE
+    only splits *sort-merge* join partitions; a forced shuffle-hash join,
+    a disabled-AQE deployment, or an aggregation-after-join pipeline that
+    must keep the salted partitioning still wants the explicit form.
+    Equivalence with the plain join is tested, not assumed."""
+    # deterministic sharding: hash of the whole row, not rand(), so the
+    # join is replayable and retry-safe
+    salted_big = big.withColumn(
+        "_salt",
+        F.abs(F.hash(*[F.col(c) for c in big.columns])) % salt,
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")

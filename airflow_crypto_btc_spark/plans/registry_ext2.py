@@ -454,7 +454,130 @@ _SQL_NESTED_STRUCT_ROUNDTRIP = """
 """
 
 
+# ------------------------------------------- keyless binned range join
+
+
+def q_join_range_binned(spark, sf_dir):
+    """Keyless interval join on the binned scale path
+    (operators/physical.binned_range_join): audit windows derived from
+    the data (every 3rd day, 2-day spans) counted against ALL events by
+    timestamp containment — no equi-key exists, yet the plan is a hash
+    join on day bins, never a nested loop.  The oracle states the naive
+    range join (DuckDB's IEJoin handles it natively)."""
+    from airflow_crypto_btc_spark.operators.physical import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("d"))
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            F.explode(F.expr("sequence(mn, mx, interval 3 days)")).alias(
+                "start_day"
+            )
+        )
+        .select(
+            "start_day",
+            F.date_add("start_day", 1).alias("end_day"),
+        )
+    )
+    joined = binned_range_join(ev, days)
+    return joined.groupBy("start_day", "end_day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+_SQL_JOIN_RANGE_BINNED = """
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+      FROM events
+    ),
+    w AS (
+      SELECT CAST(g AS DATE) AS start_day,
+             CAST(g AS DATE) + 1 AS end_day
+      FROM (
+        SELECT unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                      CAST(mx AS TIMESTAMP),
+                                      INTERVAL 3 DAY)) AS g
+        FROM b
+      )
+    )
+    SELECT w.start_day, w.end_day,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM w JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN w.start_day AND w.end_day
+    GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- cumulative distinct users
+
+
+def q_cumulative_distinct_users(spark, sf_dir):
+    """Running distinct-user count by day — the count-distinct-over-window
+    problem, solved the scalable way: distinct-over-window is not
+    directly computable, but first-seen dates are (one aggregate), and
+    their running sum IS the cumulative distinct count.  Daily actives
+    ride the same day aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(day).alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    actives = (
+        ev.select(day.alias("d"), "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("active_users"))
+    )
+    joined = actives.join(
+        firsts, actives["d"] == firsts["first_day"], "left"
+    ).select(
+        "d",
+        F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        F.col("active_users").cast("long").alias("active_users"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cum_distinct_users", F.sum("new_users").over(w).cast("long")
+    )
+
+
+_SQL_CUMULATIVE_DISTINCT_USERS = """
+    WITH firsts AS (
+      SELECT first_day, count(*) AS new_users FROM (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+      ) GROUP BY 1
+    ),
+    actives AS (
+      SELECT d, count(*) AS active_users FROM (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+      ) GROUP BY 1
+    )
+    SELECT a.d,
+      CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+      CAST(a.active_users AS BIGINT) AS active_users,
+      CAST(sum(coalesce(f.new_users, 0)) OVER (
+        ORDER BY a.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS cum_distinct_users
+    FROM actives a LEFT JOIN firsts f ON a.d = f.first_day
+"""
+
+
 EXT2_REGISTRY: dict[str, QuerySpec] = {
+    "join_range_binned": QuerySpec(
+        q_join_range_binned, _SQL_JOIN_RANGE_BINNED
+    ),
+    "cumulative_distinct_users": QuerySpec(
+        q_cumulative_distinct_users, _SQL_CUMULATIVE_DISTINCT_USERS
+    ),
     "scalar_try_battery": QuerySpec(
         q_scalar_try_battery, _SQL_SCALAR_TRY_BATTERY
     ),

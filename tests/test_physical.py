@@ -158,3 +158,53 @@ def test_global_sorted_export_files_are_range_disjoint(spark, sf_dir, tmp_path):
     assert len(ranges) >= 3
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint, totally ordered across files
+
+
+def test_binned_range_join_no_nested_loop_and_equivalent(spark, sf_dir):
+    """The binned plan must contain a hash join (not BNLJ/cartesian) and
+    produce exactly the naive range join's rows."""
+    from airflow_crypto_btc_spark.operators.physical import binned_range_join
+    from airflow_crypto_btc_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("d"))
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(F.explode(F.expr("sequence(mn, mx, interval 5 days)"))
+                .alias("start_day"))
+        .select("start_day", F.date_add("start_day", 2).alias("end_day"))
+    )
+    binned = binned_range_join(ev, days)
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    naive = ev.join(
+        days,
+        F.to_date("ts").between(F.col("start_day"), F.col("end_day")),
+    )
+    got = binned.groupBy("start_day").count().toPandas()
+    want = naive.groupBy("start_day").count().toPandas()
+    got = got.set_index("start_day")["count"].to_dict()
+    want = want.set_index("start_day")["count"].to_dict()
+    assert got == want and sum(got.values()) > 0
+
+
+def test_salted_join_equivalent_to_plain(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.physical import salted_join
+    from airflow_crypto_btc_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = salted_join(ev, dim, "user_id", salt=4)
+    want = ev.join(dim, "user_id")
+    assert got.count() == want.count()
+    a = got.groupBy("user_id").count().toPandas().set_index("user_id")
+    b = want.groupBy("user_id").count().toPandas().set_index("user_id")
+    assert a["count"].to_dict() == b["count"].to_dict()

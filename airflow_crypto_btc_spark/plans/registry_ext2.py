@@ -571,7 +571,133 @@ _SQL_CUMULATIVE_DISTINCT_USERS = """
 """
 
 
+# ------------------------------------------------ regex scalar battery
+
+
+def q_scalar_regex_battery(spark, sf_dir):
+    """Regex scalar surface on real text: extract-all with counts, first
+    match, membership, global replace length delta.  Patterns stick to
+    the POSIX-class core both engines' regex dialects (Java vs RE2) agree
+    on."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[a-z]*a[a-z]*"  # tokens containing an 'a'
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{pat}', 0))")
+        .cast("long")
+        .alias("n_a_tokens"),
+        F.expr(f"regexp_extract(text, '{pat}', 0)").alias("first_a_token"),
+        F.expr("text rlike '[0-9]'").alias("has_digit"),
+        (
+            F.length("text")
+            - F.length(F.expr("regexp_replace(text, '[aeiou]', '')"))
+        )
+        .cast("long")
+        .alias("n_vowels"),
+    )
+
+
+_SQL_SCALAR_REGEX_BATTERY = """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*'))
+           AS BIGINT) AS n_a_tokens,
+      coalesce(regexp_extract(text, '[a-z]*a[a-z]*'), '')
+        AS first_a_token,
+      regexp_matches(text, '[0-9]') AS has_digit,
+      CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+           AS BIGINT) AS n_vowels
+    FROM documents
+"""
+
+
+# ------------------------------------------------ session path analysis
+
+
+def q_session_paths(spark, sf_dir):
+    """Top user journeys: the first three event types of every session
+    (30-min gap), counted across all sessions.  Order inside a session is
+    pinned by (ts, event_id); the path string is built from a SORTED
+    struct array, never from collect_list's arrival order — the
+    determinism rule every order-sensitive aggregation here follows."""
+    from airflow_crypto_btc_spark.operators.asof import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, ts_col="ts", key_cols=("user_id",)).select(
+        F.col("user_id").alias("s_uid"),
+        "session_start",
+        "session_end",
+    )
+    tagged = ev.join(
+        sess,
+        (ev["user_id"] == sess["s_uid"])
+        & ev["ts"].between(sess["session_start"], sess["session_end"]),
+    ).select(
+        F.col("s_uid").alias("uid"),
+        "session_start",
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    arr = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, "
+        "event_type))), x -> x.event_type)"
+    )
+    paths = (
+        tagged.groupBy("uid", "session_start")
+        .agg(arr.alias("steps"))
+        .select(
+            F.expr(
+                "array_join(slice(steps, 1, 3), '>')"
+            ).alias("path3")
+        )
+    )
+    return (
+        paths.groupBy("path3")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path3"))
+        .limit(10)
+    )
+
+
+_SQL_SESSION_PATHS = """
+    WITH flags AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  <= INTERVAL 30 MINUTE
+             THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    ),
+    ranked AS (
+      SELECT user_id, sid, event_type,
+        row_number() OVER (PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sid,
+        string_agg(event_type, '>' ORDER BY rn) AS path3
+      FROM ranked WHERE rn <= 3
+      GROUP BY 1, 2
+    )
+    SELECT path3, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY 1
+    ORDER BY n_sessions DESC, path3
+    LIMIT 10
+"""
+
+
 EXT2_REGISTRY: dict[str, QuerySpec] = {
+    "scalar_regex_battery": QuerySpec(
+        q_scalar_regex_battery, _SQL_SCALAR_REGEX_BATTERY
+    ),
+    "session_paths": QuerySpec(q_session_paths, _SQL_SESSION_PATHS),
     "join_range_binned": QuerySpec(
         q_join_range_binned, _SQL_JOIN_RANGE_BINNED
     ),

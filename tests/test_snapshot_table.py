@@ -337,3 +337,67 @@ def test_stats_pruned_read_empty_and_statless_files(spark, tmp_path):
         spark, table, prune=("date", dt.date(2030, 1, 1), None)
     )
     assert legacy.count() == 1
+
+
+def test_change_feed_append_span_reads_only_new_files(spark, tmp_path):
+    """CDC over append-only commits returns exactly the appended rows
+    without touching the base snapshot's files."""
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        snapshot_changes,
+    )
+
+    table = str(tmp_path / "tbl")
+    v0 = append(spark, spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1.0)], "date date, close double"), table)
+    v1 = append(spark, spark.createDataFrame(
+        [(dt.date(2024, 1, 2), 2.0)], "date date, close double"), table)
+    v2 = append(spark, spark.createDataFrame(
+        [(dt.date(2024, 1, 3), 3.0)], "date date, close double"), table)
+
+    feed = snapshot_changes(spark, table, from_version=v0)
+    rows = {str(r["date"]): r["_change_type"] for r in feed.collect()}
+    assert rows == {"2024-01-02": "insert", "2024-01-03": "insert"}
+    # no file of the base version is opened
+    assert all("2024-01-01" not in str(p) for p in feed.inputFiles())
+    parts = {p.split("/data/")[1].split("/")[0] for p in feed.inputFiles()}
+    assert len(parts) == 2  # only the two appended parts are opened
+    _ = (v1, v2)
+
+
+def test_change_feed_rewrite_span_requires_keys_and_diffs(spark, tmp_path):
+    import datetime as dt
+
+    import pytest
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        snapshot_changes,
+        upsert,
+    )
+
+    table = str(tmp_path / "tbl")
+    v0 = append(spark, spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1.0), (dt.date(2024, 1, 2), 2.0)],
+        "date date, close double"), table)
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(dt.date(2024, 1, 2), 2.5), (dt.date(2024, 1, 3), 3.0)],
+            "date date, close double",
+        ),
+        table,
+        key_cols=["date"],
+    )
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_changes(spark, table, from_version=v0)
+    feed = snapshot_changes(
+        spark, table, from_version=v0, key_cols=["date"]
+    ).collect()
+    got = {(str(r["date"]), r["_change_type"]) for r in feed}
+    # key-level diff: only the NEW key surfaces (updated key unchanged
+    # in key space; updates appear as delete+insert only for key changes)
+    assert ("2024-01-03", "insert") in got
+    assert not any(t == "delete" for _, t in got)

@@ -103,3 +103,31 @@ def check_indicator_completeness(
         f"history={total}, day_row={'present' if row else 'MISSING'}, null={bad}",
         f"{cols} non-null once history>={history_min}",
     )
+
+
+def observed_metrics(df, name: str = "dq"):
+    """In-flight data-quality metrics via ``df.observe`` — the zero-cost
+    observability channel: metrics are accumulated DURING the action that
+    already runs (no second scan, unlike a separate quality query), and
+    the same call works on streaming DataFrames (metrics surface per
+    micro-batch in StreamingQueryProgress.observedMetrics).
+
+    Returns (instrumented_df, observation).  Batch: after any action on
+    the instrumented frame, ``observation.get`` yields the metric dict.
+    Streaming: ``Observation`` handles are batch-only, so the metrics are
+    registered under the NAME (second return is None) and read from each
+    micro-batch's ``observedMetrics[name]`` in the query progress."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    ]
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -127,3 +127,22 @@ def test_expectation_suite_catches_violations(spark, tmp_path):
     assert not rows["event_type_valid_frac"]
     assert not rows["event_id_dup_rate_max"]
     assert rows["row_count_min"]
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    """observe() metrics accumulate during the consumer's own action —
+    no second scan — and report the same facts a separate DQ query
+    would."""
+    from airflow_crypto_btc_spark.plans.quality import observed_metrics
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    inst, obs = observed_metrics(ev)
+    # the "business" action: count purchases (the metrics piggyback)
+    n_purchases = inst.filter("event_type = 'purchase'").count()
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert m["null_values"] == 0
+    assert n_purchases > 0
+    assert str(m["min_ts"]).startswith("2024-01-01")
+    assert m["approx_users"] > 0

@@ -237,3 +237,37 @@ def test_streaming_dq_monitor_matches_batch(spark, sf_dir, tmp_path):
     )
     pd.testing.assert_frame_equal(got, batch[got.columns.tolist()])
     assert got["passed"].any() and not got["passed"].all()
+
+
+def test_observed_metrics_per_microbatch(spark, sf_dir, tmp_path):
+    """The same observe() instrumentation on a streaming frame surfaces
+    metrics in every micro-batch's StreamingQueryProgress."""
+    from airflow_crypto_btc_spark.plans.quality import observed_metrics
+    from airflow_crypto_btc_spark.streaming.ohlc_stream import (
+        EVENT_STREAM_SCHEMA,
+    )
+
+    src = str(tmp_path / "landing")
+    _land_day_files(spark, sf_dir, ["2024-01-01", "2024-01-02"], src)
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    inst, _ = observed_metrics(stream, name="dq_stream")
+    q = (
+        inst.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progresses) >= 2  # one per day file
+    total = 0
+    for p in progresses:
+        m = p["observedMetrics"]["dq_stream"]
+        assert m["null_values"] == 0
+        total += m["n_rows"]
+    batch_total = spark.read.parquet(src).count()
+    assert total == batch_total

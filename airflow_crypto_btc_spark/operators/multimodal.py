@@ -197,3 +197,48 @@ def sample_frames(mm: DataFrame, every_n: int = 4) -> DataFrame:
         F.size(idx).cast("long").alias("n_sampled"),
         F.array_join(frames, "|").alias("frame_digest"),
     )
+
+
+# ------------------------------------------------------- audio windowing
+
+WIN_CHARS = 48
+HOP_CHARS = 32
+
+
+def window_audio(
+    mm: DataFrame, win: int = WIN_CHARS, hop: int = HOP_CHARS
+) -> DataFrame:
+    """Overlapping fixed-rate windowing for "audio" payloads — the STFT /
+    feature-extraction framing pattern (window > hop ⇒ overlap), on the
+    opaque payload.  A window starts every ``hop`` chars and spans
+    ``win`` chars (the trailing partial window is kept, as libraries'
+    ``center=False`` framing does for the final hop that still has ≥ 1
+    sample).  Same design rules as frame sampling: character-addressed,
+    JVM higher-order functions only, each window materialized once inside
+    one transform lambda (never re-derived per output row), digests in
+    place of waveforms so the op is exactly oracle-checkable."""
+    txt = F.decode(F.col("payload"), "UTF-8")
+    n = F.length(txt)
+    n_windows = F.when(
+        n > 0, F.ceil((n.cast("double")) / F.lit(hop)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    offsets = F.when(
+        n_windows > 0,
+        F.sequence(
+            F.lit(0).cast("long"),
+            (n_windows - 1) * hop,
+            F.lit(hop).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    digests = F.transform(
+        offsets,
+        lambda o: F.md5(
+            F.encode(F.substring(txt, (o + 1).cast("int"), win), "UTF-8")
+        ),
+    )
+    return mm.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        n_windows.alias("n_windows"),
+        F.array_join(digests, "|").alias("window_digest"),
+    )

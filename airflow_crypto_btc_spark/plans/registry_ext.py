@@ -608,6 +608,31 @@ _SQL_MM_FRAME_SAMPLE = """
 """
 
 
+def q_mm_audio_windows(spark, sf_dir):
+    """Overlapping audio-style windowing (win 48 / hop 32 chars) over the
+    multimodal payload — see operators/multimodal.window_audio."""
+    from airflow_crypto_btc_spark.operators.multimodal import window_audio
+
+    return window_audio(_mm(spark, sf_dir))
+
+
+_SQL_MM_AUDIO_WINDOWS = """
+    WITH base AS (
+      SELECT doc_id, text,
+        CAST(length(text) AS BIGINT) AS n,
+        CASE WHEN length(text) > 0
+             THEN CAST(ceil(length(text) / 32.0) AS BIGINT)
+             ELSE 0 END AS nw
+      FROM documents
+    )
+    SELECT doc_id, n AS n_chars, nw AS n_windows,
+      array_to_string(list_transform(range(0, nw * 32, 32),
+        o -> md5(substr(text, CAST(o + 1 AS INT), 48))), '|')
+        AS window_digest
+    FROM base
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     # mapInPandas fake decode — not SQL-expressible; driver rows-only check
     return decode_media(_mm(spark, sf_dir))
@@ -745,6 +770,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(q_embedding_norms, _SQL_EMBEDDING_NORMS),
     "mm_metadata": QuerySpec(q_mm_metadata, _SQL_MM_METADATA),
     "mm_frame_sample": QuerySpec(q_mm_frame_sample, _SQL_MM_FRAME_SAMPLE),
+    "mm_audio_windows": QuerySpec(
+        q_mm_audio_windows, _SQL_MM_AUDIO_WINDOWS
+    ),
     "mm_decode_stub": QuerySpec(q_mm_decode_stub, None),
     "mm_byte_features": QuerySpec(q_mm_byte_features, None),
 }

@@ -94,3 +94,24 @@ def test_frame_sampling_matches_python(mm):
         assert got["n_frames"] == n_frames
         assert got["n_sampled"] == len(idx)
         assert got["frame_digest"] == "|".join(digests)
+
+
+def test_audio_windows_overlap_and_counts(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.multimodal import (
+        attach_binary_payload,
+        window_audio,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    got = window_audio(mm).toPandas()
+    import math
+
+    for _, r in got.iterrows():
+        expect = math.ceil(r["n_chars"] / 32) if r["n_chars"] else 0
+        assert r["n_windows"] == expect
+        digests = r["window_digest"].split("|") if r["window_digest"] else []
+        assert len(digests) == r["n_windows"]
+        # overlap: consecutive windows share win-hop = 16 chars, so
+        # distinct digests unless content repeats exactly
+        assert len(digests) == len(set(digests)) or r["n_windows"] > 1

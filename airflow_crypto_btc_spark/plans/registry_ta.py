@@ -723,7 +723,120 @@ _SQL_BACKTEST_MA_CROSSOVER = f"""
 """
 
 
+# --------------------------------------------- forecast baselines + MAE
+
+
+def q_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series forecasting baselines with walk-forward evaluation —
+    the harness every real forecasting pipeline needs BEFORE any model:
+    naive (yesterday's close), seasonal-naive (same weekday last week),
+    and drift (yesterday + mean historical step), each scored per key by
+    MAE and MAPE on the days where the forecast is defined.  All pure
+    window expressions; the evaluation aggregate shares the key shuffle."""
+    d = _events_daily(spark, sf_dir).select("event_type", "date", "close")
+    w = Window.partitionBy("event_type").orderBy("date")
+    hist = w.rowsBetween(Window.unboundedPreceding, -1)
+    naive = F.lag("close", 1).over(w)
+    snaive = F.lag("close", 7).over(w)
+    # drift: previous close + mean of all previous daily steps
+    step = F.col("close") - F.lag("close", 1).over(w)
+    d = d.withColumn("_step", step)
+    drift = F.lag("close", 1).over(w) + F.avg("_step").over(hist)
+    d = (
+        d.withColumn("f_naive", naive)
+        .withColumn("f_snaive", snaive)
+        .withColumn("f_drift", drift)
+    )
+
+    def _err(f):
+        return F.abs(F.col(f) - F.col("close"))
+
+    def _mae(f):
+        return F.round(
+            F.sum(_err(f).cast("decimal(38,12)")).cast("double")
+            / F.when(F.count(f) > 0, F.count(f)),
+            6,
+        )
+
+    def _mape(f):
+        return F.round(
+            F.sum(
+                F.when(F.col("close") != 0, _err(f) / F.abs("close"))
+                .cast("decimal(38,12)")
+            ).cast("double")
+            / F.when(F.count(f) > 0, F.count(f)),
+            6,
+        )
+
+    return d.groupBy("event_type").agg(
+        F.count("f_naive").cast("long").alias("n_naive"),
+        _mae("f_naive").alias("mae_naive"),
+        _mape("f_naive").alias("mape_naive"),
+        F.count("f_snaive").cast("long").alias("n_snaive"),
+        _mae("f_snaive").alias("mae_snaive"),
+        _mape("f_snaive").alias("mape_snaive"),
+        F.count("f_drift").cast("long").alias("n_drift"),
+        _mae("f_drift").alias("mae_drift"),
+        _mape("f_drift").alias("mape_drift"),
+    )
+
+
+_SQL_FORECAST_BASELINES = f"""
+    WITH s AS (
+      SELECT event_type, date, close,
+        lag(close, 1) OVER w AS f_naive,
+        lag(close, 7) OVER w AS f_snaive,
+        close - lag(close, 1) OVER w AS step
+      FROM ({_SQL_DAILY})
+      WINDOW w AS (PARTITION BY event_type ORDER BY date)
+    ),
+    d AS (
+      SELECT event_type, date, close, f_naive, f_snaive,
+        f_naive + avg(step) OVER
+          (PARTITION BY event_type ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f_drift
+      FROM s
+    )
+    SELECT event_type,
+      CAST(count(f_naive) AS BIGINT) AS n_naive,
+      round(CAST(sum(CAST(abs(f_naive - close) AS DECIMAL(38,12)))
+                 AS DOUBLE)
+            / CASE WHEN count(f_naive) > 0 THEN count(f_naive) END, 6)
+        AS mae_naive,
+      round(CAST(sum(CAST(CASE WHEN close <> 0
+                               THEN abs(f_naive - close) / abs(close) END
+                          AS DECIMAL(38,12))) AS DOUBLE)
+            / CASE WHEN count(f_naive) > 0 THEN count(f_naive) END, 6)
+        AS mape_naive,
+      CAST(count(f_snaive) AS BIGINT) AS n_snaive,
+      round(CAST(sum(CAST(abs(f_snaive - close) AS DECIMAL(38,12)))
+                 AS DOUBLE)
+            / CASE WHEN count(f_snaive) > 0 THEN count(f_snaive) END, 6)
+        AS mae_snaive,
+      round(CAST(sum(CAST(CASE WHEN close <> 0
+                               THEN abs(f_snaive - close) / abs(close) END
+                          AS DECIMAL(38,12))) AS DOUBLE)
+            / CASE WHEN count(f_snaive) > 0 THEN count(f_snaive) END, 6)
+        AS mape_snaive,
+      CAST(count(f_drift) AS BIGINT) AS n_drift,
+      round(CAST(sum(CAST(abs(f_drift - close) AS DECIMAL(38,12)))
+                 AS DOUBLE)
+            / CASE WHEN count(f_drift) > 0 THEN count(f_drift) END, 6)
+        AS mae_drift,
+      round(CAST(sum(CAST(CASE WHEN close <> 0
+                               THEN abs(f_drift - close) / abs(close) END
+                          AS DECIMAL(38,12))) AS DOUBLE)
+            / CASE WHEN count(f_drift) > 0 THEN count(f_drift) END, 6)
+        AS mape_drift
+    FROM d
+    GROUP BY 1
+"""
+
+
 TA_REGISTRY: dict[str, QuerySpec] = {
+    "forecast_baselines": QuerySpec(
+        q_forecast_baselines, _SQL_FORECAST_BASELINES
+    ),
     "ohlc_resample_weekly": QuerySpec(
         q_ohlc_resample_weekly, _SQL_OHLC_RESAMPLE_WEEKLY
     ),

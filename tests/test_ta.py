@@ -362,3 +362,18 @@ def test_backtest_no_lookahead_and_consistency(spark):
     assert (got["days_in_market"] <= got["n_days"]).all()
     assert (got["days_in_market"] > 0).any()  # signals actually fire
     assert (got["n_flips"] >= 1).all() or (got["days_in_market"] == 0).any()
+
+
+def test_forecast_baselines_sanity(spark):
+    """Naive forecast is defined from day 2; seasonal-naive from day 8;
+    errors are non-negative and MAPE is a sane magnitude."""
+    from airflow_crypto_btc_spark.plans.registry_ta import (
+        q_forecast_baselines,
+    )
+
+    got = q_forecast_baselines(spark, "/root/testdata/sf0.01").toPandas()
+    assert (got["n_naive"] == got["n_snaive"] + 6).all()  # 7-lag loses 6 more
+    for c in [c for c in got.columns if c.startswith(("mae", "mape"))]:
+        assert (got[c].dropna() >= 0).all()
+    # drift has the same support as naive (needs >= 1 historical step)
+    assert (got["n_drift"] <= got["n_naive"]).all()

@@ -161,3 +161,50 @@ def streaming_enrich_with_dim(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on, "inner")
+
+
+def streaming_left_outer_attribution(
+    events: DataFrame,
+    cause_type: str = "click",
+    effect_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream range join: every cause row eventually
+    emits — matched rows as soon as the partner arrives, UNMATCHED rows
+    with null effect columns once the watermark proves no partner can
+    still come.  The outer side is the strictly harder stateful case
+    (Spark must hold the cause row until the watermark passes
+    ``cause_ts + window`` before declaring it unmatched); inner joins
+    only ever emit on match.  The batch twin is the same join with
+    ``how='left'``."""
+    cause = (
+        events.filter(F.col("event_type") == cause_type)
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col("event_id").alias("cause_id"),
+            F.col(ts_col).alias("cause_ts"),
+        )
+        .withWatermark("cause_ts", watermark)
+    )
+    effect = (
+        events.filter(F.col("event_type") == effect_type)
+        .select(
+            F.col(user_col).alias("e_user_id"),
+            F.col("event_id").alias("effect_id"),
+            F.col(ts_col).alias("effect_ts"),
+        )
+        .withWatermark("effect_ts", watermark)
+    )
+    return cause.join(
+        effect,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("effect_ts") >= F.col("cause_ts"))
+        & (
+            F.col("effect_ts")
+            <= F.col("cause_ts") + F.expr(f"INTERVAL {window}")
+        ),
+        "leftOuter",
+    ).select("user_id", "cause_id", "cause_ts", "effect_id", "effect_ts")

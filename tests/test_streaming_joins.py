@@ -205,3 +205,88 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
         .to_dict()
     )
     assert got == want and sum(got.values()) == ev.count()
+
+
+def test_left_outer_stream_join_emits_unmatched_after_watermark(
+    spark, sf_dir, tmp_path
+):
+    """Clicks with no purchase in their window must appear with NULL
+    effect columns once the watermark passes — and the drained stream
+    must equal the batch left join."""
+    import pandas as pd
+
+    from airflow_crypto_btc_spark.streaming.joins import (
+        streaming_left_outer_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-05").cast("timestamp")
+    )
+    landing = str(tmp_path / "landing")
+    ev.coalesce(1).write.mode("append").parquet(landing)
+    # watermark-flush sentinels far in the future for BOTH join inputs:
+    # the global watermark is the MIN across watermarked sides, so a
+    # click-only sentinel would leave the purchase-side watermark (and
+    # therefore outer-null finalization) stuck at the last real purchase
+    spark.createDataFrame(
+        [
+            (-1, pd.Timestamp("2024-03-01").to_pydatetime(), -1, "click",
+             0.0, "{}"),
+            (-2, pd.Timestamp("2024-03-01").to_pydatetime(), -1,
+             "purchase", 0.0, "{}"),
+        ],
+        EVENT_STREAM_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sink = str(tmp_path / "sink")
+    # two availableNow drains from one checkpoint: outer-null emission
+    # needs a batch AFTER the watermark has passed cause_ts + window, and
+    # the final rows' watermark only advances at the end of the last
+    # data batch — the restart runs the flushing no-data batch.
+    for _ in range(2):
+        q = (
+            streaming_left_outer_attribution(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = (
+        spark.read.parquet(sink)
+        .filter(F.col("user_id") >= 0)
+        .toPandas()
+        .sort_values(["user_id", "cause_id", "effect_id"])
+        .reset_index(drop=True)
+    )
+    # batch twin
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id"), F.col("event_id").alias("cause_id"),
+        F.col("ts").alias("cause_ts"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("effect_id"),
+        F.col("ts").alias("effect_ts"))
+    want = (
+        c.join(
+            p,
+            (c["user_id"] == p["p_uid"])
+            & (p["effect_ts"] >= c["cause_ts"])
+            & (p["effect_ts"] <= c["cause_ts"] + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .select("user_id", "cause_id", "cause_ts", "effect_id", "effect_ts")
+        .toPandas()
+        .sort_values(["user_id", "cause_id", "effect_id"])
+        .reset_index(drop=True)
+    )
+    assert got["effect_id"].isna().any()  # unmatched clicks DID emit
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])

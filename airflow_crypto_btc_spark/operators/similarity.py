@@ -554,3 +554,178 @@ def quantized_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "q_cosine", "rnk")
     )
+
+
+# ---------------------------------------------------- product quantization
+
+
+def _unit_vectors(vectors, id_col, vec_col):
+    """L2-normalize onto the unit sphere (zero vectors dropped): on unit
+    vectors ``||a-b||² = 2 - 2cos``, so PQ's L2-trained codebooks and ADC
+    tables rank by cosine — without this, unnormalized magnitudes dominate
+    the subspace distances and shortlist recall collapses."""
+    n2 = norm2_expr(vec_col)
+    return (
+        vectors.withColumn("_n2", n2)
+        .filter(F.col("_n2") > 0)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform({vec_col}, x -> cast(x as double) / sqrt(_n2))"
+            ).alias(vec_col),
+        )
+    )
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    iterations: int = 2,
+):
+    """Train product-quantization codebooks: the embedding space is split
+    into ``m`` contiguous subspaces and the distributed k-means trainer
+    (:func:`kmeans_train`) runs independently per subspace (seeded
+    deterministically, so training is replayable).  Returns a driver-side
+    ``list[m]`` of (k, sub_dim) numpy codebooks — tiny (k·d doubles) by
+    construction, which is exactly why PQ scales: the model ships to
+    executors as a broadcast-sized table while the data never leaves its
+    partitions."""
+    import numpy as np
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    unit = _unit_vectors(vectors, id_col, vec_col)
+    books = []
+    for s in range(m):
+        sliced = unit.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        cents = kmeans_centroid_arrays(
+            sliced, seed_filter=f"vec_id % 25 = {(7 + s) % 25}",
+            iterations=iterations,
+        ).orderBy("cid").collect()
+        books.append(
+            np.array([row["ce"] for row in cents], dtype=np.float64)
+        )
+    return books
+
+
+def pq_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 20",
+    m: int = 8,
+    shortlist: int = 150,
+    k: int = 10,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rerank — the memory-bound ANN
+    serving pattern: each vector is compressed to ``m`` codeword ids
+    (here m·1 small ints ≈ 32× smaller than the float payload), queries
+    scan only codes via per-subspace lookup tables (asymmetric distance
+    computation), and the ADC shortlist is reranked with exact cosine on
+    the float vectors so the final ranking quality is bounded by recall
+    of the shortlist, not by quantization error.
+
+    Dataflow: codebooks trained distributed → broadcast to an Arrow
+    ``mapInPandas`` scorer (vectorized numpy: encode + table lookups per
+    batch, partial top-``shortlist`` per query per batch) → global
+    shortlist via window top-k on the tiny candidate set → exact rerank
+    join against the float vectors."""
+    import numpy as np
+    import pandas as pd
+
+    books = pq_train_codebooks(vectors, id_col, vec_col, m=m)
+    unit = _unit_vectors(vectors, id_col, vec_col)
+    qrows = (
+        unit.filter(query_filter)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+        .collect()
+    )
+    qids = [r["qid"] for r in qrows]
+    Q = np.array([r["qe"] for r in qrows], dtype=np.float64)
+    sub = Q.shape[1] // m
+    # ADC tables: T[q][s][j] = ||q_s - c_sj||^2
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[:, s * sub:(s + 1) * sub][:, None, :]
+                      - books[s][None, :, :]) ** 2).sum(axis=2)
+                    for s in range(m)
+                ],
+                axis=1,
+            )
+        ]
+    )[0]  # (n_q, m, k_codes)
+
+    out_schema = "qid long, nid long, adc double"
+
+    def score(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            # encode: nearest codeword per subspace (vectorized)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for s in range(m):
+                xs = X[:, s * sub:(s + 1) * sub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            # ADC: approx dist = sum of per-subspace table entries
+            nids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qid in enumerate(qids):
+                adc = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                keep = min(shortlist, len(adc))
+                idx = np.argpartition(adc, keep - 1)[:keep]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, "nid": nids[idx], "adc": adc[idx]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    cands = (
+        unit.select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .filter(F.col("nid").isin(qids) == False)  # noqa: E712
+    )
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
+    shortlisted = (
+        cands.withColumn("rs", F.row_number().over(w_short))
+        .filter(F.col("rs") <= shortlist)
+        .drop("rs", "adc")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+    q = vectors.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
+    exact = (
+        shortlisted.join(v, "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "cosine",
+            F.when(
+                F.col("qn") * F.col("vn") != 0,
+                F.round(
+                    dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )

@@ -306,6 +306,16 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     "emb_int8_quantize": QuerySpec(
         q_emb_int8_quantize, _SQL_EMB_INT8_QUANTIZE
     ),
+    # PQ-ADC + exact rerank: trained quantizer (per-subspace k-means),
+    # Arrow ADC scorer — approximate by design, rows-only check; recall
+    # vs the exact operator is gated in tests/test_similarity.py.
+    "sim_pq_topk": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "airflow_crypto_btc_spark.operators.similarity",
+            fromlist=["pq_topk"],
+        ).pq_topk(load_table(spark, sf_dir, "embeddings")),
+        None,
+    ),
     "sim_quantized_topk": QuerySpec(
         q_sim_quantized_topk, _SQL_SIM_QUANTIZED_TOPK
     ),

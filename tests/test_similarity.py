@@ -301,3 +301,49 @@ def test_quantized_topk_plan_broadcasts_queries(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_pq_topk_recall_with_rerank(spark, sf_dir):
+    """PQ-ADC shortlist + exact rerank must recover most of the exact
+    top-10 (the production serving pattern: quantization error only
+    affects which candidates ENTER the shortlist)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb).collect()
+    approx = pq_topk(emb).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    assert set(got) == set(truth)
+    recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, (mean_recall, recalls)
+    # reranked cosines are EXACT: any overlapping (qid, nid) pair agrees
+    exact_cos = {(r["qid"], r["nid"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["nid"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+
+
+def test_pq_codebooks_deterministic(spark, sf_dir):
+    import numpy as np
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = pq_train_codebooks(emb)
+    b2 = pq_train_codebooks(emb)
+    assert len(b1) == 4  # trainer default m stays 4
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)

@@ -154,10 +154,12 @@ def salted_join(
     must keep the salted partitioning still wants the explicit form.
     Equivalence with the plain join is tested, not assumed."""
     # deterministic sharding: hash of the whole row, not rand(), so the
-    # join is replayable and retry-safe
+    # join is replayable and retry-safe.  pmod, not abs(...)%: abs throws
+    # on Int32.MinValue under ANSI and yields a negative (match-less,
+    # silently dropped) shard with ANSI off.
     salted_big = big.withColumn(
         "_salt",
-        F.abs(F.hash(*[F.col(c) for c in big.columns])) % salt,
+        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt)),
     )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

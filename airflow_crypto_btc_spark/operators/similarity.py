@@ -696,7 +696,9 @@ def pq_topk(
     cands = (
         unit.select(id_col, vec_col)
         .mapInPandas(score, out_schema)
-        .filter(F.col("nid").isin(qids) == False)  # noqa: E712
+        # self-exclusion is per-pair (a query may legitimately be another
+        # query's neighbor) — dropping every qid from every list loses recall
+        .filter(F.col("nid") != F.col("qid"))
     )
     w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
     shortlisted = (

@@ -634,13 +634,73 @@ _SQL_MM_AUDIO_WINDOWS = """
 
 
 def q_mm_decode_stub(spark, sf_dir):
-    # mapInPandas fake decode — not SQL-expressible; driver rows-only check
+    """mapInPandas fake decode.  The stub derives dims deterministically
+    from the first two payload bytes, so it IS oracle-checkable — the SQL
+    below replays the same arithmetic over the hex of the UTF-8 payload."""
     return decode_media(_mm(spark, sf_dir))
 
 
+_SQL_MM_DECODE_STUB = """
+    WITH base AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+           ELSE 'video/mp4' END AS mime,
+      CAST(1 + (CASE WHEN n > 0 THEN ('0x' || substr(h, 1, 2))::BIGINT
+                     ELSE 0 END) % 64 AS INT) AS width,
+      CAST(1 + (CASE WHEN n > 1 THEN ('0x' || substr(h, 3, 2))::BIGINT
+                     ELSE 0 END) % 64 AS INT) AS height,
+      CAST(3 AS INT) AS channels,
+      n > 0 AS decode_ok
+    FROM base
+"""
+
+
 def q_mm_byte_features(spark, sf_dir):
-    # vectorized numpy over Arrow batches — rows-only check
-    return extract_byte_features(_mm(spark, sf_dir), dim=8)
+    """Byte-bucket histogram features (numpy over Arrow batches), emitted
+    as 8 rounded scalar columns + the l2 norm so the result is hashable
+    and exactly oracle-checkable (raw array<double> columns crash the
+    driver's pandas canonicalizer)."""
+    out = extract_byte_features(_mm(spark, sf_dir), dim=8)
+    return out.select(
+        "doc_id",
+        *[F.round(F.col("feat")[i], 6).alias(f"f{i}") for i in range(8)],
+        F.round(F.col("feat_norm"), 6).alias("feat_norm"),
+    )
+
+
+_SQL_MM_BYTE_FEATURES = """
+    WITH base AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, n,
+        list_transform(range(0, n),
+          i -> ('0x' || substr(h, CAST(i*2+1 AS INT), 2))::BIGINT // 32)
+          AS buckets
+      FROM base
+    ),
+    hist AS (
+      SELECT doc_id,
+        list_transform(range(0, 8),
+          k -> CASE WHEN n = 0 THEN 0.0
+               ELSE CAST(len(list_filter(buckets, x -> x = k)) AS DOUBLE) / n
+               END) AS v
+      FROM bk
+    )
+    SELECT doc_id,
+      round(v[1], 6) AS f0, round(v[2], 6) AS f1,
+      round(v[3], 6) AS f2, round(v[4], 6) AS f3,
+      round(v[5], 6) AS f4, round(v[6], 6) AS f5,
+      round(v[7], 6) AS f6, round(v[8], 6) AS f7,
+      round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS feat_norm
+    FROM hist
+"""
 
 
 # --------------------------------------------------------- curation pipeline
@@ -773,6 +833,6 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "mm_audio_windows": QuerySpec(
         q_mm_audio_windows, _SQL_MM_AUDIO_WINDOWS
     ),
-    "mm_decode_stub": QuerySpec(q_mm_decode_stub, None),
-    "mm_byte_features": QuerySpec(q_mm_byte_features, None),
+    "mm_decode_stub": QuerySpec(q_mm_decode_stub, _SQL_MM_DECODE_STUB),
+    "mm_byte_features": QuerySpec(q_mm_byte_features, _SQL_MM_BYTE_FEATURES),
 }

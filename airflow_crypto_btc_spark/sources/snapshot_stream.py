@@ -15,8 +15,11 @@ Non-append commits in the interval:
   compactions, because compaction outputs are never treated as changes.
 - ``overwrite`` / ``upsert`` rewrite row content; a row-level stream
   needs key diffs (see `snapshot_changes`), so the source FAILS on them
-  unless ``ignore_changes=true`` (Delta's ``ignoreChanges`` semantics:
-  skip the rewrite, keep streaming subsequent appends).
+  unless ``ignore_changes=true`` (Delta's ``skipChangeCommits``
+  semantics: the rewrite commit is skipped entirely — its rows are NOT
+  re-emitted — and streaming resumes at subsequent appends.  Delta's
+  similarly-named ``ignoreChanges`` would instead re-emit the rewritten
+  files; this source deliberately implements the skip variant).
 
 Driver-side row feed (`SimpleDataSourceStreamReader`) via pyarrow —
 correct at the incremental cadence this table sees (per-day appends); a

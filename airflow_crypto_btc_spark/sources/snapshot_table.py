@@ -443,10 +443,30 @@ def snapshot_changes(
         )
     old = read_snapshot(spark, table, from_version)
     new = read_snapshot(spark, table, snap_to.version)
-    inserted = new.join(old, key_cols, "left_anti").withColumn(
-        "_change_type", F.lit("insert")
-    )
-    deleted = old.join(new, key_cols, "left_anti").withColumn(
-        "_change_type", F.lit("delete")
-    )
+    # Full-row null-safe anti-join per direction: a value-only update's two
+    # row versions differ in some column, so the new version lands in the
+    # insert set and the old version in the delete set — delete+insert of
+    # the same key, as the docstring promises.  A key-only anti-join would
+    # silently miss those updates.  eqNullSafe keys still compile to a
+    # hash join, so the cost shape is the same two shuffles as before.
+    cols = new.columns
+    inserted = new.join(
+        old,
+        on=_all_cols_eq(new, old, cols),
+        how="left_anti",
+    ).withColumn("_change_type", F.lit("insert"))
+    deleted = old.join(
+        new,
+        on=_all_cols_eq(old, new, cols),
+        how="left_anti",
+    ).withColumn("_change_type", F.lit("delete"))
     return inserted.unionByName(deleted)
+
+
+def _all_cols_eq(left: DataFrame, right: DataFrame, cols: list[str]):
+    """AND of null-safe equality over every column — the row-identity
+    join condition for snapshot diffs."""
+    cond = left[cols[0]].eqNullSafe(right[cols[0]])
+    for c in cols[1:]:
+        cond = cond & left[c].eqNullSafe(right[c])
+    return cond

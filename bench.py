@@ -8,12 +8,19 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full plan execution, no
 driver-side collect bottleneck).  A tiny warmup query amortizes JVM/codegen
 startup so numbers reflect steady-state plan execution.
+
+Runs $SPARK_GRAFT_BENCH_REPS (default 3) full passes over the suite and
+reports the per-query MEDIAN: single-sample timings on a shared box swing
+2× on unchanged code (observed r2→r3: flagship 2.03→4.17 s with a
+byte-identical tree), and pass-interleaving decorrelates transient load
+instead of burying it inside one query's back-to-back reps.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -109,15 +116,25 @@ def main() -> None:
         1
     ).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = ALL_QUERIES.get(name)
-        if spec is None:
-            continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {}
+    for _ in range(reps):
+        for name in HEADLINE:
+            spec = ALL_QUERIES.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.setdefault(name, []).append(
+                time.perf_counter() - t0
+            )
 
+    timings = {
+        name: round(statistics.median(ts), 4)
+        for name, ts in samples.items()
+    }
     print(
         json.dumps(
             {
@@ -126,6 +143,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "stat": "median_per_query",
             }
         )
     )

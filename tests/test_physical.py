@@ -208,3 +208,26 @@ def test_salted_join_equivalent_to_plain(spark, sf_dir):
     a = got.groupBy("user_id").count().toPandas().set_index("user_id")
     b = want.groupBy("user_id").count().toPandas().set_index("user_id")
     assert a["count"].to_dict() == b["count"].to_dict()
+
+
+def test_salted_join_salt_nonnegative_on_int_min_hash(spark):
+    """Regression for the `abs(hash) % salt` salting bug: when murmur3
+    returns Int32.MinValue, `abs` throws under ANSI mode and yields a
+    negative (match-less → silently dropped) shard with ANSI off.  The
+    fixed expression is `pmod(hash, salt)`; pin its semantics on the
+    exact edge value plus ordinary negatives."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(-2147483648,), (-2147483647,), (-5,), (0,), (7,)], "h int"
+    )
+    for salt in (4, 8):
+        out = df.select(F.pmod(F.col("h"), F.lit(salt)).alias("s")).collect()
+        assert all(r["s"] is not None and 0 <= r["s"] < salt for r in out)
+    # and the shipped operator must not contain the abs form anymore
+    import inspect
+
+    from airflow_crypto_btc_spark.operators import physical
+
+    src = inspect.getsource(physical.salted_join)
+    assert "pmod" in src and "F.abs" not in src

@@ -324,7 +324,9 @@ def test_pq_topk_recall_with_rerank(spark, sf_dir):
     assert set(got) == set(truth)
     recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.75, (mean_recall, recalls)
+    # 0.925 observed at sf0.01 after fixing self-exclusion to per-pair
+    # (nid != qid) — a blanket isin(qids) exclusion cost ~0.035 recall
+    assert mean_recall >= 0.85, (mean_recall, recalls)
     # reranked cosines are EXACT: any overlapping (qid, nid) pair agrees
     exact_cos = {(r["qid"], r["nid"]): r["cosine"] for r in exact}
     for r in approx:

@@ -396,8 +396,11 @@ def test_change_feed_rewrite_span_requires_keys_and_diffs(spark, tmp_path):
     feed = snapshot_changes(
         spark, table, from_version=v0, key_cols=["date"]
     ).collect()
-    got = {(str(r["date"]), r["_change_type"]) for r in feed}
-    # key-level diff: only the NEW key surfaces (updated key unchanged
-    # in key space; updates appear as delete+insert only for key changes)
-    assert ("2024-01-03", "insert") in got
-    assert not any(t == "delete" for _, t in got)
+    got = {(str(r["date"]), r["close"], r["_change_type"]) for r in feed}
+    # row-level diff: the brand-new key is an insert, and the value-only
+    # update on 2024-01-02 (2.0 -> 2.5) surfaces as delete(old)+insert(new)
+    assert got == {
+        ("2024-01-03", 3.0, "insert"),
+        ("2024-01-02", 2.5, "insert"),
+        ("2024-01-02", 2.0, "delete"),
+    }

@@ -9,6 +9,9 @@ from airflow_crypto_btc_spark.plans.registry_analytics import (
 from airflow_crypto_btc_spark.plans.registry_curation import CURATION_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ext import EXT_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ext2 import EXT2_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_incremental import (
+    INCREMENTAL_REGISTRY,
+)
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_sql import SQL_REGISTRY
@@ -30,4 +33,6 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     **TA_REGISTRY,
     **ANALYTICS_REGISTRY,
     **SQL_REGISTRY,
+    # appended last: keeps the driver's first-50 correctness window stable
+    **INCREMENTAL_REGISTRY,
 }

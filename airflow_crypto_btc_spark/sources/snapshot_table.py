@@ -376,20 +376,29 @@ def upsert(
     table: str,
     key_cols: list[str],
     update_cols: list[str] | None = None,
+    txn_id: str | None = None,
 ) -> int:
     """Copy-on-write MERGE (S8 semantics via operators/merge.upsert_by_key):
     read the current snapshot, merge, stage the merged result, commit as a
     full swap.  At scale the rewrite narrows to only the files whose key
     ranges intersect the incoming batch (file-level min/max pruning) — the
-    snapshot mechanics are identical."""
+    snapshot mechanics are identical.
+
+    ``txn_id`` makes a re-run idempotent exactly as in :func:`append`:
+    if this id is already in the log, nothing is staged or committed and
+    -1 is returned (the exactly-once hook incremental consumers need —
+    a crash between commit and the caller persisting its offset must not
+    re-apply a non-idempotent merge like a count accumulation)."""
     from airflow_crypto_btc_spark.operators.merge import upsert_by_key
 
+    if txn_id and txn_id in current_snapshot(table).txn_ids:
+        return -1
     existing = read_snapshot(spark, table)
     merged = upsert_by_key(existing, incoming, key_cols, update_cols)
     old = current_snapshot(table).files
     parts, stats = _write_parts(merged, table)
     return commit(table, add=parts, remove=old, operation="upsert",
-                  stats=stats)
+                  txn_id=txn_id, stats=stats)
 
 
 def snapshot_changes(

@@ -114,6 +114,51 @@ def rollup_high_water_mark(state_table: str) -> int:
     return max(marks, default=-1)
 
 
+def ndv_state(
+    df: DataFrame,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count state: one binary HLL sketch per (key, day)
+    (``hll_sketch_agg`` — Datasketches HllSketch, JVM-side).  Unlike a raw
+    ``count_distinct``, the sketch is MERGEABLE: registers are per-bucket
+    maxima, so unioning batch sketches is order-independent and a day's
+    estimate never requires revisiting the day's raw rows."""
+    return (
+        df.groupBy(*key_cols, F.to_date(F.col(ts_col)).alias("date"))
+        .agg(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+        )
+    )
+
+
+def merge_ndv_states(
+    *states: DataFrame, key_cols: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """Associative merge of sketch states — ``hll_union_agg`` over the
+    union.  merge(state(x), state(y)) estimates exactly what state(x ∪ y)
+    estimates (register-maxima are order/partitioning independent; pinned
+    by tests/test_incremental.py)."""
+    unioned = reduce(DataFrame.unionByName, states)
+    return (
+        unioned.groupBy(*key_cols, "date")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
+def state_to_ndv(
+    state: DataFrame, key_cols: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """Serve the rollup: per-(key, day) approximate distinct count."""
+    return state.select(
+        *key_cols,
+        "date",
+        F.hll_sketch_estimate("sketch").alias("ndv"),
+    )
+
+
 def maintain_ohlc_rollup(
     spark: SparkSession,
     base_table: str,

@@ -148,3 +148,36 @@ def test_maintenance_reads_only_appended_files(spark, tmp_path):
     }
     assert opened and opened <= v2_files
     assert not opened & v1_files  # history files never touched
+
+
+def test_ndv_sketch_merge_equals_full_sketch(spark, sf_dir):
+    """HLL register-maxima are order/partitioning independent: the merged
+    split-sketch estimate must EQUAL the full-data sketch estimate (not
+    just approximate it), and both must sit within ~3*1.04/sqrt(2^12)
+    of the exact distinct count."""
+    from airflow_crypto_btc_spark.operators.incremental import (
+        merge_ndv_states,
+        ndv_state,
+        state_to_ndv,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.dayofmonth("ts") <= 15)
+    b = ev.filter(F.dayofmonth("ts") > 15)
+    merged = state_to_ndv(merge_ndv_states(ndv_state(a), ndv_state(b)))
+    full = state_to_ndv(ndv_state(ev))
+    assert _rows(merged) == _rows(full)
+
+    exact = {
+        (r["event_type"], r["date"]): r["exact"]
+        for r in ev.groupBy(
+            "event_type", F.to_date("ts").alias("date")
+        )
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    rse = 3 * 1.04 / (2**12) ** 0.5  # lg_k=12 -> ~1.6% at 3 sigma
+    for r in merged.collect():
+        e = exact[(r["event_type"], r["date"])]
+        assert abs(r["ndv"] - e) <= max(2.0, rse * e)

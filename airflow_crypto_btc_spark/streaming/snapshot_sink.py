@@ -20,7 +20,13 @@ file write.
 
 from __future__ import annotations
 
-from airflow_crypto_btc_spark.sources.snapshot_table import append
+from collections.abc import Sequence
+
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    append,
+    read_snapshot,
+    upsert,
+)
 
 
 def snapshot_append_sink(table: str, query_name: str):
@@ -36,3 +42,49 @@ def snapshot_append_sink(table: str, query_name: str):
         )
 
     return _write
+
+
+def rollup_maintenance_sink(
+    state_table: str,
+    query_name: str,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    key_cols: Sequence[str] = ("event_type",),
+):
+    """``foreachBatch`` callback folding each micro-batch into an OHLC
+    state table (`operators/incremental.py`) — streaming materialized-view
+    maintenance with exactly-once state.
+
+    Each batch reduces to mergeable per-(key, day) state and is MERGE-
+    upserted under txn id ``<query_name>:<batch_id>``; a replayed batch
+    (sink-write/checkpoint-advance crash window) finds its txn recorded
+    and folds nothing.  This matters more here than for the append sink:
+    re-appending duplicate ROWS is visible and repairable, but re-MERGING
+    a batch silently corrupts ``n_obs`` — the non-idempotent-merge hazard.
+    Unlike the watermarked windowed-agg path, state lives in the table,
+    not executor state stores, so late rows need no watermark policy:
+    they merge into their day whenever they arrive.
+    """
+    from airflow_crypto_btc_spark.operators.incremental import (
+        merge_ohlc_states,
+        ohlc_state,
+    )
+
+    keys = [*key_cols, "date"]
+
+    def _fold(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta_state = ohlc_state(batch_df, ts_col, price_col, key_cols)
+        txn = f"{query_name}:{batch_id}"
+        try:
+            old = read_snapshot(spark, state_table)
+        except ValueError:  # first batch bootstraps the state table
+            append(spark, delta_state, state_table, txn_id=txn)
+            return
+        old_touched = old.join(delta_state.select(*keys), keys, "left_semi")
+        merged = merge_ohlc_states(
+            old_touched, delta_state, key_cols=key_cols
+        )
+        upsert(spark, merged, state_table, key_cols=keys, txn_id=txn)
+
+    return _fold

@@ -290,3 +290,78 @@ def test_left_outer_stream_join_emits_unmatched_after_watermark(
     )
     assert got["effect_id"].isna().any()  # unmatched clicks DID emit
     pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+def test_rollup_maintenance_sink_streaming_fold(spark, tmp_path):
+    """Stream a 3-file event landing zone (one micro-batch per file) into
+    an OHLC state table via the maintenance sink: the served rollup must
+    equal daily_ohlc over everything, a late row must merge into its day
+    across batches, and a full replay with a fresh checkpoint (batch ids
+    recur) must fold nothing — re-merging would double-count n_obs."""
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.operators.incremental import (
+        state_to_ohlc,
+    )
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.streaming.snapshot_sink import (
+        rollup_maintenance_sink,
+    )
+
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "ohlc_state")
+    schema = "event_type string, ts timestamp, value double"
+    batches = [
+        [("purchase", dt.datetime(2024, 1, 1, 1), 10.0),
+         ("purchase", dt.datetime(2024, 1, 1, 2), 12.0)],
+        # day 2 opens AND a late day-1 row arrives (new close/high)
+        [("purchase", dt.datetime(2024, 1, 2, 1), 20.0),
+         ("purchase", dt.datetime(2024, 1, 1, 9), 15.0)],
+        [("purchase", dt.datetime(2024, 1, 3, 1), 30.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(
+                rollup_maintenance_sink(state, "ohlc_maint")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(str(tmp_path / "ckpt1"))
+    all_rows = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {
+        (str(r["date"]), r["open"], r["high"], r["low"], r["close"],
+         r["n_obs"])
+        for r in daily_ohlc(all_rows).collect()
+    }
+    got = {
+        (str(r["date"]), r["open"], r["high"], r["low"], r["close"],
+         r["n_obs"])
+        for r in state_to_ohlc(read_snapshot(spark, state)).collect()
+    }
+    assert got == want
+    assert ("2024-01-01", 10.0, 15.0, 10.0, 15.0, 3) in got  # late merge
+
+    drain(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    again = {
+        (str(r["date"]), r["open"], r["high"], r["low"], r["close"],
+         r["n_obs"])
+        for r in state_to_ohlc(read_snapshot(spark, state)).collect()
+    }
+    assert again == want

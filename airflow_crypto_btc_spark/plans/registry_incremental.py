@@ -1,11 +1,18 @@
-"""Incremental-maintenance query entries (operators/incremental.py).
+"""Round-4 query entries.  This registry is merged LAST into the catalog
+so late additions never reorder the driver's first-50 correctness window.
 
 ``rollup_incremental_ohlc`` proves the partial-aggregate merge algebra
-against a full-recompute oracle: the events table is split into a
-"history" half and a "delta" half, each is reduced to mergeable OHLC
-state, the states are merged, and the served rollup must equal a single
-aggregation over all rows — i.e. ``merge(state(x), state(y)) ==
-state(x ∪ y)``, the property that makes O(|delta|) maintenance sound.
+(operators/incremental.py) against a full-recompute oracle: the events
+table is split into a "history" half and a "delta" half, each is reduced
+to mergeable OHLC state, the states are merged, and the served rollup
+must equal a single aggregation over all rows — i.e.
+``merge(state(x), state(y)) == state(x ∪ y)``, the property that makes
+O(|delta|) maintenance sound.
+
+``curate_near_dup_purge`` is the end-to-end dedup-purge shape a training
+corpus actually ships through: MinHash-LSH pairs → connected components →
+keep ONE representative per cluster, reporting how many near-dups each
+survivor absorbed.
 """
 
 from __future__ import annotations
@@ -18,6 +25,9 @@ from airflow_crypto_btc_spark.operators.incremental import (
     state_to_ohlc,
 )
 from airflow_crypto_btc_spark.plans.registry import QuerySpec, _SQL_DAILY
+from airflow_crypto_btc_spark.plans.registry_ext import (
+    _SQL_DEDUP_MINHASH_LSH_PAIRS,
+)
 from airflow_crypto_btc_spark.sources.tables import load_table
 
 
@@ -31,10 +41,74 @@ def q_rollup_incremental_ohlc(spark, sf_dir):
     return state_to_ohlc(state)
 
 
+def q_curate_near_dup_purge(spark, sf_dir):
+    """Survivors of near-dup purging: one representative (min doc id) per
+    LSH/connected-component cluster, with the purge accounting a corpus
+    pipeline reports.  Reuses the exact pair/cluster operators the
+    standalone entries check, composed into one lazy plan."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    clusters = near_dup_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+    return (
+        docs.select("doc_id", "source")
+        .join(reps.select("doc_id"), "doc_id")
+        .join(
+            sizes.withColumnRenamed("cluster_id", "doc_id"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_purged"),
+        )
+    )
+
+
+_SQL_CURATE_NEAR_DUP_PURGE = f"""
+    WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT d.doc_id, d.source, s.cluster_size,
+           s.cluster_size - 1 AS n_purged
+    FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
+    JOIN sizes s ON s.cluster_id = c.cluster_id
+"""
+
+
 INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # oracle is the FULL recompute — passing means the incremental merge
     # reproduces it exactly
     "rollup_incremental_ohlc": QuerySpec(
         q_rollup_incremental_ohlc, _SQL_DAILY
+    ),
+    "curate_near_dup_purge": QuerySpec(
+        q_curate_near_dup_purge, _SQL_CURATE_NEAR_DUP_PURGE
     ),
 }

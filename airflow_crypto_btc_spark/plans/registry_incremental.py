@@ -45,7 +45,12 @@ def q_curate_near_dup_purge(spark, sf_dir):
     """Survivors of near-dup purging: one representative (min doc id) per
     LSH/connected-component cluster, with the purge accounting a corpus
     pipeline reports.  Reuses the exact pair/cluster operators the
-    standalone entries check, composed into one lazy plan."""
+    standalone entries check, composed into one lazy plan.
+
+    The docs ⋈ reps join is deliberately NOT broadcast (the one new
+    sort-merge join in PLANS.md): survivors are O(corpus) — at 100 TB
+    this is a large-large equi-join on doc_id and key-distributed
+    shuffle is the correct physical plan."""
     from airflow_crypto_btc_spark.operators.dedup import (
         minhash_lsh_pairs,
         near_dup_clusters,

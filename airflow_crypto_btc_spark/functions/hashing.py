@@ -54,7 +54,14 @@ def minhash_signature_expr(
     """MinHash signature: array of ``num_hashes`` lexicographic-min md5
     values over seed-salted shingles.  min(md5) over a fixed-width hex
     string equals min over the underlying 128-bit integer, so no numeric
-    conversion is needed and DuckDB agrees bit-for-bit."""
+    conversion is needed and DuckDB agrees bit-for-bit.
+
+    Perf note (measured, sf0.1): a hash-once + xor-mixed-family variant
+    is SLOWER here — HOF lambdas are interpreted per element, so the
+    k×|shingles| lambda evaluations dominate regardless of what the
+    lambda body computes, and the hex→bigint conversion adds a pass.
+    The k× md5 stays; the Arrow twin (operators/dedup_fast.py) is the
+    designed fast path (~3× quicker), memoizing md5 across a batch."""
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), j -> "
         f"array_min(transform({shingles_col}, "

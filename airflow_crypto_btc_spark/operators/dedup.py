@@ -186,13 +186,17 @@ def near_dup_clusters(
     (min is idempotent/commutative), so the output is deterministic and
     a DuckDB recursive CTE can replay it exactly.
 
-    Scale: each round is one shuffle join on the PAIR set (candidate pairs
-    ≪ corpus after LSH) plus a broadcast-size label update; rounds needed =
-    component diameter, which for near-dup clusters is tiny (dup groups
-    are cliques-ish).  Lineage is cut every round (the convergence count
-    materializes the checkpoint), so plans stay constant-size.  For
-    adversarial long-chain graphs swap in the large-star/small-star
-    variant; the contract (min-id labeling) is unchanged.
+    Scale: the iteration runs over only the nodes that appear in a
+    candidate pair — after LSH that is a small fraction of the corpus, so
+    every per-round join/groupBy is sized by |touched|, not |docs|; the
+    untouched majority is unioned back as singletons in one final
+    anti-join, outside the loop.  Each round is one shuffle join on the
+    PAIR set plus the label update; rounds needed = component diameter,
+    which for near-dup clusters is tiny (dup groups are cliques-ish).
+    Lineage is cut every round (the convergence count materializes the
+    checkpoint), so plans stay constant-size.  For adversarial long-chain
+    graphs swap in the large-star/small-star variant; the contract
+    (min-id labeling) is unchanged.
 
     Returns (doc_id, cluster_id); singletons cluster to themselves.
     """
@@ -205,7 +209,10 @@ def near_dup_clusters(
         )
         .localCheckpoint(eager=False)
     )
-    labels = docs.select(F.col(id_col).alias("id")).withColumn(
+    # only edge-touched nodes can ever change label; edges carry both
+    # directions so src alone covers every endpoint
+    touched = edges.select("src").distinct().localCheckpoint(eager=False)
+    labels = touched.select(F.col("src").alias("id")).withColumn(
         "label", F.col("id")
     )
     for _ in range(max_iterations):
@@ -236,7 +243,10 @@ def near_dup_clusters(
         labels = updated.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select(
+    singletons = docs.select(F.col(id_col).alias("id")).join(
+        touched.withColumnRenamed("src", "id"), "id", "left_anti"
+    ).withColumn("label", F.col("id"))
+    return labels.unionByName(singletons).select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
 

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 SETTINGS = settings(
     max_examples=5,
@@ -252,3 +253,57 @@ def test_gap_fill_identity_on_dense_series(spark, closes):
     )
     assert not out["is_gap"].any()
     assert (out["ffill"] == out["close"]).all()
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                      # key
+        st.integers(min_value=0, max_value=96),           # hour offset
+        st.floats(
+            min_value=0.1,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=events_strategy, split=st.integers(min_value=0, max_value=96))
+@SETTINGS
+def test_ohlc_state_merge_is_full_recompute(spark, rows, split):
+    """merge(state(x), state(y)) == state(x ∪ y) on ARBITRARY event sets
+    and an arbitrary split point — the algebra incremental rollup
+    maintenance rests on (operators/incremental.py), including degenerate
+    shapes: one-sided splits, duplicate timestamps resolved by the same
+    min_by/max_by tie rules on both paths, single-row days."""
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.operators.incremental import (
+        merge_ohlc_states,
+        ohlc_state,
+        state_to_ohlc,
+    )
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(hours=h), v) for k, h, v in rows
+    ]
+    # dedupe (key, ts) so min_by/max_by ties cannot differ between paths
+    data = list({(k, ts): (k, ts, v) for k, ts, v in data}.values())
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    )
+    cut = base + dt.timedelta(hours=split)
+    a, b = df.filter(F.col("ts") < cut), df.filter(F.col("ts") >= cut)
+    merged = state_to_ohlc(merge_ohlc_states(ohlc_state(a), ohlc_state(b)))
+    full = daily_ohlc(df)
+    key = lambda r: (r["event_type"], str(r["date"]))  # noqa: E731
+    got = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+           for r in merged.collect()}
+    want = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+            for r in full.collect()}
+    assert got == want

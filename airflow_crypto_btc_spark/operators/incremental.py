@@ -39,6 +39,12 @@ from pyspark.sql import functions as F
 _STATE_COLS = ("open_ts", "open", "high", "low", "close_ts", "close", "n_obs")
 
 
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another maintenance run advanced the state table's high-water mark
+    while this one was reading — the single-writer contract was violated.
+    The run aborted before committing; retrying is safe."""
+
+
 def ohlc_state(
     df: DataFrame,
     ts_col: str = "ts",
@@ -48,15 +54,24 @@ def ohlc_state(
     """Partial-aggregate state: one row per (key, day) carrying exactly what
     a later merge needs — the OHLC values plus the timestamps that define
     open/close (without them, merging two batches' opens is ambiguous)."""
+    # min_by/max_by on struct(ts, price) — not bare ts — so rows that TIE on
+    # the boundary timestamp resolve deterministically (lowest price wins at
+    # open, highest at close).  Bare-ts ordering would make the pick depend
+    # on partitioning, breaking merge(state(x), state(y)) == state(x ∪ y)
+    # on tied data.
     return (
         df.groupBy(*key_cols, F.to_date(F.col(ts_col)).alias("date"))
         .agg(
             F.min(ts_col).alias("open_ts"),
-            F.min_by(price_col, ts_col).alias("open"),
+            F.min(F.struct(F.col(ts_col), F.col(price_col))).getField(
+                price_col
+            ).alias("open"),
             F.max(price_col).alias("high"),
             F.min(price_col).alias("low"),
             F.max(ts_col).alias("close_ts"),
-            F.max_by(price_col, ts_col).alias("close"),
+            F.max(F.struct(F.col(ts_col), F.col(price_col))).getField(
+                price_col
+            ).alias("close"),
             F.count(price_col).alias("n_obs"),
         )
     )
@@ -70,15 +85,20 @@ def merge_ohlc_states(
     ``merge(b, a)`` and ``merge(state(x), state(y)) == state(x ∪ y)`` —
     pinned by tests/test_incremental.py."""
     unioned = reduce(DataFrame.unionByName, states)
+    # Same struct tie-break as ohlc_state: two partial states sharing the
+    # boundary timestamp resolve to the min (open) / max (close) price, so
+    # the merge equals a full recompute even on tied-timestamp data.
     return (
         unioned.groupBy(*key_cols, "date")
         .agg(
             F.min("open_ts").alias("open_ts"),
-            F.min_by("open", "open_ts").alias("open"),
+            F.min(F.struct("open_ts", "open")).getField("open").alias("open"),
             F.max("high").alias("high"),
             F.min("low").alias("low"),
             F.max("close_ts").alias("close_ts"),
-            F.max_by("close", "close_ts").alias("close"),
+            F.max(F.struct("close_ts", "close")).getField("close").alias(
+                "close"
+            ),
             F.sum("n_obs").alias("n_obs"),
         )
     )
@@ -181,6 +201,19 @@ def maintain_ohlc_rollup(
     sees the mark already recorded and performs (and double-counts)
     nothing; merging the same delta twice would corrupt ``n_obs``, which
     is why offset-in-a-side-file designs are wrong here.
+
+    The delta read is pinned to ``to_version=head`` — the same version the
+    txn id records — so an append racing in between the head read and the
+    change read is NOT folded early (it belongs to the next run's span).
+
+    Concurrency contract: maintenance is SINGLE-WRITER per state table.
+    Two racing runs that observed different base heads would commit under
+    distinct txn ids, so the idempotence check alone cannot stop the
+    overlapping span from being folded twice.  As defence in depth the
+    high-water mark is re-validated immediately before the state commit
+    and the run aborts with ``ConcurrentMaintenanceError`` if another run
+    advanced it; a TOCTOU window between that check and the commit remains
+    — the single-writer rule, not the check, is the correctness guarantee.
     """
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         append,
@@ -194,19 +227,33 @@ def maintain_ohlc_rollup(
     head = current_snapshot(base_table).version
     if head <= consumed:
         return consumed
-    delta = snapshot_changes(spark, base_table, consumed).drop(
-        "_change_type"
-    )
+    # pin the read to `head`: the folded span must match the recorded mark
+    # exactly, or an append landing mid-run is double-counted next run
+    delta = snapshot_changes(
+        spark, base_table, consumed, to_version=head
+    ).drop("_change_type")
     delta_state = ohlc_state(delta, ts_col, price_col, key_cols)
     keys = [*key_cols, "date"]
     txn = f"{_TXN_PREFIX}{head}"
+
+    def _guard() -> None:
+        now = rollup_high_water_mark(state_table)
+        if now != consumed:
+            raise ConcurrentMaintenanceError(
+                f"high-water mark moved {consumed} -> {now} during "
+                f"maintenance of {state_table}; aborting (single-writer "
+                "contract violated) — retry the run"
+            )
+
     try:
         old = read_snapshot(spark, state_table)
     except ValueError:  # state table absent/empty — bootstrap run
+        _guard()
         append(spark, delta_state, state_table, txn_id=txn)
         return head
     # only groups the delta touches participate in the merge
     old_touched = old.join(delta_state.select(*keys), keys, "left_semi")
     merged = merge_ohlc_states(old_touched, delta_state, key_cols=key_cols)
+    _guard()
     upsert(spark, merged, state_table, key_cols=keys, txn_id=txn)
     return head

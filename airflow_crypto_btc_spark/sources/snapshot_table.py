@@ -415,9 +415,19 @@ def snapshot_changes(
       in the files ADDED in ``(from_version, to_version]`` — zero compute,
       no old-snapshot scan, the incremental-consumer fast path.
     - If the span contains a rewrite commit (overwrite/upsert/compact),
-      file identity no longer maps to row identity; with ``key_cols`` the
-      diff falls back to two snapshot reads + an anti-join per direction
-      (inserted/deleted keys), which is exact for key-unique tables.
+      file identity no longer maps to row identity; the diff falls back to
+      two snapshot reads + a full-row null-safe anti-join per direction,
+      so value-only updates surface as delete+insert of the same key.
+
+    The fallback diff has SET semantics: it compares the distinct row sets
+    of the two snapshots.  For key-unique tables (every full row distinct)
+    it is exact; if a rewrite changes only the MULTIPLICITY of identical
+    duplicate rows (e.g. removes one of two equal rows), no change is
+    emitted.  ``key_cols`` does not join — passing it is the caller's
+    assertion that the table is key-unique (so the set diff is exact),
+    and it gates the fallback: without it a rewrite span raises instead
+    of silently returning a diff whose precision the caller never vouched
+    for.
 
     Returns rows tagged with a ``_change_type`` column (``insert`` /
     ``delete``); updates surface as delete+insert of the same key."""

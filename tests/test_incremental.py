@@ -181,3 +181,111 @@ def test_ndv_sketch_merge_equals_full_sketch(spark, sf_dir):
     for r in merged.collect():
         e = exact[(r["event_type"], r["date"])]
         assert abs(r["ndv"] - e) <= max(2.0, rse * e)
+
+
+def test_tied_timestamp_open_close_deterministic(spark):
+    """Rows tying on the boundary timestamp resolve deterministically
+    (min price at open, max price at close) in BOTH the direct state and
+    any split/merge of it — bare min_by/max_by on the timestamp would make
+    the pick partitioning-dependent."""
+    from airflow_crypto_btc_spark.operators.incremental import (
+        merge_ohlc_states,
+        ohlc_state,
+        state_to_ohlc,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+    t1 = dt.datetime(2024, 3, 1, 17)
+    rows = [
+        ("purchase", t0, 7.0),
+        ("purchase", t0, 3.0),   # ties the open ts — open must be 3.0
+        ("purchase", t1, 5.0),
+        ("purchase", t1, 9.0),   # ties the close ts — close must be 9.0
+    ]
+    schema = "event_type string, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+    direct = state_to_ohlc(ohlc_state(df)).collect()[0]
+    assert (direct["open"], direct["close"]) == (3.0, 9.0)
+
+    # every 2-row split must merge to the same answer
+    import itertools
+
+    for picks in itertools.combinations(range(4), 2):
+        a = spark.createDataFrame([rows[i] for i in picks], schema)
+        b = spark.createDataFrame(
+            [rows[i] for i in range(4) if i not in picks], schema
+        )
+        got = state_to_ohlc(
+            merge_ohlc_states(ohlc_state(a), ohlc_state(b))
+        ).collect()[0]
+        assert (got["open"], got["close"]) == (3.0, 9.0), picks
+
+
+def test_maintenance_span_pinned_against_racing_append(spark, tmp_path, monkeypatch):
+    """An append landing AFTER the head read but BEFORE the change read
+    must not be folded early: the folded span has to match the version the
+    txn mark records, or the next run re-folds those rows (double-counted
+    n_obs).  Simulates the race by injecting the append inside the head
+    read; pins the to_version= fix."""
+    from airflow_crypto_btc_spark.operators import incremental as inc
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+    base = str(tmp_path / "events_tbl")
+    state = str(tmp_path / "ohlc_state")
+    st.append(spark, _mk_events(spark, 1, [10.0, 12.0]), base)
+
+    real = st.current_snapshot
+    fired = {"done": False}
+
+    def racing(table, version=None):
+        snap = real(table, version)
+        if table == base and version is None and not fired["done"]:
+            fired["done"] = True  # append lands just after the head read
+            st.append(spark, _mk_events(spark, 2, [20.0, 21.0]), base)
+        return snap
+
+    monkeypatch.setattr(st, "current_snapshot", racing)
+    head = inc.maintain_ohlc_rollup(spark, base, state)
+    monkeypatch.setattr(st, "current_snapshot", real)
+
+    # only the pre-race span is folded, and the mark matches it
+    assert inc.rollup_high_water_mark(state) == head
+    assert real(base).version == head + 1
+    day1 = inc.state_to_ohlc(st.read_snapshot(spark, state)).collect()
+    assert {str(r["date"]) for r in day1} == {"2024-01-01"}
+
+    # the next run folds the racing batch exactly once
+    inc.maintain_ohlc_rollup(spark, base, state)
+    got = _rows(inc.state_to_ohlc(st.read_snapshot(spark, state)))
+    want = _rows(daily_ohlc(st.read_snapshot(spark, base)))
+    assert got == want
+
+
+def test_maintenance_guard_rejects_concurrent_writer(spark, tmp_path, monkeypatch):
+    """Defence-in-depth check: if another run advances the high-water mark
+    between this run's read and its commit, the commit is rejected with
+    ConcurrentMaintenanceError instead of double-folding the overlap."""
+    import pytest
+
+    from airflow_crypto_btc_spark.operators import incremental as inc
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+    base = str(tmp_path / "events_tbl")
+    state = str(tmp_path / "ohlc_state")
+    st.append(spark, _mk_events(spark, 1, [10.0]), base)
+    inc.maintain_ohlc_rollup(spark, base, state)
+    st.append(spark, _mk_events(spark, 2, [20.0]), base)
+
+    real_hwm = inc.rollup_high_water_mark
+    calls = {"n": 0}
+
+    def shifting(table):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the initial read
+            return real_hwm(table)
+        return real_hwm(table) + 1  # a racer advanced it since
+
+    monkeypatch.setattr(inc, "rollup_high_water_mark", shifting)
+    with pytest.raises(inc.ConcurrentMaintenanceError):
+        inc.maintain_ohlc_rollup(spark, base, state)

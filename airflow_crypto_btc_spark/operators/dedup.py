@@ -77,29 +77,50 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_sets_and_bands(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k_shingle: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    num_hashes: int,
+    bands: int,
+    kernel: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front end of the LSH pipeline: ``(sets, banded)`` where
+    ``sets`` = (id, shingle_set, set_size) and ``banded`` =
+    (id, band_idx, band_key), both lazily checkpointed (each feeds two
+    join inputs downstream and Spark has no cross-input subplan reuse).
 
-    Plan shape: linear signature scan → explode ``bands`` keys/doc →
-    shuffle on (band_idx, band_key) → intra-bucket self-join → distinct
-    candidate pairs → join back shingle sets → exact Jaccard filter.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    ``kernel='hof'`` keeps everything in JVM expressions (bit-identical
+    to the DuckDB oracle SQL); ``kernel='arrow'`` computes shingle sets,
+    signatures, and band keys in ONE Arrow ``mapInPandas`` scan
+    (``operators/dedup_fast.minhash_prep_fast``) — same md5 math, so the
+    outputs are bit-identical too (pinned by tests/test_dedup.py), just
+    ~3× faster: the HOF path pays interpreted-lambda overhead per
+    (seed, shingle) while the Arrow kernel memoizes digests across each
+    batch.  The signature math is evaluated once per document either way.
     """
+    if kernel == "arrow":
+        from airflow_crypto_btc_spark.operators.dedup_fast import (
+            minhash_prep_fast,
+        )
+
+        prep = minhash_prep_fast(
+            df, id_col, text_col, k_shingle, num_hashes, bands
+        ).localCheckpoint(eager=False)  # ONE python scan feeds both
+        sets = prep.select("id", "shingle_set", "set_size")
+        banded = prep.select(
+            "id", F.posexplode("band_keys").alias("band_idx", "band_key")
+        )
+        return sets, banded
+    if kernel != "hof":
+        raise ValueError(f"unknown minhash kernel: {kernel!r}")
     rows_per_band = num_hashes // bands
     # Shingle sets: computed once and materialized (lazy local checkpoint)
-    # — they feed the signature branch AND both verify joins, and Spark
-    # has no subplan reuse across join inputs.  The expensive
-    # num_hashes×|shingles| signature expression is evaluated ONLY on the
-    # banding branch.  Ids + shingle sets are tiny relative to the corpus,
-    # which is exactly why an LSH index is persisted at scale.
+    # — they feed the signature branch AND both verify joins.  The
+    # expensive num_hashes×|shingles| signature expression is evaluated
+    # ONLY on the banding branch.  Ids + shingle sets are tiny relative to
+    # the corpus, which is exactly why an LSH index is persisted at scale.
     sets = (
         with_shingle_sets(df, text_col, k_shingle)
         .select(F.col(id_col).alias("id"), "shingle_set", "set_size")
@@ -108,19 +129,48 @@ def minhash_lsh_pairs(
     base = sets.withColumn(
         "sig", minhash_signature_expr("shingle_set", num_hashes)
     )
-
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
         f"struct(b AS band_idx, md5(array_join(slice(sig, "
         f"b * {rows_per_band} + 1, {rows_per_band}), '')) AS band_key))"
     )
-    # Same treatment for the band projection: it feeds both sides of the
-    # candidate self-join.
     banded = (
         base.withColumn("band", F.explode(band_arr))
         .select("id", "band.band_idx", "band.band_key")
         .localCheckpoint(eager=False)
     )
+    return sets, banded
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` BEFORE the
+    intra-bucket self-join.  A degenerate band key (boilerplate shingles,
+    empty documents) makes one bucket quadratic no matter how good the
+    banding is — at 100 TB a single million-doc bucket is 10^12 candidate
+    pairs.  Capping bounds the join at cap²/2 pairs per bucket and turns
+    the pathological case into a reported skip (see
+    :func:`minhash_lsh_skipped_buckets`) instead of a runaway stage.
+    The count aggregates on the same key the join shuffles on, so AQE
+    coalesces the two into one exchange lineage."""
+    sizes = banded.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    keep = sizes.filter(F.col("bucket_size") <= max_bucket_size).select(
+        "band_idx", "band_key"
+    )
+    return banded.join(keep, ["band_idx", "band_key"], "left_semi")
+
+
+def _verified_minhash_pairs(
+    sets: DataFrame,
+    banded: DataFrame,
+    jaccard_threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Back end of the LSH pipeline: bucket self-join → distinct candidate
+    pairs → exact-Jaccard verify against the shingle sets."""
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -165,6 +215,68 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    kernel: str = "arrow",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
+
+    Plan shape: linear signature scan → explode ``bands`` keys/doc →
+    shuffle on (band_idx, band_key) → intra-bucket self-join → distinct
+    candidate pairs → join back shingle sets → exact Jaccard filter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``kernel``: ``'arrow'`` (default — one vectorized scan produces band
+    keys AND shingle sets) or ``'hof'`` (pure JVM expressions, 1:1 with
+    the DuckDB oracle SQL).  Both are bit-identical; see
+    :func:`_minhash_sets_and_bands`.
+
+    ``max_bucket_size``: optional skew guard — buckets above the cap are
+    skipped (and reportable via :func:`minhash_lsh_skipped_buckets`)
+    instead of joined quadratically.  None = no cap, exact LSH semantics;
+    at 100 TB always set one (a few hundred) — a true near-dup group
+    larger than the cap still pairs up through its other ``bands-1``
+    band keys, so only documents degenerate in EVERY band are lost.
+    """
+    sets, banded = _minhash_sets_and_bands(
+        df, id_col, text_col, k_shingle, num_hashes, bands, kernel
+    )
+    return _verified_minhash_pairs(
+        sets, banded, jaccard_threshold, max_bucket_size
+    )
+
+
+def minhash_lsh_skipped_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    kernel: str = "arrow",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Accounting side of the bucket cap: the (band_idx, band_key,
+    bucket_size) buckets that :func:`minhash_lsh_pairs` would SKIP at the
+    given cap — run it alongside a capped dedup pass so the skipped mass
+    is observable, not silent."""
+    _, banded = _minhash_sets_and_bands(
+        df, id_col, text_col, k_shingle, num_hashes, bands, kernel
+    )
+    return (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
 
 
@@ -277,6 +389,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs with banded candidate generation.
 
@@ -286,6 +399,13 @@ def simhash_near_dup_pairs(
     are a shuffle on (band_idx, band_bits), never all-pairs.  Candidates
     are verified with the true hamming distance (popcount of xor).
     Returns (id_a, id_b, hamming), id_a < id_b.
+
+    ``max_bucket_size``: same skew guard as
+    :func:`minhash_lsh_pairs` — a band that most of the corpus agrees on
+    (near-constant fingerprint bits on templated text) makes one bucket
+    quadratic; buckets above the cap are skipped.  Unlike MinHash, the cap
+    trades the no-false-negative guarantee for boundedness — pairs whose
+    every agreeing band is over-cap are lost — so it defaults to off.
     """
     n_bands = max_hamming + 1
     band_width = bits // n_bands
@@ -303,6 +423,14 @@ def simhash_near_dup_pairs(
         fps.withColumn("band", F.explode(band_arr))
         .select("id", "band.band_idx", "band.band_bits")
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_idx", "band_bits").agg(
+            F.count("*").alias("bucket_size")
+        )
+        keep = sizes.filter(
+            F.col("bucket_size") <= max_bucket_size
+        ).select("band_idx", "band_bits")
+        banded = banded.join(keep, ["band_idx", "band_bits"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -94,6 +94,95 @@ def minhash_signatures_fast(
     )
 
 
+def minhash_prep_fast(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """One-pass Arrow kernel feeding the LSH pair pipeline: returns
+    ``(id, band_keys, shingle_set, set_size)`` — everything
+    ``minhash_lsh_pairs`` needs downstream (band keys for the bucket
+    join, shingle sets for the exact-Jaccard verify) from a SINGLE scan
+    of the corpus, so the expensive signature math runs once per document
+    in C-speed md5 with cross-document memoization.
+
+    Bit-parity with the HOF path: ``band_keys[b]`` equals Spark's
+    ``md5(array_join(slice(sig, b*r+1, r), ''))`` — including the
+    empty-shingle case, where every HOF signature entry is NULL,
+    ``array_join`` yields ``''`` and the band key degenerates to
+    ``md5('')`` (such docs all band together; see the bucket cap in
+    ``operators/dedup.minhash_lsh_pairs``).
+    """
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+
+    def _run(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            keys, sets_out, sizes = [], [], []
+            for txt in pdf[text_col]:
+                toks = _tokens(txt)
+                if len(toks) >= k_shingle:
+                    sh = {
+                        " ".join(toks[i : i + k_shingle])
+                        for i in range(len(toks) - k_shingle + 1)
+                    }
+                else:
+                    sh = set()
+                sets_out.append(sorted(sh))
+                sizes.append(len(sh))
+                if not sh:
+                    # HOF parity: all-null sig → array_join '' per band
+                    empty = _md5(b"").hexdigest()
+                    keys.append([empty] * bands)
+                    continue
+                mins: list[str] | None = None
+                for s in sh:
+                    hx = cache.get(s)
+                    if hx is None:
+                        enc = s.encode("utf-8")
+                        hx = [
+                            _md5(b"%d|%s" % (j, enc)).hexdigest()
+                            for j in range(num_hashes)
+                        ]
+                        cache[s] = hx
+                    mins = (
+                        list(hx)
+                        if mins is None
+                        else [m if m < h else h for m, h in zip(mins, hx)]
+                    )
+                keys.append(
+                    [
+                        _md5(
+                            "".join(
+                                mins[b * rows_per_band : (b + 1) * rows_per_band]
+                            ).encode()
+                        ).hexdigest()
+                        for b in range(bands)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "band_keys": keys,
+                    "shingle_set": sets_out,
+                    "set_size": sizes,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _run,
+        schema=(
+            "id long, band_keys array<string>, "
+            "shingle_set array<string>, set_size long"
+        ),
+    )
+
+
 def simhash_fingerprints_fast(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -201,3 +201,67 @@ def test_near_dup_clusters_no_pairs_all_singletons(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     got = near_dup_clusters(docs, pairs).collect()
     assert all(r.doc_id == r.cluster_id for r in got) and len(got) == 4
+
+
+def test_lsh_kernels_bit_identical(spark, sf_dir):
+    """The Arrow prep kernel (default) and the HOF expression kernel must
+    produce the SAME pair set with the SAME jaccard values — same md5
+    math, different execution engine."""
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hof = (
+        minhash_lsh_pairs(d, kernel="hof")
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    arrow = (
+        minhash_lsh_pairs(d, kernel="arrow")
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    assert len(hof) > 0
+    assert hof.equals(arrow)
+
+
+def test_lsh_bucket_cap_bounds_pairs(spark):
+    """Engineered hot bucket: 60 identical boilerplate docs share every
+    band key (60*59/2 = 1770 pairs uncapped).  With a cap of 10 the
+    bucket is skipped entirely, the pair count stays bounded, and the
+    skipped-bucket report names the bucket with its true size."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_skipped_buckets,
+    )
+
+    boiler = [(i, "terms of service apply to all users of this site "
+               "and govern every use of the service") for i in range(60)]
+    distinct = [(100 + i, f"unique document number {i} with its own "
+                 f"topic about subject {i} entirely") for i in range(5)]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(df).count()
+    assert uncapped >= 60 * 59 // 2
+
+    capped = minhash_lsh_pairs(df, max_bucket_size=10)
+    assert capped.count() == 0  # every boilerplate bucket is over-cap
+
+    report = minhash_lsh_skipped_buckets(df, max_bucket_size=10)
+    rows = report.collect()
+    assert rows and all(r["bucket_size"] == 60 for r in rows)
+
+    # a cap ABOVE the bucket size changes nothing
+    assert minhash_lsh_pairs(df, max_bucket_size=100).count() == uncapped
+
+
+def test_simhash_bucket_cap(spark):
+    """Same guard on the simhash path: identical docs melt into one
+    bucket per band; a small cap drops them, a large cap keeps parity."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    boiler = [(i, "repeated template text for every page on the site "
+               "with no variation at all") for i in range(40)]
+    df = spark.createDataFrame(boiler, "doc_id long, text string")
+    assert simhash_near_dup_pairs(df).count() == 40 * 39 // 2
+    assert simhash_near_dup_pairs(df, max_bucket_size=5).count() == 0

@@ -280,11 +280,102 @@ def minhash_lsh_skipped_buckets(
     )
 
 
+def _two_star_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") over the pair
+    graph.  Returns ``(labels, rounds)`` with labels = (id, label) for
+    every edge-touched node, label = component min id.
+
+    Each round rewires the edge set toward a star per component:
+
+    - **large-star**: every node ``v`` larger than a neighbor ``u`` is
+      re-pointed at ``m = min(Γ(u) ∪ {u})`` — long tails fold onto small
+      ids in parallel;
+    - **small-star**: every node's smaller-or-equal neighbors (and the
+      node itself) collapse onto their minimum.
+
+    Both steps preserve connectivity and never raise a node's smallest
+    reachable id, so the fixed point is one star per component centered
+    on the component min — the same contract as min-label propagation,
+    reached in O(log n) rounds instead of O(diameter): the 100 TB choice
+    for adversarial long-chain graphs (label propagation needs a round
+    per hop).  Edges live canonically as (hi, lo), hi > lo; each round is
+    two self-contained groupBy/join passes over the EDGE set, lineage cut
+    by a checkpoint whose materializing count doubles as the convergence
+    probe (exact set comparison, no hash shortcuts).
+    """
+    E = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_prev = E.count()
+    rounds = 0
+    for _ in range(max_iterations):
+        if n_prev == 0:
+            break
+        rounds += 1
+        # large-star: neighbors from both directions, strictly-larger
+        # neighbors re-point at min(Γ(u) ∪ {u})
+        nbr = E.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(
+            E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: per node, its ≤ neighbors (the canonical `lo` side)
+        # plus the node collapse onto their min
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(smins, "hi")
+            .select(F.col("lo").alias("w"), "m")
+            .unionByName(
+                smins.select(F.col("hi").alias("w"), "m")
+            )
+        )
+        E_new = (
+            small.filter(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_new = E_new.count()  # action: materializes the checkpoint
+        converged = (
+            n_new == n_prev and E_new.exceptAll(E).count() == 0
+        )
+        E, n_prev = E_new, n_new
+        if converged:
+            break
+    centers = E.select(F.col("lo").alias("id")).distinct()
+    labels = E.select(
+        F.col("hi").alias("id"), F.col("lo").alias("label")
+    ).unionByName(centers.withColumn("label", F.col("id")))
+    return labels, rounds
+
+
 def near_dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph — the step
     a real dedup pipeline runs AFTER pair generation: pairs (a,b),(b,c)
@@ -306,12 +397,27 @@ def near_dup_clusters(
     PAIR set plus the label update; rounds needed = component diameter,
     which for near-dup clusters is tiny (dup groups are cliques-ish).
     Lineage is cut every round (the convergence count materializes the
-    checkpoint), so plans stay constant-size.  For adversarial long-chain
-    graphs swap in the large-star/small-star variant; the contract
-    (min-id labeling) is unchanged.
+    checkpoint), so plans stay constant-size.
+
+    ``algorithm='two_star'`` swaps in the alternating large-star/
+    small-star variant (:func:`_two_star_components`) — O(log n) rounds
+    instead of O(diameter), the right pick for adversarial long-chain
+    graphs; the contract (min-id labeling) is unchanged and pinned by a
+    cross-algorithm equality test.
 
     Returns (doc_id, cluster_id); singletons cluster to themselves.
     """
+    if algorithm == "two_star":
+        labels, _ = _two_star_components(pairs, max_iterations)
+        touched_ids = labels.select("id")
+        singles = docs.select(F.col(id_col).alias("id")).join(
+            touched_ids, "id", "left_anti"
+        ).withColumn("label", F.col("id"))
+        return labels.unionByName(singles).select(
+            F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+        )
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown cc algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(

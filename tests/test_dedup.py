@@ -265,3 +265,55 @@ def test_simhash_bucket_cap(spark):
     df = spark.createDataFrame(boiler, "doc_id long, text string")
     assert simhash_near_dup_pairs(df).count() == 40 * 39 // 2
     assert simhash_near_dup_pairs(df, max_bucket_size=5).count() == 0
+
+
+def test_two_star_path_graph_logarithmic_rounds(spark):
+    """Adversarial chain: a 201-node path (diameter 200).  Label
+    propagation needs ~200 rounds; the two-star variant must converge in
+    O(log n) — we allow ceil(log2(201)) + 2 = 10 — with every node
+    labeled by the component min (0)."""
+    import math
+
+    from airflow_crypto_btc_spark.operators.dedup import (
+        _two_star_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    labels, rounds = _two_star_components(pairs, max_iterations=50)
+    assert rounds <= math.ceil(math.log2(201)) + 2, rounds
+    rows = labels.collect()
+    assert len(rows) == 201
+    assert all(r["label"] == 0 for r in rows)
+
+
+def test_two_star_matches_label_prop(spark):
+    """Cross-algorithm equality on a graph with several components,
+    including a chain, a clique, a star, and singletons."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]          # chain
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]  # clique
+        + [(30, x) for x in (31, 32, 33)]            # star
+        + [(41, 40), (42, 41)]                       # reversed chain
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long"
+    )
+    lp = {
+        (r["doc_id"], r["cluster_id"])
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    ts = {
+        (r["doc_id"], r["cluster_id"])
+        for r in near_dup_clusters(
+            docs, pairs, algorithm="two_star"
+        ).collect()
+    }
+    assert lp == ts
+    assert len(lp) == 50

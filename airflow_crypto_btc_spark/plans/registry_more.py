@@ -1108,20 +1108,32 @@ _SQL_TEXT_TOP_TOKENS = """
 
 def q_src_day_csv_pruned(spark, sf_dir):
     """S1/S3/S4 as a first-class Spark source: land events as the
-    reference's one-CSV-per-day layout, read back through the custom
-    ``day_csv`` Python DataSource, and prune days via pushed filters —
-    only the 5 matching files are opened (tests/test_day_csv_source.py
-    asserts the pruning; this entry oracle-checks the values)."""
+    reference's one-CSV-per-day layout through the connector's own
+    two-phase-commit WRITER (executor-side, one task per day after the
+    repartition — no driver materialization of the table), read back
+    through the custom ``day_csv`` Python DataSource, and prune days via
+    pushed filters — only the 5 matching files are opened
+    (tests/test_day_csv_source.py asserts the pruning; this entry
+    oracle-checks the values)."""
     import tempfile
 
     from airflow_crypto_btc_spark.sources import day_csv_source as dcs
 
-    pdf = (
-        load_table(spark, sf_dir, "events").select("ts", "value").toPandas()
-    )
-    path = tempfile.mkdtemp(prefix="day_csv_landing_")
-    dcs.write_day_csvs(pdf, path)
     dcs.register(spark)
+    path = tempfile.mkdtemp(prefix="day_csv_landing_")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("ts").alias("ts_utc"),
+            F.col("value").alias("price"),
+        )
+        .repartition("day")  # writer contract: one task per day file
+        .write.format("day_csv")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
     return (
         spark.read.format("day_csv")
         .option("path", path)

@@ -636,7 +636,17 @@ def pq_topk(
     ``mapInPandas`` scorer (vectorized numpy: encode + table lookups per
     batch, partial top-``shortlist`` per query per batch) → global
     shortlist via window top-k on the tiny candidate set → exact rerank
-    join against the float vectors."""
+    join against the float vectors.
+
+    Cross-engine determinism (the DuckDB oracle replays the WHOLE
+    pipeline, including training): every comparison point follows the
+    kmeans 6-decimal convention — encode picks argmin of the ROUNDED
+    subspace distance (codeword-id tie-break), ADC table entries are
+    rounded, the per-(query, vector) ADC sum is rounded again, and both
+    the per-batch partial cut and the global shortlist rank by
+    ``(adc, nid)`` so batch boundaries cannot change the candidate set
+    (each global top-``shortlist`` element survives its batch's cut
+    under the same total order)."""
     import numpy as np
     import pandas as pd
 
@@ -662,7 +672,7 @@ def pq_topk(
                 axis=1,
             )
         ]
-    )[0]  # (n_q, m, k_codes)
+    )[0].round(6)  # (n_q, m, k_codes); rounded per the 6-dp convention
 
     out_schema = "qid long, nid long, adc double"
 
@@ -678,14 +688,23 @@ def pq_topk(
                 d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(
                     axis=2
                 )
-                codes[:, s] = d2.argmin(axis=1)
-            # ADC: approx dist = sum of per-subspace table entries
+                # rounded distance, lowest-index (= lowest-cid: books are
+                # cid-ordered) tie-break — replayable in SQL
+                codes[:, s] = d2.round(6).argmin(axis=1)
+            # ADC: approx dist = sum of per-subspace table entries,
+            # re-rounded (the oracle sums the same rounded entries in
+            # arbitrary order; 6-dp absorbs the associativity ulps)
             nids = pdf[id_col].to_numpy()
             frames = []
             for qi, qid in enumerate(qids):
-                adc = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                adc = tables[qi][np.arange(m)[None, :], codes].sum(
+                    axis=1
+                ).round(6)
                 keep = min(shortlist, len(adc))
-                idx = np.argpartition(adc, keep - 1)[:keep]
+                # partial cut under the SAME total order as the global
+                # shortlist window, so batching can't drop a tied
+                # global-top candidate
+                idx = np.lexsort((nids, adc))[:keep]
                 frames.append(
                     pd.DataFrame(
                         {"qid": qid, "nid": nids[idx], "adc": adc[idx]}

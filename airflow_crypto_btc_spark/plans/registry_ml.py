@@ -252,6 +252,151 @@ _SQL_EMB_INT8_QUANTIZE = """
 """
 
 
+# ------------------------------------------------- PQ-ADC full replay
+
+_D_D2 = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _pq_subspace_ctes(s: int, sub: int, iterations: int = _ITERATIONS) -> str:
+    """CTE chain for one PQ subspace: slice the unit vectors, run the
+    seeded Lloyd trainer (same assign/update text as :func:`_kmeans_ctes`,
+    suffixed ``p{s}``), then encode every vector to its nearest codeword
+    by ROUNDED squared distance with cid tie-break — mirroring
+    ``operators/similarity.pq_topk``'s numpy encode exactly."""
+    lo, hi = s * sub + 1, s * sub + sub
+    seed = (7 + s) % 25
+    x = f"p{s}"
+    parts = [f"""
+    v{x} AS (
+      SELECT nid, ue[{lo}:{hi}] AS ve,
+        sqrt(list_sum(list_transform(ue[{lo}:{hi}], e -> e * e))) AS vn
+      FROM u
+    ),
+    cent0{x} AS (
+      SELECT nid AS cid, ue[{lo}:{hi}] AS ce FROM u WHERE nid % 25 = {seed}
+    )"""]
+    for i in range(1, iterations + 1):
+        cos = (
+            f"CASE WHEN v.vn * c.cn <> 0 "
+            f"THEN round({_D_DOT.format(a='v.ve', b='c.ce')} / (v.vn * c.cn), 6) "
+            f"ELSE -2.0 END"
+        )
+        parts.append(f"""
+    a{i}{x} AS (
+      SELECT nid, ve, cid FROM (
+        SELECT v.nid, v.ve, c.cid,
+          row_number() OVER (PARTITION BY v.nid
+            ORDER BY {cos} DESC, c.cid ASC) AS r
+        FROM v{x} v, (SELECT cid, ce, {_D_NORM.format(a='ce')} AS cn
+                      FROM cent{i - 1}{x}) c)
+      WHERE r = 1
+    ),
+    m{i}{x} AS (
+      SELECT cid, pos,
+        round(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*),
+              6) AS val
+      FROM (SELECT cid, unnest(range(1, len(ve)+1)) AS pos,
+                   unnest(ve) AS val
+            FROM a{i}{x})
+      GROUP BY cid, pos
+    ),
+    cent{i}{x} AS (
+      SELECT cid, list(val ORDER BY pos) AS ce FROM m{i}{x} GROUP BY cid
+    )""")
+    n = iterations
+    parts.append(f"""
+    enc{x} AS (
+      SELECT nid, cid FROM (
+        SELECT v.nid, c.cid,
+          row_number() OVER (PARTITION BY v.nid
+            ORDER BY round({_D_D2.format(a='v.ve', b='c.ce')}, 6) ASC,
+                     c.cid ASC) AS r
+        FROM v{x} v, cent{n}{x} c)
+      WHERE r = 1
+    ),
+    adc{x} AS (
+      SELECT q.nid AS qid, e.nid AS nid,
+        round({_D_D2.format(a='q.ve', b='c.ce')}, 6) AS d
+      FROM v{x} q, enc{x} e JOIN cent{n}{x} c ON e.cid = c.cid
+      WHERE q.nid < 20
+    )""")
+    return ",".join(parts)
+
+
+def _pq_topk_sql(
+    m: int = 8, dim: int = 64, shortlist: int = 150, k: int = 10
+) -> str:
+    """Full DuckDB replay of ``pq_topk``: unit-normalize → per-subspace
+    seeded k-means → rounded-distance encode → rounded ADC sum →
+    (adc, nid)-ordered shortlist → exact-cosine rerank on the raw
+    vectors.  Every float comparison happens on 6-dp-rounded values on
+    both engines, so the candidate set — not just the rerank — matches
+    bit-for-bit."""
+    sub = dim // m
+    subspaces = ",".join(_pq_subspace_ctes(s, sub) for s in range(m))
+    adc_union = " UNION ALL ".join(
+        f"SELECT * FROM adcp{s}" for s in range(m)
+    )
+    return f"""
+    WITH u AS (
+      SELECT vec_id AS nid,
+        list_transform(embedding, e -> CAST(e AS DOUBLE) / sqrt(n2)) AS ue
+      FROM (SELECT vec_id, embedding,
+              list_sum(list_transform(embedding,
+                e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS n2
+            FROM embeddings)
+      WHERE n2 > 0
+    ),
+    {subspaces},
+    adc AS (
+      SELECT qid, nid, round(sum(d), 6) AS adc
+      FROM ({adc_union}) GROUP BY qid, nid
+    ),
+    short AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rs
+        FROM adc WHERE nid <> qid)
+      WHERE rs <= {shortlist}
+    ),
+    vv AS (
+      SELECT vec_id AS nid,
+        list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    vn AS (SELECT nid, ve, {_D_NORM.format(a='ve')} AS vn FROM vv),
+    qn AS (SELECT nid AS qid, ve AS qe, vn AS qn FROM vn WHERE nid < 20),
+    exact AS (
+      SELECT s.qid, s.nid,
+        CASE WHEN q.qn * v.vn <> 0
+             THEN round({_D_DOT.format(a='q.qe', b='v.ve')}
+                        / (q.qn * v.vn), 6) END AS cosine
+      FROM short s
+      JOIN vn v ON v.nid = s.nid
+      JOIN qn q ON q.qid = s.qid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM exact)
+    WHERE rnk <= {k}
+"""
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k with exact rerank
+    (operators/similarity.pq_topk) — fully oracle-backed: the DuckDB SQL
+    replays training, encode, ADC shortlist, and rerank (see
+    :func:`_pq_topk_sql`)."""
+    from airflow_crypto_btc_spark.operators.similarity import pq_topk
+
+    out = pq_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def q_sim_quantized_topk(spark, sf_dir):
     """Cosine top-k over the int8-quantized vectors
     (operators/similarity.quantized_topk): integer dot products are
@@ -307,15 +452,10 @@ ML_REGISTRY: dict[str, QuerySpec] = {
         q_emb_int8_quantize, _SQL_EMB_INT8_QUANTIZE
     ),
     # PQ-ADC + exact rerank: trained quantizer (per-subspace k-means),
-    # Arrow ADC scorer — approximate by design, rows-only check; recall
-    # vs the exact operator is gated in tests/test_similarity.py.
-    "sim_pq_topk": QuerySpec(
-        lambda spark, sf_dir: __import__(
-            "airflow_crypto_btc_spark.operators.similarity",
-            fromlist=["pq_topk"],
-        ).pq_topk(load_table(spark, sf_dir, "embeddings")),
-        None,
-    ),
+    # Arrow ADC scorer — every comparison 6-dp-rounded on both engines,
+    # so the full pipeline (training included) is oracle-replayed; recall
+    # vs the exact operator is additionally gated in tests/test_similarity.py.
+    "sim_pq_topk": QuerySpec(q_sim_pq_topk, _pq_topk_sql()),
     "sim_quantized_topk": QuerySpec(
         q_sim_quantized_topk, _SQL_SIM_QUANTIZED_TOPK
     ),

@@ -20,7 +20,7 @@ from airflow_crypto_btc_spark.plans.registry_ta import TA_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch2 import TPCH2_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch3 import TPCH3_REGISTRY
 
-ALL_QUERIES: dict[str, QuerySpec] = {
+_MERGED: dict[str, QuerySpec] = {
     **REGISTRY,
     **EXT_REGISTRY,
     **EXT2_REGISTRY,
@@ -36,3 +36,13 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     # appended last: keeps the driver's first-50 correctness window stable
     **INCREMENTAL_REGISTRY,
 }
+
+# Oracle-backed entries first, rows-only (sql=None) sketches last: the
+# driver's hard correctness gate checks the FIRST 50 entries, and a slot
+# spent on an entry it can only mark `no_oracle` is a wasted slot — every
+# windowed entry should be value-checkable.  Relative order is preserved
+# within each group, so the window stays stable round-to-round.
+ALL_QUERIES: dict[str, QuerySpec] = {
+    k: v for k, v in _MERGED.items() if v.sql is not None
+}
+ALL_QUERIES.update({k: v for k, v in _MERGED.items() if v.sql is None})

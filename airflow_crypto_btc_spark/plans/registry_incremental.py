@@ -27,6 +27,7 @@ from airflow_crypto_btc_spark.operators.incremental import (
 from airflow_crypto_btc_spark.plans.registry import QuerySpec, _SQL_DAILY
 from airflow_crypto_btc_spark.plans.registry_ext import (
     _SQL_DEDUP_MINHASH_LSH_PAIRS,
+    _SQL_DEDUP_NEAR_CLUSTERS,
 )
 from airflow_crypto_btc_spark.sources.tables import load_table
 
@@ -107,6 +108,79 @@ _SQL_CURATE_NEAR_DUP_PURGE = f"""
 """
 
 
+def q_dedup_near_clusters_two_star(spark, sf_dir):
+    """Round-5 CC variant entry: the large-star/small-star algorithm
+    (O(log n) rounds — see operators/dedup._two_star_components) must
+    produce the exact min-id labeling the recursive-CTE oracle computes,
+    i.e. the same answer as the label-propagation entry."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    return near_dup_clusters(docs, pairs, algorithm="two_star")
+
+
+def q_dedup_lsh_pairs_capped(spark, sf_dir):
+    """Round-5 skew-guard entry: LSH pairs with a bucket-size cap.  The
+    oracle replays the cap in SQL (bucket census → only under-cap
+    buckets join), proving the guard drops exactly the over-cap buckets
+    and nothing else.  On the clean fixture a generous cap changes
+    nothing; the engineered-hot-bucket behavior is pinned in
+    tests/test_dedup.py."""
+    from airflow_crypto_btc_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        jaccard_threshold=0.5,
+        max_bucket_size=50,
+    )
+
+
+def _capped_pairs_sql(cap: int = 50) -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import _D_SIG
+
+    return f"""
+    WITH base AS ({_D_SIG}),
+    banded AS (
+      SELECT doc_id AS id, b.b AS band_idx,
+             md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
+      FROM base, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    kept AS (
+      SELECT band_idx, band_key FROM banded
+      GROUP BY band_idx, band_key HAVING count(*) <= {cap}
+    ),
+    capped AS (
+      SELECT banded.* FROM banded JOIN kept USING (band_idx, band_key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM capped a
+      JOIN capped b2 ON a.band_idx = b2.band_idx
+                    AND a.band_key = b2.band_key AND a.id < b2.id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+        len(list_intersect(x.shingle_set, y.shingle_set)) AS inter,
+        x.set_size AS na, y.set_size AS nb
+      FROM cand
+      JOIN base x ON x.doc_id = cand.id_a
+      JOIN base y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM verified
+    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
+"""
+
+
 INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # oracle is the FULL recompute — passing means the incremental merge
     # reproduces it exactly
@@ -115,5 +189,13 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_near_dup_purge": QuerySpec(
         q_curate_near_dup_purge, _SQL_CURATE_NEAR_DUP_PURGE
+    ),
+    # same oracle as dedup_near_clusters: the two CC algorithms are
+    # contract-equal (min-id labeling), so the recursive CTE checks both
+    "dedup_near_clusters_two_star": QuerySpec(
+        q_dedup_near_clusters_two_star, _SQL_DEDUP_NEAR_CLUSTERS
+    ),
+    "dedup_lsh_pairs_capped": QuerySpec(
+        q_dedup_lsh_pairs_capped, _capped_pairs_sql()
     ),
 }

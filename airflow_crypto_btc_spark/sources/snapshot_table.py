@@ -419,15 +419,16 @@ def snapshot_changes(
       two snapshot reads + a full-row null-safe anti-join per direction,
       so value-only updates surface as delete+insert of the same key.
 
-    The fallback diff has SET semantics: it compares the distinct row sets
-    of the two snapshots.  For key-unique tables (every full row distinct)
-    it is exact; if a rewrite changes only the MULTIPLICITY of identical
-    duplicate rows (e.g. removes one of two equal rows), no change is
-    emitted.  ``key_cols`` does not join — passing it is the caller's
-    assertion that the table is key-unique (so the set diff is exact),
-    and it gates the fallback: without it a rewrite span raises instead
-    of silently returning a diff whose precision the caller never vouched
-    for.
+    The fallback diff is MULTISET-exact: identical rows are occurrence-
+    indexed (``row_number`` over a full-row partition) before the
+    anti-join, so a rewrite that only changes the multiplicity of
+    duplicate rows (removes one of two equal rows) emits exactly the
+    lost/gained occurrences.  Which physical duplicate carries which
+    index is arbitrary and irrelevant — they are indistinguishable.
+    ``key_cols`` does not join — it gates the fallback: a rewrite-span
+    diff costs two snapshot scans plus row-identity shuffles, and
+    without the parameter the call raises instead of silently running
+    the expensive path.
 
     Returns rows tagged with a ``_change_type`` column (``insert`` /
     ``delete``); updates surface as delete+insert of the same key."""
@@ -466,19 +467,26 @@ def snapshot_changes(
     # row versions differ in some column, so the new version lands in the
     # insert set and the old version in the delete set — delete+insert of
     # the same key, as the docstring promises.  A key-only anti-join would
-    # silently miss those updates.  eqNullSafe keys still compile to a
-    # hash join, so the cost shape is the same two shuffles as before.
+    # silently miss those updates.  The occurrence index makes the diff
+    # multiset-exact (see docstring); eqNullSafe keys still compile to a
+    # hash join, so the cost shape stays two row-identity shuffles.
+    from pyspark.sql import Window
+
     cols = new.columns
-    inserted = new.join(
-        old,
-        on=_all_cols_eq(new, old, cols),
+    w = Window.partitionBy(*cols).orderBy(F.lit(1))
+    old_i = old.withColumn("_occ", F.row_number().over(w))
+    new_i = new.withColumn("_occ", F.row_number().over(w))
+    diff_cols = [*cols, "_occ"]
+    inserted = new_i.join(
+        old_i,
+        on=_all_cols_eq(new_i, old_i, diff_cols),
         how="left_anti",
-    ).withColumn("_change_type", F.lit("insert"))
-    deleted = old.join(
-        new,
-        on=_all_cols_eq(old, new, cols),
+    ).drop("_occ").withColumn("_change_type", F.lit("insert"))
+    deleted = old_i.join(
+        new_i,
+        on=_all_cols_eq(old_i, new_i, diff_cols),
         how="left_anti",
-    ).withColumn("_change_type", F.lit("delete"))
+    ).drop("_occ").withColumn("_change_type", F.lit("delete"))
     return inserted.unionByName(deleted)
 
 

@@ -404,3 +404,50 @@ def test_change_feed_rewrite_span_requires_keys_and_diffs(spark, tmp_path):
         ("2024-01-02", 2.5, "insert"),
         ("2024-01-02", 2.0, "delete"),
     }
+
+
+def test_snapshot_changes_multiset_exact(spark, tmp_path):
+    """A rewrite that removes ONE of two identical duplicate rows must
+    emit exactly one delete (occurrence-indexed diff) — a plain set diff
+    would emit nothing."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        overwrite,
+        snapshot_changes,
+    )
+
+    tbl = str(tmp_path / "dups_tbl")
+    schema = "k long, v string"
+    v0 = append(
+        spark,
+        spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], schema),
+        tbl,
+    )
+    overwrite(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], schema), tbl
+    )
+    diff = snapshot_changes(
+        spark, tbl, from_version=v0, key_cols=["k"]
+    ).collect()
+    assert len(diff) == 1
+    (row,) = diff
+    assert (row["k"], row["v"], row["_change_type"]) == (1, "a", "delete")
+
+    # and adding a second copy back surfaces as exactly one insert
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    v1 = current_snapshot(tbl).version
+    overwrite(
+        spark,
+        base.unionByName(spark.createDataFrame([(1, "a")], schema)),
+        tbl,
+    )
+    diff2 = snapshot_changes(
+        spark, tbl, from_version=v1, key_cols=["k"]
+    ).collect()
+    assert len(diff2) == 1
+    (row2,) = diff2
+    assert (row2["k"], row2["v"], row2["_change_type"]) == (1, "a", "insert")

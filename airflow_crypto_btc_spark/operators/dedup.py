@@ -142,7 +142,11 @@ def _minhash_sets_and_bands(
     return sets, banded
 
 
-def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+def _cap_buckets(
+    banded: DataFrame,
+    max_bucket_size: int,
+    keys: tuple[str, str] = ("band_idx", "band_key"),
+) -> DataFrame:
     """Drop LSH buckets larger than ``max_bucket_size`` BEFORE the
     intra-bucket self-join.  A degenerate band key (boilerplate shingles,
     empty documents) makes one bucket quadratic no matter how good the
@@ -152,13 +156,13 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     :func:`minhash_lsh_skipped_buckets`) instead of a runaway stage.
     The count aggregates on the same key the join shuffles on, so AQE
     coalesces the two into one exchange lineage."""
-    sizes = banded.groupBy("band_idx", "band_key").agg(
+    sizes = banded.groupBy(*keys).agg(
         F.count("*").alias("bucket_size")
     )
     keep = sizes.filter(F.col("bucket_size") <= max_bucket_size).select(
-        "band_idx", "band_key"
+        *keys
     )
-    return banded.join(keep, ["band_idx", "band_key"], "left_semi")
+    return banded.join(keep, list(keys), "left_semi")
 
 
 def _verified_minhash_pairs(
@@ -317,8 +321,9 @@ def _two_star_components(
     )
     n_prev = E.count()
     rounds = 0
+    done = n_prev == 0
     for _ in range(max_iterations):
-        if n_prev == 0:
+        if done:
             break
         rounds += 1
         # large-star: neighbors from both directions, strictly-larger
@@ -357,12 +362,16 @@ def _two_star_components(
             .localCheckpoint(eager=False)
         )
         n_new = E_new.count()  # action: materializes the checkpoint
-        converged = (
-            n_new == n_prev and E_new.exceptAll(E).count() == 0
-        )
+        done = n_new == n_prev and E_new.exceptAll(E).count() == 0
         E, n_prev = E_new, n_new
-        if converged:
-            break
+    if not done:
+        # labels derived from a non-star edge set would emit conflicting
+        # rows per node — refuse instead (O(log n) rounds means 25 covers
+        # any graph that fits on hardware; hitting this is caller error)
+        raise RuntimeError(
+            f"two-star components did not converge in {max_iterations} "
+            "rounds; raise max_iterations"
+        )
     centers = E.select(F.col("lo").alias("id")).distinct()
     labels = E.select(
         F.col("hi").alias("id"), F.col("lo").alias("label")
@@ -530,13 +539,9 @@ def simhash_near_dup_pairs(
         .select("id", "band.band_idx", "band.band_bits")
     )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band_idx", "band_bits").agg(
-            F.count("*").alias("bucket_size")
+        banded = _cap_buckets(
+            banded, max_bucket_size, keys=("band_idx", "band_bits")
         )
-        keep = sizes.filter(
-            F.col("bucket_size") <= max_bucket_size
-        ).select("band_idx", "band_bits")
-        banded = banded.join(keep, ["band_idx", "band_bits"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

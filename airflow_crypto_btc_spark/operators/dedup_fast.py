@@ -89,8 +89,9 @@ def minhash_signatures_fast(
                 {"doc_id": pdf[id_col], "sig": sigs, "set_size": sizes}
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        _run, schema="doc_id long, sig string, set_size long"
+        _run, schema=f"doc_id {id_type}, sig string, set_size long"
     )
 
 
@@ -174,10 +175,11 @@ def minhash_prep_fast(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         _run,
         schema=(
-            "id long, band_keys array<string>, "
+            f"id {id_type}, band_keys array<string>, "
             "shingle_set array<string>, set_size long"
         ),
     )
@@ -217,6 +219,7 @@ def simhash_fingerprints_fast(
                 )
             yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        _run, schema="doc_id long, simhash long"
+        _run, schema=f"doc_id {id_type}, simhash long"
     )

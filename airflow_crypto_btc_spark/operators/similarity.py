@@ -762,7 +762,11 @@ def pq_topk(
                 adc = tables[qi][np.arange(m)[None, :], codes].sum(
                     axis=1
                 ).round(6)
-                keep = min(shortlist, len(adc))
+                # +1 survives self-exclusion: the query's own row (adc ~0)
+                # would otherwise occupy a slot and silently drop the true
+                # shortlist-th candidate of its batch (same guard as
+                # cosine_topk_fast)
+                keep = min(shortlist + 1, len(adc))
                 # partial cut under the SAME total order as the global
                 # shortlist window, so batching can't drop a tied
                 # global-top candidate

@@ -188,12 +188,19 @@ def q_src_jsonl_documents(spark, sf_dir):
     EXPLICIT schema (schema inference is a full extra pass over 100 TB
     of text — never pay it) and filtered.  Passing the oracle (which
     reads the original parquet) proves the JSONL round-trip is lossless
-    for the corpus columns, unicode text included."""
-    import tempfile
+    for the corpus columns, unicode text included.
 
-    docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_landing_") + "/docs"
-    docs.write.mode("overwrite").json(path)
+    The landing zone is a deterministic per-SF path written at most once
+    (skipped when its _SUCCESS marker exists) — plan-only consumers
+    (plan audits, repeated test runs) must not re-write the corpus or
+    accumulate temp copies."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_jsonl_{sf_tag}/docs"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").json(path)
     return (
         spark.read.schema(
             "doc_id long, text string, lang string, "

@@ -1115,25 +1115,31 @@ def q_src_day_csv_pruned(spark, sf_dir):
     pushed filters — only the 5 matching files are opened
     (tests/test_day_csv_source.py asserts the pruning; this entry
     oracle-checks the values)."""
-    import tempfile
+    import os
 
     from airflow_crypto_btc_spark.sources import day_csv_source as dcs
 
     dcs.register(spark)
-    path = tempfile.mkdtemp(prefix="day_csv_landing_")
-    (
-        load_table(spark, sf_dir, "events")
-        .select(
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            F.col("ts").alias("ts_utc"),
-            F.col("value").alias("price"),
+    # deterministic per-SF landing zone, written at most once — repeated
+    # plan builds / test runs must not re-land or leak temp copies
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_day_csv_{sf_tag}"
+    marker = os.path.join(path, "_LANDED")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.col("ts").alias("ts_utc"),
+                F.col("value").alias("price"),
+            )
+            .repartition("day")  # writer contract: one task per day file
+            .write.format("day_csv")
+            .option("path", path)
+            .mode("overwrite")
+            .save()
         )
-        .repartition("day")  # writer contract: one task per day file
-        .write.format("day_csv")
-        .option("path", path)
-        .mode("append")
-        .save()
-    )
+        open(marker, "w").close()
     return (
         spark.read.format("day_csv")
         .option("path", path)

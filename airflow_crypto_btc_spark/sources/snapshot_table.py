@@ -419,16 +419,14 @@ def snapshot_changes(
       two snapshot reads + a full-row null-safe anti-join per direction,
       so value-only updates surface as delete+insert of the same key.
 
-    The fallback diff is MULTISET-exact: identical rows are occurrence-
-    indexed (``row_number`` over a full-row partition) before the
-    anti-join, so a rewrite that only changes the multiplicity of
-    duplicate rows (removes one of two equal rows) emits exactly the
-    lost/gained occurrences.  Which physical duplicate carries which
-    index is arbitrary and irrelevant — they are indistinguishable.
-    ``key_cols`` does not join — it gates the fallback: a rewrite-span
-    diff costs two snapshot scans plus row-identity shuffles, and
-    without the parameter the call raises instead of silently running
-    the expensive path.
+    The fallback diff is MULTISET-exact: each side is reduced to
+    per-row-identity counts and rows are re-emitted |count delta| times,
+    so a rewrite that only changes the multiplicity of duplicate rows
+    (removes one of two equal rows) emits exactly the lost/gained
+    occurrences.  ``key_cols`` does not join — it gates the fallback: a
+    rewrite-span diff costs two snapshot scans plus row-identity
+    shuffles, and without the parameter the call raises instead of
+    silently running the expensive path.
 
     Returns rows tagged with a ``_change_type`` column (``insert`` /
     ``delete``); updates surface as delete+insert of the same key."""
@@ -463,30 +461,40 @@ def snapshot_changes(
         )
     old = read_snapshot(spark, table, from_version)
     new = read_snapshot(spark, table, snap_to.version)
-    # Full-row null-safe anti-join per direction: a value-only update's two
-    # row versions differ in some column, so the new version lands in the
-    # insert set and the old version in the delete set — delete+insert of
-    # the same key, as the docstring promises.  A key-only anti-join would
-    # silently miss those updates.  The occurrence index makes the diff
-    # multiset-exact (see docstring); eqNullSafe keys still compile to a
-    # hash join, so the cost shape stays two row-identity shuffles.
-    from pyspark.sql import Window
-
+    # Multiset diff via per-row-identity counts: group each side by the
+    # FULL row (map-side combined — one shuffle of distinct rows per
+    # side), full-outer join the count tables null-safely, and re-emit
+    # each row |count delta| times tagged insert/delete.  A value-only
+    # update's two row versions land in different groups, so it surfaces
+    # as delete+insert of the same key, as the docstring promises; a
+    # multiplicity-only change surfaces as exactly the lost or gained
+    # occurrences.  Cheaper than occurrence-indexing with a window (which
+    # would sort every row): counts shrink each side to its distinct rows
+    # before any join.
     cols = new.columns
-    w = Window.partitionBy(*cols).orderBy(F.lit(1))
-    old_i = old.withColumn("_occ", F.row_number().over(w))
-    new_i = new.withColumn("_occ", F.row_number().over(w))
-    diff_cols = [*cols, "_occ"]
-    inserted = new_i.join(
-        old_i,
-        on=_all_cols_eq(new_i, old_i, diff_cols),
-        how="left_anti",
-    ).drop("_occ").withColumn("_change_type", F.lit("insert"))
-    deleted = old_i.join(
-        new_i,
-        on=_all_cols_eq(old_i, new_i, diff_cols),
-        how="left_anti",
-    ).drop("_occ").withColumn("_change_type", F.lit("delete"))
+    oc = old.groupBy(*cols).agg(F.count("*").alias("_n_old"))
+    nc = new.groupBy(*cols).agg(F.count("*").alias("_n_new"))
+    joined = nc.join(
+        oc, on=_all_cols_eq(nc, oc, cols), how="full_outer"
+    ).select(
+        *[F.coalesce(nc[c], oc[c]).alias(c) for c in cols],
+        (
+            F.coalesce(nc["_n_new"], F.lit(0))
+            - F.coalesce(oc["_n_old"], F.lit(0))
+        ).alias("_delta"),
+    )
+    inserted = (
+        joined.filter(F.col("_delta") > 0)
+        .withColumn("_i", F.explode(F.expr("sequence(1, _delta)")))
+        .drop("_i", "_delta")
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    deleted = (
+        joined.filter(F.col("_delta") < 0)
+        .withColumn("_i", F.explode(F.expr("sequence(1, -_delta)")))
+        .drop("_i", "_delta")
+        .withColumn("_change_type", F.lit("delete"))
+    )
     return inserted.unionByName(deleted)
 
 

@@ -317,3 +317,39 @@ def test_two_star_matches_label_prop(spark):
     }
     assert lp == ts
     assert len(lp) == 50
+
+
+def test_two_star_raises_when_budget_too_small(spark):
+    """Exhausting the round budget before the star fixed point must
+    raise, never emit conflicting labels."""
+    import pytest
+
+    from airflow_crypto_btc_spark.operators.dedup import (
+        _two_star_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _two_star_components(pairs, max_iterations=1)
+
+
+def test_arrow_kernel_supports_string_ids(spark):
+    """kernel='arrow' is the default, so the generic id_col contract
+    (any orderable id type) must survive the mapInPandas schema."""
+    from airflow_crypto_btc_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(f"url-{i}", t) for i, (_, t) in enumerate(DOCS)],
+        "doc_id string, text string",
+    )
+    arrow = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    hof = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, kernel="hof").collect()
+    }
+    assert arrow == hof and arrow  # non-empty and kernel-identical

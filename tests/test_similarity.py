@@ -349,3 +349,21 @@ def test_pq_codebooks_deterministic(spark, sf_dir):
     assert len(b1) == 4  # trainer default m stays 4
     for a, b in zip(b1, b2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pq_topk_batch_invariant(spark, sf_dir):
+    """The PQ shortlist must not depend on how the corpus is batched:
+    a single-partition run (query's own row shares the batch with ALL
+    its candidates — the self-row-displacement case) must equal the
+    default multi-partition run."""
+    from airflow_crypto_btc_spark.operators.similarity import pq_topk
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    multi = {
+        tuple(r) for r in pq_topk(emb).collect()
+    }
+    single = {
+        tuple(r) for r in pq_topk(emb.coalesce(1)).collect()
+    }
+    assert multi == single and multi

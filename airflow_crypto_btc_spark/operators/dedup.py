@@ -165,29 +165,11 @@ def _cap_buckets(
     return banded.join(keep, list(keys), "left_semi")
 
 
-def _verified_minhash_pairs(
-    sets: DataFrame,
-    banded: DataFrame,
-    jaccard_threshold: float,
-    max_bucket_size: int | None,
+def _verify_candidates(
+    sets: DataFrame, cand: DataFrame, jaccard_threshold: float
 ) -> DataFrame:
-    """Back end of the LSH pipeline: bucket self-join → distinct candidate
-    pairs → exact-Jaccard verify against the shingle sets."""
-    if max_bucket_size is not None:
-        banded = _cap_buckets(banded, max_bucket_size)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .distinct()
-    )
+    """Exact-Jaccard verification of candidate pairs against the shingle
+    sets: false positives from banding die here."""
     sa = sets.select(
         F.col("id").alias("id_a"),
         F.col("shingle_set").alias("set_a"),
@@ -220,6 +202,32 @@ def _verified_minhash_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _verified_minhash_pairs(
+    sets: DataFrame,
+    banded: DataFrame,
+    jaccard_threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Back end of the LSH pipeline: bucket self-join → distinct candidate
+    pairs → exact-Jaccard verify against the shingle sets."""
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    return _verify_candidates(sets, cand, jaccard_threshold)
 
 
 def minhash_lsh_pairs(
@@ -258,6 +266,68 @@ def minhash_lsh_pairs(
     return _verified_minhash_pairs(
         sets, banded, jaccard_threshold, max_bucket_size
     )
+
+
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    delta_filter: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    kernel: str = "arrow",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with AT LEAST ONE endpoint in the delta — the
+    incremental form of :func:`minhash_lsh_pairs` a growing corpus needs:
+    when a daily increment lands, the full pair set is
+
+        pairs(corpus) = pairs(old) ∪ pairs_incremental(corpus, delta)
+
+    exactly (banding is per-document and deterministic, so old-old
+    candidates are untouched by new arrivals), and only the right-hand
+    term must be computed per increment.  The bucket join is restricted
+    BEFORE the quadratic step: old-old combinations inside a bucket are
+    never emitted, so per-increment cost scales with
+    |delta| × bucket-mates, not |corpus|².
+
+    Here the band index of the existing corpus is recomputed from ``df``
+    for self-containment; at 100 TB it is the persisted artifact (band
+    keys + shingle sets are exactly what `sources/snapshot_table` holds
+    as an append-only table keyed by (band_idx, band_key)) and the
+    delta's band keys probe it.
+
+    ``delta_filter`` is a SQL predicate over ``df``'s columns selecting
+    the new documents.  Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sets, banded = _minhash_sets_and_bands(
+        df, id_col, text_col, k_shingle, num_hashes, bands, kernel
+    )
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
+    delta_ids = (
+        df.filter(delta_filter)
+        .select(F.col(id_col).alias("id"))
+        .distinct()
+    )
+    flagged = banded.join(
+        delta_ids.withColumn("is_new", F.lit(True)), "id", "left"
+    ).withColumn("is_new", F.coalesce("is_new", F.lit(False)))
+    a, b = flagged.alias("a"), flagged.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.is_new") | F.col("b.is_new")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_candidates(sets, cand, jaccard_threshold)
 
 
 def minhash_lsh_skipped_buckets(

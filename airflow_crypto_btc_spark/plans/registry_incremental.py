@@ -181,6 +181,33 @@ def _capped_pairs_sql(cap: int = 50) -> str:
 """
 
 
+def q_dedup_incremental_pairs(spark, sf_dir):
+    """Incremental corpus dedup: documents split into a 90% "existing"
+    corpus and a 10% "daily increment"; the full near-dup pair set is
+    reproduced as  pairs(old) ∪ pairs_incremental(corpus, delta)  — the
+    identity that lets a 100 TB corpus dedup each increment against a
+    persisted band index instead of re-pairing everything.  The oracle
+    is the ONE-SHOT full-corpus LSH pair query: passing proves the
+    decomposition is exact."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_pairs = minhash_lsh_pairs(
+        docs.filter("doc_id % 10 != 0"),
+        num_hashes=12, bands=4, jaccard_threshold=0.5,
+    )
+    delta_pairs = minhash_lsh_pairs_incremental(
+        docs, "doc_id % 10 = 0",
+        num_hashes=12, bands=4, jaccard_threshold=0.5,
+    )
+    # the two terms are disjoint by construction (old-old vs >=1-new);
+    # union keeps the plan append-shaped, no dedup shuffle needed
+    return old_pairs.unionByName(delta_pairs)
+
+
 def q_src_jsonl_documents(spark, sf_dir):
     """JSONL ingestion round-trip — the de-facto landing format for
     training corpora: the documents table is written as JSON-lines
@@ -237,5 +264,10 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "src_jsonl_documents": QuerySpec(
         q_src_jsonl_documents, _SQL_SRC_JSONL_DOCUMENTS
+    ),
+    # oracle = the one-shot full-corpus pair query: incremental
+    # decomposition must reproduce it exactly
+    "dedup_incremental_pairs": QuerySpec(
+        q_dedup_incremental_pairs, _SQL_DEDUP_MINHASH_LSH_PAIRS
     ),
 }

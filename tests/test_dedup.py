@@ -353,3 +353,38 @@ def test_arrow_kernel_supports_string_ids(spark):
         for r in minhash_lsh_pairs(docs, kernel="hof").collect()
     }
     assert arrow == hof and arrow  # non-empty and kernel-identical
+
+
+def test_incremental_pairs_decomposition(spark, sf_dir):
+    """pairs(corpus) == pairs(old) ∪ pairs_incremental(corpus, delta),
+    disjointly; degenerate deltas behave: delta=all reproduces the full
+    pair set alone, delta=none contributes nothing."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {tuple(r) for r in minhash_lsh_pairs(docs).collect()}
+    old = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs.filter("doc_id % 7 != 0")).collect()
+    }
+    inc = {
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            docs, "doc_id % 7 = 0"
+        ).collect()
+    }
+    assert old | inc == full
+    assert not (old & inc)  # disjoint by construction
+    assert inc  # the fixture has near-dups crossing the split
+
+    assert {
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(docs, "true").collect()
+    } == full
+    assert (
+        minhash_lsh_pairs_incremental(docs, "false").count() == 0
+    )

@@ -305,13 +305,33 @@ def minhash_lsh_pairs_incremental(
     sets, banded = _minhash_sets_and_bands(
         df, id_col, text_col, k_shingle, num_hashes, bands, kernel
     )
-    if max_bucket_size is not None:
-        banded = _cap_buckets(banded, max_bucket_size)
     delta_ids = (
         df.filter(delta_filter)
         .select(F.col(id_col).alias("id"))
         .distinct()
     )
+    return minhash_lsh_pairs_from_index(
+        sets, banded, delta_ids, jaccard_threshold, max_bucket_size
+    )
+
+
+def minhash_lsh_pairs_from_index(
+    sets: DataFrame,
+    banded: DataFrame,
+    delta_ids: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Pair generation against a PERSISTED LSH index — the entry point
+    the 100 TB architecture actually calls: ``sets`` = (id, shingle_set,
+    set_size) and ``banded`` = (id, band_idx, band_key) read from the
+    index tables a previous run appended (snapshot tables keyed by
+    (band_idx, band_key) — see tests/test_dedup.py's persisted-index
+    round-trip), ``delta_ids`` = one column ``id`` of new documents.
+    Emits only pairs with at least one delta endpoint, candidate join
+    restricted before the quadratic step."""
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
     flagged = banded.join(
         delta_ids.withColumn("is_new", F.lit(True)), "id", "left"
     ).withColumn("is_new", F.coalesce("is_new", F.lit(False)))

@@ -388,3 +388,64 @@ def test_incremental_pairs_decomposition(spark, sf_dir):
     assert (
         minhash_lsh_pairs_incremental(docs, "false").count() == 0
     )
+
+
+def test_incremental_pairs_from_persisted_index(spark, sf_dir, tmp_path):
+    """The 100 TB dedup architecture end-to-end: the LSH index (band
+    keys + shingle sets) lives in snapshot tables; an increment appends
+    its index rows and probes the WHOLE index for pairs touching the
+    delta.  Must equal the self-contained incremental operator."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs_from_index,
+        minhash_lsh_pairs_incremental,
+    )
+    from airflow_crypto_btc_spark.operators.dedup_fast import (
+        minhash_prep_fast,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_tbl = str(tmp_path / "lsh_sets")
+    bands_tbl = str(tmp_path / "lsh_bands")
+
+    def index_rows(d):
+        prep = minhash_prep_fast(d)
+        sets = prep.select("id", "shingle_set", "set_size")
+        bands = prep.select(
+            "id", F.posexplode("band_keys").alias("band_idx", "band_key")
+        )
+        return sets, bands
+
+    # day 0: existing corpus lands its index
+    old_sets, old_bands = index_rows(docs.filter("doc_id % 7 != 0"))
+    append(spark, old_sets, sets_tbl)
+    append(spark, old_bands, bands_tbl)
+    # day 1: the increment appends ITS index rows only
+    new_sets, new_bands = index_rows(docs.filter("doc_id % 7 = 0"))
+    append(spark, new_sets, sets_tbl)
+    append(spark, new_bands, bands_tbl)
+
+    delta_ids = docs.filter("doc_id % 7 = 0").select(
+        F.col("doc_id").alias("id")
+    )
+    from_index = {
+        tuple(r)
+        for r in minhash_lsh_pairs_from_index(
+            read_snapshot(spark, sets_tbl),
+            read_snapshot(spark, bands_tbl),
+            delta_ids,
+        ).collect()
+    }
+    recomputed = {
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            docs, "doc_id % 7 = 0"
+        ).collect()
+    }
+    assert from_index == recomputed and from_index

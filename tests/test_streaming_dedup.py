@@ -1,0 +1,87 @@
+"""Streaming near-dup detection (streaming/dedup_stream.py): the
+micro-batch-maintained LSH index must emit exactly the one-shot batch
+pair set, each pair once, and replays must fold nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.dedup import minhash_lsh_pairs
+from airflow_crypto_btc_spark.sources.tables import load_table
+from airflow_crypto_btc_spark.streaming.dedup_stream import (
+    near_dup_index_sink,
+)
+
+
+def _pairs_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Documents arrive in ≥2 micro-batches; cross-batch near-dup pairs
+    must surface when their LATER endpoint arrives, and the drained
+    pairs table must equal the one-shot batch operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    landing = str(tmp_path / "landing")
+    # split so near-dup pairs straddle the batch boundary
+    for pred in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+        docs.filter(pred).coalesce(1).write.mode("append").parquet(landing)
+
+    sets_tbl = str(tmp_path / "lsh_sets")
+    bands_tbl = str(tmp_path / "lsh_bands")
+    pairs_tbl = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            near_dup_index_sink(
+                sets_tbl, bands_tbl, pairs_tbl, query_name="dedup-test"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    got = _pairs_set(read_snapshot(spark, pairs_tbl))
+    want = _pairs_set(minhash_lsh_pairs(docs))
+    assert got == want and got
+
+    # exactly-once: replaying a batch's fold (same txn ids) changes nothing
+    v_before = current_snapshot(pairs_tbl).version
+    near_dup_index_sink(
+        sets_tbl, bands_tbl, pairs_tbl, query_name="dedup-test"
+    )(docs.filter("doc_id % 2 = 0"), 0)
+    assert current_snapshot(pairs_tbl).version == v_before
+    assert _pairs_set(read_snapshot(spark, pairs_tbl)) == want
+
+
+def test_streaming_dedup_pairs_emitted_once(spark, tmp_path):
+    """A pair whose endpoints arrive in different batches appears exactly
+    once, tagged to the later batch."""
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows1 = [(1, a), (2, "totally unrelated text about engines and turbines here now")]
+    rows2 = [(3, a.replace("lazy", "sleepy"))]
+    schema = "doc_id long, text string"
+    sink = near_dup_index_sink(
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "p"),
+        query_name="once",
+    )
+    sink(spark.createDataFrame(rows1, schema), 0)
+    sink(spark.createDataFrame(rows2, schema), 1)
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    pairs = read_snapshot(spark, str(tmp_path / "p")).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 3)]

@@ -208,6 +208,154 @@ def q_dedup_incremental_pairs(spark, sf_dir):
     return old_pairs.unionByName(delta_pairs)
 
 
+def q_curate_ingest_pipeline(spark, sf_dir):
+    """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
+    form a training-data user actually runs: language/quality gate →
+    exact-dedup representative selection → near-dup purge (LSH pairs +
+    connected components, Arrow kernel) → token-budget sequence packing
+    of the survivors.  Each stage is an already-oracle-checked operator;
+    this entry proves the COMPOSITION end-to-end against one DuckDB
+    replay (recursive-CTE components included).
+
+    Scale shape: the gates fuse into the document scan (per-row
+    expressions), exact dedup is one digest groupBy, the near-dup stage
+    is the banded pair path over only the gate's survivors, and packing
+    is one hash-shard window — no stage widens beyond the previous
+    stage's output."""
+    from airflow_crypto_btc_spark.operators.curation import pack_sequences
+    from airflow_crypto_btc_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from airflow_crypto_btc_spark.operators.text import (
+        lang_id,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    qual = quality_score(docs).select("doc_id", "quality")
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    kept = (
+        docs.select("doc_id", "text")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(reps, "doc_id")
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .select("doc_id", "text")
+    )
+    pairs = minhash_lsh_pairs(
+        kept, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    clusters = near_dup_clusters(kept, pairs)
+    survivors = kept.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+    return pack_sequences(survivors)
+
+
+def _ingest_pipeline_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _SQL_DEDUP_EXACT,
+        _SQL_TEXT_LANG_ID,
+        _SQL_TEXT_QUALITY_SCORE,
+    )
+
+    toks = (
+        "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+    )
+    inter = "len(list_intersect(x.shingle_set, y.shingle_set))"
+    return f"""
+    WITH RECURSIVE lang AS ({_SQL_TEXT_LANG_ID}),
+    qual AS ({_SQL_TEXT_QUALITY_SCORE}),
+    reps AS ({_SQL_DEDUP_EXACT}),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN lang USING (doc_id)
+      JOIN qual USING (doc_id)
+      JOIN reps ON reps.rep_id = d.doc_id
+      WHERE lang.lang_pred = 'en' AND qual.quality >= 0.5
+    ),
+    ktoks AS (SELECT doc_id, {toks} AS tokens FROM kept),
+    ksh AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(tokens) >= 3 THEN
+            list_transform(range(1, len(tokens)-1),
+              i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+          ELSE [] END) AS shingle_set
+      FROM ktoks
+    ),
+    ksig AS (
+      SELECT doc_id, shingle_set, len(shingle_set) AS set_size,
+        list_transform(range(0, 12), j ->
+          list_min(list_transform(shingle_set,
+            s -> md5(j::VARCHAR || '|' || s)))) AS sig
+      FROM ksh
+    ),
+    banded AS (
+      SELECT doc_id AS id, b.b AS band_idx,
+             md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
+      FROM ksig, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM banded a
+      JOIN banded b2 ON a.band_idx = b2.band_idx
+                    AND a.band_key = b2.band_key AND a.id < b2.id
+    ),
+    verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN ksig x ON x.doc_id = cand.id_a
+      JOIN ksig y ON y.doc_id = cand.id_b
+      WHERE round({inter} * 1.0 /
+            (x.set_size + y.set_size - {inter}), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM kept
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+    ),
+    survivors AS (
+      SELECT k.doc_id, k.text FROM kept k
+      JOIN clusters c ON c.doc_id = k.doc_id AND c.cluster_id = k.doc_id
+    ),
+    stoks AS (SELECT doc_id, {toks} AS tokens FROM survivors),
+    n AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+          AS shard,
+        len(tokens) AS n_tokens
+      FROM stoks
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_excl
+      FROM n
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_excl // 512 AS bin, cum_excl % 512 AS bin_offset
+    FROM c
+"""
+
+
 def q_src_jsonl_documents(spark, sf_dir):
     """JSONL ingestion round-trip — the de-facto landing format for
     training corpora: the documents table is written as JSON-lines
@@ -269,5 +417,8 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # decomposition must reproduce it exactly
     "dedup_incremental_pairs": QuerySpec(
         q_dedup_incremental_pairs, _SQL_DEDUP_MINHASH_LSH_PAIRS
+    ),
+    "curate_ingest_pipeline": QuerySpec(
+        q_curate_ingest_pipeline, _ingest_pipeline_sql()
     ),
 }

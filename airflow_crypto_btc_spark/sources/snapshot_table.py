@@ -169,8 +169,16 @@ def read_snapshot(
         ]
     paths = [os.path.join(table, _DATA_DIR, f) for f in snap.files]
     if not files:  # nothing can match: keep the schema, return zero rows
-        return spark.read.parquet(paths[0]).filter("1 = 0")
-    return spark.read.parquet(
+        return spark.read.option("mergeSchema", "true").parquet(
+            paths[0]
+        ).filter("1 = 0")
+    # mergeSchema: ADDITIVE schema evolution — a commit may append parts
+    # with new columns; the merged read surfaces the union schema with
+    # nulls for pre-evolution rows (Delta semantics).  Type changes are
+    # not supported (parquet union of incompatible types errors loudly).
+    # Old snapshots read only their own files, so time travel sees the
+    # schema as of that version.
+    return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table, _DATA_DIR, f) for f in files]
     )
 
@@ -471,6 +479,19 @@ def snapshot_changes(
     # occurrences.  Cheaper than occurrence-indexing with a window (which
     # would sort every row): counts shrink each side to its distinct rows
     # before any join.
+    # align schemas across the span: a column added by schema evolution
+    # is null for every pre-evolution row, so old rows diff as if they
+    # always carried the null
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(
+                c, F.lit(None).cast(new.schema[c].dataType)
+            )
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(
+                c, F.lit(None).cast(old.schema[c].dataType)
+            )
     cols = new.columns
     oc = old.groupBy(*cols).agg(F.count("*").alias("_n_old"))
     nc = new.groupBy(*cols).agg(F.count("*").alias("_n_new"))

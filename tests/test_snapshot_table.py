@@ -451,3 +451,58 @@ def test_snapshot_changes_multiset_exact(spark, tmp_path):
     assert len(diff2) == 1
     (row2,) = diff2
     assert (row2["k"], row2["v"], row2["_change_type"]) == (1, "a", "insert")
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution, Delta-style: a later append may carry
+    new columns; the merged read surfaces the union schema with nulls
+    for pre-evolution rows, while time travel to an older version still
+    sees that version's schema."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        overwrite,
+        read_snapshot,
+        snapshot_changes,
+    )
+
+    tbl = str(tmp_path / "evolving")
+    v0 = append(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        tbl,
+    )
+    append(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", 30.0)], "k long, v string, w double"
+        ),
+        tbl,
+    )
+
+    cur = read_snapshot(spark, tbl)
+    assert set(cur.columns) == {"k", "v", "w"}
+    rows = {r["k"]: (r["v"], r["w"]) for r in cur.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0)}
+
+    # time travel: the pre-evolution snapshot keeps its own schema
+    assert set(read_snapshot(spark, tbl, v0).columns) == {"k", "v"}
+
+    # rewrite-span diff across the evolution aligns the schemas: old
+    # rows diff as if they always carried null in the new column
+    overwrite(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (3, "c", 30.0)], "k long, v string, w double"
+        ),
+        tbl,
+    )
+    diff = snapshot_changes(spark, tbl, from_version=v0, key_cols=["k"])
+    got = {
+        (r["k"], r["v"], r["w"], r["_change_type"]) for r in diff.collect()
+    }
+    assert got == {
+        (1, "a", 10.0, "insert"),   # gained its w value
+        (1, "a", None, "delete"),
+        (2, "b", None, "delete"),   # dropped by the rewrite
+        (3, "c", 30.0, "insert"),   # new since v0
+    }

@@ -90,3 +90,45 @@ def near_dup_index_sink(
         )
 
     return _fold
+
+
+def contamination_guard_sink(
+    eval_docs,
+    flags_table: str,
+    query_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_containment: float = 0.1,
+):
+    """``foreachBatch`` callback running eval-set decontamination on an
+    ARRIVING corpus: each micro-batch of candidate training documents is
+    checked against the static eval set (broadcast shingles — the
+    batch-side asymmetry, unchanged) and the flagged (test, train) pairs
+    are appended to ``flags_table`` under ``<query>:<batch_id>``.
+
+    A contamination pair depends only on its two documents, so checking
+    each train doc once — in its arrival batch — yields exactly the
+    batch operator's output over the union of all batches; replays are
+    txn-id no-ops.  This is the ingest-time guard: contaminated
+    documents are flagged BEFORE they ever join the training corpus,
+    instead of by a corpus-wide sweep after the fact."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        contamination_pairs,
+    )
+
+    def _check(batch_df, batch_id: int) -> None:
+        flagged = contamination_pairs(
+            batch_df,
+            eval_docs,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            min_containment=min_containment,
+        )
+        append(
+            batch_df.sparkSession, flagged, flags_table,
+            txn_id=f"{query_name}:{batch_id}",
+        )
+
+    return _check

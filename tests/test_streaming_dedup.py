@@ -85,3 +85,54 @@ def test_streaming_dedup_pairs_emitted_once(spark, tmp_path):
 
     pairs = read_snapshot(spark, str(tmp_path / "p")).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 3)]
+
+
+def test_streaming_contamination_guard_matches_batch(spark, sf_dir, tmp_path):
+    """Train docs arrive in ≥2 micro-batches; the union of per-batch
+    contamination flags must equal the one-shot batch sweep, and a
+    replayed batch must append nothing."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        contamination_pairs,
+    )
+    from airflow_crypto_btc_spark.operators.text import train_test_split
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.streaming.dedup_stream import (
+        contamination_guard_sink,
+    )
+
+    docs = train_test_split(load_table(spark, sf_dir, "documents"))
+    train = docs.filter("split = 'train'").select("doc_id", "text")
+    eval_docs = docs.filter("split = 'test'").select("doc_id", "text")
+
+    landing = str(tmp_path / "landing")
+    for pred in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+        train.filter(pred).coalesce(1).write.mode("append").parquet(landing)
+
+    flags_tbl = str(tmp_path / "flags")
+    q = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(
+            contamination_guard_sink(
+                eval_docs, flags_tbl, query_name="contam-test"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _pairs_set(read_snapshot(spark, flags_tbl))
+    want = _pairs_set(contamination_pairs(train, eval_docs))
+    assert got == want and got
+
+    v = current_snapshot(flags_tbl).version
+    contamination_guard_sink(
+        eval_docs, flags_tbl, query_name="contam-test"
+    )(train.filter("doc_id % 2 = 0"), 0)
+    assert current_snapshot(flags_tbl).version == v

@@ -71,13 +71,48 @@ def tfidf_top_terms(
     )
 
 
-def contamination_pairs(
-    train: DataFrame,
+def eval_shingles(
     test: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
+) -> DataFrame:
+    """The eval side of the contamination check as a standalone frame —
+    ``(t_id, sh)`` distinct md5'd shingles.  Compute (and materialize)
+    this ONCE when the same eval set is checked repeatedly — e.g. per
+    micro-batch in the streaming guard — instead of re-shingling the
+    static side on every call."""
+    return _contamination_shingled(
+        test.withColumn("_tk_t", tokens_expr(text_col)),
+        "t", id_col, shingle_k,
+    )
+
+
+def _contamination_shingled(
+    df: DataFrame, prefix: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.explode(
+                F.array_distinct(
+                    shingles_expr(f"_tk_{prefix}", k=shingle_k)
+                )
+            ).alias("shingle"),
+        )
+        .withColumn("sh", F.md5("shingle"))
+        .drop("shingle")
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
     min_containment: float = 0.1,
+    test_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Train→eval contamination: pairs of (test doc, train doc) sharing
     ≥ ``min_containment`` of the test doc's distinct ``shingle_k``-token
@@ -89,27 +124,18 @@ def contamination_pairs(
     shingle enter the pairing shuffle.  Containment (overlap / test size),
     not symmetric Jaccard: a tiny eval doc fully embedded in a huge train
     doc is 100% contaminated however large the train doc is.
+
+    Pass either ``test`` (raw eval documents) or ``test_sh`` (the
+    prebuilt :func:`eval_shingles` frame, for repeated checks against
+    the same eval set).
     """
-
-    def shingled(df: DataFrame, prefix: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.explode(
-                    F.array_distinct(
-                        shingles_expr(f"_tk_{prefix}", k=shingle_k)
-                    )
-                ).alias("shingle"),
-            )
-            .withColumn("sh", F.md5("shingle"))
-            .drop("shingle")
-        )
-
-    test_sh = shingled(
-        test.withColumn("_tk_t", tokens_expr(text_col)), "t"
-    )
-    train_sh = shingled(
-        train.withColumn("_tk_tr", tokens_expr(text_col)), "tr"
+    if test_sh is None:
+        if test is None:
+            raise ValueError("pass either test or test_sh")
+        test_sh = eval_shingles(test, id_col, text_col, shingle_k)
+    train_sh = _contamination_shingled(
+        train.withColumn("_tk_tr", tokens_expr(text_col)),
+        "tr", id_col, shingle_k,
     )
     test_sizes = test_sh.groupBy("t_id").agg(
         F.count("*").cast("long").alias("test_shingles")

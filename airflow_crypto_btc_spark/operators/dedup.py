@@ -301,6 +301,14 @@ def minhash_lsh_pairs_incremental(
 
     ``delta_filter`` is a SQL predicate over ``df``'s columns selecting
     the new documents.  Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    The decomposition identity above holds EXACTLY only with
+    ``max_bucket_size=None``: a capped run censuses buckets over its own
+    input, so a bucket under-cap for the old corpus alone but over-cap
+    for the full corpus emits pairs in ``pairs(old)`` that the one-shot
+    capped run would skip.  With a cap, treat the incremental result as
+    the union of per-run capped semantics, not as equal to a one-shot
+    capped run.
     """
     sets, banded = _minhash_sets_and_bands(
         df, id_col, text_col, k_shingle, num_hashes, bands, kernel
@@ -328,23 +336,30 @@ def minhash_lsh_pairs_from_index(
     index tables a previous run appended (snapshot tables keyed by
     (band_idx, band_key) — see tests/test_dedup.py's persisted-index
     round-trip), ``delta_ids`` = one column ``id`` of new documents.
-    Emits only pairs with at least one delta endpoint, candidate join
-    restricted before the quadratic step."""
+    Emits only pairs with at least one delta endpoint.  The delta
+    restriction is applied to one JOIN INPUT, not as a post-filter: the
+    probe side is the delta's band rows only (semi-join before the
+    bucket join), so each bucket contributes |delta-in-bucket| ×
+    |bucket| combinations — buckets without delta rows contribute
+    nothing, and an (a.is_new | b.is_new) post-filter, which would force
+    enumerating every bucket's full |bucket|² square, never exists in
+    the plan."""
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)
-    flagged = banded.join(
-        delta_ids.withColumn("is_new", F.lit(True)), "id", "left"
-    ).withColumn("is_new", F.coalesce("is_new", F.lit(False)))
-    a, b = flagged.alias("a"), flagged.alias("b")
+    delta_banded = banded.join(delta_ids, "id", "left_semi")
+    a, b = delta_banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.is_new") | F.col("b.is_new")),
+            & (F.col("a.id") != F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # canonicalize: the probe row may be either endpoint
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
         .distinct()
     )
     return _verify_candidates(sets, cand, jaccard_threshold)

@@ -48,31 +48,77 @@ from airflow_crypto_btc_spark.plans.registry import QuerySpec
 from airflow_crypto_btc_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------- DuckDB CTEs
+# The tokens → shingles → signature chain is parameterized by its source
+# relation so composed oracles (e.g. the fused ingest pipeline) reuse THE
+# SAME text instead of hand-mirroring the hashing convention.
 
-_D_TOKENS = """
+
+def tokens_sql(source: str = "documents") -> str:
+    return f"""
     SELECT doc_id, text,
            list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
              AS tokens
-    FROM documents
+    FROM {source}
 """
 
-_D_SHINGLES = f"""
+
+def shingles_sql(source: str = "documents") -> str:
+    return f"""
     SELECT doc_id, tokens,
       list_distinct(
         CASE WHEN len(tokens) >= 3 THEN
           list_transform(range(1, len(tokens)-1),
             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
         ELSE [] END) AS shingle_set
-    FROM ({_D_TOKENS})
+    FROM ({tokens_sql(source)})
 """
 
-_D_SIG = f"""
+
+def sig_sql(source: str = "documents") -> str:
+    return f"""
     SELECT doc_id, shingle_set, len(shingle_set) AS set_size,
       list_transform(range(0, 12), j ->
         list_min(list_transform(shingle_set,
           s -> md5(j::VARCHAR || '|' || s)))) AS sig
-    FROM ({_D_SHINGLES})
+    FROM ({shingles_sql(source)})
 """
+
+
+def lsh_pairs_sql(source: str = "documents") -> str:
+    """Banded candidates + exact-Jaccard verify over ``source`` — the
+    body of ``_SQL_DEDUP_MINHASH_LSH_PAIRS``, reusable against any
+    document relation."""
+    return f"""
+    WITH base AS ({sig_sql(source)}),
+    banded AS (
+      SELECT doc_id AS id, b.b AS band_idx,
+             md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
+      FROM base, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM banded a
+      JOIN banded b2 ON a.band_idx = b2.band_idx
+                    AND a.band_key = b2.band_key AND a.id < b2.id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+        len(list_intersect(x.shingle_set, y.shingle_set)) AS inter,
+        x.set_size AS na, y.set_size AS nb
+      FROM cand
+      JOIN base x ON x.doc_id = cand.id_a
+      JOIN base y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM verified
+    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
+"""
+
+
+_D_TOKENS = tokens_sql()
+_D_SHINGLES = shingles_sql()
+_D_SIG = sig_sql()
 
 
 def _duck_stop(lang: str) -> str:
@@ -224,32 +270,7 @@ def q_dedup_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-_SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
-    WITH base AS ({_D_SIG}),
-    banded AS (
-      SELECT doc_id AS id, b.b AS band_idx,
-             md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
-      FROM base, (SELECT unnest(range(0, 4)) AS b) b
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-      FROM banded a
-      JOIN banded b2 ON a.band_idx = b2.band_idx
-                    AND a.band_key = b2.band_key AND a.id < b2.id
-    ),
-    verified AS (
-      SELECT id_a, id_b,
-        len(list_intersect(x.shingle_set, y.shingle_set)) AS inter,
-        x.set_size AS na, y.set_size AS nb
-      FROM cand
-      JOIN base x ON x.doc_id = cand.id_a
-      JOIN base y ON y.doc_id = cand.id_b
-    )
-    SELECT id_a, id_b,
-           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
-    FROM verified
-    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
-"""
+_SQL_DEDUP_MINHASH_LSH_PAIRS = lsh_pairs_sql()
 
 
 def q_dedup_near_clusters(spark, sf_dir):

@@ -263,12 +263,10 @@ def _ingest_pipeline_sql() -> str:
         _SQL_DEDUP_EXACT,
         _SQL_TEXT_LANG_ID,
         _SQL_TEXT_QUALITY_SCORE,
+        lsh_pairs_sql,
+        tokens_sql,
     )
 
-    toks = (
-        "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
-    )
-    inter = "len(list_intersect(x.shingle_set, y.shingle_set))"
     return f"""
     WITH RECURSIVE lang AS ({_SQL_TEXT_LANG_ID}),
     qual AS ({_SQL_TEXT_QUALITY_SCORE}),
@@ -281,42 +279,7 @@ def _ingest_pipeline_sql() -> str:
       JOIN reps ON reps.rep_id = d.doc_id
       WHERE lang.lang_pred = 'en' AND qual.quality >= 0.5
     ),
-    ktoks AS (SELECT doc_id, {toks} AS tokens FROM kept),
-    ksh AS (
-      SELECT doc_id,
-        list_distinct(
-          CASE WHEN len(tokens) >= 3 THEN
-            list_transform(range(1, len(tokens)-1),
-              i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
-          ELSE [] END) AS shingle_set
-      FROM ktoks
-    ),
-    ksig AS (
-      SELECT doc_id, shingle_set, len(shingle_set) AS set_size,
-        list_transform(range(0, 12), j ->
-          list_min(list_transform(shingle_set,
-            s -> md5(j::VARCHAR || '|' || s)))) AS sig
-      FROM ksh
-    ),
-    banded AS (
-      SELECT doc_id AS id, b.b AS band_idx,
-             md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
-      FROM ksig, (SELECT unnest(range(0, 4)) AS b) b
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-      FROM banded a
-      JOIN banded b2 ON a.band_idx = b2.band_idx
-                    AND a.band_key = b2.band_key AND a.id < b2.id
-    ),
-    verified AS (
-      SELECT id_a, id_b
-      FROM cand
-      JOIN ksig x ON x.doc_id = cand.id_a
-      JOIN ksig y ON y.doc_id = cand.id_b
-      WHERE round({inter} * 1.0 /
-            (x.set_size + y.set_size - {inter}), 6) >= 0.5
-    ),
+    verified AS ({lsh_pairs_sql("kept")}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM verified
       UNION ALL
@@ -334,7 +297,7 @@ def _ingest_pipeline_sql() -> str:
       SELECT k.doc_id, k.text FROM kept k
       JOIN clusters c ON c.doc_id = k.doc_id AND c.cluster_id = k.doc_id
     ),
-    stoks AS (SELECT doc_id, {toks} AS tokens FROM survivors),
+    stoks AS ({tokens_sql("survivors")}),
     n AS (
       SELECT doc_id,
         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
@@ -365,17 +328,22 @@ def q_src_jsonl_documents(spark, sf_dir):
     reads the original parquet) proves the JSONL round-trip is lossless
     for the corpus columns, unicode text included.
 
-    The landing zone is a deterministic per-SF path written at most once
-    (skipped when its _SUCCESS marker exists) — plan-only consumers
-    (plan audits, repeated test runs) must not re-write the corpus or
-    accumulate temp copies."""
-    import os
+    The landing zone is written at most once per FIXTURE VERSION: the
+    cache path is keyed by the source parquet's identity fingerprint
+    (so regenerated fixtures never serve a stale copy) and the write
+    lands in a staging dir atomically renamed into place (so concurrent
+    sessions race safely — first rename wins, losers discard).
+    Plan-only consumers (plan audits, repeated test runs) never
+    re-write the corpus or accumulate temp copies."""
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        _landing_zone,
+    )
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/spark_graft_jsonl_{sf_tag}/docs"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents")
-        docs.write.mode("overwrite").json(path)
+    path = _landing_zone(
+        sf_dir, "documents", "jsonl",
+        lambda staging: load_table(spark, sf_dir, "documents")
+        .write.mode("overwrite").json(staging),
+    )
     return (
         spark.read.schema(
             "doc_id long, text string, lang string, "
@@ -414,7 +382,9 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
         q_src_jsonl_documents, _SQL_SRC_JSONL_DOCUMENTS
     ),
     # oracle = the one-shot full-corpus pair query: incremental
-    # decomposition must reproduce it exactly
+    # decomposition must reproduce it exactly (holds because both runs
+    # are uncapped — see minhash_lsh_pairs_incremental's docstring for
+    # why a bucket cap breaks the identity)
     "dedup_incremental_pairs": QuerySpec(
         q_dedup_incremental_pairs, _SQL_DEDUP_MINHASH_LSH_PAIRS
     ),

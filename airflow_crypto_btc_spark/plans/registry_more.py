@@ -1106,6 +1106,35 @@ _SQL_TEXT_TOP_TOKENS = """
 """
 
 
+def _landing_zone(sf_dir: str, table: str, fmt: str, land) -> str:
+    """Cache a landed copy of a fixture table at most once per fixture
+    VERSION: the path is keyed by the source parquet's (size, mtime)
+    fingerprint — a regenerated fixture gets a fresh key, so a cached
+    copy can never silently serve stale data while the oracle reads the
+    new parquet.  ``land(staging_path)`` writes into a private staging
+    dir which is atomically renamed into place; under a concurrent race
+    the first rename wins and losers discard their staging, so readers
+    only ever see a complete landing."""
+    import os
+    import shutil
+    import uuid
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    stat = os.stat(src)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = f"{stat.st_size}_{stat.st_mtime_ns}"
+    final = f"/tmp/spark_graft_{fmt}_{sf_tag}_{fp}"
+    if os.path.isdir(final):
+        return final
+    staging = f"{final}.staging-{uuid.uuid4().hex}"
+    land(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:  # a concurrent landing won the rename
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
 def q_src_day_csv_pruned(spark, sf_dir):
     """S1/S3/S4 as a first-class Spark source: land events as the
     reference's one-CSV-per-day layout through the connector's own
@@ -1115,17 +1144,11 @@ def q_src_day_csv_pruned(spark, sf_dir):
     pushed filters — only the 5 matching files are opened
     (tests/test_day_csv_source.py asserts the pruning; this entry
     oracle-checks the values)."""
-    import os
-
     from airflow_crypto_btc_spark.sources import day_csv_source as dcs
 
     dcs.register(spark)
-    # deterministic per-SF landing zone, written at most once — repeated
-    # plan builds / test runs must not re-land or leak temp copies
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/spark_graft_day_csv_{sf_tag}"
-    marker = os.path.join(path, "_LANDED")
-    if not os.path.exists(marker):
+
+    def _land(staging: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .select(
@@ -1135,11 +1158,12 @@ def q_src_day_csv_pruned(spark, sf_dir):
             )
             .repartition("day")  # writer contract: one task per day file
             .write.format("day_csv")
-            .option("path", path)
+            .option("path", staging)
             .mode("overwrite")
             .save()
         )
-        open(marker, "w").close()
+
+    path = _landing_zone(sf_dir, "events", "day_csv", _land)
     return (
         spark.read.format("day_csv")
         .option("path", path)

@@ -169,8 +169,10 @@ def read_snapshot(
         ]
     paths = [os.path.join(table, _DATA_DIR, f) for f in snap.files]
     if not files:  # nothing can match: keep the schema, return zero rows
+        # ALL paths, not one: the union schema of an evolved table cannot
+        # be derived from an arbitrary single part
         return spark.read.option("mergeSchema", "true").parquet(
-            paths[0]
+            *paths
         ).filter("1 = 0")
     # mergeSchema: ADDITIVE schema evolution — a commit may append parts
     # with new columns; the merged read surfaces the union schema with
@@ -458,7 +460,10 @@ def snapshot_changes(
             return base.withColumn(
                 "_change_type", F.lit("insert")
             ).filter("1 = 0")
-        df = spark.read.parquet(
+        # mergeSchema mirrors read_snapshot: an appended part may carry
+        # evolved columns and the feed must surface them (a single-footer
+        # schema would silently drop them, listing-order-dependent)
+        df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table, _DATA_DIR, f) for f in live_added]
         )
         return df.withColumn("_change_type", F.lit("insert"))

@@ -5,21 +5,22 @@ made the index a pair of snapshot tables — band keys and shingle sets —
 that an increment probes.  This module runs that maintenance ON a stream:
 each micro-batch of documents
 
-1. computes its own index rows (one Arrow scan,
+1. drops ids the index already holds (re-delivery / within-batch
+   duplicates) by anti-joining the last-committed index table,
+2. computes the survivors' index rows (one Arrow scan,
    ``operators/dedup_fast.minhash_prep_fast``),
-2. transactionally appends them to the index tables
-   (txn ``<query>:<batch_id>:sets`` / ``:bands`` — replays skip),
-3. probes the WHOLE index (which now includes the batch) for pairs with
-   at least one endpoint in the batch, and appends them to the pairs
-   table under ``<query>:<batch_id>:pairs``.
+3. probes the committed index ∪ the batch rows for pairs with at least
+   one batch endpoint, then commits pairs, sets, and bands in that
+   order under txn ids ``<query>:<batch_id>:pairs`` / ``:sets`` /
+   ``:bands``.
 
-Every near-dup pair is emitted exactly once — in the micro-batch of its
-LATER endpoint: the earlier endpoint is already indexed but not "new",
-the candidate join requires a new endpoint, and txn-id idempotence makes
-replays no-ops at every step (crash between the three appends resumes
-correctly because reads follow the commits: the index read happens after
-the batch's index append, so a half-applied batch recomputes identical
-pairs).
+Every near-dup pair lands exactly once — in the micro-batch of its
+LATER endpoint.  Crash safety: freshness is keyed off the LAST append
+in the commit order (bands), so replaying any crash window recomputes
+the identical fresh set and identical pairs, and each of the three
+appends either skips (txn already logged) or lands its original
+content; an at-least-once source re-delivering a document in a later
+batch finds it already indexed and contributes nothing.
 
 Scale shape per batch: one Arrow scan of the batch, an append of
 |batch|·bands index rows, and a bucket join sized by the batch's bucket
@@ -58,14 +59,60 @@ def near_dup_index_sink(
     """``foreachBatch`` callback maintaining the LSH index tables and the
     emitted-pairs table with exactly-once semantics."""
 
+    def _read_or_none(spark, table):
+        try:
+            return read_snapshot(spark, table)
+        except ValueError:
+            return None  # table absent — first batch bootstraps it
+
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Freshness is keyed off the LAST-committed index table (bands):
+        # ids already indexed — upstream re-delivery from an
+        # at-least-once source, or within-batch duplicates — are dropped
+        # before anything else, so index rows are never duplicated and
+        # their pairs never re-emitted.  Keying off the final commit
+        # makes every crash window replay-safe (see ordering note below).
+        fresh = batch_df.dropDuplicates([id_col])
+        committed_bands = _read_or_none(spark, bands_table)
+        if committed_bands is not None:
+            fresh = fresh.join(
+                committed_bands.select("id").distinct(),
+                fresh[id_col] == F.col("id"),
+                "left_anti",
+            )
         prep = minhash_prep_fast(
-            batch_df, id_col, text_col, k_shingle, num_hashes, bands
-        ).localCheckpoint(eager=False)  # one Arrow scan feeds both tables
+            fresh, id_col, text_col, k_shingle, num_hashes, bands
+        ).localCheckpoint(eager=False)  # one Arrow scan feeds everything
         batch_sets = prep.select("id", "shingle_set", "set_size")
         batch_bands = prep.select(
             "id", F.posexplode("band_keys").alias("band_idx", "band_key")
+        )
+        # Probe the committed index UNIONED with the in-flight batch rows
+        # (deduped by id — a half-applied replay may hold them in both),
+        # then commit pairs FIRST, sets second, bands last.  Replaying
+        # any crash window recomputes the identical `fresh` set (bands —
+        # the freshness key — is the final commit) and every append
+        # skips or lands exactly once via its txn id.
+        committed_sets = _read_or_none(spark, sets_table)
+        all_sets = (
+            batch_sets if committed_sets is None
+            else committed_sets.unionByName(batch_sets)
+        ).dropDuplicates(["id"])
+        all_bands = (
+            batch_bands if committed_bands is None
+            else committed_bands.unionByName(batch_bands)
+        ).dropDuplicates(["id", "band_idx", "band_key"])
+        pairs = minhash_lsh_pairs_from_index(
+            all_sets,
+            all_bands,
+            batch_sets.select("id"),
+            jaccard_threshold,
+            max_bucket_size,
+        )
+        append(
+            spark, pairs, pairs_table,
+            txn_id=f"{query_name}:{batch_id}:pairs",
         )
         append(
             spark, batch_sets, sets_table,
@@ -74,19 +121,6 @@ def near_dup_index_sink(
         append(
             spark, batch_bands, bands_table,
             txn_id=f"{query_name}:{batch_id}:bands",
-        )
-        # probe AFTER the index append: the committed index includes the
-        # batch, so a replayed half-applied batch recomputes identically
-        pairs = minhash_lsh_pairs_from_index(
-            read_snapshot(spark, sets_table),
-            read_snapshot(spark, bands_table),
-            batch_sets.select("id"),
-            jaccard_threshold,
-            max_bucket_size,
-        )
-        append(
-            spark, pairs, pairs_table,
-            txn_id=f"{query_name}:{batch_id}:pairs",
         )
 
     return _fold
@@ -115,16 +149,23 @@ def contamination_guard_sink(
     instead of by a corpus-wide sweep after the fact."""
     from airflow_crypto_btc_spark.operators.curation import (
         contamination_pairs,
+        eval_shingles,
     )
+
+    # the eval set is static: shingle + hash it ONCE at sink construction
+    # and reuse the materialized frame every micro-batch
+    test_sh = eval_shingles(
+        eval_docs, id_col, text_col, shingle_k
+    ).localCheckpoint(eager=True)
 
     def _check(batch_df, batch_id: int) -> None:
         flagged = contamination_pairs(
             batch_df,
-            eval_docs,
             id_col=id_col,
             text_col=text_col,
             shingle_k=shingle_k,
             min_containment=min_containment,
+            test_sh=test_sh,
         )
         append(
             batch_df.sparkSession, flagged, flags_table,

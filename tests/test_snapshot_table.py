@@ -506,3 +506,27 @@ def test_schema_evolution_additive(spark, tmp_path):
         (2, "b", None, "delete"),   # dropped by the rewrite
         (3, "c", 30.0, "insert"),   # new since v0
     }
+
+
+def test_change_feed_carries_evolved_columns(spark, tmp_path):
+    """Append-only change feed across a schema evolution must surface
+    the evolved column (mergeSchema on the added files), not silently
+    drop it based on whichever footer wins."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        snapshot_changes,
+    )
+
+    tbl = str(tmp_path / "evolving_feed")
+    v0 = append(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), tbl
+    )
+    append(
+        spark,
+        spark.createDataFrame([(2, "b", 20.0)], "k long, v string, w double"),
+        tbl,
+    )
+    feed = snapshot_changes(spark, tbl, from_version=v0)
+    assert "w" in feed.columns
+    (row,) = feed.collect()
+    assert (row["k"], row["w"], row["_change_type"]) == (2, 20.0, "insert")

@@ -136,3 +136,101 @@ def test_streaming_contamination_guard_matches_batch(spark, sf_dir, tmp_path):
         eval_docs, flags_tbl, query_name="contam-test"
     )(train.filter("doc_id % 2 = 0"), 0)
     assert current_snapshot(flags_tbl).version == v
+
+
+def test_streaming_dedup_redelivery_is_harmless(spark, tmp_path):
+    """An at-least-once source re-delivering a document in a LATER batch
+    must not duplicate index rows or re-emit its pairs."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.streaming.dedup_stream import (
+        near_dup_index_sink,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    schema = "doc_id long, text string"
+    sink = near_dup_index_sink(
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "p"),
+        query_name="redeliver",
+    )
+    sink(spark.createDataFrame([(1, a)], schema), 0)
+    # batch 1 re-delivers doc 1 (and carries it twice) plus a near-dup
+    sink(
+        spark.createDataFrame(
+            [(1, a), (1, a), (2, a.replace("lazy", "sleepy"))], schema
+        ),
+        1,
+    )
+    sink(spark.createDataFrame([(1, a)], schema), 2)  # and again
+
+    sets = read_snapshot(spark, str(tmp_path / "s")).collect()
+    assert sorted(r["id"] for r in sets) == [1, 2]  # one index row per id
+    pairs = read_snapshot(spark, str(tmp_path / "p")).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_streaming_dedup_crash_between_appends_replays_clean(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the pairs commit but before the index commits: the
+    replayed batch must land the missing index rows without duplicating
+    the pairs, and a subsequent batch must see a consistent index."""
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+    from airflow_crypto_btc_spark.streaming import dedup_stream as ds
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    schema = "doc_id long, text string"
+    s_tbl, b_tbl, p_tbl = (
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "p")
+    )
+    sink = ds.near_dup_index_sink(s_tbl, b_tbl, p_tbl, query_name="crash")
+    sink(spark.createDataFrame([(1, a)], schema), 0)
+
+    real_append = ds.append
+    calls = {"n": 0}
+
+    def crashing_append(spark_, df, table, txn_id=None):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after pairs (call 1), before sets (call 2)
+            raise RuntimeError("simulated crash")
+        return real_append(spark_, df, table, txn_id=txn_id)
+
+    monkeypatch.setattr(ds, "append", crashing_append)
+    batch1 = spark.createDataFrame(
+        [(2, a.replace("lazy", "sleepy"))], schema
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        sink(batch1, 1)
+    monkeypatch.setattr(ds, "append", real_append)
+    sink(batch1, 1)  # the streaming engine replays batch 1
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    assert sorted(
+        r["id"] for r in read_snapshot(spark, s_tbl).collect()
+    ) == [1, 2]
+    pairs = read_snapshot(spark, p_tbl).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    # a later near-dup still pairs against the repaired index: the
+    # drained table must equal the one-shot batch operator over all
+    # three docs (which pairs band together is LSH's call, not ours)
+    third = spark.createDataFrame([(3, a.replace("lazy", "dozy"))], schema)
+    sink(third, 2)
+    all_docs = spark.createDataFrame(
+        [(1, a), (2, a.replace("lazy", "sleepy")),
+         (3, a.replace("lazy", "dozy"))], schema
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in read_snapshot(spark, p_tbl).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(all_docs).collect()
+    }
+    assert got == want and (1, 2) in got and (2, 3) in got

@@ -84,21 +84,38 @@ def sig_sql(source: str = "documents") -> str:
 """
 
 
-def lsh_pairs_sql(source: str = "documents") -> str:
+def lsh_pairs_sql(
+    source: str = "documents", max_bucket_size: int | None = None
+) -> str:
     """Banded candidates + exact-Jaccard verify over ``source`` — the
     body of ``_SQL_DEDUP_MINHASH_LSH_PAIRS``, reusable against any
-    document relation."""
+    document relation.  ``max_bucket_size`` replays the operator's
+    bucket-size skew cap (buckets over the cap never join)."""
+    cap_cte = (
+        f"""
+    kept_buckets AS (
+      SELECT band_idx, band_key FROM banded
+      GROUP BY band_idx, band_key HAVING count(*) <= {max_bucket_size}
+    ),
+    capped AS (
+      SELECT banded.* FROM banded
+      JOIN kept_buckets USING (band_idx, band_key)
+    ),"""
+        if max_bucket_size is not None
+        else ""
+    )
+    cand_src = "capped" if max_bucket_size is not None else "banded"
     return f"""
     WITH base AS ({sig_sql(source)}),
     banded AS (
       SELECT doc_id AS id, b.b AS band_idx,
              md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
       FROM base, (SELECT unnest(range(0, 4)) AS b) b
-    ),
+    ),{cap_cte}
     cand AS (
       SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-      FROM banded a
-      JOIN banded b2 ON a.band_idx = b2.band_idx
+      FROM {cand_src} a
+      JOIN {cand_src} b2 ON a.band_idx = b2.band_idx
                     AND a.band_key = b2.band_key AND a.id < b2.id
     ),
     verified AS (

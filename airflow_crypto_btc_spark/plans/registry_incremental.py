@@ -144,41 +144,9 @@ def q_dedup_lsh_pairs_capped(spark, sf_dir):
 
 
 def _capped_pairs_sql(cap: int = 50) -> str:
-    from airflow_crypto_btc_spark.plans.registry_ext import _D_SIG
+    from airflow_crypto_btc_spark.plans.registry_ext import lsh_pairs_sql
 
-    return f"""
-    WITH base AS ({_D_SIG}),
-    banded AS (
-      SELECT doc_id AS id, b.b AS band_idx,
-             md5(array_to_string(sig[b.b*3+1 : b.b*3+3], '')) AS band_key
-      FROM base, (SELECT unnest(range(0, 4)) AS b) b
-    ),
-    kept AS (
-      SELECT band_idx, band_key FROM banded
-      GROUP BY band_idx, band_key HAVING count(*) <= {cap}
-    ),
-    capped AS (
-      SELECT banded.* FROM banded JOIN kept USING (band_idx, band_key)
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-      FROM capped a
-      JOIN capped b2 ON a.band_idx = b2.band_idx
-                    AND a.band_key = b2.band_key AND a.id < b2.id
-    ),
-    verified AS (
-      SELECT id_a, id_b,
-        len(list_intersect(x.shingle_set, y.shingle_set)) AS inter,
-        x.set_size AS na, y.set_size AS nb
-      FROM cand
-      JOIN base x ON x.doc_id = cand.id_a
-      JOIN base y ON y.doc_id = cand.id_b
-    )
-    SELECT id_a, id_b,
-           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
-    FROM verified
-    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
-"""
+    return lsh_pairs_sql(max_bucket_size=cap)
 
 
 def q_dedup_incremental_pairs(spark, sf_dir):

@@ -1119,19 +1119,32 @@ def _landing_zone(sf_dir: str, table: str, fmt: str, land) -> str:
     import shutil
     import uuid
 
+    import glob
+
     src = os.path.join(sf_dir, f"{table}.parquet")
     stat = os.stat(src)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     fp = f"{stat.st_size}_{stat.st_mtime_ns}"
-    final = f"/tmp/spark_graft_{fmt}_{sf_tag}_{fp}"
+    prefix = f"/tmp/spark_graft_{fmt}_{sf_tag}_"
+    final = f"{prefix}{fp}"
     if os.path.isdir(final):
         return final
     staging = f"{final}.staging-{uuid.uuid4().hex}"
-    land(staging)
     try:
+        land(staging)
         os.rename(staging, final)
-    except OSError:  # a concurrent landing won the rename
+    except OSError:
+        # only a concurrent winner is benign; anything else (ENOSPC,
+        # EACCES, final is a plain file, ...) must surface at the cause
+        if not os.path.isdir(final):
+            raise
+    finally:
         shutil.rmtree(staging, ignore_errors=True)
+    # bound /tmp to ONE copy per (format, sf): superseded fingerprints
+    # (regenerated fixtures) are removed once the fresh copy is in place
+    for stale in glob.glob(f"{prefix}*"):
+        if stale != final and ".staging-" not in stale:
+            shutil.rmtree(stale, ignore_errors=True)
     return final
 
 

@@ -180,9 +180,21 @@ def read_snapshot(
     # not supported (parquet union of incompatible types errors loudly).
     # Old snapshots read only their own files, so time travel sees the
     # schema as of that version.
-    return spark.read.option("mergeSchema", "true").parquet(
+    df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table, _DATA_DIR, f) for f in files]
     )
+    if len(files) < len(snap.files):
+        # pruning must not change the SCHEMA: if every post-evolution
+        # part was skipped, the kept files' footers alone would miss the
+        # evolved columns — align to the full snapshot's union schema
+        # (footer-only read of the pruned-away parts, no data scan)
+        df = df.unionByName(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .filter("1 = 0"),
+            allowMissingColumns=True,
+        )
+    return df
 
 
 def _write_parts(df: DataFrame, table: str) -> tuple[list[str], dict]:

@@ -10,9 +10,10 @@ each micro-batch of documents
 2. computes the survivors' index rows (one Arrow scan,
    ``operators/dedup_fast.minhash_prep_fast``),
 3. probes the committed index ∪ the batch rows for pairs with at least
-   one batch endpoint, then commits pairs, sets, and bands in that
-   order under txn ids ``<query>:<batch_id>:pairs`` / ``:sets`` /
-   ``:bands``.
+   one batch endpoint, then commits sets, pairs, and bands in that
+   order under txn ids ``<query>:<batch_id>:sets`` / ``:pairs`` /
+   ``:bands`` — pairs never durably reference an id the sets table
+   lacks, and freshness keys off the final commit.
 
 Every near-dup pair lands exactly once — in the micro-batch of its
 LATER endpoint.  Crash safety: freshness is keyed off the LAST append
@@ -31,6 +32,7 @@ Structured-Streaming execution model.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.operators.dedup import (
@@ -67,18 +69,27 @@ def near_dup_index_sink(
 
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Within-batch duplicates resolve DETERMINISTICALLY (min text
+        # hash per id), so a crash replay picks the same representative
+        # the committed pairs were computed from — dropDuplicates'
+        # arbitrary pick could disagree across attempts.
+        w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)))
+        fresh = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
         # Freshness is keyed off the LAST-committed index table (bands):
         # ids already indexed — upstream re-delivery from an
-        # at-least-once source, or within-batch duplicates — are dropped
-        # before anything else, so index rows are never duplicated and
-        # their pairs never re-emitted.  Keying off the final commit
-        # makes every crash window replay-safe (see ordering note below).
-        fresh = batch_df.dropDuplicates([id_col])
+        # at-least-once source — are dropped before anything else, so
+        # index rows are never duplicated and their pairs never
+        # re-emitted.  Keying off the final commit makes every crash
+        # window replay-safe (see ordering note below).
         committed_bands = _read_or_none(spark, bands_table)
         if committed_bands is not None:
             fresh = fresh.join(
-                committed_bands.select("id").distinct(),
-                fresh[id_col] == F.col("id"),
+                committed_bands.select(F.col("id").alias("_indexed_id")),
+                fresh[id_col] == F.col("_indexed_id"),
                 "left_anti",
             )
         prep = minhash_prep_fast(
@@ -88,21 +99,26 @@ def near_dup_index_sink(
         batch_bands = prep.select(
             "id", F.posexplode("band_keys").alias("band_idx", "band_key")
         )
-        # Probe the committed index UNIONED with the in-flight batch rows
-        # (deduped by id — a half-applied replay may hold them in both),
-        # then commit pairs FIRST, sets second, bands last.  Replaying
-        # any crash window recomputes the identical `fresh` set (bands —
-        # the freshness key — is the final commit) and every append
-        # skips or lands exactly once via its txn id.
+        # Probe the committed index unioned with the in-flight batch
+        # rows.  The sets union dedupes by anti-joining the SMALL batch
+        # side against committed ids (one narrow-key shuffle) — needed
+        # only for the sets-committed/bands-uncommitted replay window; a
+        # full-table dropDuplicates would shuffle the whole corpus-wide
+        # index every batch.  The bands union needs NO dedup: batch ids
+        # were anti-joined against committed bands above, so the two
+        # sides are disjoint by construction.
         committed_sets = _read_or_none(spark, sets_table)
-        all_sets = (
-            batch_sets if committed_sets is None
-            else committed_sets.unionByName(batch_sets)
-        ).dropDuplicates(["id"])
+        if committed_sets is None:
+            all_sets = batch_sets
+        else:
+            batch_only = batch_sets.join(
+                committed_sets.select("id"), "id", "left_anti"
+            )
+            all_sets = committed_sets.unionByName(batch_only)
         all_bands = (
             batch_bands if committed_bands is None
             else committed_bands.unionByName(batch_bands)
-        ).dropDuplicates(["id", "band_idx", "band_key"])
+        )
         pairs = minhash_lsh_pairs_from_index(
             all_sets,
             all_bands,
@@ -110,13 +126,20 @@ def near_dup_index_sink(
             jaccard_threshold,
             max_bucket_size,
         )
-        append(
-            spark, pairs, pairs_table,
-            txn_id=f"{query_name}:{batch_id}:pairs",
-        )
+        # Commit order sets → pairs → bands: pairs never durably
+        # reference an id absent from the sets table (an independent
+        # consumer joining pairs to shingle sets sees no dangling rows,
+        # even mid-crash), while freshness still keys off the FINAL
+        # commit (bands), so replaying any crash window recomputes the
+        # identical fresh set and each append skips or lands exactly
+        # once via its txn id.
         append(
             spark, batch_sets, sets_table,
             txn_id=f"{query_name}:{batch_id}:sets",
+        )
+        append(
+            spark, pairs, pairs_table,
+            txn_id=f"{query_name}:{batch_id}:pairs",
         )
         append(
             spark, batch_bands, bands_table,

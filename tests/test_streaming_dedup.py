@@ -173,9 +173,10 @@ def test_streaming_dedup_redelivery_is_harmless(spark, tmp_path):
 def test_streaming_dedup_crash_between_appends_replays_clean(
     spark, tmp_path, monkeypatch
 ):
-    """Crash after the pairs commit but before the index commits: the
-    replayed batch must land the missing index rows without duplicating
-    the pairs, and a subsequent batch must see a consistent index."""
+    """Crash mid-batch (after the sets commit, before pairs/bands): the
+    replayed batch must land the missing commits without duplicating
+    index rows or pairs, and a subsequent batch must see a consistent
+    index."""
     from airflow_crypto_btc_spark.sources import snapshot_table as st
     from airflow_crypto_btc_spark.streaming import dedup_stream as ds
 
@@ -192,7 +193,7 @@ def test_streaming_dedup_crash_between_appends_replays_clean(
 
     def crashing_append(spark_, df, table, txn_id=None):
         calls["n"] += 1
-        if calls["n"] == 2:  # after pairs (call 1), before sets (call 2)
+        if calls["n"] == 2:  # after sets (call 1), before pairs (call 2)
             raise RuntimeError("simulated crash")
         return real_append(spark_, df, table, txn_id=txn_id)
 
@@ -234,3 +235,26 @@ def test_streaming_dedup_crash_between_appends_replays_clean(
         for r in minhash_lsh_pairs(all_docs).collect()
     }
     assert got == want and (1, 2) in got and (2, 3) in got
+
+
+def test_streaming_dedup_id_col_named_id(spark, tmp_path):
+    """The sink must work when the caller's id column is literally
+    named 'id' (regression: unqualified reference was ambiguous)."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.streaming.dedup_stream import (
+        near_dup_index_sink,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    schema = "id long, text string"
+    sink = near_dup_index_sink(
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "p"),
+        query_name="idcol", id_col="id",
+    )
+    sink(spark.createDataFrame([(1, a)], schema), 0)
+    sink(spark.createDataFrame(
+        [(2, a.replace("lazy", "sleepy"))], schema), 1)
+    pairs = read_snapshot(spark, str(tmp_path / "p")).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]

@@ -583,6 +583,7 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     m: int = 4,
     iterations: int = 2,
+    sample_cap: int | None = None,
 ):
     """Train product-quantization codebooks: the embedding space is split
     into ``m`` contiguous subspaces and the distributed k-means trainer
@@ -591,7 +592,17 @@ def pq_train_codebooks(
     ``list[m]`` of (k, sub_dim) numpy codebooks — tiny (k·d doubles) by
     construction, which is exactly why PQ scales: the model ships to
     executors as a broadcast-sized table while the data never leaves its
-    partitions."""
+    partitions.
+
+    ``sample_cap`` bounds the TRAINING set: when the corpus exceeds the
+    cap, training runs on the deterministic modulus sample
+    ``pmod(id, ceil(n / cap)) = 0`` (≤ cap rows, replayable in plain
+    SQL — no RNG state) while encode/ADC still cover every vector.  This
+    is the 100 TB shape: k-means quality saturates long before 50k
+    samples, so the Lloyd iterations touch a fixed-size slice no matter
+    how large the corpus grows, and only the single-pass encode scans
+    everything.  Below the cap the sample is the whole corpus, so small-
+    scale results are unchanged."""
     import numpy as np
 
     dim = len(vectors.select(vec_col).first()[0])
@@ -599,6 +610,12 @@ def pq_train_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     unit = _unit_vectors(vectors, id_col, vec_col)
+    smod = 1
+    if sample_cap is not None:
+        n = unit.count()
+        smod = max(1, -(-n // sample_cap))
+        if smod > 1:
+            unit = unit.filter(F.expr(f"pmod({id_col}, {smod}) = 0"))
     # ALL m subspaces train in ONE tagged Lloyd chain: each vector
     # explodes into m (subspace, slice) rows and the assignment joins on
     # the subspace tag, so one pass over the corpus per iteration trains
@@ -625,9 +642,13 @@ def pq_train_codebooks(
         ).alias("sv"),
     ).select("vec_id", F.col("sv.s").alias("s"), F.col("sv.ve").alias("ve"))
     v = sliced.withColumn("vn", F.sqrt(norm2_expr("ve")))
-    # per-subspace seed rule: vec_id % 25 == (7 + s) % 25
+    # per-subspace seed rule on the SAMPLE QUOTIENT: sampled ids are the
+    # multiples of smod, so seeding on pmod(id, 25) would leave most
+    # subspaces with zero centroids (only residues divisible by
+    # gcd(smod, 25) survive the sample) — id div smod ranges over every
+    # residue class and reduces to the unsampled rule when smod = 1
     cent = sliced.filter(
-        F.expr("pmod(vec_id, 25) = pmod(7 + s, 25)")
+        F.expr(f"pmod(vec_id div {smod}, 25) = pmod(7 + s, 25)")
     ).select("s", F.col("vec_id").alias("cid"), F.col("ve").alias("ce"))
     means = None
     for _ in range(iterations):
@@ -677,6 +698,44 @@ def pq_train_codebooks(
     return books
 
 
+def pq_save_codebooks(spark, books, table: str) -> int:
+    """Persist trained codebooks to a snapshot table (rows ``(s, rnk,
+    ce)``; ``rnk`` is the codeword's position in the cid-ordered book —
+    the index :func:`pq_topk`'s encoder emits).  The table is the serving
+    artifact of the offline-train/online-serve split: training happens
+    once per corpus version, every subsequent query run loads kilobytes
+    of codebook instead of re-running Lloyd iterations — the same
+    persisted-index pattern as ``dedup.minhash_lsh_pairs_from_index``."""
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+    rows = [
+        (s, r, [float(x) for x in book[r]])
+        for s, book in enumerate(books)
+        for r in range(book.shape[0])
+    ]
+    df = spark.createDataFrame(rows, "s int, rnk int, ce array<double>")
+    return st.overwrite(spark, df, table)
+
+
+def pq_load_codebooks(spark, table: str, version: int | None = None):
+    """Load codebooks persisted by :func:`pq_save_codebooks` back into
+    the driver-side ``list[m]`` of numpy arrays :func:`pq_topk` consumes.
+    The table is codebook-sized (m·k·sub doubles), so the collect is
+    model-download, not data movement; ``version`` time-travels to an
+    older model like any snapshot read."""
+    import numpy as np
+
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+    rows = st.read_snapshot(spark, table, version=version).collect()
+    m = max(r["s"] for r in rows) + 1
+    books = []
+    for s in range(m):
+        sub_rows = sorted((r["rnk"], r["ce"]) for r in rows if r["s"] == s)
+        books.append(np.array([ce for _, ce in sub_rows], dtype=np.float64))
+    return books
+
+
 def pq_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -685,6 +744,8 @@ def pq_topk(
     m: int = 8,
     shortlist: int = 150,
     k: int = 10,
+    books=None,
+    sample_cap: int | None = 50000,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact rerank — the memory-bound ANN
     serving pattern: each vector is compressed to ``m`` codeword ids
@@ -712,7 +773,17 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    books = pq_train_codebooks(vectors, id_col, vec_col, m=m)
+    # offline-train/online-serve split: callers pass pre-trained ``books``
+    # (from pq_load_codebooks) to skip training entirely — the serving
+    # path then costs one encode+ADC scan plus a shortlist rerank, never
+    # a Lloyd iteration.  Fresh training is capped to a deterministic
+    # ``sample_cap``-row slice (see pq_train_codebooks).
+    if books is None:
+        books = pq_train_codebooks(
+            vectors, id_col, vec_col, m=m, sample_cap=sample_cap
+        )
+    elif len(books) != m:
+        raise ValueError(f"got {len(books)} codebooks for m={m}")
     unit = _unit_vectors(vectors, id_col, vec_col)
     qrows = (
         unit.filter(query_filter)
@@ -722,19 +793,15 @@ def pq_topk(
     qids = [r["qid"] for r in qrows]
     Q = np.array([r["qe"] for r in qrows], dtype=np.float64)
     sub = Q.shape[1] // m
-    # ADC tables: T[q][s][j] = ||q_s - c_sj||^2
-    tables = np.stack(
-        [
-            np.stack(
-                [
-                    ((Q[:, s * sub:(s + 1) * sub][:, None, :]
-                      - books[s][None, :, :]) ** 2).sum(axis=2)
-                    for s in range(m)
-                ],
-                axis=1,
-            )
-        ]
-    )[0].round(6)  # (n_q, m, k_codes); rounded per the 6-dp convention
+    # ADC tables: tables[s][q][j] = ||q_s - c_sj||^2, one (n_q, k_s)
+    # array per subspace (k_s may differ across subspaces — a Lloyd
+    # round can drop an unassigned centroid); rounded per the 6-dp
+    # convention
+    tables = [
+        ((Q[:, s * sub:(s + 1) * sub][:, None, :]
+          - books[s][None, :, :]) ** 2).sum(axis=2).round(6)
+        for s in range(m)
+    ]
 
     out_schema = "qid long, nid long, adc double"
 
@@ -759,8 +826,8 @@ def pq_topk(
             nids = pdf[id_col].to_numpy()
             frames = []
             for qi, qid in enumerate(qids):
-                adc = tables[qi][np.arange(m)[None, :], codes].sum(
-                    axis=1
+                adc = np.add.reduce(
+                    [tables[s][qi][codes[:, s]] for s in range(m)]
                 ).round(6)
                 # +1 survives self-exclusion: the query's own row (adc ~0)
                 # would otherwise occupy a slot and silently drop the true

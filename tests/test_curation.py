@@ -247,3 +247,93 @@ def test_mixture_stable_under_repartition(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert a == b
+
+
+def test_near_dup_purge_under_engineered_skew(spark):
+    """Skew torture for the purge path: 10% of the corpus is ONE
+    identical text family, so a single band bucket holds 200 rows —
+    the degenerate-bucket shape that turns a banded join quadratic.
+    Asserts the two defenses work together: (a) the bucket cap SKIPS
+    the hot buckets and the accounting operator reports exactly what
+    was skipped (never silent), (b) with the cap off, AQE's skew-join
+    split activates on the hot bucket join (verified in the executed
+    adaptive plan) and the full purge composition still returns the
+    right survivors in bounded time."""
+    import time
+
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_skipped_buckets,
+        near_dup_clusters,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank today again"
+    )
+    rows = [
+        (i, base) if i % 10 == 0
+        else (
+            i,
+            f"unique document number {i} with entirely distinct "
+            f"content tokens {i * 7} {i * 13} {i * 31}",
+        )
+        for i in range(2000)
+    ]
+    docs = _docs(spark, rows)
+
+    # (a) cap + accounting: every band of the 200-doc identical family
+    # is over a 50-cap, each reported with its true size; the capped
+    # pair pass completes without enumerating the 200²/2 combinations
+    skipped = minhash_lsh_skipped_buckets(
+        docs, max_bucket_size=50
+    ).collect()
+    hot = [r for r in skipped if r["bucket_size"] >= 200]
+    assert len(hot) >= 4, skipped  # identical docs collide in ALL bands
+    capped = minhash_lsh_pairs(docs, max_bucket_size=50).collect()
+    assert all(
+        not (r["id_a"] % 10 == 0 and r["id_b"] % 10 == 0) for r in capped
+    )
+
+    # (b) cap off: thresholds scaled down to test size so the 256 MB
+    # production defaults fire at kilobytes — the assertion is that the
+    # hot bucket's shuffle partition gets SPLIT, not merely survived
+    tuned = {
+        # enough shuffle width that the hot bucket's partition stands
+        # out against the median (the session fixture runs 4-wide)
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(docs)
+        clusters = near_dup_clusters(docs, pairs)
+        reps = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        survivors = docs.join(reps.select("doc_id"), "doc_id")
+        got = survivors.count()
+        elapsed = time.time() - t0
+        # 1800 unique docs + ONE representative of the identical family
+        assert got == 1801, got
+        assert elapsed < 120, elapsed
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # the pairs plan executed as part of the composition is a
+        # different QueryExecution — execute it directly to inspect
+        if "isFinalPlan=true" not in plan:
+            pairs.collect()
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

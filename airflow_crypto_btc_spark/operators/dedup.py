@@ -365,6 +365,79 @@ def minhash_lsh_pairs_from_index(
     return _verify_candidates(sets, cand, jaccard_threshold)
 
 
+def build_minhash_index(
+    spark,
+    df: DataFrame,
+    sets_table: str,
+    bands_table: str,
+    source_version: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    kernel: str = "arrow",
+) -> None:
+    """Materialize the LSH index (shingle sets + band keys) into a pair
+    of snapshot tables, recording ``source_version`` — the corpus
+    snapshot the index was computed from — in BOTH tables' commit
+    metadata.  :func:`minhash_lsh_pairs_from_index_tables` asserts that
+    metadata on probe, so a probe can never silently pair against an
+    index built from a different (stale or mixed) corpus version."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    sets, banded = _minhash_sets_and_bands(
+        df, id_col, text_col, k_shingle, num_hashes, bands, kernel
+    )
+    meta = {"source_version": source_version}
+    append(spark, sets, sets_table, meta=meta)
+    append(spark, banded, bands_table, meta=meta)
+
+
+def minhash_lsh_pairs_from_index_tables(
+    spark,
+    sets_table: str,
+    bands_table: str,
+    delta_ids: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Table-path front end of :func:`minhash_lsh_pairs_from_index` with
+    FRESHNESS PINNING: before reading a row, the two index tables'
+    recorded ``source_version`` commit metadata must agree with each
+    other — a sets table from corpus v2 probed against a bands table
+    from v1 would emit pairs verified on the wrong shingle sets — and,
+    when ``expect_source`` is given, with the version the caller is
+    deduplicating against (mismatch = stale index, rebuild before
+    probing).  Raises ``ValueError`` on either mismatch; the check reads
+    only the commit log, no data files."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    s_src = current_snapshot(sets_table).meta.get("source_version")
+    b_src = current_snapshot(bands_table).meta.get("source_version")
+    if s_src != b_src:
+        raise ValueError(
+            f"index tables disagree on source_version: sets={s_src!r} "
+            f"bands={b_src!r} — mixed-version index, rebuild it"
+        )
+    if expect_source is not None and s_src != expect_source:
+        raise ValueError(
+            f"stale index: built from {s_src!r}, caller expects "
+            f"{expect_source!r} — rebuild before probing"
+        )
+    return minhash_lsh_pairs_from_index(
+        read_snapshot(spark, sets_table),
+        read_snapshot(spark, bands_table),
+        delta_ids,
+        jaccard_threshold,
+        max_bucket_size,
+    )
+
+
 def minhash_lsh_skipped_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -53,6 +53,9 @@ class Snapshot:
     files: list[str]
     txn_ids: set[str] = field(default_factory=set)
     stats: dict[str, dict] = field(default_factory=dict)
+    #: free-form commit metadata (e.g. the source-corpus version an index
+    #: was built from); the LATEST commit that carried meta wins
+    meta: dict = field(default_factory=dict)
 
 
 def _log_path(table: str, version: int) -> str:
@@ -79,6 +82,7 @@ def current_snapshot(table: str, version: int | None = None) -> Snapshot:
     files: set[str] = set()
     txns: set[str] = set()
     stats: dict[str, dict] = {}
+    meta: dict = {}
     last = -1
     for v in versions:
         with open(_log_path(table, v)) as fh:
@@ -92,9 +96,12 @@ def current_snapshot(table: str, version: int | None = None) -> Snapshot:
             stats.pop(r, None)
         if entry.get("txn_id"):
             txns.add(entry["txn_id"])
+        if entry.get("meta"):
+            meta = entry["meta"]
         last = v
     return Snapshot(
-        version=last, files=sorted(files), txn_ids=txns, stats=stats
+        version=last, files=sorted(files), txn_ids=txns, stats=stats,
+        meta=meta,
     )
 
 
@@ -229,6 +236,7 @@ def commit(
     txn_id: str | None = None,
     max_retries: int = 20,
     stats: dict | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Optimistic-concurrency commit loop: losers re-read the log and retry
     at the next version.  Append-shaped commits are always safe to retry;
@@ -245,6 +253,7 @@ def commit(
             "remove": remove,
             **({"stats": stats} if stats else {}),
             **({"txn_id": txn_id} if txn_id else {}),
+            **({"meta": meta} if meta else {}),
         }
         if _try_commit(table, version, entry):
             return version
@@ -256,6 +265,7 @@ def append(
     df: DataFrame,
     table: str,
     txn_id: str | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Transactional append.  ``txn_id`` makes a re-run idempotent: if a
     commit with this id is already in the log (the reference's
@@ -265,7 +275,7 @@ def append(
         return -1
     parts, stats = _write_parts(df, table)
     return commit(table, add=parts, remove=[], operation="append",
-                  txn_id=txn_id, stats=stats)
+                  txn_id=txn_id, stats=stats, meta=meta)
 
 
 def overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:

@@ -449,3 +449,56 @@ def test_incremental_pairs_from_persisted_index(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert from_index == recomputed and from_index
+
+
+def test_persisted_index_version_pinning(spark, sf_dir, tmp_path):
+    """The table-path probe refuses a stale or mixed-version index:
+    source_version is recorded in both index tables' commit metadata at
+    build time and asserted before any data is read."""
+    import pytest as _pytest
+
+    from airflow_crypto_btc_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_index_tables,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s_tbl, b_tbl = str(tmp_path / "sets"), str(tmp_path / "bands")
+    build_minhash_index(spark, docs, s_tbl, b_tbl, source_version="corpus@v7")
+
+    delta = docs.filter("doc_id % 10 = 0").selectExpr("doc_id AS id")
+    # matching expectation: probe works and reproduces the recomputed path
+    got = {
+        tuple(r)
+        for r in minhash_lsh_pairs_from_index_tables(
+            spark, s_tbl, b_tbl, delta, expect_source="corpus@v7"
+        ).collect()
+    }
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    want = {
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            docs, "doc_id % 10 = 0"
+        ).collect()
+    }
+    assert got == want and got
+
+    # stale expectation → refused before reading any data
+    with _pytest.raises(ValueError, match="stale index"):
+        minhash_lsh_pairs_from_index_tables(
+            spark, s_tbl, b_tbl, delta, expect_source="corpus@v8"
+        )
+    # mixed versions across the two tables → refused
+    build_minhash_index(
+        spark, docs, s_tbl, str(tmp_path / "bands2"),
+        source_version="corpus@v8",
+    )
+    with _pytest.raises(ValueError, match="disagree"):
+        minhash_lsh_pairs_from_index_tables(
+            spark, s_tbl, b_tbl, delta
+        )

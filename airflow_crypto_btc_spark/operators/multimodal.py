@@ -72,20 +72,55 @@ def decode_media(
     DataFrames with ``payload`` as ``bytes`` objects (Arrow binary), the
     kernel emits typed dimensions.
 
-    STUB: the real-codec branch raises ``NotImplementedError`` —
-    Pillow/libav are not in this container.  The fake branch derives
-    deterministic dimensions from the first payload bytes so tests (and the
-    driver) get stable output with the exact batch shape a real decoder
-    would see.
+    The real-codec branch decodes with Pillow (imported lazily AT THE
+    KERNEL SITE, executor-side) — per-item decode failures land as
+    ``decode_ok=false`` rows with null dimensions, never a task failure.
+    When Pillow is absent from the environment (this container), the
+    branch raises ``NotImplementedError`` at the same seam; the fake
+    branch derives deterministic dimensions from the first payload bytes
+    so tests (and the driver) get stable output with the exact batch
+    shape the real decoder sees.  tests/test_multimodal.py covers the
+    real branch under ``pytest.importorskip("PIL")`` so it is exercised
+    the moment the environment gains Pillow.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_codecs:
-                raise NotImplementedError(
-                    "media codecs (Pillow/libav) are not installed in this "
-                    "environment; deterministic fake decode is the default"
+                try:
+                    from PIL import Image
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "media codecs (Pillow/libav) are not installed in "
+                        "this environment; deterministic fake decode is "
+                        "the default"
+                    ) from exc
+                import io
+
+                widths, heights, chans, oks = [], [], [], []
+                for raw in pdf["payload"]:
+                    try:
+                        with Image.open(io.BytesIO(bytes(raw))) as im:
+                            widths.append(im.width)
+                            heights.append(im.height)
+                            chans.append(len(im.getbands()))
+                            oks.append(True)
+                    except Exception:  # undecodable item, not a bug
+                        widths.append(None)
+                        heights.append(None)
+                        chans.append(None)
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "mime": pdf["meta"].map(lambda m: m["mime"]),
+                        "width": pd.array(widths, dtype="Int32"),
+                        "height": pd.array(heights, dtype="Int32"),
+                        "channels": pd.array(chans, dtype="Int32"),
+                        "decode_ok": oks,
+                    }
                 )
+                continue
             payloads = pdf["payload"]
             first = payloads.map(lambda b: b[0] if len(b) else 0)
             second = payloads.map(lambda b: b[1] if len(b) > 1 else 0)

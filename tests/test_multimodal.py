@@ -54,10 +54,57 @@ def test_fake_decode_deterministic_and_byte_derived(mm):
 
 
 def test_real_codec_path_is_stubbed(mm):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — decode gate only fires without it")
+    except ImportError:
+        pass
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_media(mm, use_real_codecs=True).collect()
+
+
+def test_real_resample_is_stubbed(mm):
     with pytest.raises(NotImplementedError, match="resampling"):
         resize_media(decode_media(mm), use_real_codecs=True)
+
+
+def test_decode_media_real_codecs_end_to_end(spark):
+    """Skipped until the environment gains Pillow; the moment it does,
+    the real-codec branch is covered end-to-end: true dimensions for a
+    decodable payload, decode_ok=false (null dims, no task failure) for
+    garbage bytes."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    def _png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<mime:string, n_bytes:long, checksum:string>"
+    )
+    mm_real = spark.createDataFrame(
+        [
+            (1, _png(5, 7), ("image/png", 0, "a")),
+            (2, b"definitely not an image payload", ("image/png", 0, "b")),
+        ],
+        schema,
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_media(mm_real, use_real_codecs=True).collect()
+    }
+    ok = out[1]
+    assert (ok["width"], ok["height"], ok["channels"]) == (5, 7, 3)
+    assert ok["decode_ok"] is True
+    bad = out[2]
+    assert bad["decode_ok"] is False
+    assert bad["width"] is None and bad["height"] is None
 
 
 def test_resize_scale_factors(mm):

@@ -94,11 +94,19 @@ def _minhash_sets_and_bands(
     ``kernel='hof'`` keeps everything in JVM expressions (bit-identical
     to the DuckDB oracle SQL); ``kernel='arrow'`` computes shingle sets,
     signatures, and band keys in ONE Arrow ``mapInPandas`` scan
-    (``operators/dedup_fast.minhash_prep_fast``) — same md5 math, so the
-    outputs are bit-identical too (pinned by tests/test_dedup.py), just
-    ~3× faster: the HOF path pays interpreted-lambda overhead per
-    (seed, shingle) while the Arrow kernel memoizes digests across each
-    batch.  The signature math is evaluated once per document either way.
+    (``operators/dedup_fast.minhash_prep_fast``) — same md5 math, so
+    band keys, set sizes, and the downstream pair/jaccard outputs are
+    bit-identical (pinned by tests/test_dedup.py).  One representational
+    difference: the Arrow kernel emits ``shingle_set`` SORTED while the
+    HOF path keeps ``array_distinct`` appearance order — harmless for
+    every computation here (intersection math is order-insensitive), but
+    a persisted index that MIXES kernels will have byte-wise-differing
+    ``sets`` rows across commits, so frame-level comparisons of index
+    tables must compare as sets, or the index should stick to one
+    kernel.  ~3× faster: the HOF path pays interpreted-lambda overhead
+    per (seed, shingle) while the Arrow kernel memoizes digests across
+    each batch.  The signature math is evaluated once per document
+    either way.
     """
     if kernel == "arrow":
         from airflow_crypto_btc_spark.operators.dedup_fast import (

@@ -1142,8 +1142,22 @@ def _landing_zone(sf_dir: str, table: str, fmt: str, land) -> str:
         shutil.rmtree(staging, ignore_errors=True)
     # bound /tmp to ONE copy per (format, sf): superseded fingerprints
     # (regenerated fixtures) are removed once the fresh copy is in place
+    # — but only past a grace window: a concurrent session may still be
+    # mid-read on a landing it resolved moments ago (e.g. a long oracle
+    # run against a just-regenerated fixture), and yanking files under
+    # an active reader fails its queries for no correctness gain.
+    import time
+
+    grace_s = 3600
+    now = time.time()
     for stale in glob.glob(f"{prefix}*"):
-        if stale != final and ".staging-" not in stale:
+        if stale == final or ".staging-" in stale:
+            continue
+        try:
+            recent = now - os.stat(stale).st_mtime < grace_s
+        except OSError:
+            continue  # already gone (concurrent cleanup won)
+        if not recent:
             shutil.rmtree(stale, ignore_errors=True)
     return final
 

@@ -641,18 +641,22 @@ def near_dup_clusters(
         )
         .localCheckpoint(eager=False)
     )
-    # size the loop's parallelism to the MATERIALIZED edge count (see
-    # _loop_width): the count also pays for the checkpoint up front, so
-    # round timings are pure loop cost
-    width = _loop_width(pairs.sparkSession, edges.count())
-    edges = edges.repartition(width, "src").localCheckpoint(eager=False)
     # only edge-touched nodes can ever change label; edges carry both
     # directions so src alone covers every endpoint
     touched = edges.select("src").distinct().localCheckpoint(eager=False)
     labels = touched.select(F.col("src").alias("id")).withColumn(
         "label", F.col("id")
     )
-    for _ in range(max_iterations):
+    width = None
+    for i in range(max_iterations):
+        if i == 1:
+            # narrow rounds 1+ to the graph's real size (_loop_width):
+            # round 0's action materialized the edges checkpoint, so
+            # this count reads cached rows (~free) — paying for the
+            # sizing BEFORE round 0 costs a full extra job and loses
+            # more than the narrowing saves on shallow graphs
+            width = _loop_width(pairs.sparkSession, edges.count())
+            edges = edges.repartition(width, "src")
         neigh_min = (
             edges.join(
                 labels.select(
@@ -663,18 +667,18 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("slabel").alias("nlabel"))
         )
-        updated = (
-            labels.join(neigh_min, labels.id == neigh_min.dst, "left")
-            .select(
-                "id",
-                "label",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", "label")
-                ).alias("new_label"),
-            )
-            .repartition(width, "id")
-            .localCheckpoint(eager=False)
+        updated = labels.join(
+            neigh_min, labels.id == neigh_min.dst, "left"
+        ).select(
+            "id",
+            "label",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", "label")
+            ).alias("new_label"),
         )
+        if width is not None:
+            updated = updated.repartition(width, "id")
+        updated = updated.localCheckpoint(eager=False)
         changed = updated.filter(
             F.col("new_label") != F.col("label")
         ).count()  # action: also materializes the checkpoint

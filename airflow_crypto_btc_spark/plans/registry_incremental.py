@@ -176,6 +176,54 @@ def q_dedup_incremental_pairs(spark, sf_dir):
     return old_pairs.unionByName(delta_pairs)
 
 
+def q_dedup_pairs_from_persisted_index(spark, sf_dir):
+    """The SERVING shape of incremental dedup: the LSH index (shingle
+    sets + band keys) lives in a pair of snapshot tables built ONCE per
+    corpus version (landing-zone keyed by the fixture fingerprint) and
+    each increment probes it through the version-PINNED table-path front
+    end — `minhash_lsh_pairs_from_index_tables` refuses a stale or
+    mixed-version index before reading any data.  Full pair set =
+    pairs(old) ∪ index-probe(delta); the oracle is the one-shot
+    full-corpus SQL, so passing proves the persisted decomposition is
+    exact, commit-log round-trip included."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_index_tables,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_minhash_index(
+            spark,
+            docs,
+            os.path.join(staging, "sets"),
+            os.path.join(staging, "bands"),
+            source_version=source_version,
+        )
+
+    idx = _landing_zone(sf_dir, "documents", "lsh_index", _land)
+    old_pairs = minhash_lsh_pairs(
+        docs.filter("doc_id % 10 != 0"),
+        num_hashes=12, bands=4, jaccard_threshold=0.5,
+    )
+    delta_pairs = minhash_lsh_pairs_from_index_tables(
+        spark,
+        os.path.join(idx, "sets"),
+        os.path.join(idx, "bands"),
+        docs.filter("doc_id % 10 = 0").selectExpr("doc_id AS id"),
+        jaccard_threshold=0.5,
+        expect_source=source_version,
+    )
+    return old_pairs.unionByName(delta_pairs)
+
+
 def q_curate_ingest_pipeline(spark, sf_dir):
     """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
     form a training-data user actually runs: language/quality gate →
@@ -355,6 +403,11 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # why a bucket cap breaks the identity)
     "dedup_incremental_pairs": QuerySpec(
         q_dedup_incremental_pairs, _SQL_DEDUP_MINHASH_LSH_PAIRS
+    ),
+    # same oracle again: the PERSISTED (snapshot-table, version-pinned)
+    # index probe must also reproduce the one-shot pair set exactly
+    "dedup_pairs_from_persisted_index": QuerySpec(
+        q_dedup_pairs_from_persisted_index, _SQL_DEDUP_MINHASH_LSH_PAIRS
     ),
     "curate_ingest_pipeline": QuerySpec(
         q_curate_ingest_pipeline, _ingest_pipeline_sql()

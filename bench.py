@@ -85,6 +85,10 @@ HEADLINE = [
     "text_repetition_score",
     "text_bigram_pmi",
     "sim_quantized_topk",
+    # round-6: serving-shape PQ (trains once per fixture version into a
+    # landing-zone snapshot table; pass 1 of a fresh environment pays
+    # the training, the median reflects the persisted-codebook serve)
+    "sim_pq_topk",
     "curate_weighted_sample",
     "funnel_stages",
     "cohort_retention",

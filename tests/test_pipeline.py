@@ -335,3 +335,31 @@ def test_read_raw_range_prunes_partitions_at_planning_time(
     assert set(
         r.date.isoformat() for r in df.select("date").distinct().collect()
     ) == {lo, hi}
+
+
+def test_plot_report_artifact_branches(spark, sf_dir, wh):
+    """The report stage renders a PNG when matplotlib is present and
+    degrades to a CSV with identical content otherwise — this test
+    asserts whichever branch the environment enables end-to-end, so the
+    moment the container gains matplotlib the real render is covered."""
+    from airflow_crypto_btc_spark.pipeline import plot_report
+
+    run_range(
+        spark,
+        wh,
+        DAYS,
+        lambda d: _source_for_day(spark, sf_dir, d),
+        min_day_rows=10,
+    )
+    out = plot_report(spark, wh, DAYS[-1])
+    try:
+        import matplotlib  # noqa: F401
+
+        assert out.endswith(".png")
+        with open(out, "rb") as fh:
+            assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
+    except ImportError:
+        assert out.endswith(".csv")
+        pdf = pd.read_csv(out)
+        assert list(pdf.columns) == ["date", "close", "ma7", "ma30"]
+        assert len(pdf) == len(DAYS)

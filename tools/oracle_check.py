@@ -6,6 +6,11 @@ over the same parquet fixtures, then compares row count, column set, and
 reasonable driver-side hash also matches.
 
 Usage:  python tools/oracle_check.py [sf_dir] [query ...]
+        python tools/oracle_check.py [sf_dir] --window N-M
+
+``--window N-M`` selects queries by CATALOG ORDER (0-based, half-open):
+the driver hash-checks only the first 50 entries, so ``--window 50-153``
+is the rotation run that covers everything beyond the driver's window.
 """
 
 from __future__ import annotations
@@ -63,7 +68,13 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    rest = sys.argv[2:]
+    window = None
+    if rest and rest[0] == "--window":
+        lo, hi = rest[1].split("-")
+        window = (int(lo), int(hi))
+        rest = rest[2:]
+    only = set(rest)
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
@@ -80,6 +91,10 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if window is not None:
+        names = list(qs)[window[0]:window[1]]
+        print(f"window {window[0]}-{window[1]}: {len(names)} queries")
+        qs = {n: qs[n] for n in names}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

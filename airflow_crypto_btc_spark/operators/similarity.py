@@ -274,6 +274,108 @@ def lsh_topk(
     )
 
 
+def build_ann_index(
+    spark,
+    vectors: DataFrame,
+    table: str,
+    source_version: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+) -> int:
+    """Persist the hyperplane-LSH ANN index — rows ``(nid, ve, vn,
+    bucket)`` in a snapshot table with ``source_version`` recorded in the
+    commit metadata, mirroring ``dedup.build_minhash_index``.  The
+    projection and norm are computed ONCE at build time; every probe
+    afterwards is a bucket-key join against stored rows, no per-query
+    re-hash of the corpus.  At scale, ``snapshot_table.compact(...,
+    cluster_by=...)`` on a bucket-derived numeric key plus the per-part
+    min/max stats makes a probe's ``1 + planes`` buckets open only the
+    files whose stat range covers them."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    base = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("ve"),
+        hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+    return append(
+        spark, base, table, meta={"source_version": source_version}
+    )
+
+
+def lsh_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    k: int = 10,
+    max_hamming: int | None = 1,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Serve multi-probe LSH top-k from a PERSISTED index
+    (:func:`build_ann_index`): queries arrive as their own frame (the
+    online shape — the corpus is never re-hashed), hash to their bucket
+    plus every ``max_hamming``-flip neighbor, and join the stored
+    buckets; exact cosine ranks the candidates.  ``expect_source`` pins
+    the index to the corpus version the caller queries against —
+    mismatch raises before any data file is read (same freshness
+    contract as ``dedup.minhash_lsh_pairs_from_index_tables``)."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    if expect_source is not None:
+        src = current_snapshot(table).meta.get("source_version")
+        if src != expect_source:
+            raise ValueError(
+                f"stale ANN index: built from {src!r}, caller expects "
+                f"{expect_source!r} — rebuild before probing"
+            )
+    base = read_snapshot(spark, table)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        hyperplane_bucket_expr(vec_col, planes).alias("qb"),
+    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
+    if max_hamming is None:
+        probe = (
+            f"transform(sequence(0, {2 ** planes - 1}), "
+            f"i -> lpad(bin(i), {planes}, '0'))"
+        )
+    elif max_hamming == 0:
+        probe = "array(qb)"
+    elif max_hamming == 1:
+        flip = (
+            f"transform(sequence(1, {planes}), p -> concat("
+            "substr(qb, 1, p - 1), "
+            "CASE WHEN substr(qb, p, 1) = '1' THEN '0' ELSE '1' END, "
+            f"substr(qb, p + 1, {planes} - p)))"
+        )
+        probe = f"concat(array(qb), {flip})"
+    else:
+        raise ValueError("max_hamming must be 0, 1, or None (=all)")
+    probes = q.select(
+        "qid", "qe", "qn", F.explode(F.expr(probe)).alias("bucket")
+    )
+    cos = F.when(
+        F.col("qn") * F.col("vn") != 0,
+        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        base.join(F.broadcast(probes), ["bucket"])
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",

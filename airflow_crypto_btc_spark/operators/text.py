@@ -297,3 +297,75 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(top_k)
     )
+
+
+# ------------------------------------------------------------ PII scrubbing
+
+#: (placeholder, pattern) in APPLICATION ORDER — each pattern is written
+#: in the common subset of Java regex (Spark) and RE2 (DuckDB): character
+#: classes and bounded repetition only, no lookaround, no backreferences,
+#: so the DuckDB oracle replays the masking byte-for-byte.  Emails mask
+#: before phones so a dotted user part is never half-eaten by the number
+#: rule; the id rule (standalone 9+ digit runs) goes last so it only sees
+#: digits the earlier rules left behind.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<PHONE>", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"),
+    ("<IP>", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("<ID>", r"\b[0-9]{9,}\b"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask common PII shapes (emails, phone numbers, IPv4 addresses,
+    long standalone digit runs) with typed placeholders — the redaction
+    pass a training corpus runs BEFORE any text ships to a model.
+
+    Pure per-row JVM regex (``regexp_count`` + chained
+    ``regexp_replace``): no shuffle, no Python, fuses into the document
+    scan — the cost at 100 TB is the scan itself.  Counts are taken
+    BEFORE masking (per rule, on the text as that rule sees it), so the
+    audit trail records exactly what each rule matched.
+
+    Returns (doc_id, clean_text, n_emails, n_phones, n_ips, n_ids).
+    """
+    cleaned = F.col(text_col)
+    counts = {}
+    for placeholder, pat in PII_RULES:
+        counts[placeholder] = F.regexp_count(cleaned, F.lit(pat))
+        cleaned = F.regexp_replace(cleaned, pat, placeholder)
+    return df.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        counts["<EMAIL>"].cast("long").alias("n_emails"),
+        counts["<PHONE>"].cast("long").alias("n_phones"),
+        counts["<IP>"].cast("long").alias("n_ips"),
+        counts["<ID>"].cast("long").alias("n_ids"),
+    )
+
+
+def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop HTML/XML markup from scraped text: tags removed, the four
+    core entities decoded (amp last, so ``&amp;lt;`` decodes to the
+    literal ``&lt;`` and never resurrects a tag), runs of whitespace
+    collapsed, ends trimmed.  Per-row JVM expressions only — the same
+    fuse-into-the-scan shape as :func:`scrub_pii`.
+
+    Returns (doc_id, clean_text, n_removed) where ``n_removed`` is the
+    character count dropped by the cleanup (markup + collapsed space).
+    """
+    raw = F.col(text_col)
+    no_tags = F.regexp_replace(raw, r"<[^>]*>", "")
+    decoded = no_tags
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&amp;", "&"),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    collapsed = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return df.select(
+        "doc_id",
+        collapsed.alias("clean_text"),
+        (F.length(raw) - F.length(collapsed)).cast("long").alias(
+            "n_removed"
+        ),
+    )

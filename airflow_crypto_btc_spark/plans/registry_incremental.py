@@ -28,6 +28,7 @@ from airflow_crypto_btc_spark.plans.registry import QuerySpec, _SQL_DAILY
 from airflow_crypto_btc_spark.plans.registry_ext import (
     _SQL_DEDUP_MINHASH_LSH_PAIRS,
     _SQL_DEDUP_NEAR_CLUSTERS,
+    _SQL_SIM_LSH_TOPK,
 )
 from airflow_crypto_btc_spark.sources.tables import load_table
 
@@ -224,6 +225,106 @@ def q_dedup_pairs_from_persisted_index(spark, sf_dir):
     return old_pairs.unionByName(delta_pairs)
 
 
+def q_text_scrub_pii(spark, sf_dir):
+    """PII redaction over the corpus (operators/text.scrub_pii): typed
+    placeholder masking with per-rule audit counts, pure per-row JVM
+    regex fused into the document scan.  The fixture corpus contains no
+    PII, so this entry value-checks the no-op path end-to-end
+    (clean_text byte-equal to text, all counts 0); the rule chain is
+    additionally replayed against DuckDB on REAL matches in
+    tests/test_text.py — patterns live in the Java-regex ∩ RE2 common
+    subset, so both checks are byte-exact."""
+    from airflow_crypto_btc_spark.operators.text import scrub_pii
+
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+def _scrub_pii_sql() -> str:
+    from airflow_crypto_btc_spark.operators.text import PII_RULES
+
+    counts, prev = [], "text"
+    names = {"<EMAIL>": "n_emails", "<PHONE>": "n_phones",
+             "<IP>": "n_ips", "<ID>": "n_ids"}
+    for ph, pat in PII_RULES:
+        counts.append(
+            f"CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT) "
+            f"AS {names[ph]}"
+        )
+        prev = f"regexp_replace({prev}, '{pat}', '{ph}', 'g')"
+    return (
+        f"SELECT doc_id, {prev} AS clean_text, {', '.join(counts)} "
+        "FROM documents"
+    )
+
+
+def q_text_strip_markup(spark, sf_dir):
+    """Markup stripping over the corpus (operators/text.strip_markup):
+    tag removal, entity decode (amp last), whitespace collapse — same
+    fuse-into-the-scan shape as the PII pass, oracle-replayed on the
+    full fixture (whitespace collapse DOES fire on it, so this entry
+    value-checks real rewrites, not a no-op)."""
+    from airflow_crypto_btc_spark.operators.text import strip_markup
+
+    return strip_markup(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_STRIP_MARKUP = r"""
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(
+          regexp_replace(text, '<[^>]*>', '', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS clean_text,
+      CAST(len(text) - len(trim(regexp_replace(
+        replace(replace(replace(replace(
+          regexp_replace(text, '<[^>]*>', '', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        '\s+', ' ', 'g'))) AS BIGINT) AS n_removed
+    FROM documents
+"""
+
+
+def q_sim_lsh_topk_from_index(spark, sf_dir):
+    """ANN serving from a PERSISTED hyperplane index
+    (operators/similarity.build_ann_index → lsh_topk_from_index): the
+    corpus is hashed/normed once per fixture version into a snapshot
+    table, and queries probe the stored buckets with version pinning —
+    the online counterpart of the in-plan ``sim_lsh_topk`` entry, which
+    is also its oracle: same SQL, so passing proves the persisted
+    round-trip changes nothing."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_ann_index,
+        lsh_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stat = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    source_version = f"embeddings@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_ann_index(
+            spark, emb, os.path.join(staging, "ann"),
+            source_version=source_version, planes=4,
+        )
+
+    idx = _landing_zone(sf_dir, "embeddings", "ann_index", _land)
+    out = lsh_topk_from_index(
+        spark,
+        os.path.join(idx, "ann"),
+        emb.filter("vec_id < 20"),
+        planes=4,
+        k=10,
+        max_hamming=1,
+        expect_source=source_version,
+    )
+    return out.select(
+        "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 def q_curate_ingest_pipeline(spark, sf_dir):
     """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
     form a training-data user actually runs: language/quality gate →
@@ -411,5 +512,14 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_ingest_pipeline": QuerySpec(
         q_curate_ingest_pipeline, _ingest_pipeline_sql()
+    ),
+    "text_scrub_pii": QuerySpec(q_text_scrub_pii, _scrub_pii_sql()),
+    # oracle = the in-plan sim_lsh_topk SQL: serving from the persisted
+    # index must reproduce the one-shot computation exactly
+    "sim_lsh_topk_from_index": QuerySpec(
+        q_sim_lsh_topk_from_index, _SQL_SIM_LSH_TOPK
+    ),
+    "text_strip_markup": QuerySpec(
+        q_text_strip_markup, _SQL_TEXT_STRIP_MARKUP
     ),
 }

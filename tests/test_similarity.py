@@ -436,3 +436,41 @@ def test_pq_topk_batch_invariant(spark, sf_dir):
         tuple(r) for r in pq_topk(emb.coalesce(1)).collect()
     }
     assert multi == single and multi
+
+
+def test_ann_index_persist_probe_matches_inplan(spark, sf_dir, tmp_path):
+    """Serving from the persisted hyperplane index must equal the
+    in-plan multi-probe operator row-for-row, and a stale source
+    version must be refused before any data read."""
+    import pytest as _pytest
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_ann_index,
+        lsh_topk,
+        lsh_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = str(tmp_path / "ann")
+    build_ann_index(spark, emb, table, source_version="emb@v1", planes=4)
+    served = {
+        tuple(r)
+        for r in lsh_topk_from_index(
+            spark, table, emb.filter("vec_id < 20"),
+            planes=4, k=10, max_hamming=1, expect_source="emb@v1",
+        ).collect()
+    }
+    inplan = {
+        tuple(r)
+        for r in lsh_topk(
+            emb, planes=4, query_filter="vec_id < 20",
+            k=10, max_hamming=1,
+        ).collect()
+    }
+    assert served == inplan and served
+    with _pytest.raises(ValueError, match="stale ANN index"):
+        lsh_topk_from_index(
+            spark, table, emb.filter("vec_id < 20"),
+            planes=4, expect_source="emb@v2",
+        )

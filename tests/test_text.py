@@ -173,3 +173,97 @@ def test_repetition_and_pmi_stay_jvm_side(spark, sf_dir):
     plan = q_text_bigram_pmi(spark, sf_dir)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from airflow_crypto_btc_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact jane.doe+x@example.co.uk or call +1-555-123-4567"),
+            (2, "server at 192.168.0.1 leaked account 123456789012"),
+            (3, "clean text with the number 42 and nothing sensitive"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    r1 = out[1]
+    assert "<EMAIL>" in r1["clean_text"] and "<PHONE>" in r1["clean_text"]
+    assert "jane" not in r1["clean_text"] and "555" not in r1["clean_text"]
+    assert (r1["n_emails"], r1["n_phones"]) == (1, 1)
+    r2 = out[2]
+    assert "<IP>" in r2["clean_text"] and "<ID>" in r2["clean_text"]
+    assert (r2["n_ips"], r2["n_ids"]) == (1, 1)
+    r3 = out[3]
+    assert r3["clean_text"].endswith("42 and nothing sensitive")
+    assert (r3["n_emails"], r3["n_phones"], r3["n_ips"], r3["n_ids"]) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_scrub_pii_matches_duckdb_on_real_matches(spark):
+    """The fixture corpus has no PII, so the catalog oracle exercises
+    the no-op path; THIS test replays the same rule chain in DuckDB on
+    text that actually matches, proving the patterns live in the
+    Java-regex ∩ RE2 common subset byte-for-byte."""
+    import duckdb
+
+    from airflow_crypto_btc_spark.operators.text import (
+        PII_RULES,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "a@b.io and c.d@e.org, dial 555-123-4567 now"),
+        (2, "10.0.0.255 vs 999123456789 vs +44-207-946-0958"),
+        (3, "no matches at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["clean_text"], r["n_emails"], r["n_phones"],
+         r["n_ips"], r["n_ids"])
+        for r in scrub_pii(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    sql, prev = [], "text"
+    for ph, pat in PII_RULES:
+        sql.append(
+            f"len(regexp_extract_all({prev}, '{pat}')) AS c{ph[1:-1]}"
+        )
+        prev = f"regexp_replace({prev}, '{pat}', '{ph}', 'g')"
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {prev} AS clean_text, "
+            f"{', '.join(sql)} FROM d"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_strip_markup(spark):
+    from airflow_crypto_btc_spark.operators.text import strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>\n\n  spaced\tout"),
+            (2, "5 &lt; 7 &amp;&amp; 9 &gt; 3, say &quot;hi&quot;"),
+            (3, "&amp;lt; stays escaped-literal"),
+            (4, "plain already"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_markup(docs).collect()}
+    assert out[1]["clean_text"] == "Hello world spaced out"
+    assert out[1]["n_removed"] > 0
+    assert out[2]["clean_text"] == '5 < 7 && 9 > 3, say "hi"'
+    # amp decodes LAST: &amp;lt; becomes the literal string "&lt;",
+    # never resurrecting a decodable entity or a tag
+    assert out[3]["clean_text"] == "&lt; stays escaped-literal"
+    assert out[4]["clean_text"] == "plain already"
+    assert out[4]["n_removed"] == 0

@@ -353,6 +353,13 @@ def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (doc_id, clean_text, n_removed) where ``n_removed`` is the
     character count dropped by the cleanup (markup + collapsed space).
+
+    SINGLE-PASS contract: tags are stripped from the RAW text and
+    entities decoded afterwards, so a decoded ``<`` can never be
+    mistaken for a tag opener within the pass — but for the same reason
+    the operator is NOT idempotent (re-running it on its own output
+    would tag-strip text between decoded angle brackets).  Run it once,
+    at ingest; tests pin both properties.
     """
     raw = F.col(text_col)
     no_tags = F.regexp_replace(raw, r"<[^>]*>", "")

@@ -267,3 +267,49 @@ def test_strip_markup(spark):
     assert out[3]["clean_text"] == "&lt; stays escaped-literal"
     assert out[4]["clean_text"] == "plain already"
     assert out[4]["n_removed"] == 0
+
+
+def test_scrub_pii_idempotent(spark):
+    """Placeholders contain no digits or @, so re-scrubbing scrubbed
+    text is a fixed point — masking can be safely re-run on a corpus
+    where some documents were already cleaned."""
+    from airflow_crypto_btc_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a@b.io then 555-123-4567 then 10.0.0.1 then 999888777666"),
+            (2, "already <EMAIL> masked <PHONE> here <IP> and <ID>"),
+        ],
+        "doc_id long, text string",
+    )
+    once = scrub_pii(docs).selectExpr(
+        "doc_id", "clean_text AS text"
+    )
+    twice = {r["doc_id"]: r for r in scrub_pii(once).collect()}
+    first = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    for i in (1, 2):
+        assert twice[i]["clean_text"] == first[i]["clean_text"]
+        assert (
+            twice[i]["n_emails"], twice[i]["n_phones"],
+            twice[i]["n_ips"], twice[i]["n_ids"],
+        ) == (0, 0, 0, 0)
+
+
+def test_strip_markup_single_pass_contract(spark):
+    """Decoded entities survive the pass that decodes them (tags are
+    stripped BEFORE decoding) — and the documented non-idempotency is
+    real: a second pass would eat text between decoded angle brackets,
+    which is why the operator runs once at ingest."""
+    from airflow_crypto_btc_spark.operators.text import strip_markup
+
+    docs = spark.createDataFrame(
+        [(1, "<b>x</b> &lt;tag&gt; y")], "doc_id long, text string"
+    )
+    once = strip_markup(docs).collect()[0]
+    assert once["clean_text"] == "x <tag> y"
+    again = strip_markup(
+        spark.createDataFrame(
+            [(1, once["clean_text"])], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert again["clean_text"] == "x y"  # the non-idempotent bite

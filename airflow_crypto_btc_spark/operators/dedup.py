@@ -391,15 +391,23 @@ def build_minhash_index(
     snapshot the index was computed from — in BOTH tables' commit
     metadata.  :func:`minhash_lsh_pairs_from_index_tables` asserts that
     metadata on probe, so a probe can never silently pair against an
-    index built from a different (stale or mixed) corpus version."""
-    from airflow_crypto_btc_spark.sources.snapshot_table import append
+    index built from a different (stale or mixed) corpus version.
+
+    Rebuild is an OVERWRITE commit, not an append: re-running the build
+    after a corpus change must REPLACE the previous generation — an
+    append would leave both generations live with the meta flipped to
+    the new version, so the probe's version check would pass while pair
+    verification ran against stale shingle sets (and every id would
+    fan out into duplicate rows).  Incremental growth of the same
+    corpus version goes through the streaming sink, not this builder."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
 
     sets, banded = _minhash_sets_and_bands(
         df, id_col, text_col, k_shingle, num_hashes, bands, kernel
     )
     meta = {"source_version": source_version}
-    append(spark, sets, sets_table, meta=meta)
-    append(spark, banded, bands_table, meta=meta)
+    overwrite(spark, sets, sets_table, meta=meta)
+    overwrite(spark, banded, bands_table, meta=meta)
 
 
 def minhash_lsh_pairs_from_index_tables(

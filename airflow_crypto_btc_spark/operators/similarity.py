@@ -291,16 +291,25 @@ def build_ann_index(
     re-hash of the corpus.  At scale, ``snapshot_table.compact(...,
     cluster_by=...)`` on a bucket-derived numeric key plus the per-part
     min/max stats makes a probe's ``1 + planes`` buckets open only the
-    files whose stat range covers them."""
-    from airflow_crypto_btc_spark.sources.snapshot_table import append
+    files whose stat range covers them.
+
+    Rebuild is an OVERWRITE commit: re-running the build must REPLACE
+    the previous generation — an append would leave both generations
+    live behind a passing version check, and duplicated (nid, bucket)
+    rows would occupy top-k slots twice.  ``planes`` is recorded in the
+    commit metadata and asserted on probe: a planes mismatch makes the
+    bucket join match nothing, which must fail loudly, not return an
+    empty result."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
 
     base = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("ve"),
         hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
     ).withColumn("vn", F.sqrt(norm2_expr("ve")))
-    return append(
-        spark, base, table, meta={"source_version": source_version}
+    return overwrite(
+        spark, base, table,
+        meta={"source_version": source_version, "planes": planes},
     )
 
 
@@ -328,13 +337,20 @@ def lsh_topk_from_index(
         read_snapshot,
     )
 
+    meta = current_snapshot(table).meta
     if expect_source is not None:
-        src = current_snapshot(table).meta.get("source_version")
+        src = meta.get("source_version")
         if src != expect_source:
             raise ValueError(
                 f"stale ANN index: built from {src!r}, caller expects "
                 f"{expect_source!r} — rebuild before probing"
             )
+    built_planes = meta.get("planes")
+    if built_planes is not None and built_planes != planes:
+        raise ValueError(
+            f"ANN index was built with planes={built_planes}, probe "
+            f"requested planes={planes} — bucket keys cannot match"
+        )
     base = read_snapshot(spark, table)
     q = queries.select(
         F.col(id_col).alias("qid"),

@@ -303,15 +303,21 @@ def bigram_pmi(
 
 #: (placeholder, pattern) in APPLICATION ORDER — each pattern is written
 #: in the common subset of Java regex (Spark) and RE2 (DuckDB): character
-#: classes and bounded repetition only, no lookaround, no backreferences,
-#: so the DuckDB oracle replays the masking byte-for-byte.  Emails mask
-#: before phones so a dotted user part is never half-eaten by the number
-#: rule; the id rule (standalone 9+ digit runs) goes last so it only sees
-#: digits the earlier rules left behind.
+#: classes, bounded repetition, and non-capturing groups only — no
+#: lookaround, no backreferences — so the DuckDB oracle replays the
+#: masking byte-for-byte.  Emails mask first so a dotted user part is
+#: never half-eaten by a number rule; IPs mask BEFORE phones because a
+#: dotted IPv4 with a 3-digit octet (192.168.100.1) is also a valid
+#: phone-shape match and must keep its <IP> type in the audit counts;
+#: the id rule (standalone 9+ digit runs) goes last so it only sees
+#: digits the earlier rules left behind.  The phone tail is a
+#: non-capturing optional group requiring ≥1 digit, so a trailing
+#: separator is never swallowed ("call 555-123-4567." keeps its period).
 PII_RULES: tuple[tuple[str, str], ...] = (
     ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("<PHONE>", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"),
     ("<IP>", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("<PHONE>",
+     r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{1,4})?"),
     ("<ID>", r"\b[0-9]{9,}\b"),
 )
 
@@ -368,7 +374,10 @@ def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&amp;", "&"),
     ):
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    collapsed = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    # explicit whitespace class, NOT \s: Java's \s includes vertical tab
+    # (\x0B) while RE2's does not — an explicit class keeps Spark and the
+    # DuckDB oracle byte-identical on any input
+    collapsed = F.trim(F.regexp_replace(decoded, "[ \t\n\r\f]+", " "))
     return df.select(
         "doc_id",
         collapsed.alias("clean_text"),

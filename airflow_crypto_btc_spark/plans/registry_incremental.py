@@ -274,12 +274,12 @@ _SQL_TEXT_STRIP_MARKUP = r"""
         replace(replace(replace(replace(
           regexp_replace(text, '<[^>]*>', '', 'g'),
           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
-        '\s+', ' ', 'g')) AS clean_text,
+        '[ \t\n\r\f]+', ' ', 'g')) AS clean_text,
       CAST(len(text) - len(trim(regexp_replace(
         replace(replace(replace(replace(
           regexp_replace(text, '<[^>]*>', '', 'g'),
           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
-        '\s+', ' ', 'g'))) AS BIGINT) AS n_removed
+        '[ \t\n\r\f]+', ' ', 'g'))) AS BIGINT) AS n_removed
     FROM documents
 """
 

@@ -1128,7 +1128,16 @@ def _landing_zone(sf_dir: str, table: str, fmt: str, land) -> str:
     prefix = f"/tmp/spark_graft_{fmt}_{sf_tag}_"
     final = f"{prefix}{fp}"
     if os.path.isdir(final):
-        return final
+        # refresh mtime on EVERY resolve: the stale-cleanup grace window
+        # below keys off mtime, so an actively-used landing must look
+        # recent even if it was created days ago — otherwise a session
+        # that just resolved it could have it deleted mid-read by a
+        # concurrent session landing a regenerated fixture
+        try:
+            os.utime(final, None)
+            return final
+        except OSError:
+            pass  # dir vanished under a racing cleanup — re-land below
     staging = f"{final}.staging-{uuid.uuid4().hex}"
     try:
         land(staging)

@@ -278,14 +278,19 @@ def append(
                   txn_id=txn_id, stats=stats, meta=meta)
 
 
-def overwrite(spark: SparkSession, df: DataFrame, table: str) -> int:
+def overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    meta: dict | None = None,
+) -> int:
     """The reference's transactional rewrite (S7): stage the new data,
     then one commit swaps the entire live set.  Readers see the old table
     until the commit lands, the new one after — never both, never neither."""
     old = current_snapshot(table).files
     parts, stats = _write_parts(df, table)
     return commit(table, add=parts, remove=old, operation="overwrite",
-                  stats=stats)
+                  stats=stats, meta=meta)
 
 
 def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16):

@@ -216,7 +216,10 @@ def near_dup_index_sink(
                 txn_id=f"{query_name}:{batch_id}:conflicts",
             )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            for table in (sets_table, pairs_table, bands_table):
+            maintained = [sets_table, pairs_table, bands_table]
+            if conflicts_table is not None:
+                maintained.append(conflicts_table)
+            for table in maintained:
                 try:
                     compact(
                         spark, table, target_parts=compact_target_parts

@@ -502,3 +502,46 @@ def test_persisted_index_version_pinning(spark, sf_dir, tmp_path):
         minhash_lsh_pairs_from_index_tables(
             spark, s_tbl, b_tbl, delta
         )
+
+
+def test_index_rebuild_replaces_previous_generation(spark, sf_dir, tmp_path):
+    """Rebuilding into the same tables must REPLACE the old generation
+    (overwrite commit): after a rebuild with a new source_version, the
+    tables hold exactly one generation and the probe output equals a
+    fresh build — no duplicated rows, no stale shingle sets."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_from_index_tables,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s_tbl, b_tbl = str(tmp_path / "sets"), str(tmp_path / "bands")
+    build_minhash_index(
+        spark, docs.filter("doc_id < 30"), s_tbl, b_tbl,
+        source_version="v1",
+    )
+    build_minhash_index(spark, docs, s_tbl, b_tbl, source_version="v2")
+    sets = read_snapshot(spark, s_tbl)
+    n_docs = docs.count()
+    assert sets.count() == n_docs  # one row per doc, no v1 leftovers
+    assert sets.select("id").distinct().count() == n_docs
+    delta = docs.filter("doc_id % 10 = 0").selectExpr("doc_id AS id")
+    got = {
+        tuple(r)
+        for r in minhash_lsh_pairs_from_index_tables(
+            spark, s_tbl, b_tbl, delta, expect_source="v2"
+        ).collect()
+    }
+    s2, b2 = str(tmp_path / "sets2"), str(tmp_path / "bands2")
+    build_minhash_index(spark, docs, s2, b2, source_version="v2")
+    want = {
+        tuple(r)
+        for r in minhash_lsh_pairs_from_index_tables(
+            spark, s2, b2, delta, expect_source="v2"
+        ).collect()
+    }
+    assert got == want and got

@@ -474,3 +474,45 @@ def test_ann_index_persist_probe_matches_inplan(spark, sf_dir, tmp_path):
             spark, table, emb.filter("vec_id < 20"),
             planes=4, expect_source="emb@v2",
         )
+
+
+def test_ann_index_rebuild_and_planes_pinning(spark, sf_dir, tmp_path):
+    """Rebuild replaces the previous generation (no doubled top-k rows),
+    and probing with a different planes value than the index was built
+    with fails loudly instead of returning an empty result."""
+    import pytest as _pytest
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_ann_index,
+        lsh_topk,
+        lsh_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = str(tmp_path / "ann")
+    build_ann_index(
+        spark, emb.filter("vec_id < 100"), table,
+        source_version="v1", planes=4,
+    )
+    build_ann_index(spark, emb, table, source_version="v2", planes=4)
+    served = {
+        tuple(r)
+        for r in lsh_topk_from_index(
+            spark, table, emb.filter("vec_id < 20"),
+            planes=4, k=10, max_hamming=1, expect_source="v2",
+        ).collect()
+    }
+    inplan = {
+        tuple(r)
+        for r in lsh_topk(
+            emb, planes=4, query_filter="vec_id < 20",
+            k=10, max_hamming=1,
+        ).collect()
+    }
+    assert served == inplan and served
+    with _pytest.raises(ValueError, match="planes"):
+        lsh_topk_from_index(
+            spark, table, emb.filter("vec_id < 20"),
+            planes=8, expect_source="v2",
+        )

@@ -219,9 +219,11 @@ def test_scrub_pii_matches_duckdb_on_real_matches(spark):
         (3, "no matches at all here"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    names = {"<EMAIL>": "n_emails", "<PHONE>": "n_phones",
+             "<IP>": "n_ips", "<ID>": "n_ids"}
     got = {
-        (r["doc_id"], r["clean_text"], r["n_emails"], r["n_phones"],
-         r["n_ips"], r["n_ids"])
+        (r["doc_id"], r["clean_text"],
+         *(r[names[ph]] for ph, _ in PII_RULES))
         for r in scrub_pii(docs).collect()
     }
     con = duckdb.connect()
@@ -231,10 +233,8 @@ def test_scrub_pii_matches_duckdb_on_real_matches(spark):
         + ") t(doc_id, text)"
     )
     sql, prev = [], "text"
-    for ph, pat in PII_RULES:
-        sql.append(
-            f"len(regexp_extract_all({prev}, '{pat}')) AS c{ph[1:-1]}"
-        )
+    for i, (ph, pat) in enumerate(PII_RULES):
+        sql.append(f"len(regexp_extract_all({prev}, '{pat}')) AS c{i}")
         prev = f"regexp_replace({prev}, '{pat}', '{ph}', 'g')"
     want = {
         tuple(r)
@@ -313,3 +313,24 @@ def test_strip_markup_single_pass_contract(spark):
         )
     ).collect()[0]
     assert again["clean_text"] == "x y"  # the non-idempotent bite
+
+
+def test_scrub_pii_type_priority_and_boundaries(spark):
+    """Review-pass pins: an IPv4 with a 3-digit octet must be typed
+    <IP>, not <PHONE> (IP rule runs first), and a phone match must not
+    swallow its trailing separator."""
+    from airflow_crypto_btc_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "server at 192.168.100.1 responded"),
+            (2, "call 555-123-4567. then stop"),
+            (3, "dial 555-123-4567 now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["clean_text"] == "server at <IP> responded"
+    assert (out[1]["n_ips"], out[1]["n_phones"]) == (1, 0)
+    assert out[2]["clean_text"] == "call <PHONE>. then stop"
+    assert out[3]["clean_text"] == "dial <PHONE> now"

@@ -325,6 +325,37 @@ def q_sim_lsh_topk_from_index(spark, sf_dir):
     )
 
 
+def q_dedup_novel_documents(spark, sf_dir):
+    """Bloom-pruned cross-corpus novelty (operators/bloom): which
+    incoming documents has the 90% "historical" corpus never seen?
+    The bloom pre-filter is perf-only — rows it clears skip the exact
+    anti-join, but the OUTPUT is exact, so the oracle is the plain
+    anti-join on the normalized content digest.  The entry drops the
+    per-row ``is_bloom_certain`` observability flag (it depends on the
+    filter's false-positive coin flips, not on the data contract);
+    tests/test_bloom.py pins the flag's no-false-negative and pruning
+    properties."""
+    from airflow_crypto_btc_spark.operators.bloom import novel_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    return novel_documents(corpus, docs).selectExpr("id AS doc_id")
+
+
+_SQL_DEDUP_NOVEL_DOCUMENTS = r"""
+    WITH nd AS (
+      SELECT doc_id,
+        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS d
+      FROM documents
+    ),
+    corpus AS (
+      SELECT DISTINCT d FROM nd WHERE doc_id % 10 != 0
+    )
+    SELECT i.doc_id FROM nd i
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.d = i.d)
+"""
+
+
 def q_curate_ingest_pipeline(spark, sf_dir):
     """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
     form a training-data user actually runs: language/quality gate →
@@ -521,5 +552,8 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_strip_markup": QuerySpec(
         q_text_strip_markup, _SQL_TEXT_STRIP_MARKUP
+    ),
+    "dedup_novel_documents": QuerySpec(
+        q_dedup_novel_documents, _SQL_DEDUP_NOVEL_DOCUMENTS
     ),
 }

@@ -1,0 +1,88 @@
+"""Streaming novelty guard: drained novel set equals the batch
+operator over the union, each content emitted once, replays fold
+nothing, bloom state stays fixed-size, param mismatch is refused."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    current_snapshot,
+    read_snapshot,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+from airflow_crypto_btc_spark.streaming.novelty_stream import novelty_sink
+
+
+def _tables(tmp_path):
+    return (
+        str(tmp_path / "digests"),
+        str(tmp_path / "novel"),
+        str(tmp_path / "bloom"),
+    )
+
+
+def test_streaming_novelty_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    d_tbl, n_tbl, b_tbl = _tables(tmp_path)
+    sink = novelty_sink(d_tbl, n_tbl, b_tbl, query_name="nov")
+    # three arrival waves with overlapping CONTENT across waves
+    waves = [
+        docs.filter("doc_id % 3 = 0"),
+        docs.filter("doc_id % 3 <= 1"),  # re-delivers wave 1 content
+        docs,                            # re-delivers everything
+    ]
+    for i, wdf in enumerate(waves):
+        sink(wdf, i)
+    got_digests = {
+        r["digest"] for r in read_snapshot(spark, d_tbl).collect()
+    }
+    norm = "md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"
+    want = {
+        r["d"]
+        for r in docs.select(F.expr(norm).alias("d")).distinct().collect()
+    }
+    assert got_digests == want
+    # each content exactly once in the novel table
+    novel = read_snapshot(spark, n_tbl).collect()
+    assert len(novel) == len({r["digest"] for r in novel}) == len(want)
+    # replaying the last batch folds nothing (txn skip + idempotent OR)
+    v_d = current_snapshot(d_tbl).version
+    bm_before = read_snapshot(spark, b_tbl).collect()[0]["bm"]
+    sink(docs, 2)
+    assert current_snapshot(d_tbl).version == v_d
+    assert bytes(
+        read_snapshot(spark, b_tbl).collect()[0]["bm"]
+    ) == bytes(bm_before)
+
+
+def test_streaming_novelty_bloom_state_fixed_size(spark, tmp_path):
+    d_tbl, n_tbl, b_tbl = _tables(tmp_path)
+    sink = novelty_sink(
+        d_tbl, n_tbl, b_tbl, query_name="sz", n_bits=1 << 12
+    )
+    schema = "doc_id long, text string"
+    for i in range(3):
+        sink(
+            spark.createDataFrame(
+                [(i * 10 + j, f"doc {i} {j} content") for j in range(5)],
+                schema,
+            ),
+            i,
+        )
+    bm = read_snapshot(spark, b_tbl).collect()
+    assert len(bm) == 1 and len(bytes(bm[0]["bm"])) == (1 << 12) // 8
+    assert current_snapshot(b_tbl).meta == {"n_bits": 1 << 12, "k": 5}
+
+
+def test_streaming_novelty_param_mismatch_refused(spark, tmp_path):
+    d_tbl, n_tbl, b_tbl = _tables(tmp_path)
+    schema = "doc_id long, text string"
+    novelty_sink(d_tbl, n_tbl, b_tbl, query_name="p", n_bits=1 << 12)(
+        spark.createDataFrame([(1, "x")], schema), 0
+    )
+    with pytest.raises(ValueError, match="n_bits"):
+        novelty_sink(
+            d_tbl, n_tbl, b_tbl, query_name="p", n_bits=1 << 13
+        )(spark.createDataFrame([(2, "y")], schema), 1)

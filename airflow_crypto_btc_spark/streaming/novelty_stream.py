@@ -36,6 +36,7 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
     current_snapshot,
     overwrite,
     read_snapshot,
+    vacuum,
 )
 
 
@@ -175,5 +176,9 @@ def novelty_sink(
             bloom_table,
             meta={"n_bits": n_bits, "k": k},
         )
+        # every overwrite de-references the previous bitmap part but
+        # leaves it on disk; without this an N-batch run accumulates N
+        # dead copies of the (fixed-size) state
+        vacuum(bloom_table)
 
     return _fold

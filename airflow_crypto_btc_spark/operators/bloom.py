@@ -15,6 +15,11 @@ filter is built here from first principles, Spark-first:
 - serving broadcasts the final bitmap and tests all ``k`` bits per
   incoming row vectorized in numpy.
 
+The set/test kernels live ONLY here (``_set_bits`` / ``_test_bits``) —
+the streaming sink imports them, because persisted bloom state is only
+valid while every producer and consumer computes bit positions
+identically.
+
 The bloom is a PRE-FILTER only: rows whose bits are not all set are
 *definitely* new (no false negatives by construction) and skip the
 join entirely; only the "possibly seen" remainder — |incoming| ×
@@ -31,13 +36,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: normalization shared with operators/dedup.exact_dedup — novelty is
-#: defined on the same content identity exact dedup uses
-_NORMALIZED = "lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+from airflow_crypto_btc_spark.operators.dedup import NORMALIZED_TEXT
+
+
+def _digest_expr(text_col: str):
+    """Content digest on the SAME normalization exact dedup uses
+    (imported, not copied — novelty and exact dedup must agree on
+    content identity by construction)."""
+    return F.expr(f"md5({NORMALIZED_TEXT.format(col=text_col)})")
 
 
 def _digest_cols(df: DataFrame, text_col: str) -> DataFrame:
-    digest = F.expr(f"md5({_NORMALIZED.format(col=text_col)})")
+    digest = _digest_expr(text_col)
     return df.withColumn("_h1", F.xxhash64(digest)).withColumn(
         "_h2",
         # distinct lane: seed the second hash by a marker prefix (the
@@ -46,16 +56,43 @@ def _digest_cols(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def build_digest_bloom(
-    corpus: DataFrame,
-    text_col: str = "text",
-    n_bits: int = 1 << 20,
-    k: int = 5,
+def _set_bits(bitmap, h1, h2, n_bits: int, k: int) -> None:
+    """OR the k double-hash positions of each (h1, h2) pair into
+    ``bitmap`` (uint8 array, modified in place).  h1/h2 are uint64
+    numpy arrays."""
+    import numpy as np
+
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        np.bitwise_or.at(
+            bitmap,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+        )
+
+
+def _test_bits(bitmap, h1, h2, n_bits: int, k: int):
+    """Boolean array: all k positions set for each (h1, h2) pair."""
+    import numpy as np
+
+    hit = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+        hit &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1).astype(
+            bool
+        )
+    return hit
+
+
+def bitmap_of_hashes(
+    hashed: DataFrame, n_bits: int, k: int
 ) -> bytes:
-    """One scan of the corpus → a ``n_bits``-wide bloom bitmap (driver
-    bytes, size ``n_bits/8`` regardless of corpus size — that fixed
-    bound is the whole point).  ``n_bits`` should be ~10 bits per
-    expected distinct document for ~1% false positives at k=5."""
+    """Distributed bitmap build over a frame carrying ``_h1``/``_h2``:
+    per-Arrow-batch partial bitmaps, OR'd on the driver.  The driver
+    payload is #batches × n_bits/8 — never row count — which is what
+    lets a backfill-scale first batch build its filter without a
+    driver-side row collect."""
     import numpy as np
     import pandas as pd
 
@@ -69,29 +106,72 @@ def build_digest_bloom(
             if pdf.empty:
                 continue
             touched = True
-            h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
-            h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
-            for i in range(k):
-                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
-                np.bitwise_or.at(
-                    bitmap, (pos >> np.uint64(3)).astype(np.int64),
-                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
-                )
+            _set_bits(
+                bitmap,
+                pdf["_h1"].to_numpy(np.int64).astype(np.uint64),
+                pdf["_h2"].to_numpy(np.int64).astype(np.uint64),
+                n_bits,
+                k,
+            )
         if touched:
             yield pd.DataFrame({"bm": [bitmap.tobytes()]})
 
-    partials = (
-        _digest_cols(corpus, text_col)
-        .select("_h1", "_h2")
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in (
+        hashed.select("_h1", "_h2")
         .mapInPandas(_partial, schema="bm binary")
         .collect()
-    )
-    import numpy as np
-
-    out = np.zeros(n_bits // 8, dtype=np.uint8)
-    for row in partials:
+    ):
         out |= np.frombuffer(row["bm"], dtype=np.uint8)
     return out.tobytes()
+
+
+def build_digest_bloom(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> bytes:
+    """One scan of the corpus → a ``n_bits``-wide bloom bitmap (driver
+    bytes, size ``n_bits/8`` regardless of corpus size — that fixed
+    bound is the whole point).  ``n_bits`` should be ~10 bits per
+    expected distinct document for ~1% false positives at k=5."""
+    return bitmap_of_hashes(_digest_cols(corpus, text_col), n_bits, k)
+
+
+def bloom_flags(
+    hashed: DataFrame,
+    bitmap_bytes: bytes,
+    n_bits: int,
+    k: int,
+    id_type: str = "bigint",
+) -> DataFrame:
+    """(id, maybe_seen) for a frame carrying ``id``/``_h1``/``_h2``:
+    broadcast the bitmap, test all k bits per row vectorized.
+    ``maybe_seen=false`` rows are DEFINITELY not in the filter (no
+    false negatives)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = hashed.sparkSession.sparkContext.broadcast(bitmap_bytes)
+
+    def _maybe(batches):
+        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hit = _test_bits(
+                bitmap,
+                pdf["_h1"].to_numpy(np.int64).astype(np.uint64),
+                pdf["_h2"].to_numpy(np.int64).astype(np.uint64),
+                n_bits,
+                k,
+            )
+            yield pd.DataFrame({"id": pdf["id"], "maybe_seen": hit})
+
+    return hashed.select("id", "_h1", "_h2").mapInPandas(
+        _maybe, schema=f"id {id_type}, maybe_seen boolean"
+    )
 
 
 def novel_documents(
@@ -109,47 +189,21 @@ def novel_documents(
     ``is_bloom_certain`` marks rows the bloom alone cleared — the
     observability column that shows how much join work the filter
     saved."""
-    import numpy as np
-    import pandas as pd
-
-    spark = corpus.sparkSession
     bitmap_b = build_digest_bloom(corpus, text_col, n_bits, k)
-    bc = spark.sparkContext.broadcast(bitmap_b)
-
-    def _maybe(batches):
-        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
-            h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
-            hit = np.ones(len(pdf), dtype=bool)
-            for i in range(k):
-                pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
-                byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
-                bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
-                hit &= bit.astype(bool)
-            yield pd.DataFrame(
-                {"id": pdf["id"], "maybe_seen": hit}
-            )
-
+    id_type = dict(incoming.dtypes)[id_col]
     inc = _digest_cols(incoming, text_col).select(
         F.col(id_col).alias("id"),
-        F.expr(f"md5({_NORMALIZED.format(col=text_col)})").alias(
-            "digest"
-        ),
+        _digest_expr(text_col).alias("digest"),
         "_h1",
         "_h2",
     ).localCheckpoint(eager=False)  # one digest pass feeds both branches
-    flags = inc.select("id", "_h1", "_h2").mapInPandas(
-        _maybe, schema="id long, maybe_seen boolean"
-    )
+    flags = bloom_flags(inc, bitmap_b, n_bits, k, id_type)
     certain_new = flags.filter(~F.col("maybe_seen")).select("id")
     suspects = inc.join(
         flags.filter(F.col("maybe_seen")).select("id"), "id", "left_semi"
     )
     corpus_digests = corpus.select(
-        F.expr(f"md5({_NORMALIZED.format(col=text_col)})").alias("digest")
+        _digest_expr(text_col).alias("digest")
     ).distinct()
     verified_new = suspects.join(
         corpus_digests, "digest", "left_anti"

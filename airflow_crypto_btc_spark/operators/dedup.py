@@ -33,12 +33,18 @@ from airflow_crypto_btc_spark.functions.hashing import (
 )
 
 
+#: the ONE definition of content identity for exact dedup and every
+#: operator that claims to share it (operators/bloom imports this) —
+#: whitespace-collapsed, trimmed, lowercased text
+NORMALIZED_TEXT = "lower(trim(regexp_replace({col}, '\\\\s+', ' ')))"
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact duplicate groups by normalized-content md5.  Representative =
     min id (deterministic).  Returns (fp_md5, rep_id, n_dups)."""
-    normalized = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    normalized = NORMALIZED_TEXT.format(col=text_col)
     return (
         df.withColumn("fp_md5", F.expr(f"md5({normalized})"))
         .groupBy("fp_md5")

@@ -86,3 +86,69 @@ def test_streaming_novelty_param_mismatch_refused(spark, tmp_path):
         novelty_sink(
             d_tbl, n_tbl, b_tbl, query_name="p", n_bits=1 << 13
         )(spark.createDataFrame([(2, "y")], schema), 1)
+
+
+def test_streaming_novelty_crash_between_appends_replays_clean(
+    spark, tmp_path, monkeypatch
+):
+    """Commit order is load-bearing: a crash AFTER the novel append but
+    BEFORE the digests append must replay to the identical novel set.
+    The dangerous row is a bloom FALSE POSITIVE (suspect path): with
+    digests-first ordering the replay would anti-join it against its
+    own half-committed digest and lose it forever — this test finds
+    such a row deterministically against a tiny filter and pins that
+    it survives."""
+    from airflow_crypto_btc_spark.operators.bloom import (
+        _digest_cols,
+        bloom_flags,
+    )
+    from airflow_crypto_btc_spark.streaming import novelty_stream as ns
+
+    d_tbl, n_tbl, b_tbl = _tables(tmp_path)
+    schema = "doc_id long, text string"
+    sink = ns.novelty_sink(
+        d_tbl, n_tbl, b_tbl, query_name="crash", n_bits=8, k=3
+    )
+    sink(spark.createDataFrame([(1, "seed document alpha")], schema), 0)
+
+    # deterministic search: a NOVEL text the 8-bit bloom flags as
+    # maybe-seen (false positive) — hashes are deterministic, so the
+    # found candidate is stable across runs
+    bitmap = bytes(read_snapshot(spark, b_tbl).collect()[0]["bm"])
+    fp_text = None
+    for j in range(300):
+        cand = spark.createDataFrame(
+            [(2, f"candidate novel text {j}")], schema
+        )
+        hashed = _digest_cols(cand, "text").selectExpr(
+            "doc_id AS id", "_h1", "_h2"
+        )
+        if bloom_flags(hashed, bitmap, 8, 3).collect()[0]["maybe_seen"]:
+            fp_text = f"candidate novel text {j}"
+            break
+    assert fp_text is not None, "no false positive found in 300 tries"
+
+    real_append = ns.append
+    calls = {"n": 0}
+
+    def crashing_append(spark_, df, table, txn_id=None):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after novel (call 1), before digests
+            raise RuntimeError("simulated crash")
+        return real_append(spark_, df, table, txn_id=txn_id)
+
+    monkeypatch.setattr(ns, "append", crashing_append)
+    batch1 = spark.createDataFrame([(2, fp_text)], schema)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink(batch1, 1)
+    monkeypatch.setattr(ns, "append", real_append)
+    sink(batch1, 1)  # the streaming engine replays batch 1
+
+    novel = read_snapshot(spark, n_tbl).collect()
+    assert sorted(r["id"] for r in novel) == [1, 2]  # fp row survived
+    assert len(novel) == 2  # and exactly once
+    digests = {r["digest"] for r in read_snapshot(spark, d_tbl).collect()}
+    assert len(digests) == 2
+    # a later re-delivery of the same content contributes nothing
+    sink(spark.createDataFrame([(9, fp_text)], schema), 2)
+    assert len(read_snapshot(spark, n_tbl).collect()) == 2

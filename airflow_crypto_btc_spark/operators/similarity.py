@@ -1006,3 +1006,211 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cosine", "rnk")
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` codeword ids against pre-trained
+    codebooks — the offline half of PQ serving: run ONCE per corpus
+    version, persist the (nid, codes) rows, and queries never touch the
+    float corpus again except to rerank a shortlist.  Encode follows the
+    engine's determinism rule (argmin of the 6-dp-ROUNDED subspace
+    distance, codeword-id tie-break), so codes are replayable in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    unit = _unit_vectors(vectors, id_col, vec_col)
+
+    def _enc(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            sub = X.shape[1] // m
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                xs = X[:, s * sub:(s + 1) * sub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d2.round(6).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col],
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    return unit.mapInPandas(_enc, schema="nid long, codes array<int>")
+
+
+def pq_save_index(
+    spark,
+    vectors: DataFrame,
+    index_root: str,
+    source_version: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sample_cap: int | None = 50000,
+) -> None:
+    """Offline PQ index build: train codebooks on the deterministic
+    sample, persist them (``<root>/books``) AND the full corpus's codes
+    (``<root>/codes``) as version-pinned snapshot tables.  Codes are
+    m·4 bytes per vector (vs dim·4 floats — 32× smaller at dim=64/m=8):
+    the artifact a 100 TB serving tier actually scans.  Both tables are
+    OVERWRITE commits — a rebuild replaces the previous generation."""
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    books = pq_train_codebooks(
+        vectors, id_col, vec_col, m=m, sample_cap=sample_cap
+    )
+    meta = {"source_version": source_version, "m": m}
+    rows = [
+        (s, r, [float(x) for x in book[r]])
+        for s, book in enumerate(books)
+        for r in range(book.shape[0])
+    ]
+    overwrite(
+        spark,
+        spark.createDataFrame(rows, "s int, rnk int, ce array<double>"),
+        os.path.join(index_root, "books"),
+        meta=meta,
+    )
+    overwrite(
+        spark,
+        pq_encode(vectors, books, id_col, vec_col),
+        os.path.join(index_root, "codes"),
+        meta=meta,
+    )
+
+
+def pq_topk_from_index(
+    spark,
+    index_root: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 20",
+    shortlist: int = 150,
+    k: int = 10,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Serve PQ-ADC top-k from a PERSISTED index (:func:`pq_save_index`):
+    queries load the kilobyte codebooks, scan only the CODES table with
+    vectorized table lookups (no corpus re-encode — the float vectors
+    are touched solely to rerank the shortlist), and the whole pipeline
+    keeps the 6-dp determinism contract, so the output is bit-identical
+    to :func:`pq_topk` on the same corpus version.  ``expect_source``
+    pins both tables to the corpus version being queried; a books/codes
+    version mismatch (partial rebuild) is refused too."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    books_t = os.path.join(index_root, "books")
+    codes_t = os.path.join(index_root, "codes")
+    b_meta = current_snapshot(books_t).meta
+    c_meta = current_snapshot(codes_t).meta
+    if b_meta.get("source_version") != c_meta.get("source_version"):
+        raise ValueError(
+            "PQ index books/codes disagree on source_version "
+            f"({b_meta.get('source_version')!r} vs "
+            f"{c_meta.get('source_version')!r}) — partial rebuild, "
+            "rebuild both"
+        )
+    if (
+        expect_source is not None
+        and b_meta.get("source_version") != expect_source
+    ):
+        raise ValueError(
+            f"stale PQ index: built from "
+            f"{b_meta.get('source_version')!r}, caller expects "
+            f"{expect_source!r} — rebuild before probing"
+        )
+    books = pq_load_codebooks(spark, books_t)
+    m = len(books)
+    unit = _unit_vectors(vectors, id_col, vec_col)
+    qrows = (
+        unit.filter(query_filter)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+        .collect()
+    )
+    qids = [r["qid"] for r in qrows]
+    Q = np.array([r["qe"] for r in qrows], dtype=np.float64)
+    sub = Q.shape[1] // m
+    tables = [
+        ((Q[:, s * sub:(s + 1) * sub][:, None, :]
+          - books[s][None, :, :]) ** 2).sum(axis=2).round(6)
+        for s in range(m)
+    ]
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            nids = pdf["nid"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(qids):
+                adc = np.add.reduce(
+                    [tables[s][qi][codes[:, s]] for s in range(m)]
+                ).round(6)
+                keep = min(shortlist + 1, len(adc))
+                idx = np.lexsort((nids, adc))[:keep]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, "nid": nids[idx], "adc": adc[idx]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    cands = (
+        read_snapshot(spark, codes_t)
+        .mapInPandas(score, "qid long, nid long, adc double")
+        .filter(F.col("nid") != F.col("qid"))
+    )
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
+    shortlisted = (
+        cands.withColumn("rs", F.row_number().over(w_short))
+        .filter(F.col("rs") <= shortlist)
+        .drop("rs", "adc")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+    q = vectors.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
+    exact = (
+        shortlisted.join(v, "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "cosine",
+            F.when(
+                F.col("qn") * F.col("vn") != 0,
+                F.round(
+                    dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )

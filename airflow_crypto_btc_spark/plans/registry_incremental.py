@@ -144,6 +144,12 @@ def q_dedup_lsh_pairs_capped(spark, sf_dir):
     )
 
 
+def _pq_codes_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ml import _pq_topk_sql
+
+    return _pq_topk_sql()
+
+
 def _capped_pairs_sql(cap: int = 50) -> str:
     from airflow_crypto_btc_spark.plans.registry_ext import lsh_pairs_sql
 
@@ -356,6 +362,37 @@ _SQL_DEDUP_NOVEL_DOCUMENTS = r"""
 """
 
 
+def q_sim_pq_topk_from_codes(spark, sf_dir):
+    """PQ serving from the FULLY persisted index (codebooks AND codes —
+    operators/similarity.pq_save_index → pq_topk_from_index): queries
+    scan only the m-byte codes table plus a shortlist rerank; the float
+    corpus is never re-encoded.  Oracle = the same full-replay SQL as
+    sim_pq_topk, so passing proves the persisted round-trip (train →
+    encode → store → serve) is bit-identical to the fresh pipeline."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_save_index,
+        pq_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stat = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    source_version = f"embeddings@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        pq_save_index(
+            spark, emb, staging, source_version=source_version, m=8
+        )
+
+    root = _landing_zone(sf_dir, "embeddings", "pq_index", _land)
+    out = pq_topk_from_index(
+        spark, root, emb, expect_source=source_version
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def q_curate_ingest_pipeline(spark, sf_dir):
     """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
     form a training-data user actually runs: language/quality gate →
@@ -555,5 +592,8 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_novel_documents": QuerySpec(
         q_dedup_novel_documents, _SQL_DEDUP_NOVEL_DOCUMENTS
+    ),
+    "sim_pq_topk_from_codes": QuerySpec(
+        q_sim_pq_topk_from_codes, _pq_codes_sql()
     ),
 }

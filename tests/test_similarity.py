@@ -516,3 +516,51 @@ def test_ann_index_rebuild_and_planes_pinning(spark, sf_dir, tmp_path):
             spark, table, emb.filter("vec_id < 20"),
             planes=8, expect_source="v2",
         )
+
+
+def test_pq_index_serving_matches_fresh(spark, sf_dir, tmp_path):
+    """Serving from persisted books+codes must be bit-identical to the
+    fresh pq_topk pipeline, a partial rebuild (books/codes version
+    mismatch) is refused, and so is a stale expectation."""
+    import pytest as _pytest
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_save_index,
+        pq_topk,
+        pq_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "pq_index")
+    pq_save_index(spark, emb, root, source_version="v1", m=8)
+    served = {
+        tuple(r)
+        for r in pq_topk_from_index(
+            spark, root, emb, expect_source="v1"
+        ).collect()
+    }
+    fresh = {tuple(r) for r in pq_topk(emb).collect()}
+    assert served == fresh and served
+    with _pytest.raises(ValueError, match="stale PQ index"):
+        pq_topk_from_index(spark, root, emb, expect_source="v2")
+    # partial rebuild: books at v2, codes still v1 → refused
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    books = pq_train_codebooks(emb, m=8, sample_cap=50000)
+    rows = [
+        (s, r, [float(x) for x in book[r]])
+        for s, book in enumerate(books)
+        for r in range(book.shape[0])
+    ]
+    overwrite(
+        spark,
+        spark.createDataFrame(rows, "s int, rnk int, ce array<double>"),
+        root + "/books",
+        meta={"source_version": "v2", "m": 8},
+    )
+    with _pytest.raises(ValueError, match="disagree"):
+        pq_topk_from_index(spark, root, emb)

@@ -1,0 +1,157 @@
+"""Streaming embedding-index maintenance: keep the hyperplane-LSH ANN
+index of ``operators/similarity`` current ON a stream of arriving
+vectors, and emit embedding-cosine near-duplicate pairs exactly once —
+in the micro-batch of their LATER endpoint.
+
+Per micro-batch:
+
+1. drop ids the index already holds (re-delivery from an at-least-once
+   source) by anti-joining the committed index table;
+2. hash the survivors to their sign-bucket (same
+   ``hyperplane_bucket_expr`` as the batch operator — bucket keys must
+   be computed identically forever or the persisted index stops
+   matching) and compute their norms;
+3. probe the committed index ∪ the in-flight batch rows for same-bucket
+   pairs with exact cosine ≥ threshold and at least one batch endpoint
+   (the batch side is one join INPUT, so cost is |batch| ×
+   bucket-mates, never |index|²);
+4. commit pairs FIRST, then the index rows.  Freshness keys off the
+   INDEX table (the final commit), so a crash between the appends
+   replays the batch — the pairs append skips via its txn id and the
+   index append lands its original rows; re-delivered ids in later
+   batches anti-join away.
+
+Scale shape: the index table is the serving artifact (vectors + norms +
+bucket), appended per batch; ``compact_every`` rewrites it periodically
+(optionally Z-ordered by bucket via the snapshot table's cluster_by) so
+bucket probes stay file-prunable as the part count grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.functions.hashing import (
+    dot_expr,
+    norm2_expr,
+)
+from airflow_crypto_btc_spark.operators.similarity import (
+    hyperplane_bucket_expr,
+)
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    append,
+    compact,
+    read_snapshot,
+    vacuum,
+)
+
+
+def embedding_index_sink(
+    index_table: str,
+    pairs_table: str,
+    query_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    cosine_threshold: float = 0.9,
+    compact_every: int | None = None,
+    compact_target_parts: int = 4,
+):
+    """``foreachBatch`` callback maintaining the ANN index table
+    (nid, ve, vn, bucket) and the emitted near-dup pairs table with
+    exactly-once semantics."""
+
+    def _read_or_none(spark, table):
+        try:
+            return read_snapshot(spark, table)
+        except ValueError:
+            return None
+
+    def _fold(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.sql import Window
+
+        # within-batch id dedup, deterministic representative (replays
+        # must recompute the identical fresh set)
+        w = Window.partitionBy(id_col).orderBy(
+            F.md5(F.concat_ws(",", F.transform(
+                F.col(vec_col), lambda x: x.cast("string")
+            )))
+        )
+        fresh = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        committed = _read_or_none(spark, index_table)
+        if committed is not None:
+            fresh = fresh.join(
+                committed.select(F.col("nid").alias("_seen")),
+                fresh[id_col] == F.col("_seen"),
+                "left_anti",
+            )
+        batch_rows = fresh.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("ve"),
+            hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+        ).withColumn(
+            "vn", F.sqrt(norm2_expr("ve"))
+        ).localCheckpoint(eager=False)
+        probe_base = (
+            batch_rows if committed is None
+            else committed.unionByName(batch_rows)
+        )
+        a = batch_rows.select(
+            F.col("nid").alias("id_a"),
+            F.col("ve").alias("ea"),
+            F.col("vn").alias("na"),
+            "bucket",
+        )
+        b = probe_base.select(
+            F.col("nid").alias("id_b"),
+            F.col("ve").alias("eb"),
+            F.col("vn").alias("nb"),
+            "bucket",
+        )
+        cos = F.when(
+            F.col("na") * F.col("nb") != 0,
+            F.round(
+                dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        pairs = (
+            a.join(b, ["bucket"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= cosine_threshold)
+            # canonicalize; batch-batch pairs appear from both sides →
+            # distinct collapses them, batch-index pairs appear once
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "cosine",
+            )
+            .distinct()
+        )
+        # pairs FIRST, index LAST: freshness keys off the final commit,
+        # so any crash window replays to the identical pair set (same
+        # doctrine as dedup_stream / novelty_stream)
+        append(
+            spark, pairs, pairs_table,
+            txn_id=f"{query_name}:{batch_id}:pairs",
+        )
+        append(
+            spark, batch_rows, index_table,
+            txn_id=f"{query_name}:{batch_id}:index",
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for table in (index_table, pairs_table):
+                try:
+                    compact(
+                        spark, table, target_parts=compact_target_parts
+                    )
+                except ValueError:
+                    continue
+                vacuum(table)
+
+    return _fold

@@ -1,0 +1,119 @@
+"""Streaming embedding-index sink: drained pairs equal the one-shot
+batch near-dup operator, each pair once (later endpoint's batch),
+replays and crashes fold nothing, re-delivery is harmless."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from airflow_crypto_btc_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+)
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    current_snapshot,
+    read_snapshot,
+)
+from airflow_crypto_btc_spark.streaming.ann_stream import (
+    embedding_index_sink,
+)
+
+
+def _vectors(spark, n=40, near_pairs=((3, 17), (8, 25))):
+    rng = np.random.RandomState(11)
+    V = rng.randn(n, 16).astype(np.float64)
+    for a, b in near_pairs:
+        V[b] = V[a] + rng.randn(16) * 0.001
+    rows = [(i, V[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_streaming_ann_matches_batch(spark, tmp_path):
+    df = _vectors(spark)
+    i_tbl, p_tbl = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = embedding_index_sink(
+        i_tbl, p_tbl, query_name="ann", planes=4, cosine_threshold=0.95
+    )
+    # near-dup endpoints straddle the batch boundary
+    sink(df.filter("vec_id % 2 = 1"), 0)
+    sink(df.filter("vec_id % 2 = 0"), 1)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in read_snapshot(spark, p_tbl).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(
+            df, planes=4, cosine_threshold=0.95
+        ).collect()
+    }
+    assert got == want and got
+    assert {(a, b) for a, b, _ in got} >= {(3, 17), (8, 25)}
+    # index holds every vector exactly once
+    idx = read_snapshot(spark, i_tbl).collect()
+    assert sorted(r["nid"] for r in idx) == list(range(40))
+    # replay folds nothing
+    v = current_snapshot(p_tbl).version
+    sink(df.filter("vec_id % 2 = 0"), 1)
+    assert current_snapshot(p_tbl).version == v
+    assert len(read_snapshot(spark, i_tbl).collect()) == 40
+
+
+def test_streaming_ann_crash_between_appends_replays_clean(
+    spark, tmp_path, monkeypatch
+):
+    from airflow_crypto_btc_spark.streaming import ann_stream as ans
+
+    df = _vectors(spark)
+    i_tbl, p_tbl = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = ans.embedding_index_sink(
+        i_tbl, p_tbl, query_name="crash", planes=4,
+        cosine_threshold=0.95,
+    )
+    sink(df.filter("vec_id % 2 = 1"), 0)
+    real_append = ans.append
+    calls = {"n": 0}
+
+    def crashing_append(spark_, d, table, txn_id=None):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after pairs, before index
+            raise RuntimeError("simulated crash")
+        return real_append(spark_, d, table, txn_id=txn_id)
+
+    monkeypatch.setattr(ans, "append", crashing_append)
+    batch1 = df.filter("vec_id % 2 = 0")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink(batch1, 1)
+    monkeypatch.setattr(ans, "append", real_append)
+    sink(batch1, 1)  # replay
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in read_snapshot(spark, p_tbl).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, planes=4, cosine_threshold=0.95
+        ).collect()
+    }
+    assert got == want
+    assert sorted(
+        r["nid"] for r in read_snapshot(spark, i_tbl).collect()
+    ) == list(range(40))
+
+
+def test_streaming_ann_compaction_bounds_parts(spark, tmp_path):
+    df = _vectors(spark, n=30, near_pairs=())
+    i_tbl, p_tbl = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = embedding_index_sink(
+        i_tbl, p_tbl, query_name="cmp", planes=4,
+        compact_every=3, compact_target_parts=1,
+    )
+    for i in range(9):
+        sink(df.filter(f"vec_id % 9 = {i}"), i)
+    assert len(current_snapshot(i_tbl).files) == 1
+    assert sorted(
+        r["nid"] for r in read_snapshot(spark, i_tbl).collect()
+    ) == list(range(30))

@@ -821,7 +821,9 @@ def pq_train_codebooks(
     return books
 
 
-def pq_save_codebooks(spark, books, table: str) -> int:
+def pq_save_codebooks(
+    spark, books, table: str, meta: dict | None = None
+) -> int:
     """Persist trained codebooks to a snapshot table (rows ``(s, rnk,
     ce)``; ``rnk`` is the codeword's position in the cid-ordered book —
     the index :func:`pq_topk`'s encoder emits).  The table is the serving
@@ -837,7 +839,7 @@ def pq_save_codebooks(spark, books, table: str) -> int:
         for r in range(book.shape[0])
     ]
     df = spark.createDataFrame(rows, "s int, rnk int, ce array<double>")
-    return st.overwrite(spark, df, table)
+    return st.overwrite(spark, df, table, meta=meta)
 
 
 def pq_load_codebooks(spark, table: str, version: int | None = None):
@@ -857,6 +859,88 @@ def pq_load_codebooks(spark, table: str, version: int | None = None):
         sub_rows = sorted((r["rnk"], r["ce"]) for r in rows if r["s"] == s)
         books.append(np.array([ce for _, ce in sub_rows], dtype=np.float64))
     return books
+
+
+_PQ_OUT_SCHEMA = "qid long, nid long, cosine double, rnk integer"
+
+
+def _pq_adc_tables(Q, books, m: int):
+    """Per-subspace ADC lookup tables tables[s][q][j] = ||q_s - c_sj||²,
+    6-dp rounded — THE shared definition for the fused and from-codes
+    scorers (a rounding tweak must hit both or bit-identity breaks)."""
+    sub = Q.shape[1] // m
+    return [
+        ((Q[:, s * sub:(s + 1) * sub][:, None, :]
+          - books[s][None, :, :]) ** 2).sum(axis=2).round(6)
+        for s in range(m)
+    ]
+
+
+def _pq_partial_cut(tables, codes, nids, qids, shortlist: int, m: int):
+    """Per-batch partial shortlist frames under the (adc, nid) total
+    order — shared by both scorers so batching can never change the
+    global candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    frames = []
+    for qi, qid in enumerate(qids):
+        adc = np.add.reduce(
+            [tables[s][qi][codes[:, s]] for s in range(m)]
+        ).round(6)
+        keep = min(shortlist + 1, len(adc))
+        idx = np.lexsort((nids, adc))[:keep]
+        frames.append(
+            pd.DataFrame({"qid": qid, "nid": nids[idx], "adc": adc[idx]})
+        )
+    return frames
+
+
+def _pq_shortlist_rerank(
+    cands: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter: str,
+    shortlist: int,
+    k: int,
+) -> DataFrame:
+    """Global (adc, nid) shortlist window + exact-cosine rerank — the
+    common tail of pq_topk and pq_topk_from_index."""
+    w_short = Window.partitionBy("qid").orderBy(
+        F.asc("adc"), F.asc("nid")
+    )
+    shortlisted = (
+        cands.filter(F.col("nid") != F.col("qid"))
+        .withColumn("rs", F.row_number().over(w_short))
+        .filter(F.col("rs") <= shortlist)
+        .drop("rs", "adc")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+    q = vectors.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
+    exact = (
+        shortlisted.join(v, "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "cosine",
+            F.when(
+                F.col("qn") * F.col("vn") != 0,
+                F.round(
+                    dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
 
 
 def pq_topk(
@@ -913,18 +997,15 @@ def pq_topk(
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
         .collect()
     )
+    if not qrows:  # no queries (or all zero-norm): empty, not IndexError
+        return vectors.sparkSession.createDataFrame([], _PQ_OUT_SCHEMA)
     qids = [r["qid"] for r in qrows]
     Q = np.array([r["qe"] for r in qrows], dtype=np.float64)
     sub = Q.shape[1] // m
-    # ADC tables: tables[s][q][j] = ||q_s - c_sj||^2, one (n_q, k_s)
-    # array per subspace (k_s may differ across subspaces — a Lloyd
-    # round can drop an unassigned centroid); rounded per the 6-dp
-    # convention
-    tables = [
-        ((Q[:, s * sub:(s + 1) * sub][:, None, :]
-          - books[s][None, :, :]) ** 2).sum(axis=2).round(6)
-        for s in range(m)
-    ]
+    # ADC tables shared with the from-codes scorer; one (n_q, k_s) array
+    # per subspace (k_s may differ — a Lloyd round can drop an
+    # unassigned centroid); rounded per the 6-dp convention
+    tables = _pq_adc_tables(Q, books, m)
 
     out_schema = "qid long, nid long, adc double"
 
@@ -933,78 +1014,34 @@ def pq_topk(
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if len(X) == 0:
                 continue
-            # encode: nearest codeword per subspace (vectorized)
+            # encode: nearest codeword per subspace (vectorized);
+            # rounded distance, lowest-index (= lowest-cid: books are
+            # cid-ordered) tie-break — replayable in SQL
             codes = np.empty((len(X), m), dtype=np.int64)
             for s in range(m):
                 xs = X[:, s * sub:(s + 1) * sub]
                 d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(
                     axis=2
                 )
-                # rounded distance, lowest-index (= lowest-cid: books are
-                # cid-ordered) tie-break — replayable in SQL
                 codes[:, s] = d2.round(6).argmin(axis=1)
-            # ADC: approx dist = sum of per-subspace table entries,
-            # re-rounded (the oracle sums the same rounded entries in
-            # arbitrary order; 6-dp absorbs the associativity ulps)
-            nids = pdf[id_col].to_numpy()
-            frames = []
-            for qi, qid in enumerate(qids):
-                adc = np.add.reduce(
-                    [tables[s][qi][codes[:, s]] for s in range(m)]
-                ).round(6)
-                # +1 survives self-exclusion: the query's own row (adc ~0)
-                # would otherwise occupy a slot and silently drop the true
-                # shortlist-th candidate of its batch (same guard as
-                # cosine_topk_fast)
-                keep = min(shortlist + 1, len(adc))
-                # partial cut under the SAME total order as the global
-                # shortlist window, so batching can't drop a tied
-                # global-top candidate
-                idx = np.lexsort((nids, adc))[:keep]
-                frames.append(
-                    pd.DataFrame(
-                        {"qid": qid, "nid": nids[idx], "adc": adc[idx]}
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    cands = (
-        unit.select(id_col, vec_col)
-        .mapInPandas(score, out_schema)
-        # self-exclusion is per-pair (a query may legitimately be another
-        # query's neighbor) — dropping every qid from every list loses recall
-        .filter(F.col("nid") != F.col("qid"))
-    )
-    w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
-    shortlisted = (
-        cands.withColumn("rs", F.row_number().over(w_short))
-        .filter(F.col("rs") <= shortlist)
-        .drop("rs", "adc")
-    )
-    v = vectors.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
-    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
-    q = vectors.filter(query_filter).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
-    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
-    exact = (
-        shortlisted.join(v, "nid")
-        .join(F.broadcast(q), "qid")
-        .withColumn(
-            "cosine",
-            F.when(
-                F.col("qn") * F.col("vn") != 0,
-                F.round(
-                    dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+            # ADC sum re-rounded (the oracle sums the same rounded
+            # entries in arbitrary order; 6-dp absorbs associativity
+            # ulps); shortlist+1 partial cut under the global (adc, nid)
+            # order so batching can't drop a tied top candidate and the
+            # query's own row can't displace the shortlist-th one
+            yield pd.concat(
+                _pq_partial_cut(
+                    tables, codes, pdf[id_col].to_numpy(), qids,
+                    shortlist, m,
                 ),
-            ),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "nid", "cosine", "rnk")
+                ignore_index=True,
+            )
+
+    # self-exclusion inside _pq_shortlist_rerank is per-pair (a query
+    # may legitimately be another query's neighbor)
+    cands = unit.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return _pq_shortlist_rerank(
+        cands, vectors, id_col, vec_col, query_filter, shortlist, k
     )
 
 
@@ -1073,16 +1110,8 @@ def pq_save_index(
         vectors, id_col, vec_col, m=m, sample_cap=sample_cap
     )
     meta = {"source_version": source_version, "m": m}
-    rows = [
-        (s, r, [float(x) for x in book[r]])
-        for s, book in enumerate(books)
-        for r in range(book.shape[0])
-    ]
-    overwrite(
-        spark,
-        spark.createDataFrame(rows, "s int, rnk int, ce array<double>"),
-        os.path.join(index_root, "books"),
-        meta=meta,
+    pq_save_codebooks(
+        spark, books, os.path.join(index_root, "books"), meta=meta
     )
     overwrite(
         spark,
@@ -1125,12 +1154,10 @@ def pq_topk_from_index(
     codes_t = os.path.join(index_root, "codes")
     b_meta = current_snapshot(books_t).meta
     c_meta = current_snapshot(codes_t).meta
-    if b_meta.get("source_version") != c_meta.get("source_version"):
+    if b_meta != c_meta:  # version OR m mismatch = partial rebuild
         raise ValueError(
-            "PQ index books/codes disagree on source_version "
-            f"({b_meta.get('source_version')!r} vs "
-            f"{c_meta.get('source_version')!r}) — partial rebuild, "
-            "rebuild both"
+            f"PQ index books/codes disagree ({b_meta!r} vs {c_meta!r}) "
+            "— partial rebuild, rebuild both"
         )
     if (
         expect_source is not None
@@ -1149,68 +1176,28 @@ def pq_topk_from_index(
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
         .collect()
     )
+    if not qrows:  # no queries (or all zero-norm): empty, not IndexError
+        return spark.createDataFrame([], _PQ_OUT_SCHEMA)
     qids = [r["qid"] for r in qrows]
     Q = np.array([r["qe"] for r in qrows], dtype=np.float64)
-    sub = Q.shape[1] // m
-    tables = [
-        ((Q[:, s * sub:(s + 1) * sub][:, None, :]
-          - books[s][None, :, :]) ** 2).sum(axis=2).round(6)
-        for s in range(m)
-    ]
+    tables = _pq_adc_tables(Q, books, m)
 
     def score(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            nids = pdf["nid"].to_numpy()
-            frames = []
-            for qi, qid in enumerate(qids):
-                adc = np.add.reduce(
-                    [tables[s][qi][codes[:, s]] for s in range(m)]
-                ).round(6)
-                keep = min(shortlist + 1, len(adc))
-                idx = np.lexsort((nids, adc))[:keep]
-                frames.append(
-                    pd.DataFrame(
-                        {"qid": qid, "nid": nids[idx], "adc": adc[idx]}
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    cands = (
-        read_snapshot(spark, codes_t)
-        .mapInPandas(score, "qid long, nid long, adc double")
-        .filter(F.col("nid") != F.col("qid"))
-    )
-    w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
-    shortlisted = (
-        cands.withColumn("rs", F.row_number().over(w_short))
-        .filter(F.col("rs") <= shortlist)
-        .drop("rs", "adc")
-    )
-    v = vectors.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
-    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
-    q = vectors.filter(query_filter).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
-    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
-    exact = (
-        shortlisted.join(v, "nid")
-        .join(F.broadcast(q), "qid")
-        .withColumn(
-            "cosine",
-            F.when(
-                F.col("qn") * F.col("vn") != 0,
-                F.round(
-                    dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+            yield pd.concat(
+                _pq_partial_cut(
+                    tables, codes, pdf["nid"].to_numpy(), qids,
+                    shortlist, m,
                 ),
-            ),
-        )
+                ignore_index=True,
+            )
+
+    cands = read_snapshot(spark, codes_t).mapInPandas(
+        score, "qid long, nid long, adc double"
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "nid", "cosine", "rnk")
+    return _pq_shortlist_rerank(
+        cands, vectors, id_col, vec_col, query_filter, shortlist, k
     )

@@ -30,6 +30,7 @@ from airflow_crypto_btc_spark.plans.registry_ext import (
     _SQL_DEDUP_NEAR_CLUSTERS,
     _SQL_SIM_LSH_TOPK,
 )
+from airflow_crypto_btc_spark.plans import registry_ml as _reg_ml
 from airflow_crypto_btc_spark.sources.tables import load_table
 
 
@@ -142,12 +143,6 @@ def q_dedup_lsh_pairs_capped(spark, sf_dir):
         jaccard_threshold=0.5,
         max_bucket_size=50,
     )
-
-
-def _pq_codes_sql() -> str:
-    from airflow_crypto_btc_spark.plans.registry_ml import _pq_topk_sql
-
-    return _pq_topk_sql()
 
 
 def _capped_pairs_sql(cap: int = 50) -> str:
@@ -593,7 +588,9 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     "dedup_novel_documents": QuerySpec(
         q_dedup_novel_documents, _SQL_DEDUP_NOVEL_DOCUMENTS
     ),
+    # oracle = the same full PQ replay as sim_pq_topk: the persisted
+    # train→encode→store→serve round-trip must be bit-identical
     "sim_pq_topk_from_codes": QuerySpec(
-        q_sim_pq_topk_from_codes, _pq_codes_sql()
+        q_sim_pq_topk_from_codes, _reg_ml._pq_topk_sql()
     ),
 }

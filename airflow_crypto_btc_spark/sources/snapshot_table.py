@@ -204,6 +204,18 @@ def read_snapshot(
     return df
 
 
+def read_snapshot_or_none(
+    spark: SparkSession, table: str
+) -> DataFrame | None:
+    """``read_snapshot`` for bootstrap paths: ``None`` when the table
+    has no committed snapshot yet (first micro-batch of a stream); any
+    other failure propagates.  Shared by every streaming sink."""
+    try:
+        return read_snapshot(spark, table)
+    except ValueError:
+        return None
+
+
 def _write_parts(df: DataFrame, table: str) -> tuple[list[str], dict]:
     """Stage immutable data files (INVISIBLE until a commit references
     them) plus their min/max column stats.  One part dir per staged write

@@ -22,9 +22,12 @@ Per micro-batch:
    batches anti-join away.
 
 Scale shape: the index table is the serving artifact (vectors + norms +
-bucket), appended per batch; ``compact_every`` rewrites it periodically
-(optionally Z-ordered by bucket via the snapshot table's cluster_by) so
-bucket probes stay file-prunable as the part count grows.
+bucket), appended per batch with the bucket column's min/max recorded in
+the commit-log stats (strings are stats-tracked), so bucket-range file
+skipping keeps working as parts accumulate; ``compact_every`` rewrites
+the table periodically to bound the part count.  The batch side of the
+pair probe is explicitly broadcast — the growing index is never
+shuffled per batch.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ from airflow_crypto_btc_spark.operators.similarity import (
 from airflow_crypto_btc_spark.sources.snapshot_table import (
     append,
     compact,
-    read_snapshot,
+    read_snapshot_or_none,
     vacuum,
 )
 
@@ -61,12 +64,6 @@ def embedding_index_sink(
     (nid, ve, vn, bucket) and the emitted near-dup pairs table with
     exactly-once semantics."""
 
-    def _read_or_none(spark, table):
-        try:
-            return read_snapshot(spark, table)
-        except ValueError:
-            return None
-
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         from pyspark.sql import Window
@@ -83,7 +80,7 @@ def embedding_index_sink(
             .filter("_rn = 1")
             .drop("_rn")
         )
-        committed = _read_or_none(spark, index_table)
+        committed = read_snapshot_or_none(spark, index_table)
         if committed is not None:
             fresh = fresh.join(
                 committed.select(F.col("nid").alias("_seen")),
@@ -120,7 +117,10 @@ def embedding_index_sink(
             ),
         )
         pairs = (
-            a.join(b, ["bucket"])
+            # batch side broadcast: the checkpointed leaf has no stats,
+            # so without the hint the planner sort-merge-joins and
+            # shuffles the ENTIRE growing index every micro-batch
+            F.broadcast(a).join(b, ["bucket"])
             .filter(F.col("id_a") != F.col("id_b"))
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= cosine_threshold)

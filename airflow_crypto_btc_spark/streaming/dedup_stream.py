@@ -42,7 +42,7 @@ from airflow_crypto_btc_spark.operators.dedup_fast import minhash_prep_fast
 from airflow_crypto_btc_spark.sources.snapshot_table import (
     append,
     compact,
-    read_snapshot,
+    read_snapshot_or_none,
     vacuum,
 )
 
@@ -84,12 +84,6 @@ def near_dup_index_sink(
     a pure rewrite (data-preserving, single atomic commit), so a crash
     replay that re-compacts is wasteful but never wrong."""
 
-    def _read_or_none(spark, table):
-        try:
-            return read_snapshot(spark, table)
-        except ValueError:
-            return None  # table absent — first batch bootstraps it
-
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # Within-batch duplicates resolve DETERMINISTICALLY (min text
@@ -112,8 +106,8 @@ def near_dup_index_sink(
             F.col(id_col).alias("id"),
             F.md5(F.col(text_col)).alias("digest"),
         )
-        committed_bands = _read_or_none(spark, bands_table)
-        committed_sets = _read_or_none(spark, sets_table)
+        committed_bands = read_snapshot_or_none(spark, bands_table)
+        committed_sets = read_snapshot_or_none(spark, sets_table)
         conflicts = None
         if committed_bands is not None:
             # a re-delivered id whose content CHANGED upstream is about

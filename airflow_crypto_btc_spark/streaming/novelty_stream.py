@@ -45,7 +45,7 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
     compact,
     current_snapshot,
     overwrite,
-    read_snapshot,
+    read_snapshot_or_none,
     vacuum,
 )
 
@@ -73,12 +73,6 @@ def novelty_sink(
         bloom_flags,
     )
 
-    def _read_or_none(spark, table):
-        try:
-            return read_snapshot(spark, table)
-        except ValueError:
-            return None
-
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         id_type = dict(batch_df.dtypes)[id_col]
@@ -94,7 +88,7 @@ def novelty_sink(
             .select(F.col(id_col).alias("id"), "digest", "_h1", "_h2")
             .localCheckpoint(eager=False)
         )
-        bloom_state = _read_or_none(spark, bloom_table)
+        bloom_state = read_snapshot_or_none(spark, bloom_table)
         bitmap_b = None
         if bloom_state is not None:
             meta = current_snapshot(bloom_table).meta
@@ -113,7 +107,7 @@ def novelty_sink(
             maybe_ids = flags.filter("maybe_seen").select("id")
             suspects = batch.join(maybe_ids, "id", "left_semi")
             certain = batch.join(maybe_ids, "id", "left_anti")
-        committed = _read_or_none(spark, digests_table)
+        committed = read_snapshot_or_none(spark, digests_table)
         if committed is None:
             verified = suspects
         else:

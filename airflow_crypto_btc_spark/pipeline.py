@@ -202,14 +202,20 @@ def fetch_klines_http(
     interval: str = "1h",
     timeout_s: int = 60,
     attempts: int = 4,
+    base_url: str = "https://api.binance.com/api/v3/klines",
+    backoff_s: float = 2.0,
 ) -> list[list]:
     """S1 adapter: REST GET of Binance klines with the reference's retry
     ladder (4 attempts, linear 2/4/6/8 s backoff, 60 s timeout — reference
     ``:64-104``).  Driver-side by design: at scale, land pages to object
     storage and ``spark.read.json`` them; never fan HTTP out of executors.
 
-    Network-free environments (CI, the test harness) use the ``events``
-    fixture via :func:`extract_day_from_events` instead.
+    ``base_url`` / ``backoff_s`` exist for the endpoint seam:
+    tests/test_pipeline.py exercises the FULL ladder (5xx retry, empty
+    body retry, success parse, exhaustion) against a local stub HTTP
+    server, so the code path that talks to the real endpoint is covered
+    without network access.  The public internet path differs only in
+    the hostname.
     """
     import datetime as dt
 
@@ -228,11 +234,7 @@ def fetch_klines_http(
     last_err: Exception | None = None
     for attempt in range(1, attempts + 1):
         try:
-            r = requests.get(
-                "https://api.binance.com/api/v3/klines",
-                params=params,
-                timeout=timeout_s,
-            )
+            r = requests.get(base_url, params=params, timeout=timeout_s)
             if r.status_code != 200:
                 raise RuntimeError(f"klines HTTP {r.status_code}")
             body = r.json()
@@ -242,7 +244,7 @@ def fetch_klines_http(
         except Exception as exc:  # noqa: BLE001 — retry ladder
             last_err = exc
             if attempt < attempts:
-                time.sleep(2 * attempt)
+                time.sleep(backoff_s * attempt)
     raise RuntimeError(f"klines fetch failed after {attempts}") from last_err
 
 

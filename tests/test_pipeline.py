@@ -363,3 +363,103 @@ def test_plot_report_artifact_branches(spark, sf_dir, wh):
         pdf = pd.read_csv(out)
         assert list(pdf.columns) == ["date", "close", "ma7", "ma30"]
         assert len(pdf) == len(DAYS)
+
+
+class _KlinesStub:
+    """Local stand-in for the klines REST endpoint: scripted per-request
+    behaviors ('500', 'empty', 'ok'), records received query params."""
+
+    def __init__(self, behaviors):
+        import http.server
+        import json as _json
+        import threading
+        from urllib.parse import parse_qs, urlparse
+
+        stub = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                stub.requests.append(
+                    {k: v[0] for k, v in
+                     parse_qs(urlparse(self.path).query).items()}
+                )
+                mode = (
+                    stub.behaviors[len(stub.requests) - 1]
+                    if len(stub.requests) <= len(stub.behaviors)
+                    else stub.behaviors[-1]
+                )
+                if mode == "500":
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                body = [] if mode == "empty" else stub.klines
+                self.wfile.write(_json.dumps(body).encode())
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        self.behaviors = behaviors
+        self.requests = []
+        # two canned hourly candles in Binance's 12-column array shape
+        self.klines = [
+            [1704067200000, "42000.1", "42100", "41900", "42050.5",
+             "10.5", 1704070799999, "441530", 120, "5.2", "218660", "0"],
+            [1704070800000, "42050.5", "42200", "42000", "42150.0",
+             "9.8", 1704074399999, "413070", 110, "4.9", "206530", "0"],
+        ]
+        self.server = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler
+        )
+        threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        ).start()
+        self.url = f"http://127.0.0.1:{self.server.server_port}/klines"
+
+    def close(self):
+        self.server.shutdown()
+
+
+def test_fetch_klines_http_retry_ladder_and_parse(spark):
+    """The real HTTP code path end-to-end against a local stub: a 500
+    then an empty body are retried, the third attempt parses; the rows
+    feed normalize_klines into the canonical batch; request params carry
+    the day's UTC millisecond window."""
+    from airflow_crypto_btc_spark.pipeline import fetch_klines_http
+
+    stub = _KlinesStub(["500", "empty", "ok"])
+    try:
+        rows = fetch_klines_http(
+            "BTCUSDT", "2024-01-01",
+            base_url=stub.url, backoff_s=0.01,
+        )
+        assert len(rows) == 2 and rows[0][4] == "42050.5"
+        assert len(stub.requests) == 3  # 500 → empty → ok
+        p = stub.requests[0]
+        assert p["symbol"] == "BTCUSDT" and p["interval"] == "1h"
+        assert p["startTime"] == "1704067200000"
+        assert p["endTime"] == str(1704067200000 + 86_400_000 - 1)
+        batch = normalize_klines(spark, rows).collect()
+        assert [r["ts_utc"] for r in batch] == [
+            "2024-01-01T00:00:00Z", "2024-01-01T01:00:00Z",
+        ]
+        assert [r["price"] for r in batch] == [42050.5, 42150.0]
+    finally:
+        stub.close()
+
+
+def test_fetch_klines_http_exhausts_attempts(spark):
+    from airflow_crypto_btc_spark.pipeline import fetch_klines_http
+
+    stub = _KlinesStub(["500"])
+    try:
+        with pytest.raises(RuntimeError, match="failed after 3"):
+            fetch_klines_http(
+                "BTCUSDT", "2024-01-01",
+                attempts=3, base_url=stub.url, backoff_s=0.01,
+            )
+        assert len(stub.requests) == 3
+    finally:
+        stub.close()

@@ -500,3 +500,86 @@ def test_cc_algorithms_agree_on_random_graphs(spark, edges):
             ).collect()
         }
         assert got == want, algo
+
+
+# random word-ish docs: overlapping content across corpus/incoming by
+# construction (small vocabulary → frequent exact-content collisions)
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=6,
+    ).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(corpus_texts=_doc_texts, incoming_texts=_doc_texts)
+def test_bloom_novelty_always_equals_anti_join(
+    spark, corpus_texts, incoming_texts
+):
+    """PROPERTY: for any corpus/incoming pair (heavy content overlap by
+    construction), bloom-pruned novelty equals the plain exact anti-join
+    on normalized content — the bloom can only move rows between the
+    certain and verified paths, never change the answer."""
+    from airflow_crypto_btc_spark.operators.bloom import novel_documents
+    from airflow_crypto_btc_spark.operators.dedup import NORMALIZED_TEXT
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), schema
+    )
+    incoming = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(incoming_texts)], schema
+    )
+    # tiny filter (64 bits) forces heavy false-positive traffic through
+    # the verify join — the property must hold regardless
+    got = {
+        r["id"]
+        for r in novel_documents(corpus, incoming, n_bits=64).collect()
+    }
+    norm = f"md5({NORMALIZED_TEXT.format(col='text')})"
+    want = {
+        r["doc_id"]
+        for r in incoming.selectExpr("doc_id", f"{norm} AS d")
+        .join(
+            corpus.selectExpr(f"{norm} AS d").distinct(), "d", "left_anti"
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abc XY.@-+0123456789\t\n")
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_scrub_pii_idempotent_on_arbitrary_text(spark, texts):
+    """PROPERTY: scrubbing is a fixed point on arbitrary text (digits,
+    separators, @-signs in random arrangements) — placeholders never
+    re-match any rule."""
+    from airflow_crypto_btc_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = scrub_pii(docs).selectExpr("doc_id", "clean_text AS text")
+    first = {r["doc_id"]: r["clean_text"] for r in scrub_pii(docs).collect()}
+    again = scrub_pii(once).collect()
+    for r in again:
+        assert r["clean_text"] == first[r["doc_id"]]
+        assert (r["n_emails"], r["n_phones"], r["n_ips"], r["n_ids"]) == (
+            0, 0, 0, 0,
+        )

@@ -385,3 +385,63 @@ def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_removed"
         ),
     )
+
+
+# --------------------------------------------------- unigram LM scoring
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", round_dp: int = 6
+) -> DataFrame:
+    """Perplexity-proxy quality score: a unigram language model is
+    estimated from the corpus ITSELF (add-one-smoothed token
+    frequencies) and each document is scored by its mean token log
+    probability — the cheap stand-in for model-based quality filtering
+    (out-of-distribution gibberish scores low, common fluent text
+    scores high) a curation pipeline runs before spending GPU time.
+
+    Shape at scale: one explode+groupBy builds the vocabulary (shuffles
+    (token, 1) pairs, never documents), the totals ride a broadcast,
+    and scoring joins each document's exploded tokens against the
+    vocabulary — a key-distributed join where the vocab side is
+    Zipf-bounded (vocabulary grows ~log of corpus), then one groupBy
+    back to doc granularity.  Everything is JVM expressions; the
+    per-token log P is 6-dp rounded so the decimal-cast mean is
+    bit-stable across engines and the DuckDB oracle replays it exactly.
+
+    Returns (doc_id, n_tokens, mean_logprob); empty docs score null.
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"),
+        F.count("*").alias("n_vocab"),
+    )
+    # add-one smoothing: P(t) = (c_t + 1) / (N + |V|); rounded per-token
+    logp = F.round(
+        F.log(
+            (F.col("c") + 1).cast("double")
+            / (F.col("n_total") + F.col("n_vocab")).cast("double")
+        ),
+        round_dp,
+    )
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", logp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                round_dp,
+            ).alias("mean_logprob"),
+        )
+    )
+    return df.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_logprob",
+    )

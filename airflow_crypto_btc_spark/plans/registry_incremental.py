@@ -388,6 +388,49 @@ def q_sim_pq_topk_from_codes(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy scoring (operators/text.unigram_logprob_score):
+    corpus-estimated add-one unigram LM, per-doc mean token log
+    probability — the cheap model-quality gate a curation pipeline runs
+    before GPU-based filtering.  Fully oracle-replayed (per-token log P
+    rounded to 6 dp, decimal-cast mean)."""
+    from airflow_crypto_btc_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_UNIGRAM_LOGPROB = r"""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                           t -> t <> '')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    totals AS (
+      SELECT sum(c) AS n_total, count(*) AS n_vocab FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id,
+        round(ln(CAST(v.c + 1 AS DOUBLE)
+                 / CAST(tt.n_total + tt.n_vocab AS DOUBLE)), 6) AS lp
+      FROM toks t JOIN vocab v USING (token) CROSS JOIN totals tt
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE)
+              / count(*), 6) AS mean_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      coalesce(a.n_tokens, 0) AS n_tokens,
+      a.mean_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_curate_ingest_pipeline(spark, sf_dir):
     """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
     form a training-data user actually runs: language/quality gate →
@@ -584,6 +627,9 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_strip_markup": QuerySpec(
         q_text_strip_markup, _SQL_TEXT_STRIP_MARKUP
+    ),
+    "text_unigram_logprob": QuerySpec(
+        q_text_unigram_logprob, _SQL_TEXT_UNIGRAM_LOGPROB
     ),
     "dedup_novel_documents": QuerySpec(
         q_dedup_novel_documents, _SQL_DEDUP_NOVEL_DOCUMENTS

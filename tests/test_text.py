@@ -334,3 +334,28 @@ def test_scrub_pii_type_priority_and_boundaries(spark):
     assert (out[1]["n_ips"], out[1]["n_phones"]) == (1, 0)
     assert out[2]["clean_text"] == "call <PHONE>. then stop"
     assert out[3]["clean_text"] == "dial <PHONE> now"
+
+
+def test_unigram_logprob_ranks_fluent_over_gibberish(spark):
+    """The corpus-LM score must rank in-distribution text above
+    out-of-distribution gibberish, score empty docs null, and weight
+    by the corpus frequencies (common tokens → higher log P)."""
+    from airflow_crypto_btc_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    rows = [(i, "the cat sat on the mat near the door") for i in range(8)]
+    rows += [(100, "the cat sat near the mat"),       # in-distribution
+             (101, "zxqv wklp jjrt mmnb qqwe"),       # gibberish
+             (102, "")]                               # empty
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob_score(docs).collect()}
+    assert out[100]["mean_logprob"] > out[101]["mean_logprob"]
+    assert out[102]["n_tokens"] == 0
+    assert out[102]["mean_logprob"] is None
+    # 'the' (most frequent) gives a single-token doc the max score
+    single = spark.createDataFrame(
+        rows + [(200, "the"), (201, "zxqv")], "doc_id long, text string"
+    )
+    o2 = {r["doc_id"]: r for r in unigram_logprob_score(single).collect()}
+    assert o2[200]["mean_logprob"] > o2[201]["mean_logprob"]

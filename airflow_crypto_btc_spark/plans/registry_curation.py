@@ -25,7 +25,7 @@ from airflow_crypto_btc_spark.sources.tables import load_table
 
 _D_TOKENS = """
     SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')
              AS tokens
     FROM documents
 """

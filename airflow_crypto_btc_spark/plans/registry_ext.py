@@ -56,7 +56,7 @@ from airflow_crypto_btc_spark.sources.tables import load_table
 def tokens_sql(source: str = "documents") -> str:
     return f"""
     SELECT doc_id, text,
-           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')
              AS tokens
     FROM {source}
 """
@@ -239,7 +239,7 @@ def q_text_fingerprint(spark, sf_dir):
 
 _SQL_TEXT_FINGERPRINT = f"""
     SELECT doc_id,
-      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+      md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp_md5,
       list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(tokens,
@@ -256,7 +256,7 @@ def q_dedup_exact(spark, sf_dir):
 
 
 _SQL_DEDUP_EXACT = """
-    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+    SELECT md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp_md5,
            min(doc_id) AS rep_id, count(*) AS n_dups
     FROM documents
     GROUP BY 1

@@ -96,7 +96,7 @@ def q_scalar_array_battery(spark, sf_dir):
 _SQL_SCALAR_ARRAY_BATTERY = """
     WITH t AS (
       SELECT doc_id,
-        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')
           AS tokens
       FROM documents
     )

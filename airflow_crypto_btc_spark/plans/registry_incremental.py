@@ -346,7 +346,7 @@ def q_dedup_novel_documents(spark, sf_dir):
 _SQL_DEDUP_NOVEL_DOCUMENTS = r"""
     WITH nd AS (
       SELECT doc_id,
-        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS d
+        md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS d
       FROM documents
     ),
     corpus AS (
@@ -404,7 +404,7 @@ def q_text_unigram_logprob(spark, sf_dir):
 _SQL_TEXT_UNIGRAM_LOGPROB = r"""
     WITH toks AS (
       SELECT doc_id,
-        unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        unnest(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
                            t -> t <> '')) AS token
       FROM documents
     ),

@@ -1092,7 +1092,7 @@ _SQL_TEXT_TOP_TOKENS = """
       FROM (
         SELECT source,
           unnest(list_transform(
-            list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+            list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> ''),
             t -> {'t': t})) AS u
         FROM documents
       )

@@ -420,6 +420,7 @@ class _KlinesStub:
 
     def close(self):
         self.server.shutdown()
+        self.server.server_close()  # release the listening socket
 
 
 def test_fetch_klines_http_retry_ladder_and_parse(spark):

@@ -117,3 +117,37 @@ def test_streaming_ann_compaction_bounds_parts(spark, tmp_path):
     assert sorted(
         r["nid"] for r in read_snapshot(spark, i_tbl).collect()
     ) == list(range(30))
+
+
+def test_streaming_ann_probe_broadcasts_batch_side(spark, tmp_path):
+    """Plan discipline: the per-batch pair probe must broadcast the
+    BATCH side — the growing index table is never reshuffled per
+    micro-batch (regression pin for the review fix; the checkpointed
+    batch leaf has no stats, so without the explicit hint the planner
+    falls back to a sort-merge join)."""
+    from unittest.mock import patch
+
+    from airflow_crypto_btc_spark.streaming import ann_stream as ans
+
+    df = _vectors(spark, n=30, near_pairs=((1, 2),))
+    i_tbl, p_tbl = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = embedding_index_sink(
+        i_tbl, p_tbl, query_name="plan", planes=4, cosine_threshold=0.95
+    )
+    sink(df.filter("vec_id < 15"), 0)
+
+    captured = {}
+    real_append = ans.append
+
+    def capturing_append(spark_, d, table, txn_id=None):
+        if table == p_tbl:
+            captured["plan"] = (
+                d._jdf.queryExecution().executedPlan().toString()
+            )
+        return real_append(spark_, d, table, txn_id=txn_id)
+
+    with patch.object(ans, "append", capturing_append):
+        sink(df.filter("vec_id >= 15"), 1)
+    plan = captured["plan"]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]

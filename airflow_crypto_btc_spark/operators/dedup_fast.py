@@ -33,6 +33,21 @@ from pyspark.sql import DataFrame
 _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Give the Python kernel the session's full parallelism: a small
+    corpus often arrives as ONE parquet file = one input partition, and
+    a mapInPandas kernel inherits that — running the C-speed md5 loop on
+    a single core of 32 (measured 1.5 s → 0.7 s at sf0.1 after
+    widening).  Conditional: inputs that already carry ≥ default
+    parallelism (any at-scale table) are untouched, so no shuffle is
+    ever added where the cluster is already busy.  The round-robin
+    shuffle moves only (id, text) for the small inputs that need it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(text) -> list[str]:
     if not isinstance(text, str):
         return []
@@ -90,7 +105,7 @@ def minhash_signatures_fast(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return _widen(df.select(id_col, text_col)).mapInPandas(
         _run, schema=f"doc_id {id_type}, sig string, set_size long"
     )
 
@@ -176,7 +191,7 @@ def minhash_prep_fast(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return _widen(df.select(id_col, text_col)).mapInPandas(
         _run,
         schema=(
             f"id {id_type}, band_keys array<string>, "
@@ -220,6 +235,6 @@ def simhash_fingerprints_fast(
             yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return _widen(df.select(id_col, text_col)).mapInPandas(
         _run, schema=f"doc_id {id_type}, simhash long"
     )

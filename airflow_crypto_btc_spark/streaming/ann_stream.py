@@ -155,3 +155,90 @@ def embedding_index_sink(
                 vacuum(table)
 
     return _fold
+
+
+def pq_codes_sink(
+    index_root: str,
+    query_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expect_source: str | None = None,
+):
+    """``foreachBatch`` callback appending arriving vectors' PQ CODES to
+    the persisted index (``operators/similarity.pq_save_index`` layout):
+    the codebooks are FROZEN — loaded once at sink construction, with
+    ``expect_source`` pinning them to the corpus generation the stream
+    extends — and each batch encodes only its fresh ids against them
+    (m·4 bytes per vector appended, the float payload never lands in
+    the index).  A corpus-version change means retrain + rebuild, not
+    streaming: appending codes from different codebooks would silently
+    corrupt every ADC comparison, which is exactly what the version pin
+    refuses.
+
+    Replay safety: within-batch dedup is deterministic, already-encoded
+    ids anti-join away against the committed codes, and the single
+    append per batch is txn-id idempotent."""
+    import os
+
+    from pyspark.sql import Window
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_encode,
+        pq_load_codebooks,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+    )
+
+    books_t = os.path.join(index_root, "books")
+    codes_t = os.path.join(index_root, "codes")
+    meta = current_snapshot(books_t).meta
+    if expect_source is not None and meta.get("source_version") != expect_source:
+        raise ValueError(
+            f"stale PQ codebooks: built from "
+            f"{meta.get('source_version')!r}, sink expects "
+            f"{expect_source!r} — retrain before streaming codes"
+        )
+
+    books_cache = {}
+
+    def _fold(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # frozen-model contract: books load ONCE (first batch) and every
+        # later batch asserts the books table is still the same commit —
+        # a mid-stream rebuild must stop the stream, not silently mix
+        # codes from two codebook generations
+        if current_snapshot(books_t).meta != meta:
+            raise ValueError(
+                "PQ codebooks changed under a running codes stream — "
+                "restart the sink against the new generation"
+            )
+        if "books" not in books_cache:
+            books_cache["books"] = pq_load_codebooks(spark, books_t)
+        books = books_cache["books"]
+        w = Window.partitionBy(id_col).orderBy(
+            F.md5(F.concat_ws(",", F.transform(
+                F.col(vec_col), lambda x: x.cast("string")
+            )))
+        )
+        fresh = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        committed = read_snapshot_or_none(spark, codes_t)
+        if committed is not None:
+            fresh = fresh.join(
+                committed.select(F.col("nid").alias("_seen")),
+                fresh[id_col] == F.col("_seen"),
+                "left_anti",
+            )
+        append(
+            spark,
+            pq_encode(fresh, books, id_col, vec_col),
+            codes_t,
+            txn_id=f"{query_name}:{batch_id}",
+            meta=meta,
+        )
+
+    return _fold

@@ -151,3 +151,57 @@ def test_streaming_ann_probe_broadcasts_batch_side(spark, tmp_path):
     plan = captured["plan"]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_streaming_pq_codes_sink_matches_batch_encode(spark, sf_dir, tmp_path):
+    """Codes appended by the stream must equal the batch encode of the
+    union; replay is a no-op; a stale or mid-stream-changed codebook
+    generation is refused."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_encode,
+        pq_load_codebooks,
+        pq_save_index,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+    from airflow_crypto_btc_spark.streaming.ann_stream import pq_codes_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "pq")
+    # offline: train + encode the "historical" half
+    hist = emb.filter("vec_id % 2 = 0")
+    pq_save_index(spark, hist, root, source_version="v1", m=8)
+    sink = pq_codes_sink(root, query_name="codes", expect_source="v1")
+    # stream the other half in two batches (second re-delivers the first)
+    b1 = emb.filter("vec_id % 4 = 1")
+    b2 = emb.filter("vec_id % 2 = 1")  # includes b1's ids again
+    sink(b1, 0)
+    sink(b2, 1)
+    got = {
+        (r["nid"], tuple(r["codes"]))
+        for r in read_snapshot(spark, root + "/codes").collect()
+    }
+    books = pq_load_codebooks(spark, root + "/books")
+    want = {
+        (r["nid"], tuple(r["codes"]))
+        for r in pq_encode(emb, books).collect()
+    }
+    assert got == want and got
+    # replay folds nothing
+    v = current_snapshot(root + "/codes").version
+    sink(b2, 1)
+    assert current_snapshot(root + "/codes").version == v
+    # wrong generation refused at construction
+    with pytest.raises(ValueError, match="stale PQ codebooks"):
+        pq_codes_sink(root, query_name="x", expect_source="v2")
+    # mid-stream rebuild refused at the next batch
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_save_codebooks,
+        pq_train_codebooks,
+    )
+
+    pq_save_codebooks(
+        spark, pq_train_codebooks(emb, m=8, sample_cap=50000),
+        root + "/books", meta={"source_version": "v2", "m": 8},
+    )
+    with pytest.raises(ValueError, match="changed under a running"):
+        sink(emb.filter("vec_id % 4 = 3"), 2)

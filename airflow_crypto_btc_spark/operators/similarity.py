@@ -121,7 +121,11 @@ def cosine_topk_fast(
                     }
                 )
 
-    partial = vectors.select(id_col, vec_col).mapInPandas(
+    from airflow_crypto_btc_spark.operators.physical import (
+        widen_small_input,
+    )
+
+    partial = widen_small_input(vectors.select(id_col, vec_col)).mapInPandas(
         _partial, schema="qid long, nid long, cosine double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
@@ -1039,7 +1043,13 @@ def pq_topk(
 
     # self-exclusion inside _pq_shortlist_rerank is per-pair (a query
     # may legitimately be another query's neighbor)
-    cands = unit.select(id_col, vec_col).mapInPandas(score, out_schema)
+    from airflow_crypto_btc_spark.operators.physical import (
+        widen_small_input,
+    )
+
+    cands = widen_small_input(unit.select(id_col, vec_col)).mapInPandas(
+        score, out_schema
+    )
     return _pq_shortlist_rerank(
         cands, vectors, id_col, vec_col, query_filter, shortlist, k
     )
@@ -1083,7 +1093,13 @@ def pq_encode(
                 }
             )
 
-    return unit.mapInPandas(_enc, schema="nid long, codes array<int>")
+    from airflow_crypto_btc_spark.operators.physical import (
+        widen_small_input,
+    )
+
+    return widen_small_input(unit).mapInPandas(
+        _enc, schema="nid long, codes array<int>"
+    )
 
 
 def pq_save_index(
@@ -1195,7 +1211,11 @@ def pq_topk_from_index(
                 ignore_index=True,
             )
 
-    cands = read_snapshot(spark, codes_t).mapInPandas(
+    from airflow_crypto_btc_spark.operators.physical import (
+        widen_small_input,
+    )
+
+    cands = widen_small_input(read_snapshot(spark, codes_t)).mapInPandas(
         score, "qid long, nid long, adc double"
     )
     return _pq_shortlist_rerank(

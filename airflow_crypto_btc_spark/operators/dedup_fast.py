@@ -34,18 +34,11 @@ _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def _widen(df: DataFrame) -> DataFrame:
-    """Give the Python kernel the session's full parallelism: a small
-    corpus often arrives as ONE parquet file = one input partition, and
-    a mapInPandas kernel inherits that — running the C-speed md5 loop on
-    a single core of 32 (measured 1.5 s → 0.7 s at sf0.1 after
-    widening).  Conditional: inputs that already carry ≥ default
-    parallelism (any at-scale table) are untouched, so no shuffle is
-    ever added where the cluster is already busy.  The round-robin
-    shuffle moves only (id, text) for the small inputs that need it."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    from airflow_crypto_btc_spark.operators.physical import (
+        widen_small_input,
+    )
+
+    return widen_small_input(df)
 
 
 def _tokens(text) -> list[str]:

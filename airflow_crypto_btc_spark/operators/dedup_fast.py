@@ -29,16 +29,10 @@ from hashlib import md5 as _md5
 
 from pyspark.sql import DataFrame
 
+from airflow_crypto_btc_spark.operators.physical import widen_small_input
+
 # Java \s (what Spark's split compiles), NOT Python \s
 _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
-
-
-def _widen(df: DataFrame) -> DataFrame:
-    from airflow_crypto_btc_spark.operators.physical import (
-        widen_small_input,
-    )
-
-    return widen_small_input(df)
 
 
 def _tokens(text) -> list[str]:
@@ -98,7 +92,7 @@ def minhash_signatures_fast(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return _widen(df.select(id_col, text_col)).mapInPandas(
+    return widen_small_input(df.select(id_col, text_col)).mapInPandas(
         _run, schema=f"doc_id {id_type}, sig string, set_size long"
     )
 
@@ -184,7 +178,7 @@ def minhash_prep_fast(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return _widen(df.select(id_col, text_col)).mapInPandas(
+    return widen_small_input(df.select(id_col, text_col)).mapInPandas(
         _run,
         schema=(
             f"id {id_type}, band_keys array<string>, "
@@ -228,6 +222,6 @@ def simhash_fingerprints_fast(
             yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return _widen(df.select(id_col, text_col)).mapInPandas(
+    return widen_small_input(df.select(id_col, text_col)).mapInPandas(
         _run, schema=f"doc_id {id_type}, simhash long"
     )

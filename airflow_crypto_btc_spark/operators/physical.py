@@ -39,11 +39,21 @@ def widen_small_input(df):
     small table often arrives as ONE parquet file = one input partition,
     and ``mapInPandas`` inherits that — running the vectorized kernel on
     a single core of N (measured 1.5 s → 0.7 s for the md5 LSH prep at
-    sf0.1 after widening).  Conditional by partition count: any at-scale
-    input already carries ≥ default parallelism and is returned
-    untouched, so no shuffle is ever added where the cluster is already
-    busy; for the small inputs that need it, the round-robin shuffle
-    moves only the kernel's projected columns."""
+    sf0.1 after widening).
+
+    Two guards keep this free where it isn't needed:
+
+    - plans that already contain an Exchange are returned untouched —
+      their kernel input carries post-shuffle parallelism, AND probing
+      them with ``df.rdd`` under AQE would EXECUTE the upstream shuffle
+      stages just to count partitions (double work per streaming batch);
+    - shuffle-free scans are probed by partition count (``.rdd`` is
+      harmless there) and widened only below the default parallelism,
+      so an at-scale multi-file input passes through with no added
+      shuffle.  The round-robin shuffle, when it happens, moves only
+      the kernel's projected columns of a small input."""
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

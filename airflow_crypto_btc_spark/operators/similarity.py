@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_crypto_btc_spark.operators.physical import widen_small_input
 from airflow_crypto_btc_spark.functions.hashing import (
     dot_expr,
     hex8_to_bigint_sql,
@@ -111,19 +112,19 @@ def cosine_topk_fast(
             ids = pdf[id_col].to_numpy()
             keep = min(k + 1, len(ids))  # +1 survives self-exclusion
             for j, qid in enumerate(b_qids):
-                col = C[:, j]
-                top = np.argpartition(-col, keep - 1)[:keep]
+                # partial cut under the SAME total order as the global
+                # window (rounded cosine desc, nid asc) — an unrounded
+                # argpartition could drop the global tie-break winner at
+                # a batch boundary, making results depend on batching
+                col = np.round(C[:, j], 6)
+                top = np.lexsort((ids, -col))[:keep]
                 yield pd.DataFrame(
                     {
                         "qid": int(qid),
                         "nid": ids[top],
-                        "cosine": np.round(col[top], 6),
+                        "cosine": col[top],
                     }
                 )
-
-    from airflow_crypto_btc_spark.operators.physical import (
-        widen_small_input,
-    )
 
     partial = widen_small_input(vectors.select(id_col, vec_col)).mapInPandas(
         _partial, schema="qid long, nid long, cosine double"
@@ -1043,10 +1044,6 @@ def pq_topk(
 
     # self-exclusion inside _pq_shortlist_rerank is per-pair (a query
     # may legitimately be another query's neighbor)
-    from airflow_crypto_btc_spark.operators.physical import (
-        widen_small_input,
-    )
-
     cands = widen_small_input(unit.select(id_col, vec_col)).mapInPandas(
         score, out_schema
     )
@@ -1092,10 +1089,6 @@ def pq_encode(
                     "codes": [c.tolist() for c in codes],
                 }
             )
-
-    from airflow_crypto_btc_spark.operators.physical import (
-        widen_small_input,
-    )
 
     return widen_small_input(unit).mapInPandas(
         _enc, schema="nid long, codes array<int>"
@@ -1210,10 +1203,6 @@ def pq_topk_from_index(
                 ),
                 ignore_index=True,
             )
-
-    from airflow_crypto_btc_spark.operators.physical import (
-        widen_small_input,
-    )
 
     cands = widen_small_input(read_snapshot(spark, codes_t)).mapInPandas(
         score, "qid long, nid long, adc double"

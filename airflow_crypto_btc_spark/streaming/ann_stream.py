@@ -49,6 +49,34 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
 )
 
 
+def _fresh_rows(batch_df, id_col: str, vec_col: str, committed, seen_id_col: str):
+    """Shared per-batch front end of the vector sinks: deterministic
+    within-batch dedup (min md5 of the stringified vector per id — a
+    crash replay picks the same representative) followed by the
+    insert-only anti-join against the committed table's ids.  One
+    definition, two sinks: replay semantics must never diverge between
+    the ANN index stream and the PQ codes stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.md5(F.concat_ws(",", F.transform(
+            F.col(vec_col), lambda x: x.cast("string")
+        )))
+    )
+    fresh = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    if committed is not None:
+        fresh = fresh.join(
+            committed.select(F.col(seen_id_col).alias("_seen")),
+            fresh[id_col] == F.col("_seen"),
+            "left_anti",
+        )
+    return fresh
+
+
 def embedding_index_sink(
     index_table: str,
     pairs_table: str,
@@ -66,27 +94,8 @@ def embedding_index_sink(
 
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.sql import Window
-
-        # within-batch id dedup, deterministic representative (replays
-        # must recompute the identical fresh set)
-        w = Window.partitionBy(id_col).orderBy(
-            F.md5(F.concat_ws(",", F.transform(
-                F.col(vec_col), lambda x: x.cast("string")
-            )))
-        )
-        fresh = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1")
-            .drop("_rn")
-        )
         committed = read_snapshot_or_none(spark, index_table)
-        if committed is not None:
-            fresh = fresh.join(
-                committed.select(F.col("nid").alias("_seen")),
-                fresh[id_col] == F.col("_seen"),
-                "left_anti",
-            )
+        fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
         batch_rows = fresh.select(
             F.col(id_col).alias("nid"),
             F.col(vec_col).alias("ve"),
@@ -163,6 +172,8 @@ def pq_codes_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     expect_source: str | None = None,
+    compact_every: int | None = None,
+    compact_target_parts: int = 4,
 ):
     """``foreachBatch`` callback appending arriving vectors' PQ CODES to
     the persisted index (``operators/similarity.pq_save_index`` layout):
@@ -192,7 +203,8 @@ def pq_codes_sink(
 
     books_t = os.path.join(index_root, "books")
     codes_t = os.path.join(index_root, "codes")
-    meta = current_snapshot(books_t).meta
+    books_snap = current_snapshot(books_t)
+    meta = books_snap.meta
     if expect_source is not None and meta.get("source_version") != expect_source:
         raise ValueError(
             f"stale PQ codebooks: built from "
@@ -205,10 +217,11 @@ def pq_codes_sink(
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # frozen-model contract: books load ONCE (first batch) and every
-        # later batch asserts the books table is still the same commit —
-        # a mid-stream rebuild must stop the stream, not silently mix
-        # codes from two codebook generations
-        if current_snapshot(books_t).meta != meta:
+        # later batch asserts the books table is still the SAME COMMIT —
+        # by VERSION, not meta: a rebuild with identical meta (same
+        # corpus tag, retrained books) bumps the version and must stop
+        # the stream rather than silently mix codebook generations
+        if current_snapshot(books_t).version != books_snap.version:
             raise ValueError(
                 "PQ codebooks changed under a running codes stream — "
                 "restart the sink against the new generation"
@@ -216,23 +229,8 @@ def pq_codes_sink(
         if "books" not in books_cache:
             books_cache["books"] = pq_load_codebooks(spark, books_t)
         books = books_cache["books"]
-        w = Window.partitionBy(id_col).orderBy(
-            F.md5(F.concat_ws(",", F.transform(
-                F.col(vec_col), lambda x: x.cast("string")
-            )))
-        )
-        fresh = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1")
-            .drop("_rn")
-        )
         committed = read_snapshot_or_none(spark, codes_t)
-        if committed is not None:
-            fresh = fresh.join(
-                committed.select(F.col("nid").alias("_seen")),
-                fresh[id_col] == F.col("_seen"),
-                "left_anti",
-            )
+        fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
         append(
             spark,
             pq_encode(fresh, books, id_col, vec_col),
@@ -240,5 +238,11 @@ def pq_codes_sink(
             txn_id=f"{query_name}:{batch_id}",
             meta=meta,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            try:
+                compact(spark, codes_t, target_parts=compact_target_parts)
+            except ValueError:
+                return
+            vacuum(codes_t)
 
     return _fold

@@ -193,7 +193,9 @@ def test_streaming_pq_codes_sink_matches_batch_encode(spark, sf_dir, tmp_path):
     # wrong generation refused at construction
     with pytest.raises(ValueError, match="stale PQ codebooks"):
         pq_codes_sink(root, query_name="x", expect_source="v2")
-    # mid-stream rebuild refused at the next batch
+    # mid-stream rebuild refused at the next batch — even with
+    # IDENTICAL meta (same corpus tag, retrained books): the guard is
+    # the commit VERSION, so any new books commit stops the stream
     from airflow_crypto_btc_spark.operators.similarity import (
         pq_save_codebooks,
         pq_train_codebooks,
@@ -201,7 +203,7 @@ def test_streaming_pq_codes_sink_matches_batch_encode(spark, sf_dir, tmp_path):
 
     pq_save_codebooks(
         spark, pq_train_codebooks(emb, m=8, sample_cap=50000),
-        root + "/books", meta={"source_version": "v2", "m": 8},
+        root + "/books", meta={"source_version": "v1", "m": 8},
     )
     with pytest.raises(ValueError, match="changed under a running"):
         sink(emb.filter("vec_id % 4 = 3"), 2)

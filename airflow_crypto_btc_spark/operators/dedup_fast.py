@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame
 
 from airflow_crypto_btc_spark.operators.physical import widen_small_input
 
+#: Per-task input floor for the md5 shingle/signature kernels: they burn
+#: num_hashes md5 calls per shingle — orders of magnitude more CPU per
+#: input byte than a BLAS pass — so even a few KB of text per task is
+#: worth a round-robin shuffle (the column-pruned scan estimate of the
+#: sf0.1 documents table is ~250 KB and measured fastest at full width).
+_MD5_KERNEL_FLOOR = 8 << 10
+
 # Java \s (what Spark's split compiles), NOT Python \s
 _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
@@ -92,7 +99,9 @@ def minhash_signatures_fast(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return widen_small_input(df.select(id_col, text_col)).mapInPandas(
+    return widen_small_input(
+        df.select(id_col, text_col), min_bytes_per_task=_MD5_KERNEL_FLOOR
+    ).mapInPandas(
         _run, schema=f"doc_id {id_type}, sig string, set_size long"
     )
 
@@ -178,7 +187,9 @@ def minhash_prep_fast(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return widen_small_input(df.select(id_col, text_col)).mapInPandas(
+    return widen_small_input(
+        df.select(id_col, text_col), min_bytes_per_task=_MD5_KERNEL_FLOOR
+    ).mapInPandas(
         _run,
         schema=(
             f"id {id_type}, band_keys array<string>, "
@@ -222,6 +233,8 @@ def simhash_fingerprints_fast(
             yield pd.DataFrame({"doc_id": pdf[id_col], "simhash": out})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return widen_small_input(df.select(id_col, text_col)).mapInPandas(
+    return widen_small_input(
+        df.select(id_col, text_col), min_bytes_per_task=_MD5_KERNEL_FLOOR
+    ).mapInPandas(
         _run, schema=f"doc_id {id_type}, simhash long"
     )

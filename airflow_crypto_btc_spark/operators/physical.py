@@ -34,30 +34,68 @@ _DECOMPOSABLE = {
 }
 
 
-def widen_small_input(df):
-    """Give a Python (Arrow) kernel the session's full parallelism: a
-    small table often arrives as ONE parquet file = one input partition,
-    and ``mapInPandas`` inherits that — running the vectorized kernel on
-    a single core of N (measured 1.5 s → 0.7 s for the md5 LSH prep at
+#: Shuffle-exchange markers in an executed-plan string.  Matched
+#: specifically (not the bare substring "Exchange") so a plan whose only
+#: exchange is a BroadcastExchange/ReusedExchange still gets the
+#: partition-count probe — its kernel input may well be one scan
+#: partition that deserves widening.
+_SHUFFLE_MARKERS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange RoundRobinPartitioning",
+    "Exchange SinglePartition",
+)
+
+
+def widen_small_input(df, min_bytes_per_task: int = 16 << 10):
+    """Give a Python (Arrow) kernel enough parallelism to saturate the
+    session — but no more than its input can pay for: a small table
+    often arrives as ONE parquet file = one input partition, and
+    ``mapInPandas`` inherits that — running the vectorized kernel on a
+    single core of N (measured 1.5 s → 0.7 s for the md5 LSH prep at
     sf0.1 after widening).
 
-    Two guards keep this free where it isn't needed:
+    The width is COST-BASED, not unconditional: the scan's estimated
+    ``sizeInBytes`` is divided by ``min_bytes_per_task`` and clamped to
+    the default parallelism, so a kilobyte-scale input is never
+    round-robin-shuffled into 32 near-empty Python workers whose fixed
+    per-task cost exceeds the kernel win (measured: the unconditional
+    form regressed the BLAS cosine kernel 0.38 → 0.63 s at sf0.1 by
+    shuffling a 0.8 MB single-file table).  Callers tune the floor to
+    their kernel's per-byte cost: CPU-heavy kernels (md5 shingling —
+    many hashes per input byte) keep the small default; cheap vectorized
+    kernels (one BLAS matmul pass) pass a floor in the megabytes so
+    widening waits until the input is big enough to amortize the
+    shuffle.
 
-    - plans that already contain an Exchange are returned untouched —
-      their kernel input carries post-shuffle parallelism, AND probing
-      them with ``df.rdd`` under AQE would EXECUTE the upstream shuffle
-      stages just to count partitions (double work per streaming batch);
-    - shuffle-free scans are probed by partition count (``.rdd`` is
-      harmless there) and widened only below the default parallelism,
-      so an at-scale multi-file input passes through with no added
-      shuffle.  The round-robin shuffle, when it happens, moves only
-      the kernel's projected columns of a small input."""
-    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+    Guards:
+
+    - plans already containing a SHUFFLE exchange are returned
+      untouched — their kernel input carries post-shuffle parallelism,
+      AND probing them with ``df.rdd`` under AQE would EXECUTE the
+      upstream shuffle stages just to count partitions (double work per
+      streaming batch).  Broadcast-only exchanges fall through to the
+      probe: building the (small) broadcast side early is harmless.
+    - non-JVM sessions (Spark Connect) have no ``_jdf`` — the probe is
+      skipped entirely and the input passes through unchanged, which is
+      always semantics-preserving.
+    - an input already at (or above) the cost-based width passes
+      through with no added shuffle — the at-scale multi-file case.
+      The round-robin shuffle, when it happens, moves only the
+      kernel's projected columns of a small input."""
+    try:
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        size = int(qe.optimizedPlan().stats().sizeInBytes())
+    except Exception:  # Spark Connect / non-JVM session: no cheap probe
+        return df
+    if any(marker in plan for marker in _SHUFFLE_MARKERS):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    width = min(target, max(1, -(-size // max(1, min_bytes_per_task))))
+    if width <= 1 or df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
 
 
 def salted_aggregate(

@@ -173,11 +173,27 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     planes: int = 8,
     cosine_threshold: float = 0.9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH bucketing:
     vectors sharing all ``planes`` sign bits become candidates (near-identical
     vectors agree on every hyperplane w.h.p.), then exact cosine verifies.
-    Returns (id_a, id_b, cosine), id_a < id_b."""
+    Returns (id_a, id_b, cosine), id_a < id_b.
+
+    ``max_bucket_size``: skew guard, same contract as
+    ``dedup.minhash_lsh_pairs`` (one shared ``_cap_buckets`` definition,
+    imported not copied): sign-buckets larger than the cap are skipped
+    entirely instead of self-joined quadratically.  EXACTLY the corpus
+    this operator targets (near-dup-heavy embeddings — boilerplate,
+    mirrored pages) concentrates O(n) vectors into one hot bucket, and
+    an uncapped intra-bucket join goes O(n²) there no matter how good
+    the hashing is.  None = exact LSH semantics; at 100 TB always set
+    one (a few hundred) and account the skipped mass with
+    :func:`embedding_near_dup_skipped_buckets` — unlike banded MinHash
+    there is no second band to catch a skipped bucket's pairs, so a cap
+    here trades recall inside degenerate buckets for a bounded join."""
+    from airflow_crypto_btc_spark.operators.dedup import _cap_buckets
+
     base = (
         vectors.select(
             F.col(id_col).alias("id"),
@@ -187,6 +203,8 @@ def embedding_near_dup_pairs(
         .withColumn("nrm", F.sqrt(norm2_expr("e")))
         .localCheckpoint(eager=False)
     )  # planes×dim projection + norm run once, not once per self-join side
+    if max_bucket_size is not None:
+        base = _cap_buckets(base, max_bucket_size, keys=("bucket",))
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("e").alias("ea"),
@@ -209,6 +227,31 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_skipped_buckets(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Accounting side of the embedding bucket cap: the (bucket,
+    bucket_size) sign-buckets :func:`embedding_near_dup_pairs` would
+    SKIP at the given cap — run alongside a capped pass so the skipped
+    mass is observable, not silent (the twin of
+    ``dedup.minhash_lsh_skipped_buckets``).  Also valid against a
+    persisted ANN index's rows (``build_ann_index`` stores the same
+    ``bucket`` column), so a streaming deployment can audit its
+    committed index without re-hashing the corpus."""
+    return (
+        vectors.select(
+            hyperplane_bucket_expr(vec_col, planes).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
 
 
@@ -313,18 +356,83 @@ def build_ann_index(
     rows would occupy top-k slots twice.  ``planes`` is recorded in the
     commit metadata and asserted on probe: a planes mismatch makes the
     bucket join match nothing, which must fail loudly, not return an
-    empty result."""
+    empty result.
+
+    Build-time SKEW AUDIT: per-bucket row counts are censused (≤
+    2^planes rows, map-side combined on the bucket key) and recorded in
+    the commit metadata (``bucket_stats``: total / max / hot bucket /
+    nonempty-bucket count).  A degenerate corpus — boilerplate
+    embeddings, mirrored pages — concentrates the STORED index into one
+    sign-bucket, and every later probe of that bucket scans O(index)
+    mates; when the hottest bucket holds more than
+    ``skew_warn_fraction`` of the rows, the build emits a warning
+    suggesting more planes (finer buckets) or different plane seeds,
+    instead of leaving the imbalance to be discovered at query time.
+    :func:`ann_index_skew_report` reads the recorded stats back without
+    touching data files."""
+    import warnings
+
     from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
 
+    skew_warn_fraction = 0.2
     base = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("ve"),
         hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
-    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+    ).withColumn("vn", F.sqrt(norm2_expr("ve"))).localCheckpoint(
+        eager=False
+    )  # hash + norm once: census and commit share the materialization
+    census = (
+        base.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.count("*").alias("nonempty"),
+            F.coalesce(F.max("n"), F.lit(0)).alias("max_n"),
+            # deterministic hot bucket: largest n, largest key on ties
+            F.max_by(
+                "bucket", F.struct(F.col("n"), F.col("bucket"))
+            ).alias("hot"),
+        )
+        .collect()[0]  # ONE driver row regardless of planes/corpus
+    )
+    total, hot_n = int(census["total"]), int(census["max_n"])
+    stats = {
+        "total_rows": total,
+        "nonempty_buckets": int(census["nonempty"]),
+        "max_bucket": hot_n,
+        "hot_bucket": census["hot"],
+    }
+    if total and hot_n > skew_warn_fraction * total:
+        warnings.warn(
+            f"ANN index skew: bucket {census['hot']!r} holds "
+            f"{hot_n}/{total} rows "
+            f"({hot_n / total:.0%} > {skew_warn_fraction:.0%}) — "
+            f"probes of that bucket scan O(index); consider more "
+            f"planes than {planes} (finer buckets) or re-seeding the "
+            f"hyperplanes, and cap pair generation with "
+            f"max_bucket_size",
+            stacklevel=2,
+        )
     return overwrite(
         spark, base, table,
-        meta={"source_version": source_version, "planes": planes},
+        meta={
+            "source_version": source_version,
+            "planes": planes,
+            "bucket_stats": stats,
+        },
     )
+
+
+def ann_index_skew_report(table: str) -> dict:
+    """The build-time bucket census of :func:`build_ann_index`, read
+    back from the current commit's metadata — no data files touched, so
+    an operator dashboard can poll it for free."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+    )
+
+    return current_snapshot(table).meta.get("bucket_stats", {})
 
 
 def lsh_topk_from_index(

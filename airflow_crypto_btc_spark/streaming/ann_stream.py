@@ -87,12 +87,27 @@ def embedding_index_sink(
     cosine_threshold: float = 0.9,
     compact_every: int | None = None,
     compact_target_parts: int = 4,
+    max_bucket_size: int | None = None,
 ):
     """``foreachBatch`` callback maintaining the ANN index table
     (nid, ve, vn, bucket) and the emitted near-dup pairs table with
-    exactly-once semantics."""
+    exactly-once semantics.
+
+    ``max_bucket_size`` caps the PROBE side per batch, mirroring the
+    batch operator (``similarity.embedding_near_dup_pairs``): the batch
+    side of the pair join is bounded by batch size, but its bucket-mates
+    side grows with the committed index — on a near-dup-heavy stream one
+    hot sign-bucket accumulates O(index) rows and the per-batch probe
+    goes quadratic in it.  With a cap, buckets whose index ∪ batch
+    population exceeds it emit no pairs that batch (the INDEX still
+    gains every batch row — only pair emission is capped, so the
+    serving artifact stays complete); audit the skipped mass with
+    ``similarity.embedding_near_dup_skipped_buckets`` over the index
+    table's rows."""
 
     def _fold(batch_df, batch_id: int) -> None:
+        from airflow_crypto_btc_spark.operators.dedup import _cap_buckets
+
         spark = batch_df.sparkSession
         committed = read_snapshot_or_none(spark, index_table)
         fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
@@ -107,6 +122,13 @@ def embedding_index_sink(
             batch_rows if committed is None
             else committed.unionByName(batch_rows)
         )
+        if max_bucket_size is not None:
+            # census on the same key the join shuffles on; the bucket
+            # count aggregate is ≤ 2^planes rows — map-side combined,
+            # never a second scan's worth of shuffle
+            probe_base = _cap_buckets(
+                probe_base, max_bucket_size, keys=("bucket",)
+            )
         a = batch_rows.select(
             F.col("nid").alias("id_a"),
             F.col("ve").alias("ea"),

@@ -65,6 +65,70 @@ def test_near_dup_pair_found(vectors):
     assert (3, 7) in pairs and pairs[(3, 7)] > 0.99
 
 
+def test_near_dup_bucket_cap_skips_hot_bucket(spark):
+    """Engineered skew (the curation purge torture-test's shape): 20% of
+    the corpus is one identical vector → one sign-bucket holds all of it
+    plus whatever else collides.  The cap must (a) drop exactly the
+    over-cap buckets' pairs, (b) be a no-op when generous, and (c) make
+    the skipped mass observable through the accounting twin."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        embedding_near_dup_skipped_buckets,
+        hyperplane_bucket_expr,
+    )
+
+    rng = np.random.RandomState(17)
+    n, dim, hot = 100, 8, 20
+    V = rng.randn(n, dim).astype(np.float64)
+    V[:hot] = np.full(dim, 1.0)  # 20% identical → one hot bucket
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(planes=4, cosine_threshold=0.5)
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, **kw).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            df, max_bucket_size=10, **kw
+        ).collect()
+    }
+    report = embedding_near_dup_skipped_buckets(
+        df, planes=4, max_bucket_size=10
+    ).collect()
+    assert report and all(r["bucket_size"] > 10 for r in report)
+    skipped = {r["bucket"] for r in report}
+    bucket_of = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", hyperplane_bucket_expr("embedding", 4).alias("b")
+        ).collect()
+    }
+    # pairs only form within a bucket → capped = uncapped minus pairs
+    # living in a skipped bucket; the hot identical block must be gone
+    assert capped == {
+        p: c
+        for p, c in uncapped.items()
+        if bucket_of[p[0]] not in skipped
+    }
+    assert all(not (a < hot and b < hot) for a, b in capped)
+    # the candidate join is bounded: ≤ cap·(cap−1)/2 pairs per surviving
+    # bucket — the skew-safety claim in operator form
+    from collections import Counter
+
+    per_bucket = Counter(bucket_of[a] for a, _ in capped)
+    assert all(v <= 10 * 9 // 2 for v in per_bucket.values())
+    # a generous cap changes nothing
+    assert uncapped == {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            df, max_bucket_size=n, **kw
+        ).collect()
+    }
+
+
 def test_norms(vectors):
     V, df = vectors
     got = {r["vec_id"]: r for r in embedding_norms(df).collect()}
@@ -474,6 +538,56 @@ def test_ann_index_persist_probe_matches_inplan(spark, sf_dir, tmp_path):
             spark, table, emb.filter("vec_id < 20"),
             planes=4, expect_source="emb@v2",
         )
+
+
+def test_ann_index_build_skew_audit(spark, tmp_path):
+    """A degenerate corpus concentrates the STORED index into one
+    sign-bucket: the build must record the bucket census in commit meta
+    and warn at build time (not leave it to query-time discovery); a
+    balanced corpus must build silently."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ann_index_skew_report,
+        build_ann_index,
+        lsh_topk_from_index,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim = 200, 16
+    V = rng.randn(n, dim).astype(np.float64)
+    balanced = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    t_ok = str(tmp_path / "ann_ok")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any warning fails the build
+        build_ann_index(spark, balanced, t_ok, "v1", planes=4)
+    stats = ann_index_skew_report(t_ok)
+    assert stats["total_rows"] == n
+    assert 0 < stats["max_bucket"] <= 0.2 * n
+    assert stats["nonempty_buckets"] > 1
+
+    V[: n // 2] = np.full(dim, 3.0)  # 50% identical → one hot bucket
+    skewed = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    t_hot = str(tmp_path / "ann_hot")
+    with _pytest.warns(UserWarning, match="ANN index skew"):
+        build_ann_index(spark, skewed, t_hot, "v1", planes=4)
+    stats = ann_index_skew_report(t_hot)
+    assert stats["max_bucket"] >= n // 2
+    assert stats["hot_bucket"] is not None
+    # the index still serves correctly — the audit observes, never drops
+    out = lsh_topk_from_index(
+        spark, t_hot, skewed.filter("vec_id >= 198"),
+        planes=4, k=5, expect_source="v1",
+    ).collect()
+    assert out
 
 
 def test_ann_index_rebuild_and_planes_pinning(spark, sf_dir, tmp_path):

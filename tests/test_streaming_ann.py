@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.operators.similarity import (
     embedding_near_dup_pairs,
@@ -102,6 +103,58 @@ def test_streaming_ann_crash_between_appends_replays_clean(
     assert sorted(
         r["nid"] for r in read_snapshot(spark, i_tbl).collect()
     ) == list(range(40))
+
+
+def test_streaming_ann_bucket_cap_bounds_probe(spark, tmp_path):
+    """Skewed stream: 40% of arriving vectors are one identical vector.
+    With a probe cap the hot bucket stops emitting pairs once its
+    index ∪ batch population exceeds the cap, while the INDEX still
+    commits every row (serving artifact stays complete) and uncrowded
+    buckets keep pairing normally across batches."""
+    rng = np.random.RandomState(5)
+    n, dim = 30, 16
+    V = rng.randn(n, dim).astype(np.float64)
+    V[:12] = np.full(dim, 2.0)  # hot identical block
+    V[20] = V[15] + rng.randn(dim) * 0.001  # benign near-dup pair
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    i_tbl, p_tbl = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = embedding_index_sink(
+        i_tbl, p_tbl, query_name="cap", planes=4,
+        cosine_threshold=0.95, max_bucket_size=5,
+    )
+    sink(df.filter("vec_id % 2 = 1"), 0)
+    sink(df.filter("vec_id % 2 = 0"), 1)
+    # index is complete regardless of the cap
+    assert sorted(
+        r["nid"] for r in read_snapshot(spark, i_tbl).collect()
+    ) == list(range(n))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in read_snapshot(spark, p_tbl).collect()
+    }
+    # the hot block (12 rows, cap 5) never pairs: batch 0 already holds
+    # 6 of its members, batch 1 pushes the bucket further over cap
+    assert not any(a < 12 and b < 12 for a, b in got)
+    # the uncrowded near-dup pair still lands (endpoints straddle the
+    # batch boundary: 15 odd, 20 even)
+    assert (15, 20) in got
+    # the skipped mass is auditable from the committed index rows
+    from airflow_crypto_btc_spark.operators.similarity import (
+        embedding_near_dup_skipped_buckets,
+    )
+
+    report = embedding_near_dup_skipped_buckets(
+        read_snapshot(spark, i_tbl).select(
+            F.col("nid").alias("vec_id"), F.col("ve").alias("embedding")
+        ),
+        planes=4,
+        max_bucket_size=5,
+    ).collect()
+    assert report and all(r["bucket_size"] > 5 for r in report)
+    assert any(r["bucket_size"] >= 12 for r in report)  # the hot block
 
 
 def test_streaming_ann_compaction_bounds_parts(spark, tmp_path):

@@ -829,6 +829,7 @@ def pq_train_codebooks(
     m: int = 4,
     iterations: int = 2,
     sample_cap: int | None = None,
+    corpus_rows: int | None = None,
 ):
     """Train product-quantization codebooks: the embedding space is split
     into ``m`` contiguous subspaces and the distributed k-means trainer
@@ -841,13 +842,29 @@ def pq_train_codebooks(
 
     ``sample_cap`` bounds the TRAINING set: when the corpus exceeds the
     cap, training runs on the deterministic modulus sample
-    ``pmod(id, ceil(n / cap)) = 0`` (≤ cap rows, replayable in plain
+    ``pmod(id, ceil(n / cap)) = 0`` (≤ ~cap rows, replayable in plain
     SQL — no RNG state) while encode/ADC still cover every vector.  This
     is the 100 TB shape: k-means quality saturates long before 50k
     samples, so the Lloyd iterations touch a fixed-size slice no matter
     how large the corpus grows, and only the single-pass encode scans
     everything.  Below the cap the sample is the whole corpus, so small-
-    scale results are unchanged."""
+    scale results are unchanged.
+
+    The modulus ``n`` is the RAW corpus row count — deliberately, so it
+    is derivable from table statistics (parquet footers, snapshot commit
+    logs) WITHOUT a scan: pass it as ``corpus_rows`` (see
+    ``sources.tables.parquet_row_count``) and the cold-train profile
+    loses its only full pre-pass; omit it and a ``count()`` job runs as
+    the portable fallback.  A wrong ``corpus_rows`` only shifts the
+    sample size, never correctness — but it must be the value stats
+    report, or a replaying oracle (which derives n the same way)
+    disagrees on which rows trained.
+
+    NOTE (behavior pin, since round 6): with the default
+    ``sample_cap=50000`` in :func:`pq_topk`, corpora above 50k vectors
+    train on the sample — codebooks (and thus top-k output) differ from
+    a pre-round-6 full-corpus train.  Pass ``sample_cap=None`` to opt
+    back into exact-old behavior at full training cost."""
     import numpy as np
 
     dim = len(vectors.select(vec_col).first()[0])
@@ -857,7 +874,7 @@ def pq_train_codebooks(
     unit = _unit_vectors(vectors, id_col, vec_col)
     smod = 1
     if sample_cap is not None:
-        n = unit.count()
+        n = corpus_rows if corpus_rows is not None else vectors.count()
         smod = max(1, -(-n // sample_cap))
         if smod > 1:
             unit = unit.filter(F.expr(f"pmod({id_col}, {smod}) = 0"))
@@ -1075,6 +1092,7 @@ def pq_topk(
     k: int = 10,
     books=None,
     sample_cap: int | None = 50000,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact rerank — the memory-bound ANN
     serving pattern: each vector is compressed to ``m`` codeword ids
@@ -1109,7 +1127,8 @@ def pq_topk(
     # ``sample_cap``-row slice (see pq_train_codebooks).
     if books is None:
         books = pq_train_codebooks(
-            vectors, id_col, vec_col, m=m, sample_cap=sample_cap
+            vectors, id_col, vec_col, m=m, sample_cap=sample_cap,
+            corpus_rows=corpus_rows,
         )
     elif len(books) != m:
         raise ValueError(f"got {len(books)} codebooks for m={m}")
@@ -1221,6 +1240,7 @@ def pq_save_index(
     vec_col: str = "embedding",
     m: int = 8,
     sample_cap: int | None = 50000,
+    corpus_rows: int | None = None,
 ) -> None:
     """Offline PQ index build: train codebooks on the deterministic
     sample, persist them (``<root>/books``) AND the full corpus's codes
@@ -1233,7 +1253,8 @@ def pq_save_index(
     from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
 
     books = pq_train_codebooks(
-        vectors, id_col, vec_col, m=m, sample_cap=sample_cap
+        vectors, id_col, vec_col, m=m, sample_cap=sample_cap,
+        corpus_rows=corpus_rows,
     )
     meta = {"source_version": source_version, "m": m}
     pq_save_codebooks(

@@ -377,8 +377,15 @@ def q_sim_pq_topk_from_codes(spark, sf_dir):
     source_version = f"embeddings@{stat.st_size}_{stat.st_mtime_ns}"
 
     def _land(staging: str) -> None:
+        from airflow_crypto_btc_spark.sources.tables import (
+            parquet_row_count,
+        )
+
         pq_save_index(
-            spark, emb, staging, source_version=source_version, m=8
+            spark, emb, staging, source_version=source_version, m=8,
+            corpus_rows=parquet_row_count(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ),
         )
 
     root = _landing_zone(sf_dir, "embeddings", "pq_index", _land)

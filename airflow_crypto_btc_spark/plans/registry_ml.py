@@ -367,9 +367,12 @@ def _pq_topk_sql(
       WHERE n2 > 0
     ),
     sm AS (
+      -- modulus over the RAW corpus row count (not post-normalization):
+      -- the engine derives n from table stats (parquet footers) without
+      -- a scan, and footers count every row incl. zero-norm vectors
       SELECT greatest(1, CAST(ceil(count(*) / {sample_cap}.0) AS BIGINT))
         AS v
-      FROM u
+      FROM embeddings
     ),
     ut AS (SELECT * FROM u WHERE nid % (SELECT v FROM sm) = 0),
     {subspaces},
@@ -428,10 +431,21 @@ def q_sim_pq_topk(spark, sf_dir):
     )
     from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
 
+    import os
+
+    from airflow_crypto_btc_spark.sources.tables import parquet_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
 
     def _land(staging: str) -> None:
-        books = pq_train_codebooks(emb, m=8, sample_cap=50000)
+        # modulus from parquet footer stats — the cold-train profile
+        # pays no full-corpus count() pre-pass
+        books = pq_train_codebooks(
+            emb, m=8, sample_cap=50000,
+            corpus_rows=parquet_row_count(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ),
+        )
         pq_save_codebooks(spark, books, staging)
 
     path = _landing_zone(sf_dir, "embeddings", "pq_books", _land)

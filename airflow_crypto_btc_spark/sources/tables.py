@@ -75,6 +75,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(path: str) -> int:
+    """EXACT row count of a parquet file or directory from footer
+    metadata — zero Spark jobs, driver-side only, O(#files) footer
+    reads.  This is how table statistics replace a full corpus
+    ``count()`` pre-pass (e.g. sizing the PQ training-sample modulus):
+    parquet footers record exact ``num_rows``, so the value equals what
+    a scan would count.
+
+    Valid for plain parquet datasets (the driver fixtures).  For a
+    snapshot table, sum the COMMIT LOG's live files instead — the table
+    dir may hold dead parts awaiting vacuum that a blind glob would
+    double-count."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        files = [path]
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
 

@@ -484,6 +484,41 @@ def test_pq_sampled_training_matches_oracle(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_pq_train_corpus_rows_from_stats(spark, sf_dir):
+    """The sampling modulus must be derivable from table statistics
+    (parquet footers) with NO count() pre-pass: stats-provided
+    corpus_rows trains bit-identical codebooks to the counting
+    fallback, and the stats value itself equals the scan count."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+    from airflow_crypto_btc_spark.sources.tables import (
+        load_table,
+        parquet_row_count,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    assert n == emb.count()  # footers are exact, not an estimate
+    b_stat = pq_train_codebooks(
+        emb, m=8, sample_cap=100, corpus_rows=n
+    )
+    b_scan = pq_train_codebooks(emb, m=8, sample_cap=100)
+    assert all(
+        np.array_equal(x, y) for x, y in zip(b_stat, b_scan)
+    ) and len(b_stat) == 8
+    # the parameter is honored: a different n shifts the deterministic
+    # modulus and therefore the trained books
+    b_other = pq_train_codebooks(
+        emb, m=8, sample_cap=100, corpus_rows=3 * n
+    )
+    assert not all(
+        np.array_equal(x, y) for x, y in zip(b_stat, b_other)
+    )
+
+
 def test_pq_topk_batch_invariant(spark, sf_dir):
     """The PQ shortlist must not depend on how the corpus is batched:
     a single-partition run (query's own row shares the batch with ALL

@@ -64,9 +64,52 @@ def test_real_codec_path_is_stubbed(mm):
         decode_media(mm, use_real_codecs=True).collect()
 
 
-def test_real_resample_is_stubbed(mm):
-    with pytest.raises(NotImplementedError, match="resampling"):
-        resize_media(decode_media(mm), use_real_codecs=True)
+def test_real_resample_gated_without_pillow(mm):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — resample gate only fires without it")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="NotImplementedError|resampling"):
+        resize_media(mm, use_real_codecs=True).collect()
+
+
+def test_resize_media_real_codecs_end_to_end(spark):
+    """Skipped until the environment gains Pillow; then the real
+    resample branch is covered end-to-end: correct target dims + scale
+    factors and a decodable PNG result for a good payload,
+    resize_ok=false (null dims/bytes, no task failure) for garbage."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    def _png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    mm_real = spark.createDataFrame(
+        [(1, _png(8, 16)), (2, b"definitely not an image payload")],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_media(
+            mm_real, 4, 4, use_real_codecs=True
+        ).collect()
+    }
+    ok = out[1]
+    assert (ok["width"], ok["height"]) == (4, 4)
+    assert ok["scale_x"] == pytest.approx(0.5)
+    assert ok["scale_y"] == pytest.approx(0.25)
+    assert ok["resize_ok"] is True
+    with Image.open(io.BytesIO(bytes(ok["resized"]))) as im:
+        assert (im.width, im.height) == (4, 4)
+    bad = out[2]
+    assert bad["resize_ok"] is False
+    assert bad["width"] is None and bad["resized"] is None
 
 
 def test_decode_media_real_codecs_end_to_end(spark):

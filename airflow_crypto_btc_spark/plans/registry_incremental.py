@@ -357,6 +357,42 @@ _SQL_DEDUP_NOVEL_DOCUMENTS = r"""
 """
 
 
+def q_dedup_novel_sharded(spark, sf_dir):
+    """Novelty served from PERSISTED, key-space-SHARDED bloom state
+    (operators/bloom.build_sharded_digest_bloom →
+    novel_documents_sharded): per-shard bitmaps live as snapshot-table
+    rows and each incoming row co-groups with only its shard's bitmap —
+    the beyond-driver-scale layout where no process ever holds the full
+    filter.  The bloom remains perf-only state, so the oracle is the
+    SAME exact anti-join as dedup_novel_documents: passing proves the
+    sharded round-trip (build → store → per-shard probe → exact verify)
+    changes nothing about the answer.  The state lands once per fixture
+    fingerprint (landing zone) — the offline-build/online-probe split."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.bloom import (
+        build_sharded_digest_bloom,
+        novel_documents_sharded,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_sharded_digest_bloom(
+            spark, corpus, staging, shards=16,
+            n_bits_per_shard=1 << 16, source_version=source_version,
+        )
+
+    table = _landing_zone(sf_dir, "documents", "sharded_bloom", _land)
+    return novel_documents_sharded(
+        spark, table, corpus, docs, expect_source=source_version
+    ).selectExpr("id AS doc_id")
+
+
 def q_sim_pq_topk_from_codes(spark, sf_dir):
     """PQ serving from the FULLY persisted index (codebooks AND codes —
     operators/similarity.pq_save_index → pq_topk_from_index): queries
@@ -640,6 +676,11 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_novel_documents": QuerySpec(
         q_dedup_novel_documents, _SQL_DEDUP_NOVEL_DOCUMENTS
+    ),
+    # same oracle: the sharded persisted bloom is perf-only state — the
+    # per-shard probe must reproduce the exact anti-join verbatim
+    "dedup_novel_sharded": QuerySpec(
+        q_dedup_novel_sharded, _SQL_DEDUP_NOVEL_DOCUMENTS
     ),
     # oracle = the same full PQ replay as sim_pq_topk: the persisted
     # train→encode→store→serve round-trip must be bit-identical

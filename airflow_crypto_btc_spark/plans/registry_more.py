@@ -1155,19 +1155,37 @@ def _landing_zone(sf_dir: str, table: str, fmt: str, land) -> str:
     # mid-read on a landing it resolved moments ago (e.g. a long oracle
     # run against a just-regenerated fixture), and yanking files under
     # an active reader fails its queries for no correctness gain.
+    # Tunable for long runs via SPARK_GRAFT_LANDING_GRACE_S.
     import time
 
-    grace_s = 3600
+    grace_s = float(
+        os.environ.get("SPARK_GRAFT_LANDING_GRACE_S", "3600")
+    )
     now = time.time()
     for stale in glob.glob(f"{prefix}*"):
         if stale == final or ".staging-" in stale:
+            continue
+        if ".trash-" in stale:
+            # orphan from a crash between rename and rmtree: already
+            # unreachable by name resolution, safe to finish deleting
+            shutil.rmtree(stale, ignore_errors=True)
             continue
         try:
             recent = now - os.stat(stale).st_mtime < grace_s
         except OSError:
             continue  # already gone (concurrent cleanup won)
         if not recent:
-            shutil.rmtree(stale, ignore_errors=True)
+            # rename-then-rmtree: the delete is atomic from a reader's
+            # view — a concurrent session that just RESOLVED the stale
+            # path either still opens it whole (rename lost the race,
+            # we retry next time) or fails fast at open with a clean
+            # missing-path error, never mid-read on a half-deleted tree
+            trash = f"{stale}.trash-{uuid.uuid4().hex}"
+            try:
+                os.rename(stale, trash)
+            except OSError:
+                continue  # a concurrent cleanup/reader won the rename
+            shutil.rmtree(trash, ignore_errors=True)
     return final
 
 

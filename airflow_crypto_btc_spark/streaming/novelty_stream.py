@@ -99,11 +99,20 @@ def novelty_sink(
                     "— positions would not line up; rebuild the state"
                 )
             bitmap_b = bytes(bloom_state.collect()[0]["bm"])
+        bitmap_bc = None
         if bitmap_b is None:
             suspects = batch
             certain = batch.limit(0)
         else:
-            flags = bloom_flags(batch, bitmap_b, n_bits, k, id_type)
+            # per-batch broadcast, explicitly released after the batch's
+            # appends materialize — a stream that never idles cannot
+            # lean on py4j GC + ContextCleaner to reclaim one bitmap's
+            # blocks per batch
+            bitmap_bc = spark.sparkContext.broadcast(bitmap_b)
+            flags = bloom_flags(
+                batch, bitmap_b, n_bits, k, id_type,
+                bitmap_bc=bitmap_bc,
+            )
             maybe_ids = flags.filter("maybe_seen").select("id")
             suspects = batch.join(maybe_ids, "id", "left_semi")
             certain = batch.join(maybe_ids, "id", "left_anti")
@@ -146,6 +155,11 @@ def novelty_sink(
         # leaves it on disk; without this an N-batch run accumulates N
         # dead copies of the (fixed-size) state
         vacuum(bloom_table)
+        if bitmap_bc is not None:
+            # all consumers of the flags are materialized (novel is
+            # checkpointed by the first append) — release the batch's
+            # broadcast blocks deterministically
+            bitmap_bc.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             for table in (digests_table, novel_table):
                 try:

@@ -653,7 +653,9 @@ def kmeans_train(
     v = vectors.select(
         F.col(id_col).alias("nid"),
         F.expr(to_dbl.format(c=vec_col)).alias("ve"),
-    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+    ).withColumn("vn", F.sqrt(norm2_expr("ve"))).localCheckpoint(
+        eager=False
+    )  # one cast+norm pass feeds every iteration's probe AND ve re-join
 
     means = None
     for _ in range(iterations):
@@ -662,16 +664,19 @@ def kmeans_train(
             F.col("vn") * F.col("cn") != 0,
             F.round(dot_expr("ve", "ce") / (F.col("vn") * F.col("cn")), 6),
         ).otherwise(F.lit(-2.0))
-        assigned = (
+        # skinny argmax (same rewrite as pq_train_codebooks): only
+        # (nid, cid, cos) flows through the |v|·|c| aggregate; the
+        # vector payload re-joins after the reduction to one row/vector
+        assign_ids = (
             v.join(F.broadcast(cent))
             .groupBy("nid")
             .agg(
                 F.max_by(
                     "cid", F.struct(cos.alias("c"), (-F.col("cid")).alias("t"))
                 ).alias("cid"),
-                F.first("ve").alias("ve"),  # constant within the nid group
             )
         )
+        assigned = v.select("nid", "ve").join(assign_ids, "nid")
         exploded = assigned.select(
             "cid", F.posexplode("ve").alias("pos0", "val")
         )
@@ -690,7 +695,9 @@ def kmeans_train(
                 "transform(array_sort(collect_list(struct(pos, val))), "
                 "s -> s.val)"
             ).alias("ce")
-        )
+        ).localCheckpoint(eager=False)
+        # lineage cut per round — without it, iteration i's broadcast
+        # and the final consumer re-execute every earlier iteration
     return means
 
 
@@ -902,8 +909,24 @@ def pq_train_codebooks(
                 ]
             )
         ).alias("sv"),
-    ).select("vec_id", F.col("sv.s").alias("s"), F.col("sv.ve").alias("ve"))
-    v = sliced.withColumn("vn", F.sqrt(norm2_expr("ve")))
+    ).select(
+        "vec_id", F.col("sv.s").alias("s"), F.col("sv.ve").alias("ve")
+    ).localCheckpoint(eager=False)
+    # ^ materialized once: the seed filter, every iteration's assignment
+    # probe, and the per-iteration ve re-join all read this slice table
+    # instead of re-exploding the corpus
+    # subspace width is known at plan time → the unrolled (codegen'd)
+    # dot/norm twins replace the interpreted HOF folds: bit-identical by
+    # construction (left-associated adds, see functions/hashing), and
+    # the assignment join's |vectors|·|centroids| cosine evaluations are
+    # where training actually spends its time (measured ~4 s/iteration
+    # of interpreted lambda dispatch at sf0.1 before this)
+    from airflow_crypto_btc_spark.functions.hashing import (
+        dot_expr_unrolled,
+        norm2_expr_unrolled,
+    )
+
+    v = sliced.withColumn("vn", F.sqrt(norm2_expr_unrolled("ve", sub)))
     # per-subspace seed rule on the SAMPLE QUOTIENT: sampled ids are the
     # multiples of smod, so seeding on pmod(id, 25) would leave most
     # subspaces with zero centroids (only residues divisible by
@@ -914,12 +937,24 @@ def pq_train_codebooks(
     ).select("s", F.col("vec_id").alias("cid"), F.col("ve").alias("ce"))
     means = None
     for _ in range(iterations):
-        cent = cent.withColumn("cn", F.sqrt(norm2_expr("ce")))
+        cent = cent.withColumn(
+            "cn", F.sqrt(norm2_expr_unrolled("ce", sub))
+        )
         cos = F.when(
             F.col("vn") * F.col("cn") != 0,
-            F.round(dot_expr("ve", "ce") / (F.col("vn") * F.col("cn")), 6),
+            F.round(
+                dot_expr_unrolled("ve", "ce", sub)
+                / (F.col("vn") * F.col("cn")),
+                6,
+            ),
         ).otherwise(F.lit(-2.0))
-        assigned = (
+        # SKINNY argmax: the |slice|·|centroids| joined stream carries
+        # only (s, vec_id, cid, cos) through the aggregate — the ve
+        # arrays re-join AFTER the argmax reduces to one row per
+        # (s, vec_id), so subvectors never ride a wide shuffle/agg
+        # buffer (previously F.first(ve) dragged every array through
+        # the 1.28M-row aggregate at sf0.1)
+        assign_ids = (
             v.join(F.broadcast(cent), "s")
             .groupBy("s", "vec_id")
             .agg(
@@ -927,9 +962,9 @@ def pq_train_codebooks(
                     "cid",
                     F.struct(cos.alias("c"), (-F.col("cid")).alias("t")),
                 ).alias("cid"),
-                F.first("ve").alias("ve"),
             )
         )
+        assigned = sliced.join(assign_ids, ["s", "vec_id"])
         exploded = assigned.select(
             "s", "cid", F.posexplode("ve").alias("pos0", "val")
         )
@@ -947,7 +982,12 @@ def pq_train_codebooks(
                 "transform(array_sort(collect_list(struct(pos, val))), "
                 "x -> x.val)"
             ).alias("ce")
-        )
+        ).localCheckpoint(eager=False)
+        # cut the lineage each round: without this, iteration i's
+        # broadcast AND the final collect each re-execute every earlier
+        # iteration's full assign→mean chain (the classic iterative-
+        # algorithm recompute blow-up — cost grows ~quadratically in
+        # iterations instead of linearly)
     rows = cent.select("s", "cid", "ce").collect()
     books = []
     for s in range(m):

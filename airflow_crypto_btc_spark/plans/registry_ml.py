@@ -453,6 +453,29 @@ def q_sim_pq_topk(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_sim_pq_topk_cold(spark, sf_dir):
+    """The COLD PQ profile: train codebooks + encode + ADC + rerank in
+    one invocation, deliberately bypassing the landing-zone model cache
+    — this entry's bench line is the train+serve cost, while
+    ``sim_pq_topk`` (warm model) and ``sim_pq_topk_from_codes``
+    (persisted codes) are the serve-only costs.  Same full-replay
+    oracle as sim_pq_topk.  The sampling modulus comes from parquet
+    footer stats, so even the cold path runs no count() pre-pass."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import pq_topk
+    from airflow_crypto_btc_spark.sources.tables import parquet_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb, m=8, sample_cap=50000,
+        corpus_rows=parquet_row_count(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def q_sim_quantized_topk(spark, sf_dir):
     """Cosine top-k over the int8-quantized vectors
     (operators/similarity.quantized_topk): integer dot products are
@@ -512,6 +535,10 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     # so the full pipeline (training included) is oracle-replayed; recall
     # vs the exact operator is additionally gated in tests/test_similarity.py.
     "sim_pq_topk": QuerySpec(q_sim_pq_topk, _pq_topk_sql()),
+    # same oracle, no landing zone: the honest cold profile (train +
+    # encode + serve every invocation) as its own named entry so bench
+    # lines never mix train+serve with serve-only again
+    "sim_pq_topk_cold": QuerySpec(q_sim_pq_topk_cold, _pq_topk_sql()),
     "sim_quantized_topk": QuerySpec(
         q_sim_quantized_topk, _SQL_SIM_QUANTIZED_TOPK
     ),

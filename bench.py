@@ -89,6 +89,13 @@ HEADLINE = [
     # landing-zone snapshot table; pass 1 of a fresh environment pays
     # the training, the median reflects the persisted-codebook serve)
     "sim_pq_topk",
+    # round-7 bench hygiene: cold (train+encode+serve, no model cache)
+    # and from-codes (fully persisted index) as their OWN lines, so
+    # round-over-round comparisons never mix train+serve with serve-only
+    "sim_pq_topk_cold",
+    "sim_pq_topk_from_codes",
+    # round-7: sharded-bloom novelty serving
+    "dedup_novel_sharded",
     "curate_weighted_sample",
     "funnel_stages",
     "cohort_retention",

@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 from airflow_crypto_btc_spark.operators.physical import widen_small_input
 from airflow_crypto_btc_spark.functions.hashing import (
     dot_expr,
+    dot_expr_unrolled,
     hex8_to_bigint_sql,
     norm2_expr,
+    norm2_expr_unrolled,
 )
 
 
@@ -47,17 +49,21 @@ def cosine_topk(
     # Norms are per-vector, so hoist them out of the pair loop: |q|·|v|
     # pairs each evaluate only the dot product, not three O(d) folds.
     # sqrt(norm2) is the same double either way — bit-identical cosines.
+    # The dot itself takes the unrolled codegen'd form when the width is
+    # probeable (value-identical; the |q|·|v| pair loop is exactly where
+    # interpreted-lambda dispatch costs show up).
+    dot, nrm2, _ = _vector_kernels(vectors, vec_col)
     q = vectors.filter(query_filter).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
-    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
+    ).withColumn("qn", F.sqrt(nrm2("qe")))
     v = vectors.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
-    ).withColumn("vn", F.sqrt(norm2_expr("ve")))
+    ).withColumn("vn", F.sqrt(nrm2("ve")))
     pairs = v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
     # zero-norm guard: ANSI mode errors on /0; degenerate vectors get null
     cos = F.when(
         F.col("qn") * F.col("vn") != 0,
-        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
+        F.round(dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -147,12 +153,51 @@ def cosine_topk_fast(
     )
 
 
+def _plane_weight(p: int, i: int) -> float:
+    """Driver-side twin of the SQL weight derivation
+    ``hex8_to_bigint(md5('p<p>:<i>')) % 1001 - 500`` — SAME VALUES by
+    construction (md5 is md5; the first-8-hex-chars int is < 2^32 so
+    both ``%`` are positive-operand), so a plan may bake the weights in
+    as literals without changing a single bucket."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{p}:{i}".encode()).hexdigest()[:8], 16)
+    return float(h % 1001 - 500)
+
+
 def hyperplane_bucket_expr(
-    vec_col: str = "embedding", planes: int = 8
+    vec_col: str = "embedding", planes: int = 8, dim: int | None = None
 ) -> F.Column:
     """Random-hyperplane LSH bucket key: for each plane p, weight on
     dimension i is md5-derived pseudo-random in [-500, 500]; bucket char =
-    sign bit of the projection.  Deterministic and reproducible in SQL."""
+    sign bit of the projection.  Deterministic and reproducible in SQL.
+
+    ``dim``: when the vector width is known at plan time AND small
+    (≤ ``_UNROLL_MAX_DIM``), the weights are precomputed driver-side
+    (:func:`_plane_weight`) and the projection unrolls into a codegen'd
+    literal chain — the generic form re-derives planes×dim md5 hashes
+    PER ROW inside an interpreted HOF.  The width gate is MEASURED: on
+    a bare dim=64 scan the literal form wins (0.62 → 0.28 s at sf0.1),
+    but embedded in join plans the planes×64-term chains blow the
+    generated-code size past JIT limits and the whole stage falls back
+    to interpreted expression trees — lsh_topk ran 0.85 → 3.1 s.  Above
+    the gate the generic HOF form is used regardless of ``dim``.
+    Left-associated adds = the fold's order, and the weights are
+    value-identical, so the two forms can never disagree on a bucket
+    (asserted in tests)."""
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        parts = []
+        for p in range(planes):
+            terms = [
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                * F.lit(_plane_weight(p, i + 1))
+                for i in range(dim)
+            ]
+            proj = terms[0]
+            for t in terms[1:]:
+                proj = proj + t
+            parts.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*parts)
     w = hex8_to_bigint_sql("md5(concat('p', cast(p as string), ':', cast(i as string)))")
     proj = (
         f"aggregate(zip_with({vec_col}, "
@@ -165,6 +210,43 @@ def hyperplane_bucket_expr(
         f"concat_ws('', transform(sequence(0, {planes - 1}), "
         f"p -> CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END))"
     )
+
+
+def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
+    """One-row width probe (a constant-cost first() job) enabling the
+    literal-weight bucket fast path; None on an empty/null input keeps
+    callers on the generic expression."""
+    row = vectors.select(vec_col).first()
+    return len(row[0]) if row is not None and row[0] is not None else None
+
+
+#: Width ceiling for unrolled dot/norm chains.  MEASURED, not guessed:
+#: at sub=8 (PQ training) the unrolled form wins over interpreted HOF
+#: dispatch, but at dim=64 the 64-term element_at chains explode the
+#: generated code (1-2 MB task binaries, methods past JIT limits) and
+#: ran ~4× SLOWER than the HOF fold across cosine/ivf/lsh at sf0.1.
+#: The literal-weight BUCKET expression is exempt — there the win comes
+#: from deleting planes×dim per-row md5 derivations, which dominates
+#: its own codegen bloat (0.62 → 0.28 s measured at dim=64).
+_UNROLL_MAX_DIM = 16
+
+
+def _vector_kernels(vectors: DataFrame, vec_col: str):
+    """(dot, norm2, dim) for an operator over ``vectors``: unrolled
+    codegen'd expression builders when the width is probeable AND small
+    enough to compile well (value-identical to the HOF folds — see
+    ``dot_expr_unrolled``'s bit-parity argument), the generic HOFs
+    otherwise.  ``dim`` is returned whenever probeable so callers can
+    still take the literal-weight bucket path.  The probe is one
+    first() job — constant cost, once per operator invocation."""
+    dim = _vec_dim(vectors, vec_col)
+    if dim and dim <= _UNROLL_MAX_DIM:
+        return (
+            lambda a, b: dot_expr_unrolled(a, b, dim),
+            lambda a: norm2_expr_unrolled(a, dim),
+            dim,
+        )
+    return dot_expr, norm2_expr, dim
 
 
 def embedding_near_dup_pairs(
@@ -194,13 +276,14 @@ def embedding_near_dup_pairs(
     here trades recall inside degenerate buckets for a bounded join."""
     from airflow_crypto_btc_spark.operators.dedup import _cap_buckets
 
+    dot, nrm2, dim = _vector_kernels(vectors, vec_col)
     base = (
         vectors.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("e"),
-            hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+            hyperplane_bucket_expr(vec_col, planes, dim).alias("bucket"),
         )
-        .withColumn("nrm", F.sqrt(norm2_expr("e")))
+        .withColumn("nrm", F.sqrt(nrm2("e")))
         .localCheckpoint(eager=False)
     )  # planes×dim projection + norm run once, not once per self-join side
     if max_bucket_size is not None:
@@ -219,7 +302,7 @@ def embedding_near_dup_pairs(
     )
     cos = F.when(
         F.col("na") * F.col("nb") != 0,
-        F.round(dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+        F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
     )
     return (
         a.join(b, ["bucket"])
@@ -247,7 +330,9 @@ def embedding_near_dup_skipped_buckets(
     committed index without re-hashing the corpus."""
     return (
         vectors.select(
-            hyperplane_bucket_expr(vec_col, planes).alias("bucket")
+            hyperplane_bucket_expr(
+                vec_col, planes, _vec_dim(vectors, vec_col)
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("bucket_size"))
@@ -279,22 +364,23 @@ def lsh_topk(
     query touches ``1 + planes`` partitions out of ``2^planes`` — the same
     pruning fraction regardless of data volume.
     """
+    dot, nrm2, dim = _vector_kernels(vectors, vec_col)
     base = (
         vectors.select(
             F.col(id_col).alias("nid"),
             F.col(vec_col).alias("ve"),
-            hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+            hyperplane_bucket_expr(vec_col, planes, dim).alias("bucket"),
         )
-        .withColumn("vn", F.sqrt(norm2_expr("ve")))
+        .withColumn("vn", F.sqrt(nrm2("ve")))
     )
     q = (
         vectors.filter(query_filter)
         .select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qe"),
-            hyperplane_bucket_expr(vec_col, planes).alias("qb"),
+            hyperplane_bucket_expr(vec_col, planes, dim).alias("qb"),
         )
-        .withColumn("qn", F.sqrt(norm2_expr("qe")))
+        .withColumn("qn", F.sqrt(nrm2("qe")))
     )
     if max_hamming is None:  # exhaustive limit: probe every bucket
         probe = (
@@ -318,7 +404,7 @@ def lsh_topk(
     )
     cos = F.when(
         F.col("qn") * F.col("vn") != 0,
-        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
+        F.round(dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -375,11 +461,12 @@ def build_ann_index(
     from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
 
     skew_warn_fraction = 0.2
+    _, nrm2, dim = _vector_kernels(vectors, vec_col)
     base = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("ve"),
-        hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
-    ).withColumn("vn", F.sqrt(norm2_expr("ve"))).localCheckpoint(
+        hyperplane_bucket_expr(vec_col, planes, dim).alias("bucket"),
+    ).withColumn("vn", F.sqrt(nrm2("ve"))).localCheckpoint(
         eager=False
     )  # hash + norm once: census and commit share the materialization
     census = (
@@ -474,11 +561,12 @@ def lsh_topk_from_index(
             f"requested planes={planes} — bucket keys cannot match"
         )
     base = read_snapshot(spark, table)
+    dot, nrm2, dim = _vector_kernels(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
-        hyperplane_bucket_expr(vec_col, planes).alias("qb"),
-    ).withColumn("qn", F.sqrt(norm2_expr("qe")))
+        hyperplane_bucket_expr(vec_col, planes, dim).alias("qb"),
+    ).withColumn("qn", F.sqrt(nrm2("qe")))
     if max_hamming is None:
         probe = (
             f"transform(sequence(0, {2 ** planes - 1}), "
@@ -501,7 +589,7 @@ def lsh_topk_from_index(
     )
     cos = F.when(
         F.col("qn") * F.col("vn") != 0,
-        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
+        F.round(dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -549,20 +637,24 @@ def ivf_topk(
     :func:`kmeans_centroid_arrays` — to search a *trained* coarse
     quantizer; otherwise ``centroid_filter`` picks seed vectors.
     """
+    # unrolled codegen'd kernels when the width is probeable — the
+    # assignment join evaluates |vectors|·|centroids| cosines, exactly
+    # where interpreted HOF dispatch costs (value-identical either way)
+    dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
     if centroids is None:
         centroids = vectors.filter(centroid_filter).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
         )
-    cent = centroids.withColumn("cn", F.sqrt(norm2_expr("ce")))
+    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
 
     def _nearest(df, id_out, vec_alias, keep, rank_col="__r"):
         # per-side norms precomputed; only the dot runs per pair
         norm_col = "__n_" + vec_alias
-        df = df.withColumn(norm_col, F.sqrt(norm2_expr(vec_alias)))
+        df = df.withColumn(norm_col, F.sqrt(nrm2(vec_alias)))
         cos = F.when(
             F.col(norm_col) * F.col("cn") != 0,
             F.round(
-                dot_expr(vec_alias, "ce") / (F.col(norm_col) * F.col("cn")),
+                dot(vec_alias, "ce") / (F.col(norm_col) * F.col("cn")),
                 6,
             ),
         ).alias("__ccos")
@@ -596,7 +688,7 @@ def ivf_topk(
 
     cos = F.when(
         F.col("qn") * F.col("vn") != 0,
-        F.round(dot_expr("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
+        F.round(dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.functions.hashing import (
     dot_expr,
+    dot_expr_unrolled,
     norm2_expr,
 )
 from airflow_crypto_btc_spark.operators.similarity import (
@@ -105,16 +106,28 @@ def embedding_index_sink(
     ``similarity.embedding_near_dup_skipped_buckets`` over the index
     table's rows."""
 
+    state: dict = {}  # vector width, probed once across the stream
+
     def _fold(batch_df, batch_id: int) -> None:
         from airflow_crypto_btc_spark.operators.dedup import _cap_buckets
+        from airflow_crypto_btc_spark.operators.similarity import _vec_dim
 
         spark = batch_df.sparkSession
+        # literal-weight bucket fast path: probe the width on the first
+        # non-empty batch and reuse it for the stream's lifetime (the
+        # bucket VALUES are identical either way — only the per-row
+        # md5-in-HOF cost disappears)
+        if "dim" not in state:
+            d = _vec_dim(batch_df, vec_col)
+            if d is not None:
+                state["dim"] = d
+        dim = state.get("dim")
         committed = read_snapshot_or_none(spark, index_table)
         fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
         batch_rows = fresh.select(
             F.col(id_col).alias("nid"),
             F.col(vec_col).alias("ve"),
-            hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+            hyperplane_bucket_expr(vec_col, planes, dim).alias("bucket"),
         ).withColumn(
             "vn", F.sqrt(norm2_expr("ve"))
         ).localCheckpoint(eager=False)
@@ -141,10 +154,19 @@ def embedding_index_sink(
             F.col("vn").alias("nb"),
             "bucket",
         )
+        from airflow_crypto_btc_spark.operators.similarity import (
+            _UNROLL_MAX_DIM,
+        )
+
+        pair_dot = (
+            (lambda x, y: dot_expr_unrolled(x, y, dim))
+            if dim is not None and dim <= _UNROLL_MAX_DIM
+            else dot_expr
+        )  # value-identical; see similarity._UNROLL_MAX_DIM for the gate
         cos = F.when(
             F.col("na") * F.col("nb") != 0,
             F.round(
-                dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6
+                pair_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6
             ),
         )
         pairs = (

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.operators.similarity import (
     cosine_topk,
@@ -127,6 +128,38 @@ def test_near_dup_bucket_cap_skips_hot_bucket(spark):
             df, max_bucket_size=n, **kw
         ).collect()
     }
+
+
+def test_hyperplane_bucket_literal_weights_match_hof(spark, sf_dir):
+    """The literal-weight (dim-known, codegen) bucket expression must
+    agree with the generic md5-in-HOF form on EVERY vector — bucket keys
+    are persisted in indexes, so the two forms must be one function.
+    Probed at dim ≤ _UNROLL_MAX_DIM (the only widths where the literal
+    path engages — wider inputs are gated back to the HOF form, which
+    the second assertion pins)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        _UNROLL_MAX_DIM,
+        hyperplane_bucket_expr,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 16-wide slices of the real fixture (inside the unroll gate)
+    narrow = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    for planes in (4, 8):
+        mism = narrow.select(
+            hyperplane_bucket_expr("embedding", planes).alias("hof"),
+            hyperplane_bucket_expr("embedding", planes, 16).alias("lit"),
+        ).filter("hof != lit")
+        assert mism.count() == 0
+    # beyond the gate the two calls build the SAME (HOF) expression
+    wide_dim = len(emb.select("embedding").first()[0])
+    assert wide_dim > _UNROLL_MAX_DIM
+    a = hyperplane_bucket_expr("embedding", 4, wide_dim)
+    b = hyperplane_bucket_expr("embedding", 4)
+    assert str(a) == str(b)
 
 
 def test_norms(vectors):

@@ -602,6 +602,181 @@ def lsh_topk_from_index(
     )
 
 
+def _nearest_centroids(
+    df: DataFrame,
+    cent: DataFrame,
+    dot,
+    nrm2,
+    id_out: str,
+    vec_alias: str,
+    keep: int,
+    rank_col: str = "__r",
+) -> DataFrame:
+    """Rank the *broadcast* centroid set ``cent`` — (cid, ce, cn) with the
+    norm precomputed — against every row of ``df`` and keep each row's
+    ``keep`` nearest by (cosine desc, cid asc): the shared coarse-quantizer
+    assignment step of :func:`ivf_topk` and :func:`semantic_purge`.  One
+    linear scan of ``df``; the vector side is never shuffled."""
+    # per-side norms precomputed; only the dot runs per pair
+    norm_col = "__n_" + vec_alias
+    df = df.withColumn(norm_col, F.sqrt(nrm2(vec_alias)))
+    cos = F.when(
+        F.col(norm_col) * F.col("cn") != 0,
+        F.round(
+            dot(vec_alias, "ce") / (F.col(norm_col) * F.col("cn")),
+            6,
+        ),
+    ).alias("__ccos")
+    w = Window.partitionBy(id_out).orderBy(F.desc("__ccos"), F.asc("cid"))
+    return (
+        df.join(F.broadcast(cent))
+        .withColumn("__ccos", cos)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= keep)
+    )
+
+
+def semantic_purge(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 25 = 7",
+    cosine_threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style, Abbas et al. 2023,
+    arXiv:2303.09540 — cluster-then-dedup): coarse-cluster the embedding
+    space, compare pairs only WITHIN a cluster, and drop every document
+    that has a smaller-id cluster-mate with cosine ≥ ``cosine_threshold``
+    (min-id survivor, same greedy-by-id rule as the LSH dedup family).
+    Complements :func:`embedding_near_dup_pairs`: hyperplane sign-buckets
+    catch near-IDENTICAL vectors (all planes must agree), while cluster
+    membership under a trained quantizer groups semantically-similar
+    documents whose vectors differ on some hyperplane — the curation use
+    case where templated/paraphrased content wastes training compute.
+
+    Returns the full labeling (``id_col``, cid, dup_of, keep) rather than
+    only survivors: dup_of = the smallest cluster-mate id above threshold
+    (NULL for kept rows), so lineage is observable and the purge is
+    ``filter(keep)`` away.  The dup relation is PAIRWISE, not transitively
+    closed across clusters — by construction every drop names a smaller
+    surviving-or-dropped id in the SAME cluster, which is SemDeDup's
+    ε-dedup semantics (cross-cluster duplicates are out of scope; that is
+    the recall/cost trade the clustering buys).
+
+    Determinism/oracle: ``centroid_filter`` picks seed vectors as the
+    coarse quantizer exactly like :func:`ivf_topk`, so a DuckDB oracle
+    replays assignment + purge bit-for-bit; pass ``centroids`` — (cid,
+    ce), e.g. :func:`kmeans_centroid_arrays` — for a trained quantizer
+    (assignment dataflow identical, oracle then rows-only).
+
+    Scale: assignment is one linear scan against the *broadcast* centroid
+    set (never shuffles the vector table); the pair step shuffles once on
+    cid and is bounded per cluster.  A trained quantizer keeps clusters
+    ~|corpus|/k, but EXACTLY the corpus this operator targets piles
+    boilerplate into one semantic cluster — at 100 TB always set
+    ``max_cluster_size`` (the shared ``_cap_buckets`` guard, keyed on
+    cid); oversized clusters are skipped whole and accountable via
+    :func:`semantic_purge_skipped_clusters`, their members all keeping
+    ``keep=true`` rather than silently vanishing.
+    """
+    from airflow_crypto_btc_spark.operators.dedup import _cap_buckets
+
+    dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
+    if centroids is None:
+        centroids = vectors.filter(centroid_filter).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        )
+    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
+    assigned = (
+        _nearest_centroids(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+            ),
+            cent,
+            dot,
+            nrm2,
+            "id",
+            "e",
+            keep=1,
+        )
+        .select("id", "e", F.col("__n_e").alias("vn"), "cid")
+        .localCheckpoint(eager=False)
+    )  # assignment runs once, not once per self-join side
+    paired = assigned
+    if max_cluster_size is not None:
+        paired = _cap_buckets(paired, max_cluster_size, keys=("cid",))
+    a = paired.select(
+        F.col("id").alias("id_dup"),
+        F.col("e").alias("ea"),
+        F.col("vn").alias("na"),
+        "cid",
+    )
+    b = paired.select(
+        F.col("id").alias("id_src"),
+        F.col("e").alias("eb"),
+        F.col("vn").alias("nb"),
+        "cid",
+    )
+    cos = F.when(
+        F.col("na") * F.col("nb") != 0,
+        F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+    )
+    dups = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_src") < F.col("id_dup"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .groupBy("id_dup")
+        .agg(F.min("id_src").alias("dup_of"))
+    )
+    return assigned.join(
+        dups, assigned.id == dups.id_dup, "left"
+    ).select(
+        F.col("id").alias(id_col),
+        "cid",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )
+
+
+def semantic_purge_skipped_clusters(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 25 = 7",
+    centroids: DataFrame | None = None,
+    max_cluster_size: int = 1000,
+) -> DataFrame:
+    """Accounting side of :func:`semantic_purge`'s cluster cap: the (cid,
+    cluster_size) clusters a capped pass skips — run alongside so the
+    un-deduped mass is observable, not silent (the twin of
+    ``dedup.minhash_lsh_skipped_buckets``)."""
+    dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
+    if centroids is None:
+        centroids = vectors.filter(centroid_filter).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        )
+    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
+    return (
+        _nearest_centroids(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+            ),
+            cent,
+            dot,
+            nrm2,
+            "id",
+            "e",
+            keep=1,
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > max_cluster_size)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -648,24 +823,8 @@ def ivf_topk(
     cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
 
     def _nearest(df, id_out, vec_alias, keep, rank_col="__r"):
-        # per-side norms precomputed; only the dot runs per pair
-        norm_col = "__n_" + vec_alias
-        df = df.withColumn(norm_col, F.sqrt(nrm2(vec_alias)))
-        cos = F.when(
-            F.col(norm_col) * F.col("cn") != 0,
-            F.round(
-                dot(vec_alias, "ce") / (F.col(norm_col) * F.col("cn")),
-                6,
-            ),
-        ).alias("__ccos")
-        w = Window.partitionBy(id_out).orderBy(
-            F.desc("__ccos"), F.asc("cid")
-        )
-        return (
-            df.join(F.broadcast(cent))
-            .withColumn("__ccos", cos)
-            .withColumn(rank_col, F.row_number().over(w))
-            .filter(F.col(rank_col) <= keep)
+        return _nearest_centroids(
+            df, cent, dot, nrm2, id_out, vec_alias, keep, rank_col
         )
 
     assigned = _nearest(

@@ -35,6 +35,7 @@ from airflow_crypto_btc_spark.operators.similarity import (
     embedding_near_dup_pairs,
     embedding_norms,
     ivf_topk,
+    semantic_purge,
 )
 from airflow_crypto_btc_spark.operators.text import (
     STOPWORDS,
@@ -585,6 +586,41 @@ _SQL_SIM_IVF_TOPK = f"""
 """
 
 
+def q_dedup_semantic_purge(spark, sf_dir):
+    # threshold pinned at 0.3 for the synthetic corpus (random-ish
+    # embeddings top out ~0.49 intra-cluster; the real-world default is
+    # 0.9) so the purge path — not just the all-keep degenerate — is
+    # what the oracle hashes
+    return semantic_purge(
+        load_table(spark, sf_dir, "embeddings"),
+        centroid_filter="vec_id % 25 = 7",
+        cosine_threshold=0.3,
+    )
+
+
+_SQL_DEDUP_SEMANTIC_PURGE = f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % 25 = 7),
+    v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+    assigned AS (
+      SELECT id, e, cid FROM (
+        SELECT id, e, cid,
+          row_number() OVER (PARTITION BY id
+            ORDER BY {_D_COS.format(a="e", b="ce")} DESC, cid) AS r
+        FROM v, cent)
+      WHERE r = 1
+    ),
+    dups AS (
+      SELECT a.id AS id_dup, MIN(b.id) AS dup_of
+      FROM assigned a JOIN assigned b ON a.cid = b.cid AND b.id < a.id
+      WHERE {_D_COS.format(a="a.e", b="b.e")} >= 0.3
+      GROUP BY a.id
+    )
+    SELECT assigned.id AS vec_id, cid, dup_of, dup_of IS NULL AS keep
+    FROM assigned LEFT JOIN dups ON assigned.id = dups.id_dup
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     out = embedding_norms(load_table(spark, sf_dir, "embeddings"))
     return out.select(
@@ -863,6 +899,9 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim_embedding_near_dup": QuerySpec(
         q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP
+    ),
+    "dedup_semantic_purge": QuerySpec(
+        q_dedup_semantic_purge, _SQL_DEDUP_SEMANTIC_PURGE
     ),
     "sim_lsh_topk": QuerySpec(q_sim_lsh_topk, _SQL_SIM_LSH_TOPK),
     "embedding_norms": QuerySpec(q_embedding_norms, _SQL_EMBEDDING_NORMS),

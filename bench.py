@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",
+    "dedup_semantic_purge",
     "sim_cosine_topk",
     "sim_cosine_topk_fast",
     "sim_ivf_topk",

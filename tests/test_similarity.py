@@ -746,3 +746,131 @@ def test_pq_index_serving_matches_fresh(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="disagree"):
         pq_topk_from_index(spark, root, emb)
+
+
+# ------------------------------------------------------- semantic purge
+
+
+def _numpy_semantic_purge(V, seed_ids, threshold):
+    """Reference SemDeDup labeling: nearest-seed assignment (6-dp cosine,
+    cid tie-break) then min-smaller-id dup within each cluster."""
+    Vd = V.astype(np.float64)
+    n = Vd / np.linalg.norm(Vd, axis=1, keepdims=True)
+    assign = {}
+    for i in range(len(V)):
+        best = min(
+            seed_ids, key=lambda c: (-round(float(n[i] @ n[c]), 6), c)
+        )
+        assign[i] = best
+    out = {}
+    for i in range(len(V)):
+        mates = [
+            j
+            for j in range(i)
+            if assign[j] == assign[i]
+            and round(float(n[i] @ n[j]), 6) >= threshold
+        ]
+        out[i] = (assign[i], min(mates) if mates else None)
+    return out
+
+
+def test_semantic_purge_matches_numpy(vectors):
+    from airflow_crypto_btc_spark.operators.similarity import semantic_purge
+
+    V, df = vectors
+    seed_ids = [i for i in range(N) if i % 7 == 2]
+    got = semantic_purge(
+        df, centroid_filter="vec_id % 7 = 2", cosine_threshold=0.5
+    ).collect()
+    expected = _numpy_semantic_purge(V, seed_ids, 0.5)
+    assert len(got) == N
+    for r in got:
+        cid, dup_of = expected[r["vec_id"]]
+        assert r["cid"] == cid, r
+        assert r["dup_of"] == dup_of, r
+        assert r["keep"] == (dup_of is None), r
+    # the purge is non-degenerate on this fixture: some rows dropped,
+    # some kept, and the planted near-dup pair collapsed
+    dropped = {r["vec_id"] for r in got if not r["keep"]}
+    assert dropped and len(dropped) < N
+
+
+def test_semantic_purge_trained_centroids_catch_planted_dup(vectors):
+    """With a TRAINED quantizer (kmeans_centroid_arrays) the planted
+    near-identical pair (3, 7) lands in one cluster and 7 purges as a
+    dup of 3 at a high threshold; everything else survives."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        kmeans_centroid_arrays,
+        semantic_purge,
+    )
+
+    V, df = vectors
+    cents = kmeans_centroid_arrays(df, seed_filter="vec_id % 7 = 2")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_purge(
+            df, centroids=cents, cosine_threshold=0.99
+        ).collect()
+    }
+    assert len(out) == N
+    assert out[7]["dup_of"] == 3 and not out[7]["keep"]
+    assert all(r["keep"] for i, r in out.items() if i != 7)
+    # labeling invariants: dup_of always names a smaller same-cluster id
+    for r in out.values():
+        if r["dup_of"] is not None:
+            assert r["dup_of"] < r["vec_id"]
+            assert out[r["dup_of"]]["cid"] == r["cid"]
+
+
+def test_semantic_purge_cluster_cap_skips_hot_cluster(spark):
+    """Engineered semantic skew: 20% of the corpus is one identical
+    vector -> one cluster holds the whole block.  The cap must skip that
+    cluster WHOLE (its members all keep=true, not silently vanish), leave
+    other clusters' purges untouched, report through the accounting twin,
+    and be a no-op when generous."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        semantic_purge,
+        semantic_purge_skipped_clusters,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim, hot = 100, 8, 20
+    V = rng.randn(n, dim).astype(np.float64)
+    V[:hot] = np.full(dim, 1.0)
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(centroid_filter="vec_id % 10 = 0", cosine_threshold=0.5)
+    uncapped = {
+        r["vec_id"]: r for r in semantic_purge(df, **kw).collect()
+    }
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_purge(df, max_cluster_size=15, **kw).collect()
+    }
+    assert len(capped) == n  # skipped members still labeled
+    report = semantic_purge_skipped_clusters(
+        df, centroid_filter="vec_id % 10 = 0", max_cluster_size=15
+    ).collect()
+    assert report and all(r["cluster_size"] > 15 for r in report)
+    skipped = {r["cid"] for r in report}
+    hot_cid = uncapped[0]["cid"]
+    assert hot_cid in skipped
+    for i, r in capped.items():
+        assert r["cid"] == uncapped[i]["cid"]  # assignment unchanged
+        if r["cid"] in skipped:
+            assert r["keep"] and r["dup_of"] is None
+        else:
+            assert r["dup_of"] == uncapped[i]["dup_of"]
+            assert r["keep"] == uncapped[i]["keep"]
+    # the identical block deduped uncapped, but survived under the cap
+    assert not uncapped[1]["keep"] and capped[1]["keep"]
+    # a generous cap changes nothing
+    generous = {
+        r["vec_id"]: (r["cid"], r["dup_of"], r["keep"])
+        for r in semantic_purge(df, max_cluster_size=n, **kw).collect()
+    }
+    assert generous == {
+        i: (r["cid"], r["dup_of"], r["keep"]) for i, r in uncapped.items()
+    }

@@ -900,9 +900,6 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "sim_embedding_near_dup": QuerySpec(
         q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP
     ),
-    "dedup_semantic_purge": QuerySpec(
-        q_dedup_semantic_purge, _SQL_DEDUP_SEMANTIC_PURGE
-    ),
     "sim_lsh_topk": QuerySpec(q_sim_lsh_topk, _SQL_SIM_LSH_TOPK),
     "embedding_norms": QuerySpec(q_embedding_norms, _SQL_EMBEDDING_NORMS),
     "mm_metadata": QuerySpec(q_mm_metadata, _SQL_MM_METADATA),

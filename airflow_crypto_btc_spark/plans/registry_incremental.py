@@ -28,7 +28,9 @@ from airflow_crypto_btc_spark.plans.registry import QuerySpec, _SQL_DAILY
 from airflow_crypto_btc_spark.plans.registry_ext import (
     _SQL_DEDUP_MINHASH_LSH_PAIRS,
     _SQL_DEDUP_NEAR_CLUSTERS,
+    _SQL_DEDUP_SEMANTIC_PURGE,
     _SQL_SIM_LSH_TOPK,
+    q_dedup_semantic_purge,
 )
 from airflow_crypto_btc_spark.plans import registry_ml as _reg_ml
 from airflow_crypto_btc_spark.sources.tables import load_table
@@ -107,6 +109,58 @@ _SQL_CURATE_NEAR_DUP_PURGE = f"""
     FROM documents d
     JOIN clusters c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
     JOIN sizes s ON s.cluster_id = c.cluster_id
+"""
+
+
+def q_curate_semantic_purge(spark, sf_dir):
+    """End-to-end semantic-purge shape (SemDeDup applied to a corpus):
+    documents whose embeddings survive cluster-bounded semantic dedup,
+    each with the purge accounting a curation pipeline reports — its
+    semantic cluster and how many cluster-mates were dropped.  Reuses
+    the exact ``semantic_purge`` labeling the standalone entry checks.
+
+    The docs ⋈ survivors join is deliberately NOT broadcast: survivors
+    are O(corpus), so at 100 TB this is a large-large equi-join on
+    doc_id and a key-distributed shuffle is the correct physical plan
+    (same rationale as ``curate_near_dup_purge``)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        semantic_purge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeling = semantic_purge(
+        load_table(spark, sf_dir, "embeddings"),
+        centroid_filter="vec_id % 25 = 7",
+        cosine_threshold=0.3,
+    )
+    per_cluster = labeling.groupBy("cid").agg(
+        F.count(F.when(~F.col("keep"), F.lit(1))).alias(
+            "n_purged_in_cluster"
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(
+            labeling.filter("keep").select(
+                F.col("vec_id").alias("doc_id"), "cid"
+            ),
+            "doc_id",
+        )
+        .join(per_cluster, "cid")
+        .select("doc_id", "source", "cid", "n_purged_in_cluster")
+    )
+
+
+_SQL_CURATE_SEMANTIC_PURGE = f"""
+    WITH labeling AS ({_SQL_DEDUP_SEMANTIC_PURGE}),
+    per_cluster AS (
+      SELECT cid, count(*) FILTER (WHERE NOT keep) AS n_purged_in_cluster
+      FROM labeling GROUP BY cid
+    )
+    SELECT d.doc_id, d.source, l.cid, p.n_purged_in_cluster
+    FROM documents d
+    JOIN labeling l ON l.vec_id = d.doc_id AND l.keep
+    JOIN per_cluster p ON p.cid = l.cid
 """
 
 
@@ -686,5 +740,13 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # train→encode→store→serve round-trip must be bit-identical
     "sim_pq_topk_from_codes": QuerySpec(
         q_sim_pq_topk_from_codes, _reg_ml._pq_topk_sql()
+    ),
+    # SemDeDup-shaped cluster-bounded embedding dedup (function + SQL in
+    # registry_ext; registered here so the first-50 window stays stable)
+    "dedup_semantic_purge": QuerySpec(
+        q_dedup_semantic_purge, _SQL_DEDUP_SEMANTIC_PURGE
+    ),
+    "curate_semantic_purge": QuerySpec(
+        q_curate_semantic_purge, _SQL_CURATE_SEMANTIC_PURGE
     ),
 }

@@ -777,6 +777,275 @@ def semantic_purge_skipped_clusters(
     )
 
 
+def build_semantic_index(
+    spark,
+    vectors: DataFrame,
+    centroids_table: str,
+    members_table: str,
+    source_version: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 25 = 7",
+    centroids: DataFrame | None = None,
+    quantizer: str | None = None,
+) -> None:
+    """Persist the semantic-dedup index — the offline half of
+    SemDeDup-at-ingest: the FROZEN coarse quantizer (cid, ce) in
+    ``centroids_table`` and the assigned corpus (id, e, vn, cid) in
+    ``members_table``, both recording ``source_version`` (and a
+    ``quantizer`` tag) in commit metadata so
+    :func:`semantic_purge_from_tables` can refuse stale / mixed-version
+    probes before reading a data file — the same freshness contract as
+    ``dedup.build_minhash_index``.
+
+    The commit metadata also records ``max_id``, the largest indexed id:
+    the incremental decomposition (see :func:`semantic_purge_delta`)
+    is exact only when every delta id is LARGER than every indexed id
+    (append-only id growth — dup_of references smaller ids only, so new
+    arrivals can never change an old document's labeling), and the probe
+    asserts that from the metadata plus one delta-sized aggregation.
+
+    Rebuild is an OVERWRITE commit (append would leave two generations
+    live behind a passing version check).  Build-time SKEW AUDIT
+    mirroring :func:`build_ann_index`: per-cluster counts are censused
+    into one driver row, recorded as ``cluster_stats``, and a warning
+    fires when the hottest cluster holds >20% of the corpus — degenerate
+    boilerplate piles into ONE semantic cluster, and every later delta
+    landing there scans O(index) mates; the fixes (more centroids, or
+    ``max_cluster_size`` on the probe) are named in the warning."""
+    import warnings
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    skew_warn_fraction = 0.2
+    dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
+    if centroids is None:
+        if quantizer is None:
+            quantizer = f"seed:{centroid_filter}"
+        centroids = vectors.filter(centroid_filter).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        )
+    elif quantizer is None:
+        raise ValueError(
+            "trained centroids need an explicit quantizer version tag — "
+            "the probe must be able to tell WHICH model assigned the "
+            "stored members"
+        )
+    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
+    members = (
+        _nearest_centroids(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+            ),
+            cent,
+            dot,
+            nrm2,
+            "id",
+            "e",
+            keep=1,
+        )
+        .select("id", "e", F.col("__n_e").alias("vn"), "cid")
+        .localCheckpoint(eager=False)
+    )  # assignment once: census and commit share the materialization
+    census = (
+        members.groupBy("cid")
+        .agg(F.count("*").alias("n"), F.max("id").alias("mx"))
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+            F.count("*").alias("nonempty"),
+            F.coalesce(F.max("n"), F.lit(0)).alias("max_n"),
+            F.max_by("cid", F.struct(F.col("n"), F.col("cid"))).alias(
+                "hot"
+            ),
+            F.max("mx").alias("max_id"),
+        )
+        .collect()[0]  # ONE driver row regardless of k/corpus
+    )
+    total, hot_n = int(census["total"]), int(census["max_n"])
+    stats = {
+        "total_rows": total,
+        "nonempty_clusters": int(census["nonempty"]),
+        "max_cluster": hot_n,
+        "hot_cluster": None if census["hot"] is None
+        else int(census["hot"]),
+    }
+    if total and hot_n > skew_warn_fraction * total:
+        warnings.warn(
+            f"semantic index skew: cluster {census['hot']} holds "
+            f"{hot_n}/{total} rows "
+            f"({hot_n / total:.0%} > {skew_warn_fraction:.0%}) — every "
+            f"delta landing there scans O(index) mates; consider more "
+            f"centroids (finer clusters) and cap probes with "
+            f"max_cluster_size",
+            stacklevel=2,
+        )
+    meta = {
+        "source_version": source_version,
+        "quantizer": quantizer,
+        "max_id": None if census["max_id"] is None
+        else int(census["max_id"]),
+        "cluster_stats": stats,
+    }
+    overwrite(spark, cent.select("cid", "ce"), centroids_table, meta=meta)
+    overwrite(spark, members, members_table, meta=meta)
+
+
+def semantic_purge_delta(
+    centroids: DataFrame,
+    members: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Label ONLY the delta against an existing semantic index — the
+    online half of SemDeDup-at-ingest.  With a frozen quantizer and
+    append-only ids (every delta id larger than every indexed id),
+
+        labeling(corpus) = labeling(old) ∪ semantic_purge_delta(index, Δ)
+
+    EXACTLY: dup_of references smaller ids only, so old labels cannot
+    change, and a delta doc's dup_of is the min over its above-threshold
+    cluster-mates among stored members ∪ smaller-id delta arrivals.
+    Per-increment cost is |Δ| × cluster, never |corpus|² — the delta is
+    the probe side of the cid join, so clusters without delta rows
+    contribute nothing.
+
+    ``centroids`` = (cid, ce), ``members`` = (id, e, vn, cid) — the
+    frames :func:`build_semantic_index` persisted; ``delta`` = new rows
+    in corpus shape (``id_col``, ``vec_col``).  Returns (id_col, cid,
+    dup_of, keep) for DELTA rows only.
+
+    ``max_cluster_size`` caps the STORED-member side per cluster (the
+    shared ``_cap_buckets`` guard); the delta side is bounded by |Δ|
+    already.  As with the capped text sibling, a capped incremental run
+    is union-of-per-run semantics, not equal to a one-shot capped run —
+    the exact identity above requires the cap off."""
+    from airflow_crypto_btc_spark.operators.dedup import _cap_buckets
+
+    dot, nrm2, _dim = _vector_kernels(delta, vec_col)
+    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
+    delta_assigned = (
+        _nearest_centroids(
+            delta.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+            ),
+            cent,
+            dot,
+            nrm2,
+            "id",
+            "e",
+            keep=1,
+        )
+        .select("id", "e", F.col("__n_e").alias("vn"), "cid")
+        .localCheckpoint(eager=False)
+    )  # probe side of the cid join AND the b-side union: compute once
+    mates = members.select("id", "e", "vn", "cid")
+    if max_cluster_size is not None:
+        mates = _cap_buckets(mates, max_cluster_size, keys=("cid",))
+    b = mates.unionByName(delta_assigned).select(
+        F.col("id").alias("id_src"),
+        F.col("e").alias("eb"),
+        F.col("vn").alias("nb"),
+        "cid",
+    )
+    a = delta_assigned.select(
+        F.col("id").alias("id_dup"),
+        F.col("e").alias("ea"),
+        F.col("vn").alias("na"),
+        "cid",
+    )
+    cos = F.when(
+        F.col("na") * F.col("nb") != 0,
+        F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+    )
+    dups = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_src") < F.col("id_dup"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .groupBy("id_dup")
+        .agg(F.min("id_src").alias("dup_of"))
+    )
+    return delta_assigned.join(
+        dups, delta_assigned.id == dups.id_dup, "left"
+    ).select(
+        F.col("id").alias(id_col),
+        "cid",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )
+
+
+def semantic_purge_from_tables(
+    spark,
+    centroids_table: str,
+    members_table: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    max_cluster_size: int | None = None,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Table-path front end of :func:`semantic_purge_delta` with the
+    FRESHNESS + MONOTONICITY pinning the exactness argument needs, all
+    checked before any index data file is read:
+
+    - the two tables' ``source_version`` (and ``quantizer``) metadata
+      must agree with each other — members assigned by model A probed
+      against model B's centroids would silently mis-cluster;
+    - ``expect_source``, when given, pins the index to the corpus
+      version the caller is deduplicating against (stale = rebuild);
+    - the delta's smallest id must exceed the recorded ``max_id`` (one
+      delta-sized aggregation vs one metadata scalar) — interleaved ids
+      would invalidate already-emitted old labelings, so they are
+      refused, not absorbed."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    c_meta = current_snapshot(centroids_table).meta
+    m_meta = current_snapshot(members_table).meta
+    for key in ("source_version", "quantizer"):
+        if c_meta.get(key) != m_meta.get(key):
+            raise ValueError(
+                f"semantic index tables disagree on {key}: "
+                f"centroids={c_meta.get(key)!r} "
+                f"members={m_meta.get(key)!r} — mixed-generation index, "
+                "rebuild it"
+            )
+    if expect_source is not None:
+        src = c_meta.get("source_version")
+        if src != expect_source:
+            raise ValueError(
+                f"stale semantic index: built from {src!r}, caller "
+                f"expects {expect_source!r} — rebuild before probing"
+            )
+    max_id = m_meta.get("max_id")
+    if max_id is not None:
+        lo = delta.agg(F.min(id_col).alias("lo")).collect()[0]["lo"]
+        if lo is not None and lo <= max_id:
+            raise ValueError(
+                f"delta id {lo} <= indexed max_id {max_id}: the "
+                "append-only decomposition requires strictly growing "
+                "ids — interleaved arrivals would change already-"
+                "emitted labelings; rebuild the index over the full "
+                "corpus instead"
+            )
+    return semantic_purge_delta(
+        read_snapshot(spark, centroids_table),
+        read_snapshot(spark, members_table),
+        delta,
+        id_col,
+        vec_col,
+        cosine_threshold,
+        max_cluster_size,
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     id_col: str = "vec_id",

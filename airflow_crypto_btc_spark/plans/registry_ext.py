@@ -598,9 +598,13 @@ def q_dedup_semantic_purge(spark, sf_dir):
     )
 
 
-_SQL_DEDUP_SEMANTIC_PURGE = f"""
+def _semantic_purge_sql(cent_where: str = "vec_id % 25 = 7") -> str:
+    """Full-corpus semantic-purge labeling; ``cent_where`` picks the seed
+    centroids so the incremental entry can pin the FROZEN (old-corpus)
+    quantizer while labeling the full corpus."""
+    return f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                  WHERE vec_id % 25 = 7),
+                  WHERE {cent_where}),
     v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
     assigned AS (
       SELECT id, e, cid FROM (
@@ -619,6 +623,9 @@ _SQL_DEDUP_SEMANTIC_PURGE = f"""
     SELECT assigned.id AS vec_id, cid, dup_of, dup_of IS NULL AS keep
     FROM assigned LEFT JOIN dups ON assigned.id = dups.id_dup
 """
+
+
+_SQL_DEDUP_SEMANTIC_PURGE = _semantic_purge_sql()
 
 
 def q_embedding_norms(spark, sf_dir):

@@ -30,6 +30,7 @@ from airflow_crypto_btc_spark.plans.registry_ext import (
     _SQL_DEDUP_NEAR_CLUSTERS,
     _SQL_DEDUP_SEMANTIC_PURGE,
     _SQL_SIM_LSH_TOPK,
+    _semantic_purge_sql,
     q_dedup_semantic_purge,
 )
 from airflow_crypto_btc_spark.plans import registry_ml as _reg_ml
@@ -162,6 +163,56 @@ _SQL_CURATE_SEMANTIC_PURGE = f"""
     JOIN labeling l ON l.vec_id = d.doc_id AND l.keep
     JOIN per_cluster p ON p.cid = l.cid
 """
+
+
+def q_dedup_semantic_delta(spark, sf_dir):
+    """The SERVING shape of semantic dedup: the frozen quantizer +
+    assigned corpus live in snapshot tables built ONCE per corpus
+    version (landing-zone keyed by the fixture fingerprint) and the
+    increment is labeled through the version-PINNED table-path front end
+    — `semantic_purge_from_tables` refuses stale / mixed-generation /
+    id-interleaved probes before reading any data.  Full labeling =
+    labeling(old) ∪ delta-probe(Δ); the oracle is the one-shot
+    full-corpus SQL under the same frozen (old-corpus) seed quantizer,
+    so passing proves the persisted decomposition is exact, commit-log
+    round-trip included."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge,
+        semantic_purge_from_tables,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id < 400")
+    stat = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    source_version = f"embeddings@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_semantic_index(
+            spark,
+            old,
+            os.path.join(staging, "centroids"),
+            os.path.join(staging, "members"),
+            source_version=source_version,
+            centroid_filter="vec_id % 25 = 7",
+        )
+
+    idx = _landing_zone(sf_dir, "embeddings", "semantic_index", _land)
+    old_labeling = semantic_purge(
+        old, centroid_filter="vec_id % 25 = 7", cosine_threshold=0.3
+    )
+    delta_labeling = semantic_purge_from_tables(
+        spark,
+        os.path.join(idx, "centroids"),
+        os.path.join(idx, "members"),
+        emb.filter("vec_id >= 400"),
+        cosine_threshold=0.3,
+        expect_source=source_version,
+    )
+    return old_labeling.unionByName(delta_labeling)
 
 
 def q_dedup_near_clusters_two_star(spark, sf_dir):
@@ -748,5 +799,12 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_semantic_purge": QuerySpec(
         q_curate_semantic_purge, _SQL_CURATE_SEMANTIC_PURGE
+    ),
+    # oracle = the one-shot full-corpus labeling under the frozen
+    # old-corpus quantizer: the persisted old ∪ delta decomposition must
+    # reproduce it exactly
+    "dedup_semantic_delta": QuerySpec(
+        q_dedup_semantic_delta,
+        _semantic_purge_sql("vec_id % 25 = 7 AND vec_id < 400"),
     ),
 }

@@ -874,3 +874,162 @@ def test_semantic_purge_cluster_cap_skips_hot_cluster(spark):
     assert generous == {
         i: (r["cid"], r["dup_of"], r["keep"]) for i, r in uncapped.items()
     }
+
+
+def test_semantic_index_roundtrip_identity(vectors, spark, tmp_path):
+    """labeling(corpus) == labeling(old) ∪ delta-probe(Δ) EXACTLY, with
+    the index passing through its persisted snapshot-table form."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge,
+        semantic_purge_delta,
+        semantic_purge_from_tables,
+    )
+
+    V, df = vectors
+    old, delta = df.filter("vec_id < 40"), df.filter("vec_id >= 40")
+    seeds = old.filter("vec_id % 7 = 2").selectExpr(
+        "vec_id AS cid", "embedding AS ce"
+    )
+    ct, mt = str(tmp_path / "centroids"), str(tmp_path / "members")
+    build_semantic_index(
+        spark, old, ct, mt, source_version="v1",
+        centroid_filter="vec_id % 7 = 2",
+    )
+    full = {
+        r["vec_id"]: (r["cid"], r["dup_of"], r["keep"])
+        for r in semantic_purge(
+            df, centroids=seeds, cosine_threshold=0.5
+        ).collect()
+    }
+    old_lab = semantic_purge(
+        old, centroids=seeds, cosine_threshold=0.5
+    ).collect()
+    delta_lab = semantic_purge_from_tables(
+        spark, ct, mt, delta, cosine_threshold=0.5, expect_source="v1"
+    ).collect()
+    got = {
+        r["vec_id"]: (r["cid"], r["dup_of"], r["keep"])
+        for r in old_lab + delta_lab
+    }
+    assert got == full and len(got) == N
+    # some delta row deduped against an OLD member (the decomposition's
+    # interesting case actually exercised, not vacuously true)
+    assert any(
+        r["dup_of"] is not None and r["dup_of"] < 40 for r in delta_lab
+    )
+    # the frame-level core gives the same answer as the table path
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    direct = semantic_purge_delta(
+        read_snapshot(spark, ct), read_snapshot(spark, mt), delta,
+        cosine_threshold=0.5,
+    ).collect()
+    assert {
+        r["vec_id"]: (r["cid"], r["dup_of"], r["keep"]) for r in direct
+    } == {
+        r["vec_id"]: (r["cid"], r["dup_of"], r["keep"]) for r in delta_lab
+    }
+
+
+def test_semantic_index_pinning_refusals(vectors, spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge_from_tables,
+    )
+
+    V, df = vectors
+    old, delta = df.filter("vec_id < 40"), df.filter("vec_id >= 40")
+    ct, mt = str(tmp_path / "centroids"), str(tmp_path / "members")
+    build_semantic_index(
+        spark, old, ct, mt, source_version="v1",
+        centroid_filter="vec_id % 7 = 2",
+    )
+    # stale: caller expects a newer corpus version
+    with pytest.raises(ValueError, match="stale semantic index"):
+        semantic_purge_from_tables(
+            spark, ct, mt, delta, expect_source="v2"
+        )
+    # interleaved delta id <= indexed max_id → refused (old labelings
+    # would silently change)
+    with pytest.raises(ValueError, match="append-only"):
+        semantic_purge_from_tables(
+            spark, ct, mt, df.filter("vec_id >= 39"), expect_source="v1"
+        )
+    # mixed generation: centroids rebuilt at v2, members still v1
+    ct2 = str(tmp_path / "centroids2")
+    build_semantic_index(
+        spark, old, ct2, mt + "_scratch", source_version="v2",
+        centroid_filter="vec_id % 7 = 2",
+    )
+    with pytest.raises(ValueError, match="mixed-generation"):
+        semantic_purge_from_tables(spark, ct2, mt, delta)
+    # trained centroids without a model version tag → refused at build
+    with pytest.raises(ValueError, match="quantizer version"):
+        build_semantic_index(
+            spark, old, ct, mt, source_version="v1",
+            centroids=old.selectExpr("vec_id AS cid", "embedding AS ce"),
+        )
+
+
+def test_semantic_index_skew_warning_and_delta_cap(spark, tmp_path):
+    """A hot cluster (identical boilerplate) warns at BUILD time and is
+    capped on the member side at PROBE time — delta rows landing there
+    lose stored mates but still dedup among themselves."""
+    import warnings as _w
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge_from_tables,
+    )
+
+    rng = np.random.RandomState(31)
+    n, dim, hot = 50, 8, 20
+    V = rng.randn(n, dim).astype(np.float64)
+    V[:hot] = np.full(dim, 1.0)  # 40% identical → one hot cluster
+    old = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    ct, mt = str(tmp_path / "c"), str(tmp_path / "m")
+    with pytest.warns(UserWarning, match="semantic index skew"):
+        build_semantic_index(
+            spark, old, ct, mt, source_version="v1",
+            centroid_filter="vec_id % 10 = 0",
+        )
+    from airflow_crypto_btc_spark.operators.similarity import (
+        semantic_purge_skipped_clusters,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+    )
+
+    stats = current_snapshot(mt).meta["cluster_stats"]
+    assert stats["total_rows"] == n and stats["max_cluster"] >= hot
+    # two identical delta arrivals: uncapped they dup against stored
+    # members; with the hot cluster capped out they dup only each other
+    delta = spark.createDataFrame(
+        [(100, np.full(dim, 1.0).tolist()),
+         (101, np.full(dim, 1.0).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        uncapped = {
+            r["vec_id"]: r["dup_of"]
+            for r in semantic_purge_from_tables(
+                spark, ct, mt, delta, cosine_threshold=0.9
+            ).collect()
+        }
+        capped = {
+            r["vec_id"]: r["dup_of"]
+            for r in semantic_purge_from_tables(
+                spark, ct, mt, delta, cosine_threshold=0.9,
+                max_cluster_size=10,
+            ).collect()
+        }
+    assert uncapped[100] == 0 and uncapped[101] == 0
+    assert capped[100] is None  # stored mates capped away, no smaller Δ
+    assert capped[101] == 100  # still dedups against the smaller arrival

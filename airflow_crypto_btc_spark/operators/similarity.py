@@ -892,7 +892,7 @@ def build_semantic_index(
 
 def semantic_purge_delta(
     centroids: DataFrame,
-    members: DataFrame,
+    members: DataFrame | None,
     delta: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -941,10 +941,16 @@ def semantic_purge_delta(
         .select("id", "e", F.col("__n_e").alias("vn"), "cid")
         .localCheckpoint(eager=False)
     )  # probe side of the cid join AND the b-side union: compute once
-    mates = members.select("id", "e", "vn", "cid")
-    if max_cluster_size is not None:
-        mates = _cap_buckets(mates, max_cluster_size, keys=("cid",))
-    b = mates.unionByName(delta_assigned).select(
+    if members is None:  # empty index (a stream's first batch): the
+        mates = None     # b-side is the delta itself
+    else:
+        mates = members.select("id", "e", "vn", "cid")
+        if max_cluster_size is not None:
+            mates = _cap_buckets(mates, max_cluster_size, keys=("cid",))
+    b = (
+        delta_assigned if mates is None
+        else mates.unionByName(delta_assigned)
+    ).select(
         F.col("id").alias("id_src"),
         F.col("e").alias("eb"),
         F.col("vn").alias("nb"),

@@ -984,6 +984,110 @@ def semantic_purge_delta(
     )
 
 
+def _check_semantic_index_meta(
+    centroids_table: str,
+    members_table: str,
+    expect_source: str | None,
+) -> dict:
+    """Shared freshness gate of the semantic-index table consumers
+    (:func:`semantic_purge_from_tables`, :func:`ivf_topk_from_tables`):
+    the two tables' ``source_version`` and ``quantizer`` metadata must
+    agree with each other, and with ``expect_source`` when given — all
+    checked from the commit log, no data files read.  Returns the
+    members table's metadata."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+    )
+
+    c_meta = current_snapshot(centroids_table).meta
+    m_meta = current_snapshot(members_table).meta
+    for key in ("source_version", "quantizer"):
+        if c_meta.get(key) != m_meta.get(key):
+            raise ValueError(
+                f"semantic index tables disagree on {key}: "
+                f"centroids={c_meta.get(key)!r} "
+                f"members={m_meta.get(key)!r} — mixed-generation index, "
+                "rebuild it"
+            )
+    if expect_source is not None:
+        src = c_meta.get("source_version")
+        if src != expect_source:
+            raise ValueError(
+                f"stale semantic index: built from {src!r}, caller "
+                f"expects {expect_source!r} — rebuild before probing"
+            )
+    return m_meta
+
+
+def ivf_topk_from_tables(
+    spark,
+    centroids_table: str,
+    members_table: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 10,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Serve IVF top-k from the PERSISTED semantic index — the members
+    table (id, e, vn, cid) IS an inverted-file layout (one list per
+    coarse cell), so the same artifact :func:`build_semantic_index`
+    maintains for dedup doubles as the IVF serving index: queries rank
+    the stored (broadcast) centroids, keep the ``n_probe`` nearest
+    lists, and exact cosine runs only against those lists' members —
+    the corpus is never re-assigned at query time.  Output and
+    semantics are exactly :func:`ivf_topk` with the same centroid set
+    (shared assignment helper, same 6-dp rounding and tie-breaks), so
+    the in-plan entry's oracle checks this path verbatim.
+
+    At scale the members table is compacted/clustered on cid
+    (``snapshot_table.compact(cluster_by=...)``), so each probe's
+    n_probe lists open only the files whose cid range covers them —
+    the same file-skipping story as the ANN index's bucket column.
+    ``expect_source`` pins the index generation (same contract as every
+    ``*_from_tables`` consumer)."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    _check_semantic_index_meta(centroids_table, members_table, expect_source)
+    dot, nrm2, _dim = _vector_kernels(queries, vec_col)
+    cent = read_snapshot(spark, centroids_table).withColumn(
+        "cn", F.sqrt(nrm2("ce"))
+    )
+    probed = _nearest_centroids(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+        ),
+        cent,
+        dot,
+        nrm2,
+        "qid",
+        "qe",
+        keep=n_probe,
+    ).select("qid", "qe", F.col("__n_qe").alias("qn"), "cid")
+    members = read_snapshot(spark, members_table).select(
+        F.col("id").alias("nid"),
+        F.col("e").alias("ve"),
+        "vn",
+        "cid",
+    )
+    cos = F.when(
+        F.col("qn") * F.col("vn") != 0,
+        F.round(dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        members.join(F.broadcast(probed), ["cid"])
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 def semantic_purge_from_tables(
     spark,
     centroids_table: str,
@@ -1013,23 +1117,9 @@ def semantic_purge_from_tables(
         read_snapshot,
     )
 
-    c_meta = current_snapshot(centroids_table).meta
-    m_meta = current_snapshot(members_table).meta
-    for key in ("source_version", "quantizer"):
-        if c_meta.get(key) != m_meta.get(key):
-            raise ValueError(
-                f"semantic index tables disagree on {key}: "
-                f"centroids={c_meta.get(key)!r} "
-                f"members={m_meta.get(key)!r} — mixed-generation index, "
-                "rebuild it"
-            )
-    if expect_source is not None:
-        src = c_meta.get("source_version")
-        if src != expect_source:
-            raise ValueError(
-                f"stale semantic index: built from {src!r}, caller "
-                f"expects {expect_source!r} — rebuild before probing"
-            )
+    m_meta = _check_semantic_index_meta(
+        centroids_table, members_table, expect_source
+    )
     max_id = m_meta.get("max_id")
     if max_id is not None:
         lo = delta.agg(F.min(id_col).alias("lo")).collect()[0]["lo"]

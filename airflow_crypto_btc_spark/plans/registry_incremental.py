@@ -29,6 +29,7 @@ from airflow_crypto_btc_spark.plans.registry_ext import (
     _SQL_DEDUP_MINHASH_LSH_PAIRS,
     _SQL_DEDUP_NEAR_CLUSTERS,
     _SQL_DEDUP_SEMANTIC_PURGE,
+    _SQL_SIM_IVF_TOPK,
     _SQL_SIM_LSH_TOPK,
     _semantic_purge_sql,
     q_dedup_semantic_purge,
@@ -213,6 +214,50 @@ def q_dedup_semantic_delta(spark, sf_dir):
         expect_source=source_version,
     )
     return old_labeling.unionByName(delta_labeling)
+
+
+def q_sim_ivf_topk_from_index(spark, sf_dir):
+    """IVF serving from the PERSISTED semantic index: the members table
+    (one inverted list per coarse cell) is built once per fixture
+    version and queries probe only their n_probe nearest stored lists —
+    the online counterpart of the in-plan ``sim_ivf_topk`` entry, which
+    is also its oracle: same SQL, so passing proves the persisted
+    round-trip changes nothing."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        ivf_topk_from_tables,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stat = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    source_version = f"embeddings@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_semantic_index(
+            spark,
+            emb,
+            os.path.join(staging, "centroids"),
+            os.path.join(staging, "members"),
+            source_version=source_version,
+            centroid_filter="vec_id % 25 = 7",
+        )
+
+    idx = _landing_zone(sf_dir, "embeddings", "ivf_index", _land)
+    out = ivf_topk_from_tables(
+        spark,
+        os.path.join(idx, "centroids"),
+        os.path.join(idx, "members"),
+        emb.filter("vec_id < 20"),
+        n_probe=4,
+        k=10,
+        expect_source=source_version,
+    )
+    return out.select(
+        "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
 
 
 def q_dedup_near_clusters_two_star(spark, sf_dir):
@@ -806,5 +851,10 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     "dedup_semantic_delta": QuerySpec(
         q_dedup_semantic_delta,
         _semantic_purge_sql("vec_id % 25 = 7 AND vec_id < 400"),
+    ),
+    # oracle = the in-plan sim_ivf_topk SQL: serving from the persisted
+    # inverted lists must reproduce the one-shot computation exactly
+    "sim_ivf_topk_from_index": QuerySpec(
+        q_sim_ivf_topk_from_index, _SQL_SIM_IVF_TOPK
     ),
 }

@@ -1033,3 +1033,48 @@ def test_semantic_index_skew_warning_and_delta_cap(spark, tmp_path):
     assert uncapped[100] == 0 and uncapped[101] == 0
     assert capped[100] is None  # stored mates capped away, no smaller Δ
     assert capped[101] == 100  # still dedups against the smaller arrival
+
+
+def test_ivf_from_tables_matches_inplan(vectors, spark, tmp_path):
+    """Serving from the persisted inverted lists reproduces the in-plan
+    ivf_topk exactly (same centroid set), and the shared meta gate
+    refuses a mixed-generation index."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        ivf_topk,
+        ivf_topk_from_tables,
+    )
+
+    V, df = vectors
+    ct, mt = str(tmp_path / "cent"), str(tmp_path / "members")
+    build_semantic_index(
+        spark, df, ct, mt, source_version="v1",
+        centroid_filter="vec_id % 7 = 2",
+    )
+    got = {
+        (r["qid"], r["rnk"]): (r["nid"], r["cosine"])
+        for r in ivf_topk_from_tables(
+            spark, ct, mt, df.filter("vec_id < 5"), n_probe=3, k=8,
+            expect_source="v1",
+        ).collect()
+    }
+    want = {
+        (r["qid"], r["rnk"]): (r["nid"], r["cosine"])
+        for r in ivf_topk(
+            df, centroid_filter="vec_id % 7 = 2",
+            query_filter="vec_id < 5", n_probe=3, k=8,
+        ).collect()
+    }
+    assert got == want and got
+    with pytest.raises(ValueError, match="stale semantic index"):
+        ivf_topk_from_tables(
+            spark, ct, mt, df.filter("vec_id < 5"), expect_source="v9"
+        )
+    # mixed generation: centroids from a different build
+    ct2 = str(tmp_path / "cent2")
+    build_semantic_index(
+        spark, df, ct2, mt + "_scratch", source_version="v2",
+        centroid_filter="vec_id % 7 = 2",
+    )
+    with pytest.raises(ValueError, match="mixed-generation"):
+        ivf_topk_from_tables(spark, ct2, mt, df.filter("vec_id < 5"))

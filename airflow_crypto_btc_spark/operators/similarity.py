@@ -616,7 +616,23 @@ def _nearest_centroids(
     norm precomputed — against every row of ``df`` and keep each row's
     ``keep`` nearest by (cosine desc, cid asc): the shared coarse-quantizer
     assignment step of :func:`ivf_topk` and :func:`semantic_purge`.  One
-    linear scan of ``df``; the vector side is never shuffled."""
+    linear scan of ``df``; the vector side is never shuffled.
+
+    ``keep=1`` (assignment — the |corpus|-sided call) is a ``max_by``
+    hash AGGREGATION, not a window: partial aggregation reduces each map
+    task to one row per id BEFORE the exchange, so |df| rows cross the
+    shuffle instead of |df| × |centroids| sort-buffered wide rows — at
+    an IVF-realistic centroid count (10⁴-10⁵) the window form moves four
+    orders of magnitude more data.  The ordering struct (cosine, −cid)
+    reproduces the window's (cosine desc-nulls-last, cid asc) exactly:
+    struct comparison treats NULL as smallest, so any real cosine beats
+    a zero-norm row's NULL, and the negated cid breaks ties toward the
+    smallest id — value parity is pinned by every oracle-backed
+    assignment entry (ivf / semantic families) and the keep=1-vs-window
+    equality test.  The output omits the window branch's transient
+    centroid/score columns; no keep=1 caller reads them.  ``keep>1``
+    (the |queries|-sided probe) stays a window — multi-row top-k needs
+    the rank."""
     # per-side norms precomputed; only the dot runs per pair
     norm_col = "__n_" + vec_alias
     df = df.withColumn(norm_col, F.sqrt(nrm2(vec_alias)))
@@ -627,6 +643,25 @@ def _nearest_centroids(
             6,
         ),
     ).alias("__ccos")
+    if keep == 1:
+        payload = [c for c in df.columns if c != id_out]
+        picked = (
+            df.join(F.broadcast(cent))
+            .withColumn("__ccos", cos)
+            .groupBy(id_out)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        *[F.col(c) for c in payload], F.col("cid")
+                    ),
+                    F.struct(
+                        F.col("__ccos").alias("__c"),
+                        (-F.col("cid")).alias("__nc"),
+                    ),
+                ).alias("__best")
+            )
+        )
+        return picked.select(id_out, "__best.*")
     w = Window.partitionBy(id_out).orderBy(F.desc("__ccos"), F.asc("cid"))
     return (
         df.join(F.broadcast(cent))

@@ -1078,3 +1078,42 @@ def test_ivf_from_tables_matches_inplan(vectors, spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixed-generation"):
         ivf_topk_from_tables(spark, ct2, mt, df.filter("vec_id < 5"))
+
+
+def test_nearest_centroid_assignment_tie_and_null_semantics(spark):
+    """The keep=1 assignment aggregate must reproduce the window's
+    (cosine desc-nulls-last, cid asc) contract on its two edge cases:
+    exact cosine ties break toward the smallest cid, and a zero-norm
+    vector (every cosine NULL) assigns to the smallest cid."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        _nearest_centroids,
+        _vector_kernels,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # equidistant from the twin centroids
+            (1, [0.0, 0.0]),   # zero norm: all cosines NULL
+            (2, [0.0, 1.0]),   # clearly nearest centroid 9
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        # cids deliberately unsorted; 7 and 3 are identical vectors
+        [(7, [1.0, 1.0]), (3, [1.0, 1.0]), (9, [0.0, 2.0])],
+        "cid long, ce array<double>",
+    )
+    dot, nrm2, _dim = _vector_kernels(df, "embedding")
+    got = {
+        r["id"]: r["cid"]
+        for r in _nearest_centroids(
+            df.selectExpr("vec_id AS id", "embedding AS e"),
+            cent.withColumn("cn", F.sqrt(nrm2("ce"))),
+            dot,
+            nrm2,
+            "id",
+            "e",
+            keep=1,
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 9}

@@ -445,3 +445,195 @@ def unigram_logprob_score(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "mean_logprob",
     )
+
+
+def build_text_models(
+    spark,
+    docs: DataFrame,
+    idf_table: str,
+    unigram_table: str,
+    source_version: str,
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus-derived TEXT MODELS — the offline half of
+    model-based text scoring: the smoothed-IDF table (token, df, idf)
+    and the add-one unigram LM (token, c, logp), each a snapshot table
+    recording ``source_version`` plus its normalization constants
+    (n_docs; n_total/n_vocab) in commit metadata so the serving
+    functions can refuse a stale model before reading a data file —
+    the same freshness contract as every other persisted artifact
+    (``build_minhash_index`` / ``build_semantic_index`` / PQ books).
+
+    Why persist: ``tfidf_top_terms`` and ``unigram_logprob_score``
+    estimate their statistics from the scored corpus ITSELF — correct
+    for one-shot analytics, but a 100 TB deployment fits the model ONCE
+    on the reference corpus and scores arrivals against it (ingest-time
+    quality gates must not re-aggregate the corpus per batch, and the
+    score of a document must not drift as unrelated documents arrive).
+
+    One tokenize pass feeds both models: per-(doc, token) counts reduce
+    to document frequencies (IDF) and total counts (LM) in a single
+    Zipf-bounded aggregation tree.  Rebuild is an OVERWRITE commit."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    per_token = tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("c")
+    ).localCheckpoint(eager=False)  # one aggregation feeds both models
+    n_docs = docs.count()
+    totals = per_token.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_total"),
+        F.count("*").alias("n_vocab"),
+    ).collect()[0]
+    n_total, n_vocab = int(totals["n_total"]), int(totals["n_vocab"])
+    idf_rows = per_token.select(
+        "token",
+        "df",
+        F.round(
+            F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6
+        ).alias("idf"),
+    )
+    lm_rows = per_token.select(
+        "token",
+        "c",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / F.lit(float(n_total + n_vocab))
+            ),
+            6,
+        ).alias("logp"),
+    )
+    overwrite(
+        spark, idf_rows, idf_table,
+        meta={"source_version": source_version, "n_docs": n_docs},
+    )
+    overwrite(
+        spark, lm_rows, unigram_table,
+        meta={
+            "source_version": source_version,
+            "n_total": n_total,
+            "n_vocab": n_vocab,
+        },
+    )
+
+
+def _text_model_meta(table: str, expect_source: str | None) -> dict:
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+    )
+
+    meta = current_snapshot(table).meta
+    if (
+        expect_source is not None
+        and meta.get("source_version") != expect_source
+    ):
+        raise ValueError(
+            f"stale text model: built from "
+            f"{meta.get('source_version')!r}, caller expects "
+            f"{expect_source!r} — rebuild before scoring"
+        )
+    return meta
+
+
+def tfidf_top_terms_from_model(
+    spark,
+    docs: DataFrame,
+    idf_table: str,
+    k: int = 3,
+    text_col: str = "text",
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document scored against the PERSISTED
+    IDF model — same output contract as ``curation.tfidf_top_terms``,
+    and identical values when the scored corpus IS the model's corpus
+    (the in-plan entry's oracle checks this path verbatim).  Documents
+    may contain tokens the model never saw: they take the df=0 smoothed
+    idf, ``ln(n_docs + 1)``, instead of silently dropping — a NEW
+    document's distinctive vocabulary is exactly what TF-IDF should
+    surface.  The model side is vocabulary-sized (Zipf-bounded) and
+    broadcasts; the corpus is never re-aggregated."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+    from pyspark.sql import Window
+
+    meta = _text_model_meta(idf_table, expect_source)
+    n_docs = int(meta["n_docs"])
+    model = read_snapshot(spark, idf_table).select("token", "idf")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    oov_idf = F.round(F.log(F.lit(float(n_docs + 1))), 6)
+    scored = tf.join(F.broadcast(model), "token", "left").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.coalesce("idf", oov_idf), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", F.col("rnk").cast("long").alias("rnk"), "token",
+            "tf", "tfidf",
+        )
+    )
+
+
+def unigram_logprob_from_model(
+    spark,
+    docs: DataFrame,
+    unigram_table: str,
+    text_col: str = "text",
+    round_dp: int = 6,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Perplexity-proxy scoring against the PERSISTED unigram LM — same
+    output contract as ``unigram_logprob_score``, identical values on
+    the model's own corpus, and the score of a document never drifts as
+    unrelated documents arrive (the inline estimator's statistics move
+    with every ingest; the model's are frozen at build).  Unseen tokens
+    take the add-one floor ``ln(1 / (n_total + n_vocab))`` — gibberish
+    scores LOW against a frozen model, which is the quality-gate
+    behavior the inline self-estimate cannot express."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    meta = _text_model_meta(unigram_table, expect_source)
+    denom = float(int(meta["n_total"]) + int(meta["n_vocab"]))
+    model = read_snapshot(spark, unigram_table).select("token", "logp")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("token")
+    )
+    oov_lp = F.round(F.log(F.lit(1.0) / F.lit(denom)), round_dp)
+    scored = (
+        toks.join(F.broadcast(model), "token", "left")
+        .select(
+            "doc_id", F.coalesce("logp", oov_lp).alias("lp")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                round_dp,
+            ).alias("mean_logprob"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_logprob",
+    )

@@ -35,6 +35,9 @@ from airflow_crypto_btc_spark.plans.registry_ext import (
     q_dedup_semantic_purge,
 )
 from airflow_crypto_btc_spark.plans import registry_ml as _reg_ml
+from airflow_crypto_btc_spark.plans.registry_curation import (
+    _SQL_TEXT_TFIDF_TOP_TERMS,
+)
 from airflow_crypto_btc_spark.sources.tables import load_table
 
 
@@ -257,6 +260,77 @@ def q_sim_ivf_topk_from_index(spark, sf_dir):
     )
     return out.select(
         "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+def _text_models_zone(spark, sf_dir):
+    """Landing-zone build of the persisted text models (IDF + unigram
+    LM) — one build per fixture version, shared by both from-model
+    entries.  Returns (zone_path, source_version)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.text import build_text_models
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_text_models(
+            spark,
+            docs,
+            os.path.join(staging, "idf"),
+            os.path.join(staging, "unigram"),
+            source_version=source_version,
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "text_models", _land),
+        source_version,
+    )
+
+
+def q_text_tfidf_from_model(spark, sf_dir):
+    """TF-IDF served from the PERSISTED IDF model: the corpus statistics
+    are fit once per fixture version and scoring joins the broadcast
+    model — the online counterpart of the in-plan
+    ``text_tfidf_top_terms`` entry, which is also its oracle: same SQL,
+    so passing proves the persisted round-trip changes nothing (on the
+    model's own corpus the OOV fallback never fires)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.text import (
+        tfidf_top_terms_from_model,
+    )
+
+    zone, source_version = _text_models_zone(spark, sf_dir)
+    return tfidf_top_terms_from_model(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "idf"),
+        k=3,
+        expect_source=source_version,
+    )
+
+
+def q_text_logprob_from_model(spark, sf_dir):
+    """Perplexity-proxy scoring served from the PERSISTED unigram LM —
+    the online counterpart of ``text_unigram_logprob`` (same oracle:
+    scoring the model's own corpus must equal the inline
+    self-estimate)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.text import (
+        unigram_logprob_from_model,
+    )
+
+    zone, source_version = _text_models_zone(spark, sf_dir)
+    return unigram_logprob_from_model(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "unigram"),
+        expect_source=source_version,
     )
 
 
@@ -856,5 +930,13 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # inverted lists must reproduce the one-shot computation exactly
     "sim_ivf_topk_from_index": QuerySpec(
         q_sim_ivf_topk_from_index, _SQL_SIM_IVF_TOPK
+    ),
+    # oracles = the inline self-estimate entries' SQL: scoring the
+    # model's own corpus from the persisted artifact must be identical
+    "text_tfidf_from_model": QuerySpec(
+        q_text_tfidf_from_model, _SQL_TEXT_TFIDF_TOP_TERMS
+    ),
+    "text_logprob_from_model": QuerySpec(
+        q_text_logprob_from_model, _SQL_TEXT_UNIGRAM_LOGPROB
     ),
 }

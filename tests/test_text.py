@@ -359,3 +359,129 @@ def test_unigram_logprob_ranks_fluent_over_gibberish(spark):
     )
     o2 = {r["doc_id"]: r for r in unigram_logprob_score(single).collect()}
     assert o2[200]["mean_logprob"] > o2[201]["mean_logprob"]
+
+
+# ---------------------------------------------------- persisted text models
+
+
+def test_text_models_match_inline_on_own_corpus(spark, tmp_path):
+    """Scoring the model's own corpus from the persisted artifact must
+    equal the inline self-estimate for BOTH models (the from-model
+    catalog entries pin the same identity against the DuckDB oracle)."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        tfidf_top_terms,
+    )
+    from airflow_crypto_btc_spark.operators.text import (
+        build_text_models,
+        tfidf_top_terms_from_model,
+        unigram_logprob_from_model,
+        unigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the log"),
+            (2, "quantum flux capacitors hum"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    it, ut = str(tmp_path / "idf"), str(tmp_path / "unigram")
+    build_text_models(spark, docs, it, ut, source_version="v1")
+    got_tfidf = {
+        (r["doc_id"], r["rnk"]): (r["token"], r["tf"], r["tfidf"])
+        for r in tfidf_top_terms_from_model(
+            spark, docs, it, k=2, expect_source="v1"
+        ).collect()
+    }
+    want_tfidf = {
+        (r["doc_id"], r["rnk"]): (r["token"], r["tf"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    assert got_tfidf == want_tfidf and got_tfidf
+    got_lp = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob_from_model(
+            spark, docs, ut, expect_source="v1"
+        ).collect()
+    }
+    want_lp = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob_score(docs).collect()
+    }
+    assert got_lp == want_lp and got_lp[3] == (0, None)
+
+
+def test_text_models_oov_floor_and_frozen_scores(spark, tmp_path):
+    """Against a FROZEN model, unseen tokens take the add-one floor
+    (gibberish scores low) and a document's score cannot drift as other
+    documents arrive — the property the inline self-estimate lacks."""
+    import math
+
+    from airflow_crypto_btc_spark.operators.text import (
+        build_text_models,
+        tfidf_top_terms_from_model,
+        unigram_logprob_from_model,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    it, ut = str(tmp_path / "idf"), str(tmp_path / "unigram")
+    build_text_models(spark, corpus, it, ut, source_version="v1")
+    fluent = spark.createDataFrame(
+        [(100, "the cat sat")], "doc_id long, text string"
+    )
+    gibberish = spark.createDataFrame(
+        [(101, "zxqv wvvq qqzx")], "doc_id long, text string"
+    )
+    s_fluent = unigram_logprob_from_model(
+        spark, fluent, ut
+    ).collect()[0]["mean_logprob"]
+    s_gib = unigram_logprob_from_model(
+        spark, gibberish, ut
+    ).collect()[0]["mean_logprob"]
+    # corpus: 60 tokens, 5-token vocab → OOV floor ln(1/65)
+    assert s_gib == round(math.log(1 / 65), 6)
+    assert s_fluent > s_gib
+    # frozen: the same doc scores identically regardless of what else
+    # is in the scored batch
+    both = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob_from_model(
+            spark, fluent.unionByName(gibberish), ut
+        ).collect()
+    }
+    assert both == {100: s_fluent, 101: s_gib}
+    # OOV idf = smoothed df=0 weight ln(n_docs + 1): the new document's
+    # distinctive vocabulary outranks the corpus-common words
+    top = tfidf_top_terms_from_model(
+        spark,
+        spark.createDataFrame(
+            [(102, "the cat zxqv")], "doc_id long, text string"
+        ),
+        it,
+        k=1,
+    ).collect()[0]
+    assert top["token"] == "zxqv"
+    assert top["tfidf"] == round(math.log(11), 6)
+
+
+def test_text_models_staleness_refusal(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.text import (
+        build_text_models,
+        tfidf_top_terms_from_model,
+        unigram_logprob_from_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    it, ut = str(tmp_path / "idf"), str(tmp_path / "unigram")
+    build_text_models(spark, docs, it, ut, source_version="v1")
+    with pytest.raises(ValueError, match="stale text model"):
+        tfidf_top_terms_from_model(spark, docs, it, expect_source="v2")
+    with pytest.raises(ValueError, match="stale text model"):
+        unigram_logprob_from_model(spark, docs, ut, expect_source="v2")

@@ -95,6 +95,8 @@ HEADLINE = [
     # round-over-round comparisons never mix train+serve with serve-only
     "sim_pq_topk_cold",
     "sim_pq_topk_from_codes",
+    "sim_ivf_topk_from_index",
+    "text_logprob_from_model",
     # round-7: sharded-bloom novelty serving
     "dedup_novel_sharded",
     "curate_weighted_sample",

@@ -334,6 +334,78 @@ def q_text_logprob_from_model(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_quality(spark, sf_dir):
+    """Approximation ACCOUNTING for the LSH dedup path: banded-MinHash
+    pair generation measured against the exact all-pairs n-gram Jaccard
+    baseline at the same threshold — the one-row report (pair counts,
+    precision, recall) an operator reads before trusting banding
+    parameters on a new corpus.  Precision is 1.0 by construction
+    (candidates are exact-verified on the same shingle sets — this entry
+    value-checks that contract end-to-end); recall is the banding miss
+    rate, the number the (num_hashes, bands) trade actually buys.  The
+    exact baseline is the documented small-corpus verification operator
+    — this entry is catalog-only accounting, not a headline query."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    lsh = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    e = exact.agg(F.count("*").alias("n_exact"))
+    l_ = lsh.agg(F.count("*").alias("n_lsh"))
+    b = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("n_both")
+    )
+    return (
+        e.crossJoin(l_)
+        .crossJoin(b)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_both",
+            F.when(
+                F.col("n_lsh") > 0,
+                F.round(F.col("n_both") / F.col("n_lsh"), 6),
+            ).alias("precision_lsh"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_both") / F.col("n_exact"), 6),
+            ).alias("recall_lsh"),
+        )
+    )
+
+
+def _lsh_quality_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _SQL_DEDUP_NGRAM_JACCARD_PAIRS,
+    )
+
+    return f"""
+    WITH exact_pairs AS ({_SQL_DEDUP_NGRAM_JACCARD_PAIRS}),
+    lsh_pairs AS ({_SQL_DEDUP_MINHASH_LSH_PAIRS}),
+    e AS (SELECT count(*) AS n_exact FROM exact_pairs),
+    l AS (SELECT count(*) AS n_lsh FROM lsh_pairs),
+    b AS (SELECT count(*) AS n_both FROM (
+      SELECT id_a, id_b FROM exact_pairs
+      INTERSECT
+      SELECT id_a, id_b FROM lsh_pairs))
+    SELECT n_exact, n_lsh, n_both,
+      CASE WHEN n_lsh > 0
+           THEN round(n_both / CAST(n_lsh AS DOUBLE), 6) END
+        AS precision_lsh,
+      CASE WHEN n_exact > 0
+           THEN round(n_both / CAST(n_exact AS DOUBLE), 6) END
+        AS recall_lsh
+    FROM e, l, b
+"""
+
+
 def q_dedup_near_clusters_two_star(spark, sf_dir):
     """Round-5 CC variant entry: the large-star/small-star algorithm
     (O(log n) rounds — see operators/dedup._two_star_components) must
@@ -938,5 +1010,9 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_logprob_from_model": QuerySpec(
         q_text_logprob_from_model, _SQL_TEXT_UNIGRAM_LOGPROB
+    ),
+    # approximation accounting: banded LSH vs the exact-Jaccard baseline
+    "dedup_lsh_quality": QuerySpec(
+        q_dedup_lsh_quality, _lsh_quality_sql()
     ),
 }

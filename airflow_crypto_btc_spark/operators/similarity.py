@@ -979,7 +979,19 @@ def semantic_purge_delta(
     if members is None:  # empty index (a stream's first batch): the
         mates = None     # b-side is the delta itself
     else:
-        mates = members.select("id", "e", "vn", "cid")
+        # Prune the index to the delta's TOUCHED CLUSTERS before the
+        # pair join, via an explicitly-broadcast semi-join: the cid
+        # list is bounded by the quantizer size (broadcast-safe by the
+        # same argument the centroids are), and the checkpointed delta
+        # leaf carries no stats, so without the hint the planner would
+        # sort-merge the pair join and shuffle the ENTIRE index per
+        # probe — the exact failure the streaming ANN sink's broadcast
+        # hint guards against.  After the map-side semi-join,
+        # untouched clusters never leave the scan.
+        touched = delta_assigned.select("cid").distinct()
+        mates = members.select("id", "e", "vn", "cid").join(
+            F.broadcast(touched), ["cid"], "left_semi"
+        )
         if max_cluster_size is not None:
             mates = _cap_buckets(mates, max_cluster_size, keys=("cid",))
     b = (

@@ -1117,3 +1117,36 @@ def test_nearest_centroid_assignment_tie_and_null_semantics(spark):
         ).collect()
     }
     assert got == {0: 3, 1: 3, 2: 9}
+
+
+def test_semantic_delta_plan_prunes_index_map_side(vectors, spark, tmp_path):
+    """The delta labeling must semi-join the index down to the delta's
+    touched clusters via a BROADCAST join (map-side — the index is
+    never shuffled for the prune): the checkpointed delta leaf carries
+    no stats, so this is pinned as a plan regression test, not left to
+    the planner."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge_delta,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    V, df = vectors
+    ct, mt = str(tmp_path / "cent"), str(tmp_path / "members")
+    build_semantic_index(
+        spark, df.filter("vec_id < 40"), ct, mt, source_version="v1",
+        centroid_filter="vec_id % 7 = 2",
+    )
+    plan = (
+        semantic_purge_delta(
+            read_snapshot(spark, ct),
+            read_snapshot(spark, mt),
+            df.filter("vec_id >= 40"),
+            cosine_threshold=0.5,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert "Python" not in plan

@@ -111,7 +111,13 @@ def semantic_index_sink(
         if "cent" not in state:
             state["cent"] = read_snapshot(spark, centroids_table)
         committed = read_snapshot_or_none(spark, members_table)
-        fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "id")
+        # the fresh chain (deterministic dedup + anti-join) feeds the
+        # high-water check, the labeling, the member rows, and the
+        # batch-max aggregate — cut it once instead of recomputing the
+        # window per consumer
+        fresh = _fresh_rows(
+            batch_df, id_col, vec_col, committed, "id"
+        ).localCheckpoint(eager=False)
         # High-water-mark check: one metadata scalar vs one batch-sized
         # aggregation — never a scan of the members table.  The mark
         # rides the members commit meta (max of all appended batches).

@@ -1076,6 +1076,7 @@ def ivf_topk_from_tables(
     n_probe: int = 4,
     k: int = 10,
     expect_source: str | None = None,
+    prune_lists: bool = True,
 ) -> DataFrame:
     """Serve IVF top-k from the PERSISTED semantic index — the members
     table (id, e, vn, cid) IS an inverted-file layout (one list per
@@ -1088,12 +1089,18 @@ def ivf_topk_from_tables(
     (shared assignment helper, same 6-dp rounding and tie-breaks), so
     the in-plan entry's oracle checks this path verbatim.
 
-    At scale the members table is compacted/clustered on cid
-    (``snapshot_table.compact(cluster_by=...)``), so each probe's
-    n_probe lists open only the files whose cid range covers them —
-    the same file-skipping story as the ANN index's bucket column.
-    ``expect_source`` pins the index generation (same contract as every
-    ``*_from_tables`` consumer)."""
+    ``prune_lists`` makes IVF's whole point PHYSICAL: the probed cid
+    set (driver-bounded — ≤ |queries| × n_probe distinct values, and
+    queries are bounded by the family convention) collapses to a [lo,
+    hi] range passed to the snapshot read's log-level file skipping,
+    so after the members table is compacted with
+    ``snapshot_table.compact(cluster_by=["cid"])`` a probe OPENS only
+    the files whose cid range it touches instead of scanning every
+    list and filtering in the join.  The range is a superset of the
+    probed set (correctness never depends on it — the cid join still
+    filters exactly); scattered probes prune less, which is honest
+    range-stats behavior.  ``expect_source`` pins the index generation
+    (same contract as every ``*_from_tables`` consumer)."""
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         read_snapshot,
     )
@@ -1113,8 +1120,23 @@ def ivf_topk_from_tables(
         "qid",
         "qe",
         keep=n_probe,
-    ).select("qid", "qe", F.col("__n_qe").alias("qn"), "cid")
-    members = read_snapshot(spark, members_table).select(
+    ).select(
+        "qid", "qe", F.col("__n_qe").alias("qn"), "cid"
+    ).localCheckpoint(eager=False)  # ranked once: the cid collect and
+    # the pair join must see the same probe set
+    prune = None
+    if prune_lists:
+        cids = [
+            r["cid"]
+            for r in probed.select("cid").distinct().collect()
+        ]  # bounded by |queries| × n_probe — never corpus-sized
+        if not cids:
+            prune = None  # empty query set: the join returns nothing
+        else:
+            prune = ("cid", min(cids), max(cids))
+    members = read_snapshot(
+        spark, members_table, prune=prune
+    ).select(
         F.col("id").alias("nid"),
         F.col("e").alias("ve"),
         "vn",

@@ -373,15 +373,39 @@ def compact(
         df = read_snapshot(spark, table, base.version)
         if cluster_by:
             z = _zorder_column(df, cluster_by)
-            df = (
+            clustered = (
                 df.withColumn("__z", z)
                 .repartitionByRange(target_parts, "__z")
                 .sortWithinPartitions("__z")
-                .drop("__z")
+                .withColumn("__pid", F.spark_partition_id())
+                .localCheckpoint(eager=False)
+            )  # materialized once; each range is then written from cache
+            # one PART per range partition, not one part for the whole
+            # rewrite: log-level pruning (read_snapshot's prune=) skips
+            # at PART granularity, so collapsing every range into a
+            # single part would merge their stats and make clustered
+            # layouts unprunable at the commit-log level — the parquet
+            # row-group stats inside a part only help predicates Spark
+            # pushes to the scan, which join keys are not
+            pids = sorted(
+                r["__pid"]
+                for r in clustered.select("__pid").distinct().collect()
             )
+            parts, stats = [], {}
+            for pid in pids:
+                # the filtered frame keeps the parent's partitioning
+                # (one non-empty partition + empties) — collapse it so
+                # each range part holds exactly one data file
+                p, s = _write_parts(
+                    clustered.filter(F.col("__pid") == pid)
+                    .drop("__z", "__pid")
+                    .coalesce(1),
+                    table,
+                )
+                parts += p
+                stats.update(s)
         else:
-            df = df.coalesce(target_parts)
-        parts, stats = _write_parts(df, table)
+            parts, stats = _write_parts(df.coalesce(target_parts), table)
         entry = {
             "version": base.version + 1,
             "operation": "compact",

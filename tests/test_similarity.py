@@ -1150,3 +1150,42 @@ def test_semantic_delta_plan_prunes_index_map_side(vectors, spark, tmp_path):
     )
     assert "LeftSemi" in plan and "Broadcast" in plan
     assert "Python" not in plan
+
+
+def test_ivf_from_tables_prunes_clustered_files(vectors, spark, tmp_path):
+    """With the members table cid-clustered by compaction, a narrow
+    probe must OPEN fewer files than the table holds (log-level
+    skipping) while returning exactly the unpruned answer."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        ivf_topk_from_tables,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        compact,
+        current_snapshot,
+    )
+
+    V, df = vectors
+    ct, mt = str(tmp_path / "cent"), str(tmp_path / "members")
+    build_semantic_index(
+        spark, df, ct, mt, source_version="v1",
+        centroid_filter="vec_id % 7 = 2",
+    )
+    compact(spark, mt, target_parts=4, cluster_by=["cid"])
+    n_parts = len(current_snapshot(mt).files)
+    assert n_parts >= 3  # clustering produced a real multi-file layout
+    q = df.filter("vec_id = 2")  # one query, n_probe=1 → one cid
+    pruned = ivf_topk_from_tables(
+        spark, ct, mt, q, n_probe=1, k=5,
+    )
+    unpruned = ivf_topk_from_tables(
+        spark, ct, mt, q, n_probe=1, k=5, prune_lists=False,
+    )
+    key = lambda rows: [  # noqa: E731
+        (r["qid"], r["rnk"], r["nid"], r["cosine"]) for r in rows
+    ]
+    assert key(pruned.collect()) == key(unpruned.collect())
+    opened = {
+        f for f in pruned.inputFiles() if f"members" in f
+    }
+    assert 0 < len(opened) < n_parts

@@ -228,11 +228,15 @@ def test_compact_zorder_clusters_files_for_data_skipping(spark, tmp_path):
     )
 
     def file_area(table):
-        part = current_snapshot(table).files[0]
+        # clustered compaction emits one PART per range (so log-level
+        # stats can prune); plain compaction emits one part with the
+        # files inside — glob across all parts covers both layouts
         total = 0.0
-        files = glob.glob(
-            os.path.join(table, _DATA_DIR, part, "*.parquet")
-        )
+        files = []
+        for part in current_snapshot(table).files:
+            files.extend(
+                glob.glob(os.path.join(table, _DATA_DIR, part, "*.parquet"))
+            )
         assert len(files) >= 4
         for fp in files:
             pdf = pd.read_parquet(fp)

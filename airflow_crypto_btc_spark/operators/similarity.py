@@ -462,12 +462,19 @@ def build_ann_index(
 
     skew_warn_fraction = 0.2
     _, nrm2, dim = _vector_kernels(vectors, vec_col)
-    base = vectors.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("ve"),
-        hyperplane_bucket_expr(vec_col, planes, dim).alias("bucket"),
-    ).withColumn("vn", F.sqrt(nrm2("ve"))).localCheckpoint(
-        eager=False
+    base = (
+        vectors.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("ve"),
+            hyperplane_bucket_expr(vec_col, planes, dim).alias("bucket"),
+        )
+        .withColumn("vn", F.sqrt(nrm2("ve")))
+        # numeric twin of the bucket key: compact(cluster_by=["bnum"])
+        # range-aligns the stored parts so a probe's prune range skips
+        # whole files (z-order needs numerics; the string key stays the
+        # join key)
+        .withColumn("bnum", F.conv("bucket", 2, 10).cast("long"))
+        .localCheckpoint(eager=False)
     )  # hash + norm once: census and commit share the materialization
     census = (
         base.groupBy("bucket")
@@ -532,6 +539,7 @@ def lsh_topk_from_index(
     k: int = 10,
     max_hamming: int | None = 1,
     expect_source: str | None = None,
+    prune_buckets: bool = True,
 ) -> DataFrame:
     """Serve multi-probe LSH top-k from a PERSISTED index
     (:func:`build_ann_index`): queries arrive as their own frame (the
@@ -540,7 +548,16 @@ def lsh_topk_from_index(
     buckets; exact cosine ranks the candidates.  ``expect_source`` pins
     the index to the corpus version the caller queries against —
     mismatch raises before any data file is read (same freshness
-    contract as ``dedup.minhash_lsh_pairs_from_index_tables``)."""
+    contract as ``dedup.minhash_lsh_pairs_from_index_tables``).
+
+    ``prune_buckets`` collapses the probe set (driver-bounded —
+    ≤ |queries| × (1 + planes) bucket strings) into a numeric [lo, hi]
+    range over the index's ``bnum`` column for the snapshot read's
+    log-level file skipping: after ``compact(cluster_by=["bnum"])``
+    a probe OPENS only the files whose bucket range it touches
+    (pre-``bnum`` index generations simply prune nothing — missing
+    stats keep every file, and correctness never depends on the prune:
+    the bucket join still filters exactly)."""
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         current_snapshot,
         read_snapshot,
@@ -560,7 +577,6 @@ def lsh_topk_from_index(
             f"ANN index was built with planes={built_planes}, probe "
             f"requested planes={planes} — bucket keys cannot match"
         )
-    base = read_snapshot(spark, table)
     dot, nrm2, dim = _vector_kernels(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -586,7 +602,17 @@ def lsh_topk_from_index(
         raise ValueError("max_hamming must be 0, 1, or None (=all)")
     probes = q.select(
         "qid", "qe", "qn", F.explode(F.expr(probe)).alias("bucket")
-    )
+    ).localCheckpoint(eager=False)  # hashed once: the prune-range
+    # collect and the bucket join must see the same probe set
+    prune = None
+    if prune_buckets:
+        bnums = [
+            int(r["bucket"], 2)
+            for r in probes.select("bucket").distinct().collect()
+        ]  # bounded by |queries| × (1 + planes) — never index-sized
+        if bnums:
+            prune = ("bnum", min(bnums), max(bnums))
+    base = read_snapshot(spark, table, prune=prune)
     cos = F.when(
         F.col("qn") * F.col("vn") != 0,
         F.round(dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6),

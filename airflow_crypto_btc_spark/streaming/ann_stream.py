@@ -124,16 +124,28 @@ def embedding_index_sink(
         dim = state.get("dim")
         committed = read_snapshot_or_none(spark, index_table)
         fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
-        batch_rows = fresh.select(
-            F.col(id_col).alias("nid"),
-            F.col(vec_col).alias("ve"),
-            hyperplane_bucket_expr(vec_col, planes, dim).alias("bucket"),
-        ).withColumn(
-            "vn", F.sqrt(norm2_expr("ve"))
-        ).localCheckpoint(eager=False)
+        batch_rows = (
+            fresh.select(
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).alias("ve"),
+                hyperplane_bucket_expr(vec_col, planes, dim).alias(
+                    "bucket"
+                ),
+            )
+            .withColumn("vn", F.sqrt(norm2_expr("ve")))
+            # numeric bucket twin — matches build_ann_index's schema so
+            # cluster_by=["bnum"] compaction keeps working on a
+            # stream-fed index
+            .withColumn("bnum", F.conv("bucket", 2, 10).cast("long"))
+            .localCheckpoint(eager=False)
+        )
         probe_base = (
             batch_rows if committed is None
-            else committed.unionByName(batch_rows)
+            # allowMissingColumns: an index built before the bnum column
+            # existed unions with nulls (its files simply never prune)
+            else committed.unionByName(
+                batch_rows, allowMissingColumns=True
+            )
         )
         if max_bucket_size is not None:
             # census on the same key the join shuffles on; the bucket

@@ -1189,3 +1189,36 @@ def test_ivf_from_tables_prunes_clustered_files(vectors, spark, tmp_path):
         f for f in pruned.inputFiles() if f"members" in f
     }
     assert 0 < len(opened) < n_parts
+
+
+def test_lsh_from_index_prunes_clustered_files(vectors, spark, tmp_path):
+    """Same physical-pruning contract as the IVF path, on the hyperplane
+    index: with the index bnum-clustered by compaction, a single-bucket
+    probe opens fewer files than the table holds and returns exactly
+    the unpruned answer."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_ann_index,
+        lsh_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        compact,
+        current_snapshot,
+    )
+
+    V, df = vectors
+    t = str(tmp_path / "ann")
+    build_ann_index(spark, df, t, source_version="v1", planes=4)
+    compact(spark, t, target_parts=4, cluster_by=["bnum"])
+    n_parts = len(current_snapshot(t).files)
+    assert n_parts >= 3
+    q = df.filter("vec_id = 0")
+    kw = dict(planes=4, k=5, max_hamming=0)  # exactly one probed bucket
+    pruned = lsh_topk_from_index(spark, t, q, **kw)
+    unpruned = lsh_topk_from_index(
+        spark, t, q, prune_buckets=False, **kw
+    )
+    key = lambda rows: [  # noqa: E731
+        (r["qid"], r["rnk"], r["nid"], r["cosine"]) for r in rows
+    ]
+    assert key(pruned.collect()) == key(unpruned.collect())
+    assert 0 < len(set(pruned.inputFiles())) < n_parts

@@ -211,9 +211,23 @@ def embedding_index_sink(
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             for table in (index_table, pairs_table):
+                # the index rewrite bnum-CLUSTERS so the compacted parts
+                # stay range-aligned and probe pruning keeps skipping
+                # files as the stream grows (skip for a pre-bnum
+                # generation — nulls cannot z-order)
+                cluster = (
+                    ["bnum"]
+                    if table == index_table
+                    and "bnum" in read_snapshot_or_none(
+                        spark, table
+                    ).columns
+                    else None
+                )
                 try:
                     compact(
-                        spark, table, target_parts=compact_target_parts
+                        spark, table,
+                        target_parts=compact_target_parts,
+                        cluster_by=cluster,
                     )
                 except ValueError:
                     continue

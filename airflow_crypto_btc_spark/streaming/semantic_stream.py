@@ -201,7 +201,15 @@ def semantic_index_sink(
             for table in (members_table, labels_table):
                 try:
                     compact(
-                        spark, table, target_parts=compact_target_parts
+                        spark, table,
+                        target_parts=compact_target_parts,
+                        # cid-cluster the members rewrite: the compacted
+                        # parts stay range-aligned so IVF probe pruning
+                        # (ivf_topk_from_tables) keeps skipping files as
+                        # the stream grows
+                        cluster_by=(
+                            ["cid"] if table == members_table else None
+                        ),
                     )
                 except ValueError:
                     continue

@@ -534,3 +534,38 @@ def test_change_feed_carries_evolved_columns(spark, tmp_path):
     assert "w" in feed.columns
     (row,) = feed.collect()
     assert (row["k"], row["w"], row["_change_type"]) == (2, 20.0, "insert")
+
+
+def test_clustered_compact_retries_on_concurrent_append(
+    spark, day_slices, tmp_path, monkeypatch
+):
+    """The clustered rewrite stages SEVERAL range parts before its one
+    commit — a writer landing mid-stage must still never lose rows: the
+    stale commit is refused, every staged part is abandoned, and the
+    retry re-reads (and re-ranges) the new snapshot."""
+    import airflow_crypto_btc_spark.sources.snapshot_table as st
+
+    tbl = str(tmp_path / "tbl")
+    append(spark, day_slices("2024-01-01"), tbl)
+    late = day_slices("2024-01-02")
+    real_write = st._write_parts
+    fired = {}
+
+    def racing_write(df, table):
+        parts = real_write(df, table)
+        if "done" not in fired:  # race lands during the FIRST range part
+            fired["done"] = True
+            st.append(spark, late, table)
+        return parts
+
+    monkeypatch.setattr(st, "_write_parts", racing_write)
+    st.compact(spark, tbl, target_parts=3, cluster_by=["user_id"])
+    total = day_slices("2024-01-01").count() + late.count()
+    snap = current_snapshot(tbl)
+    assert read_snapshot(spark, tbl).count() == total
+    # the committed rewrite is range-aligned over BOTH writers' rows:
+    # multiple parts, per-part user_id stat ranges, late rows included
+    assert len(snap.files) >= 2
+    assert all(
+        "user_id" in (snap.stats.get(f) or {}) for f in snap.files
+    )

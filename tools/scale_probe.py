@@ -33,6 +33,11 @@ DEFAULT = [
     "sim_cosine_topk",
     "session_stats",
     "text_token_stats",
+    # round-7 serving surfaces: flat-across-growth is their contract
+    "sim_ivf_topk_from_index",
+    "sim_lsh_topk_from_index",
+    "dedup_semantic_purge",
+    "text_logprob_from_model",
 ]
 
 

@@ -433,10 +433,33 @@ def unigram_logprob_score(
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("lp").cast("decimal(38,12)")).cast("double")
-                / F.count("*"),
-                round_dp,
+            # exact integer micro-units, not a double (or decimal)
+            # quotient: summing round_dp-rounded terms makes exact
+            # .xxxxxx5 means LIKELY, a double quotient leaves the tie
+            # at the mercy of each engine's libm (measured: sf0.1 docs
+            # split -3.402035 vs -3.402036), and DuckDB has no decimal
+            # division to align with Spark's.  Each lp is integral in
+            # 10^-round_dp units, so the sum is an exact long and the
+            # mean's HALF-AWAY-FROM-ZERO tie-break is plain integer
+            # arithmetic both engines reproduce bit-for-bit.
+            F.sum(
+                F.round(F.col("lp") * float(10 ** round_dp))
+                .cast("long")
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.when(
+                    F.col("__s") < 0,
+                    -F.expr(
+                        "(2 * (-__s) + n_tokens) div (2 * n_tokens)"
+                    ),
+                ).otherwise(
+                    F.expr("(2 * __s + n_tokens) div (2 * n_tokens)")
+                )
+                / float(10 ** round_dp)
             ).alias("mean_logprob"),
         )
     )
@@ -625,10 +648,26 @@ def unigram_logprob_from_model(
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("lp").cast("decimal(38,12)")).cast("double")
-                / F.count("*"),
-                round_dp,
+            # integer micro-unit mean — the half-way tie-break argument
+            # in unigram_logprob_score applies verbatim
+            F.sum(
+                F.round(F.col("lp") * float(10 ** round_dp))
+                .cast("long")
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.when(
+                    F.col("__s") < 0,
+                    -F.expr(
+                        "(2 * (-__s) + n_tokens) div (2 * n_tokens)"
+                    ),
+                ).otherwise(
+                    F.expr("(2 * __s + n_tokens) div (2 * n_tokens)")
+                )
+                / float(10 ** round_dp)
             ).alias("mean_logprob"),
         )
     )

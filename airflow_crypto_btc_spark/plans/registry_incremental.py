@@ -757,11 +757,18 @@ _SQL_TEXT_UNIGRAM_LOGPROB = r"""
                  / CAST(tt.n_total + tt.n_vocab AS DOUBLE)), 6) AS lp
       FROM toks t JOIN vocab v USING (token) CROSS JOIN totals tt
     ),
-    agg AS (
+    sums AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        round(CAST(SUM(CAST(lp AS DECIMAL(38,12))) AS DOUBLE)
-              / count(*), 6) AS mean_logprob
+        SUM(CAST(round(lp * 1000000) AS BIGINT)) AS s6,
+        count(*) AS n
       FROM scored GROUP BY doc_id
+    ),
+    agg AS (
+      SELECT doc_id, n_tokens,
+        (CASE WHEN s6 < 0 THEN -((2 * (-s6) + n) // (2 * n))
+              ELSE (2 * s6 + n) // (2 * n) END) / 1000000.0
+          AS mean_logprob
+      FROM sums
     )
     SELECT d.doc_id,
       coalesce(a.n_tokens, 0) AS n_tokens,

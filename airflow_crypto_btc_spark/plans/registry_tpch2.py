@@ -33,7 +33,15 @@ def q2_min_cost_supplier(spark, sf_dir):
     the minimum unit cost.  The fixture has no partsupp table, so observed
     unit price over lineitem (min per part-supplier) plays ps_supplycost —
     the correlated-min structure is identical.  Dims broadcast; the only
-    shuffle is the per-part min."""
+    shuffle is the per-part min.
+
+    Unit cost is computed in EXACT integer micro-units (prices are
+    cent-valued, quantities integral in the fixture): a 6-dp ROUND of
+    the double quotient sat on rounding boundaries at sf0.1, and the
+    winner-take-min structure amplifies a last-ulp engine split into
+    whole-row differences — the half-away-from-zero integer tie-break
+    is reproduced bit-for-bit by both engines (same doctrine as the
+    unigram-LM mean)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -43,7 +51,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     unit = F.when(
         F.col("l_quantity") != 0,
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6),
+        F.expr(
+            "(2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 10000"
+            " + CAST(l_quantity AS BIGINT))"
+            " div (2 * CAST(l_quantity AS BIGINT))"
+        )
+        / F.lit(1000000.0),
     )
     costs = (
         li.select("l_partkey", "l_suppkey", unit.alias("unit_cost"))
@@ -72,7 +85,10 @@ def q2_min_cost_supplier(spark, sf_dir):
 _SQL_Q2_MIN_COST_SUPPLIER = """
     WITH costs AS (
       SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
-        MIN(round(l_extendedprice / l_quantity, 6)) AS supply_cost
+        MIN((2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+             + CAST(l_quantity AS BIGINT))
+            // (2 * CAST(l_quantity AS BIGINT)) / 1000000.0)
+          AS supply_cost
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey

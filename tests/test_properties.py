@@ -583,3 +583,27 @@ def test_scrub_pii_idempotent_on_arbitrary_text(spark, texts):
         assert (r["n_emails"], r["n_phones"], r["n_ips"], r["n_ids"]) == (
             0, 0, 0, 0,
         )
+
+
+@given(
+    s=st.integers(min_value=-(10**15), max_value=10**15),
+    n=st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=500, deadline=None)
+def test_integer_micro_unit_mean_rounds_half_away(s, n):
+    """PROPERTY: the integer tie-break both engines replay —
+    sign(s) * ((2·|s| + n) div (2·n)) — equals round-half-away-from-zero
+    of the exact rational s/n for EVERY (sum, count), including the
+    .5 ties that double/libm arithmetic splits nondeterministically
+    (the unigram-LM mean and q2 unit-cost doctrine)."""
+    from fractions import Fraction
+
+    a = abs(s)
+    m = (2 * a + n) // (2 * n)
+    got = -m if s < 0 else m
+    frac = Fraction(abs(s), n)
+    floor, rem = divmod(frac.numerator, frac.denominator)
+    half = Fraction(rem, frac.denominator) >= Fraction(1, 2)
+    want_mag = floor + (1 if half else 0)
+    want = -want_mag if s < 0 else want_mag
+    assert got == want

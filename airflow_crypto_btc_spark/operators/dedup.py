@@ -179,6 +179,24 @@ def _cap_buckets(
     return banded.join(keep, list(keys), "left_semi")
 
 
+def _jaccard_micro(inter: str, union: str):
+    """Exact-integer Jaccard in 10^-6 units with a half-away-from-zero
+    tie-break — ratios of small set sizes land EXACTLY on 6-dp rounding
+    boundaries (union = 2^k with odd intersection is a guaranteed tie),
+    and a double round there splits by engine while the threshold filter
+    amplifies the split into different PAIR SETS.  Same doctrine as the
+    unigram-LM mean / q2 unit cost; tie formula property-tested in
+    tests/test_properties.py."""
+    return (
+        F.expr(
+            f"(2 * CAST({inter} AS BIGINT) * 1000000"
+            f" + CAST({union} AS BIGINT))"
+            f" div (2 * CAST({union} AS BIGINT))"
+        )
+        / 1000000.0
+    )
+
+
 def _verify_candidates(
     sets: DataFrame, cand: DataFrame, jaccard_threshold: float
 ) -> DataFrame:
@@ -199,18 +217,13 @@ def _verify_candidates(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("inter", inter)
+        .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn(
             # empty-set guard: two shingle-less docs can band together;
             # their union is 0 and ANSI mode errors on /0
             "jaccard",
             F.when(
-                F.col("na") + F.col("nb") - F.col("inter") > 0,
-                F.round(
-                    F.col("inter")
-                    * 1.0
-                    / (F.col("na") + F.col("nb") - F.col("inter")),
-                    6,
-                ),
+                F.col("union") > 0, _jaccard_micro("inter", "union")
             ),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -831,15 +844,12 @@ def ngram_jaccard_pairs(
     )
     return (
         pair_inter.withColumn(
+            "union", F.col("na") + F.col("nb") - F.col("inter")
+        )
+        .withColumn(
             "jaccard",
             F.when(
-                F.col("na") + F.col("nb") - F.col("inter") > 0,
-                F.round(
-                    F.col("inter")
-                    * 1.0
-                    / (F.col("na") + F.col("nb") - F.col("inter")),
-                    6,
-                ),
+                F.col("union") > 0, _jaccard_micro("inter", "union")
             ),
         )
         .filter(F.col("jaccard") >= threshold)

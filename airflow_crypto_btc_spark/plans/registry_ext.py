@@ -128,9 +128,13 @@ def lsh_pairs_sql(
       JOIN base y ON y.doc_id = cand.id_b
     )
     SELECT id_a, id_b,
-           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+           (CASE WHEN na + nb - inter > 0 THEN
+             (2 * CAST(inter AS BIGINT) * 1000000 + (na + nb - inter))
+             // (2 * CAST(na + nb - inter AS BIGINT)) / 1000000.0 END) AS jaccard
     FROM verified
-    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
+    WHERE (CASE WHEN na + nb - inter > 0 THEN
+             (2 * CAST(inter AS BIGINT) * 1000000 + (na + nb - inter))
+             // (2 * CAST(na + nb - inter AS BIGINT)) / 1000000.0 END) >= 0.5
 """
 
 
@@ -392,9 +396,13 @@ _SQL_DEDUP_NGRAM_JACCARD_PAIRS = f"""
       GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b,
-           round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+           (CASE WHEN na + nb - inter > 0 THEN
+             (2 * CAST(inter AS BIGINT) * 1000000 + (na + nb - inter))
+             // (2 * CAST(na + nb - inter AS BIGINT)) / 1000000.0 END) AS jaccard
     FROM pair_inter
-    WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.5
+    WHERE (CASE WHEN na + nb - inter > 0 THEN
+             (2 * CAST(inter AS BIGINT) * 1000000 + (na + nb - inter))
+             // (2 * CAST(na + nb - inter AS BIGINT)) / 1000000.0 END) >= 0.5
 """
 
 

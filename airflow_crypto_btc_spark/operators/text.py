@@ -120,17 +120,25 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stop_cnt", _stop_count("en"))
         .withColumn("n_uniq_tokens", F.expr("size(array_distinct(tokens))"))
     )
-    len_score = F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
-    stop_score = F.least(
-        F.lit(1.0), 3.0 * F.col("stop_cnt") / F.col("n_tokens")
+    # 0.4·min(1, n/50) + 0.3·min(1, 3s/n) + 0.3·u/n as the EXACT
+    # rational (2·min(50,n)·n + 75·(min(n,3s) + u)) / (250·n), rounded
+    # half-away in integer micro-units: 250·n divides 2·10^6 for many
+    # doc lengths, so the double formulation lands EXACTLY on 6-dp
+    # rounding boundaries and the downstream quality gate would amplify
+    # an engine split into different survivor sets (same doctrine as
+    # _jaccard_micro / the unigram-LM mean)
+    micro = F.expr(
+        "(2 * (2 * least(CAST(50 AS BIGINT), n_tokens) * n_tokens"
+        " + 75 * (least(CAST(n_tokens AS BIGINT), 3 * stop_cnt)"
+        " + n_uniq_tokens)) * 1000000"
+        " + 250 * CAST(n_tokens AS BIGINT))"
+        " div (500 * CAST(n_tokens AS BIGINT))"
     )
-    uniq_ratio = F.col("n_uniq_tokens") * 1.0 / F.col("n_tokens")
     return df.withColumn(
         "quality",
         # empty doc → quality 0 (ANSI /0 guard; fixture docs are non-empty)
         F.when(
-            F.col("n_tokens") > 0,
-            F.round(0.4 * len_score + 0.3 * stop_score + 0.3 * uniq_ratio, 6),
+            F.col("n_tokens") > 0, micro / 1000000.0
         ).otherwise(F.lit(0.0)),
     )
 

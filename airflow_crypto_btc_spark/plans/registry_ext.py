@@ -225,9 +225,12 @@ def q_text_quality_score(spark, sf_dir):
 
 _SQL_TEXT_QUALITY_SCORE = f"""
     SELECT doc_id, n_tokens, stop_cnt, n_uniq_tokens,
-      round(0.4 * least(1.0, n_tokens / 50.0)
-          + 0.3 * least(1.0, 3.0 * stop_cnt / n_tokens)
-          + 0.3 * (n_uniq_tokens * 1.0 / n_tokens), 6) AS quality
+      (CASE WHEN n_tokens > 0 THEN
+         (2 * (2 * least(50, n_tokens) * n_tokens
+               + 75 * (least(n_tokens, 3 * stop_cnt) + n_uniq_tokens))
+          * 1000000 + 250 * n_tokens)
+         // (500 * n_tokens) / 1000000.0
+       ELSE 0.0 END) AS quality
     FROM (
       SELECT doc_id, len(tokens) AS n_tokens,
         {_duck_stop('en')} AS stop_cnt,

@@ -155,3 +155,24 @@ def norm2_expr_unrolled(a: str, n: int) -> Column:
     :func:`dot_expr_unrolled` for the codegen rationale and the
     bit-parity argument)."""
     return dot_expr_unrolled(a, a, n)
+
+def ratio_micro(num: str, den: str) -> Column:
+    """``num/den`` for nonnegative integer columns as an EXACT 6-dp
+    value: integer micro-units with a half-away-from-zero tie-break,
+    reproduced bit-for-bit by Spark and DuckDB (``//`` there).  Small-
+    integer ratios land EXACTLY on 6-dp rounding boundaries (any
+    denominator whose reduced form divides 2·10^6 but not 10^6 — powers
+    of two are the everyday case), where a double round splits by
+    engine and any downstream threshold or winner-selection amplifies
+    the split into row-set differences.  Used by Jaccard, containment,
+    quality, mean-token-length, and the LM mean (there with a signed
+    variant); the tie formula is property-tested in
+    tests/test_properties.py."""
+    return (
+        F.expr(
+            f"(2 * CAST({num} AS BIGINT) * 1000000"
+            f" + CAST({den} AS BIGINT))"
+            f" div (2 * CAST({den} AS BIGINT))"
+        )
+        / 1000000.0
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.functions.hashing import (
+    ratio_micro,
     shingles_expr,
     tokens_expr,
 )
@@ -146,8 +147,11 @@ def contamination_pairs(
         .agg(F.count("*").cast("long").alias("overlap"))
         .join(F.broadcast(test_sizes), "t_id")
         .withColumn(
+            # exact micro-unit ratio: containment feeds the
+            # min_containment FILTER, the amplifying consumer —
+            # see functions.hashing.ratio_micro
             "containment",
-            F.round(F.col("overlap") / F.col("test_shingles"), 6),
+            ratio_micro("overlap", "test_shingles"),
         )
         .filter(F.col("containment") >= min_containment)
         .select(

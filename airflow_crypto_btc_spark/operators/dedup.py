@@ -180,21 +180,13 @@ def _cap_buckets(
 
 
 def _jaccard_micro(inter: str, union: str):
-    """Exact-integer Jaccard in 10^-6 units with a half-away-from-zero
-    tie-break — ratios of small set sizes land EXACTLY on 6-dp rounding
-    boundaries (union = 2^k with odd intersection is a guaranteed tie),
-    and a double round there splits by engine while the threshold filter
-    amplifies the split into different PAIR SETS.  Same doctrine as the
-    unigram-LM mean / q2 unit cost; tie formula property-tested in
-    tests/test_properties.py."""
-    return (
-        F.expr(
-            f"(2 * CAST({inter} AS BIGINT) * 1000000"
-            f" + CAST({union} AS BIGINT))"
-            f" div (2 * CAST({union} AS BIGINT))"
-        )
-        / 1000000.0
-    )
+    """Exact-integer Jaccard — see ``functions.hashing.ratio_micro``
+    (union = 2^k with odd intersection is a guaranteed 6-dp tie, and
+    the threshold filter amplifies an engine split into different PAIR
+    SETS)."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+
+    return ratio_micro(inter, union)
 
 
 def _verify_candidates(

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.functions.hashing import (
+    ratio_micro,
     rolling_fingerprint_expr,
     tokens_expr,
 )
@@ -70,7 +71,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "avg_token_len",
             F.when(
                 F.col("n_tokens") > 0,
-                F.round(F.col("sum_token_len") * 1.0 / F.col("n_tokens"), 6),
+                ratio_micro("sum_token_len", "n_tokens"),
             ),
         )
     )

@@ -115,9 +115,9 @@ _SQL_CURATE_CONTAMINATION = f"""
       GROUP BY t_id, tr_id
     )
     SELECT t_id AS test_doc_id, tr_id AS train_doc_id, overlap,
-           round(overlap * 1.0 / test_shingles, 6) AS containment
+           ((2 * CAST(overlap AS BIGINT) * 1000000 + CAST(test_shingles AS BIGINT)) // (2 * CAST(test_shingles AS BIGINT)) / 1000000.0) AS containment
     FROM hits JOIN sizes USING (t_id)
-    WHERE round(overlap * 1.0 / test_shingles, 6) >= 0.1
+    WHERE ((2 * CAST(overlap AS BIGINT) * 1000000 + CAST(test_shingles AS BIGINT)) // (2 * CAST(test_shingles AS BIGINT)) / 1000000.0) >= 0.1
 """
 
 

@@ -172,8 +172,7 @@ _SQL_TEXT_TOKEN_STATS = f"""
         AS n_bpe_tokens,
       CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
         AS sum_token_len,
-      round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
-            * 1.0 / len(tokens), 6) AS avg_token_len
+      ((2 * CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) * 1000000 + CAST(len(tokens) AS BIGINT)) // (2 * CAST(len(tokens) AS BIGINT)) / 1000000.0) AS avg_token_len
     FROM ({_D_TOKENS})
 """
 

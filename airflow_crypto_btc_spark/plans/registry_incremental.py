@@ -38,6 +38,7 @@ from airflow_crypto_btc_spark.plans import registry_ml as _reg_ml
 from airflow_crypto_btc_spark.plans.registry_curation import (
     _SQL_TEXT_TFIDF_TOP_TERMS,
 )
+from airflow_crypto_btc_spark.functions.hashing import ratio_micro
 from airflow_crypto_btc_spark.sources.tables import load_table
 
 
@@ -371,11 +372,11 @@ def q_dedup_lsh_quality(spark, sf_dir):
             "n_both",
             F.when(
                 F.col("n_lsh") > 0,
-                F.round(F.col("n_both") / F.col("n_lsh"), 6),
+                ratio_micro("n_both", "n_lsh"),
             ).alias("precision_lsh"),
             F.when(
                 F.col("n_exact") > 0,
-                F.round(F.col("n_both") / F.col("n_exact"), 6),
+                ratio_micro("n_both", "n_exact"),
             ).alias("recall_lsh"),
         )
     )
@@ -397,10 +398,10 @@ def _lsh_quality_sql() -> str:
       SELECT id_a, id_b FROM lsh_pairs))
     SELECT n_exact, n_lsh, n_both,
       CASE WHEN n_lsh > 0
-           THEN round(n_both / CAST(n_lsh AS DOUBLE), 6) END
+           THEN ((2 * CAST(n_both AS BIGINT) * 1000000 + CAST(n_lsh AS BIGINT)) // (2 * CAST(n_lsh AS BIGINT)) / 1000000.0) END
         AS precision_lsh,
       CASE WHEN n_exact > 0
-           THEN round(n_both / CAST(n_exact AS DOUBLE), 6) END
+           THEN ((2 * CAST(n_both AS BIGINT) * 1000000 + CAST(n_exact AS BIGINT)) // (2 * CAST(n_exact AS BIGINT)) / 1000000.0) END
         AS recall_lsh
     FROM e, l, b
 """

@@ -7,6 +7,15 @@ double work, and order-sensitive double sums are rounded to 6 decimals on
 both sides before any ranking/threshold.  That makes even MinHash signatures
 and LSH candidate pairs bit-reproducible across engines.
 
+Small-integer RATIOS (jaccard, containment, quality, token-length means)
+never round a double at all: they land exactly on 6-dp rounding
+boundaries (reduced denominators dividing 2·10^6 — powers of two are the
+everyday case), where the two engines' round() implementations split and
+any threshold filter amplifies the split into different row sets.  Those
+go through ``functions.hashing.ratio_micro`` — exact integer micro-units
+with a half-away-from-zero tie-break — mirrored in SQL as
+``(2·num·10^6 + den) // (2·den) / 10^6``.
+
 Type alignment: Spark ``size()`` is int32 while DuckDB ``len()`` is int64 —
 every count-ish output is cast to long on the Spark side.
 """

@@ -931,6 +931,30 @@ _SQL_SRC_JSONL_DOCUMENTS = """
 """
 
 
+def q_src_orc_documents(spark, sf_dir):
+    """ORC ingestion round-trip — the other JVM-native columnar format a
+    reference user's warehouse may already hold (Spark ships the reader;
+    no package install).  Same landing-zone discipline as the JSONL
+    twin: written at most once per fixture version, read back with the
+    table's own schema (ORC carries it — no inference pass), pushed
+    filter.  Passing the parquet-backed oracle proves the ORC round-trip
+    is lossless for the corpus columns."""
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        _landing_zone,
+    )
+
+    path = _landing_zone(
+        sf_dir, "documents", "orc",
+        lambda staging: load_table(spark, sf_dir, "documents")
+        .write.mode("overwrite").orc(staging),
+    )
+    return (
+        spark.read.orc(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
 INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # oracle is the FULL recompute — passing means the incremental merge
     # reproduces it exactly
@@ -950,6 +974,10 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "src_jsonl_documents": QuerySpec(
         q_src_jsonl_documents, _SQL_SRC_JSONL_DOCUMENTS
+    ),
+    # same oracle: the ORC round-trip must be equally lossless
+    "src_orc_documents": QuerySpec(
+        q_src_orc_documents, _SQL_SRC_JSONL_DOCUMENTS
     ),
     # oracle = the one-shot full-corpus pair query: incremental
     # decomposition must reproduce it exactly (holds because both runs

@@ -212,10 +212,53 @@ def hyperplane_bucket_expr(
     )
 
 
+#: Logical-plan node names whose presence means re-executing the frame
+#: for a one-row probe would re-run real work (joins, shuffles, Python
+#: stages) — the probe is then skipped and callers keep the generic HOF
+#: kernels, which are always correct.
+_PROBE_SKIP_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Distinct",
+    "Deduplicate",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapPartitions",
+    "Generate",
+    "GlobalLimit",
+)
+
+
+def _plan_is_cheap_scan(vectors: DataFrame) -> bool:
+    """True when a one-row ``first()`` probe of ``vectors`` costs O(one
+    partition scan): the analyzed plan is projections/filters over a
+    relation with no joins, aggregates, windows, or Python stages that
+    would otherwise execute twice (once for the probe, once for the real
+    query, uncached).  Conservative under Spark Connect (no ``_jdf``):
+    returns False."""
+    try:
+        plan = vectors._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        # strip the explain tree-drawing prefix; node names lead the line
+        if line.lstrip(" :+-*(0123456789)").startswith(_PROBE_SKIP_NODES):
+            return False
+    return True
+
+
 def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
-    """One-row width probe (a constant-cost first() job) enabling the
-    literal-weight bucket fast path; None on an empty/null input keeps
-    callers on the generic expression."""
+    """Vector width for the literal-weight / unrolled fast paths.
+
+    Only probes (one first() job, constant cost) when the plan is a bare
+    scan — on a derived frame (joins/aggregates upstream) the probe would
+    silently execute the upstream stages twice, so it is skipped and the
+    caller stays on the generic HOF expressions.  None on empty/null
+    input for the same reason."""
+    if not _plan_is_cheap_scan(vectors):
+        return None
     row = vectors.select(vec_col).first()
     return len(row[0]) if row is not None and row[0] is not None else None
 
@@ -225,21 +268,28 @@ def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
 #: dispatch, but at dim=64 the 64-term element_at chains explode the
 #: generated code (1-2 MB task binaries, methods past JIT limits) and
 #: ran ~4× SLOWER than the HOF fold across cosine/ivf/lsh at sf0.1.
-#: The literal-weight BUCKET expression is exempt — there the win comes
-#: from deleting planes×dim per-row md5 derivations, which dominates
-#: its own codegen bloat (0.62 → 0.28 s measured at dim=64).
+#: The literal-weight BUCKET expression shares the same gate: its
+#: bare-scan dim=64 win (0.62 → 0.28 s) was abandoned after embedding
+#: the planes×64-term chains in join plans blew generated-code size
+#: past JIT limits (lsh_topk 0.85 → 3.1 s) — see
+#: :func:`hyperplane_bucket_expr`'s docstring for the measurement.
 _UNROLL_MAX_DIM = 16
 
 
-def _vector_kernels(vectors: DataFrame, vec_col: str):
+def _vector_kernels(vectors: DataFrame, vec_col: str, dim: int | None = None):
     """(dot, norm2, dim) for an operator over ``vectors``: unrolled
-    codegen'd expression builders when the width is probeable AND small
+    codegen'd expression builders when the width is known AND small
     enough to compile well (value-identical to the HOF folds — see
     ``dot_expr_unrolled``'s bit-parity argument), the generic HOFs
-    otherwise.  ``dim`` is returned whenever probeable so callers can
-    still take the literal-weight bucket path.  The probe is one
-    first() job — constant cost, once per operator invocation."""
-    dim = _vec_dim(vectors, vec_col)
+    otherwise.  ``dim`` is returned whenever known so callers can
+    still take the literal-weight bucket path.  Pass ``dim`` when the
+    width is known up front to skip the probe entirely; otherwise the
+    probe (one constant-cost first() job) runs only when the plan is a
+    bare scan (:func:`_vec_dim`) — derived frames keep the lazy generic
+    kernels rather than silently executing their upstream stages
+    twice."""
+    if dim is None:
+        dim = _vec_dim(vectors, vec_col)
     if dim and dim <= _UNROLL_MAX_DIM:
         return (
             lambda a, b: dot_expr_unrolled(a, b, dim),

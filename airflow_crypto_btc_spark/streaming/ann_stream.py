@@ -214,13 +214,15 @@ def embedding_index_sink(
                 # the index rewrite bnum-CLUSTERS so the compacted parts
                 # stay range-aligned and probe pruning keeps skipping
                 # files as the stream grows (skip for a pre-bnum
-                # generation — nulls cannot z-order)
+                # generation — nulls cannot z-order).  Snapshot may be
+                # None (e.g. an all-quarantined batch never appended):
+                # skip the table rather than dereference None.
+                snap = read_snapshot_or_none(spark, table)
+                if snap is None:
+                    continue
                 cluster = (
                     ["bnum"]
-                    if table == index_table
-                    and "bnum" in read_snapshot_or_none(
-                        spark, table
-                    ).columns
+                    if table == index_table and "bnum" in snap.columns
                     else None
                 )
                 try:

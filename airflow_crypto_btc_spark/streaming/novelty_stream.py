@@ -100,66 +100,75 @@ def novelty_sink(
                 )
             bitmap_b = bytes(bloom_state.collect()[0]["bm"])
         bitmap_bc = None
-        if bitmap_b is None:
-            suspects = batch
-            certain = batch.limit(0)
-        else:
-            # per-batch broadcast, explicitly released after the batch's
-            # appends materialize — a stream that never idles cannot
-            # lean on py4j GC + ContextCleaner to reclaim one bitmap's
-            # blocks per batch
-            bitmap_bc = spark.sparkContext.broadcast(bitmap_b)
-            flags = bloom_flags(
-                batch, bitmap_b, n_bits, k, id_type,
-                bitmap_bc=bitmap_bc,
+        # try/finally: the broadcast must be released even when a commit
+        # retry exhausts and raises mid-batch (the stream replays the
+        # batch with a FRESH broadcast — an exception path that skipped
+        # unpersist would leak exactly the blocks this design reclaims)
+        try:
+            if bitmap_b is None:
+                suspects = batch
+                certain = batch.limit(0)
+            else:
+                # per-batch broadcast, explicitly released after the
+                # batch's appends materialize — a stream that never
+                # idles cannot lean on py4j GC + ContextCleaner to
+                # reclaim one bitmap's blocks per batch
+                bitmap_bc = spark.sparkContext.broadcast(bitmap_b)
+                flags = bloom_flags(
+                    batch, bitmap_b, n_bits, k, id_type,
+                    bitmap_bc=bitmap_bc,
+                )
+                maybe_ids = flags.filter("maybe_seen").select("id")
+                suspects = batch.join(maybe_ids, "id", "left_semi")
+                certain = batch.join(maybe_ids, "id", "left_anti")
+            committed = read_snapshot_or_none(spark, digests_table)
+            if committed is None:
+                verified = suspects
+            else:
+                verified = suspects.join(
+                    committed.select("digest"), "digest", "left_anti"
+                )
+            novel = certain.unionByName(verified).localCheckpoint(
+                eager=False
             )
-            maybe_ids = flags.filter("maybe_seen").select("id")
-            suspects = batch.join(maybe_ids, "id", "left_semi")
-            certain = batch.join(maybe_ids, "id", "left_anti")
-        committed = read_snapshot_or_none(spark, digests_table)
-        if committed is None:
-            verified = suspects
-        else:
-            verified = suspects.join(
-                committed.select("digest"), "digest", "left_anti"
+            # novel FIRST, digests LAST — see module docstring
+            append(
+                spark, novel.select("id", "digest"), novel_table,
+                txn_id=f"{query_name}:{batch_id}:novel",
             )
-        novel = certain.unionByName(verified).localCheckpoint(
-            eager=False
-        )
-        # novel FIRST, digests LAST — see module docstring
-        append(
-            spark, novel.select("id", "digest"), novel_table,
-            txn_id=f"{query_name}:{batch_id}:novel",
-        )
-        append(
-            spark, novel.select("digest"), digests_table,
-            txn_id=f"{query_name}:{batch_id}:digests",
-        )
-        # bitmap after both: an OR is idempotent under replay, and a
-        # lost update only weakens the NEXT batch's pre-filter.  Built
-        # distributed (partial bitmaps), never a row collect.
-        delta_bm = np.frombuffer(
-            bitmap_of_hashes(novel, n_bits, k), dtype=np.uint8
-        )
-        if bitmap_b is not None:
-            delta_bm = delta_bm | np.frombuffer(bitmap_b, dtype=np.uint8)
-        overwrite(
-            spark,
-            spark.createDataFrame(
-                [(bytearray(delta_bm.tobytes()),)], "bm binary"
-            ),
-            bloom_table,
-            meta={"n_bits": n_bits, "k": k},
-        )
-        # every overwrite de-references the previous bitmap part but
-        # leaves it on disk; without this an N-batch run accumulates N
-        # dead copies of the (fixed-size) state
-        vacuum(bloom_table)
-        if bitmap_bc is not None:
-            # all consumers of the flags are materialized (novel is
-            # checkpointed by the first append) — release the batch's
-            # broadcast blocks deterministically
-            bitmap_bc.unpersist()
+            append(
+                spark, novel.select("digest"), digests_table,
+                txn_id=f"{query_name}:{batch_id}:digests",
+            )
+            # bitmap after both: an OR is idempotent under replay, and a
+            # lost update only weakens the NEXT batch's pre-filter.
+            # Built distributed (partial bitmaps), never a row collect.
+            delta_bm = np.frombuffer(
+                bitmap_of_hashes(novel, n_bits, k), dtype=np.uint8
+            )
+            if bitmap_b is not None:
+                delta_bm = delta_bm | np.frombuffer(
+                    bitmap_b, dtype=np.uint8
+                )
+            overwrite(
+                spark,
+                spark.createDataFrame(
+                    [(bytearray(delta_bm.tobytes()),)], "bm binary"
+                ),
+                bloom_table,
+                meta={"n_bits": n_bits, "k": k},
+            )
+            # every overwrite de-references the previous bitmap part but
+            # leaves it on disk; without this an N-batch run accumulates
+            # N dead copies of the (fixed-size) state
+            vacuum(bloom_table)
+        finally:
+            if bitmap_bc is not None:
+                # all consumers of the flags are materialized on the
+                # success path (novel is checkpointed by the first
+                # append); on the failure path the batch is replayed
+                # from scratch — either way the blocks are dead here
+                bitmap_bc.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             for table in (digests_table, novel_table):
                 try:

@@ -149,17 +149,38 @@ def main() -> None:
         name: round(statistics.median(ts), 4)
         for name, ts in samples.items()
     }
+    total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query line (compact separators: the driver's tail capture is
+    # a fixed-size window and this line grew past it in round 7).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "reps": reps,
                 "stat": "median_per_query",
-            }
+            },
+            separators=(",", ":"),
+        )
+    )
+    # Compact total-only summary LAST: whatever the tail window cuts from
+    # the per-query line above, the final line always parses (BENCH_r07
+    # came back "parsed": null because only a truncated head-less fragment
+    # of the per-query line survived the capture).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -661,7 +661,10 @@ def lsh_topk_from_index(
             for r in probes.select("bucket").distinct().collect()
         ]  # bounded by |queries| × (1 + planes) — never index-sized
         if bnums:
-            prune = ("bnum", min(bnums), max(bnums))
+            # one degenerate range PER probed bucket (not one [min, max]
+            # envelope): a scattered probe set over a bnum-clustered
+            # table skips every file strictly between two probed keys
+            prune = ("bnum", [(b, b) for b in sorted(set(bnums))])
     base = read_snapshot(spark, table, prune=prune)
     cos = F.when(
         F.col("qn") * F.col("vn") != 0,
@@ -1209,7 +1212,10 @@ def ivf_topk_from_tables(
         if not cids:
             prune = None  # empty query set: the join returns nothing
         else:
-            prune = ("cid", min(cids), max(cids))
+            # per-cid degenerate ranges: a scattered probe set over a
+            # cid-clustered members table skips files between probed
+            # lists, not just outside the [min, max] envelope
+            prune = ("cid", [(c, c) for c in sorted(set(cids))])
     members = read_snapshot(
         spark, members_table, prune=prune
     ).select(

@@ -151,6 +151,20 @@ def _overlaps(file_stats: dict, col: str, lo, hi) -> bool:
     return True
 
 
+def _prune_ranges(prune: tuple) -> tuple[str, list[tuple]]:
+    """Normalize the two accepted prune shapes to (col, [(lo, hi), ...]):
+    ``(col, lo, hi)`` — one range — and ``(col, ranges)`` where ranges is
+    a list of (lo, hi) pairs (a SCATTERED probe set: e.g. the cid/bnum
+    list of an ANN probe, one degenerate [v, v] range per value, so a
+    clustered table skips every file between two probed keys instead of
+    reading the whole [min, max] envelope)."""
+    if len(prune) == 3:
+        col, lo, hi = prune
+        return col, [(lo, hi)]
+    col, ranges = prune
+    return col, [tuple(r) for r in ranges]
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
@@ -162,17 +176,25 @@ def read_snapshot(
 
     ``prune=(col, lo, hi)`` additionally skips every file whose logged
     min/max range provably misses [lo, hi] (None = unbounded side) —
-    log-level data skipping on top of parquet row-group pruning.  The
-    caller still applies its own row filter; pruning is a correct-by-
-    construction superset of the matching files."""
+    log-level data skipping on top of parquet row-group pruning.
+    ``prune=(col, [(lo, hi), ...])`` keeps a file when it overlaps ANY
+    of the ranges — multi-range skipping for scattered probe sets (an
+    empty list prunes everything: zero probed keys match zero rows).
+    The caller still applies its own row filter; pruning is a
+    correct-by-construction superset of the matching files."""
     snap = current_snapshot(table, version)
     if not snap.files:
         raise ValueError(f"snapshot table {table} is empty at v{version}")
     files = snap.files
     if prune is not None:
-        col, lo, hi = prune
+        col, ranges = _prune_ranges(prune)
         files = [
-            f for f in files if _overlaps(snap.stats.get(f), col, lo, hi)
+            f
+            for f in files
+            if any(
+                _overlaps(snap.stats.get(f), col, lo, hi)
+                for lo, hi in ranges
+            )
         ]
     paths = [os.path.join(table, _DATA_DIR, f) for f in snap.files]
     if not files:  # nothing can match: keep the schema, return zero rows

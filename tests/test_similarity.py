@@ -1222,3 +1222,44 @@ def test_lsh_from_index_prunes_clustered_files(vectors, spark, tmp_path):
     ]
     assert key(pruned.collect()) == key(unpruned.collect())
     assert 0 < len(set(pruned.inputFiles())) < n_parts
+
+
+def test_ivf_scattered_probe_prunes_between_ranges(
+    vectors, spark, tmp_path
+):
+    """A SCATTERED probe set (two cids at the extremes of the domain)
+    must skip the cid-clustered files BETWEEN them — the round-7
+    single-envelope prune collapsed {min, max} to [min, max] and kept
+    every file — while returning exactly the unpruned answer."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        ivf_topk_from_tables,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        compact,
+        current_snapshot,
+    )
+
+    V, df = vectors
+    ct, mt = str(tmp_path / "cent"), str(tmp_path / "members")
+    build_semantic_index(
+        spark, df, ct, mt, source_version="v1",
+        centroid_filter="vec_id % 7 = 2",  # cids 2, 9, ..., 58
+    )
+    compact(spark, mt, target_parts=4, cluster_by=["cid"])
+    n_parts = len(current_snapshot(mt).files)
+    assert n_parts >= 4
+    # each query IS its centroid → n_probe=1 assigns it to itself:
+    # probed cids = {2, 58}, the two ends of the clustered key range
+    q = df.filter("vec_id in (2, 58)")
+    pruned = ivf_topk_from_tables(spark, ct, mt, q, n_probe=1, k=5)
+    unpruned = ivf_topk_from_tables(
+        spark, ct, mt, q, n_probe=1, k=5, prune_lists=False,
+    )
+    key = lambda rows: [  # noqa: E731
+        (r["qid"], r["rnk"], r["nid"], r["cosine"]) for r in rows
+    ]
+    assert key(pruned.collect()) == key(unpruned.collect())
+    opened = {f for f in pruned.inputFiles() if "members" in f}
+    # the [2, 58] envelope spans every part; per-cid ranges must not
+    assert 0 < len(opened) < n_parts

@@ -307,6 +307,58 @@ def test_stats_pruned_read_skips_disjoint_files(spark, tmp_path):
     assert sorted(r["close"] for r in tail.collect()) == [4.0, 5.0]
 
 
+def test_stats_pruned_read_multi_range_skips_between(spark, tmp_path):
+    """A SCATTERED probe set — prune=(col, [(lo, hi), ...]) — skips the
+    files strictly between two probed ranges, which the single [min,
+    max] envelope form cannot; an empty range list prunes everything
+    while keeping the schema."""
+    import datetime as dt
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        current_snapshot,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    for month, vals in ((1, [1.0, 2.0]), (2, [3.0]), (3, [4.0, 5.0])):
+        df = spark.createDataFrame(
+            [(dt.date(2024, month, i + 1), v) for i, v in enumerate(vals)],
+            "date date, close double",
+        )
+        append(spark, df, table)
+    assert len(current_snapshot(table).files) == 3
+
+    # January + March probed; the February file must never be opened
+    scattered = read_snapshot(
+        spark, table,
+        prune=("date", [
+            (dt.date(2024, 1, 1), dt.date(2024, 1, 31)),
+            (dt.date(2024, 3, 1), dt.date(2024, 3, 31)),
+        ]),
+    )
+    opened = {p.split("/data/")[1].split("/")[0]
+              for p in scattered.inputFiles()}
+    assert len(opened) == 2
+    assert sorted(r["close"] for r in scattered.collect()) == [
+        1.0, 2.0, 4.0, 5.0,
+    ]
+
+    # the single-envelope legacy shape over the same endpoints opens
+    # all three files (documents exactly what multi-range buys)
+    envelope = read_snapshot(
+        spark, table,
+        prune=("date", dt.date(2024, 1, 1), dt.date(2024, 3, 31)),
+    )
+    assert len({p.split("/data/")[1].split("/")[0]
+                for p in envelope.inputFiles()}) == 3
+
+    # empty probe set: zero rows, schema intact, no files opened
+    nothing = read_snapshot(spark, table, prune=("date", []))
+    assert nothing.count() == 0
+    assert set(nothing.columns) == {"date", "close"}
+
+
 def test_stats_pruned_read_empty_and_statless_files(spark, tmp_path):
     """A range matching nothing returns an empty (schema-stable) frame;
     a legacy commit without stats keeps its file (conservative)."""

@@ -25,6 +25,7 @@ from airflow_crypto_btc_spark.operators.similarity import (
     ivf_topk,
     kmeans_centroid_arrays,
     kmeans_train,
+    semantic_purge,
 )
 from airflow_crypto_btc_spark.plans.registry import QuerySpec
 from airflow_crypto_btc_spark.sources.tables import load_table
@@ -76,7 +77,9 @@ def _assign_update_ctes(i: int, cent_in: str) -> str:
     )"""
 
 
-def _kmeans_ctes(iterations: int = _ITERATIONS) -> str:
+def _kmeans_ctes(
+    iterations: int = _ITERATIONS, seed_filter: str = _SEED_FILTER
+) -> str:
     """v + cent0 + ``iterations`` Lloyd rounds; final centroids in
     cent{iterations}, final exploded means in m{iterations}."""
     parts = [
@@ -91,7 +94,7 @@ def _kmeans_ctes(iterations: int = _ITERATIONS) -> str:
     cent0 AS (
       SELECT vec_id AS cid,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-      FROM embeddings WHERE {_SEED_FILTER}
+      FROM embeddings WHERE {seed_filter}
     )"""
     ]
     for i in range(1, iterations + 1):
@@ -177,6 +180,54 @@ def q_sim_ivf_topk_trained(spark, sf_dir):
     return out.select(
         "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+# FIXED cluster count for the trained purge: SemDeDup (Abbas et al.
+# 2023) holds k constant as the corpus grows — assignment stays O(n·k)
+# with constant k, never O(n²/c).  The modulo-only seed filters track
+# the corpus (|seeds| = n/25), so the purge quantizer pins the id range
+# too: 20 seeds at EVERY scale factor.
+_PURGE_SEED_FILTER = "vec_id % 25 = 7 AND vec_id < 500"
+
+
+def q_dedup_semantic_purge_trained(spark, sf_dir):
+    """SemDeDup with the PRODUCTION quantizer shape: a k-means-trained
+    centroid set of FIXED size (20 seeds at every SF — cluster count
+    constant as the corpus grows, unlike the seed-filter oracle mode,
+    whose centroid count tracks the corpus), then the same
+    cluster-bounded purge.  Threshold 0.3 for the synthetic corpus, as
+    in `dedup_semantic_purge`.  The oracle replays the full Lloyd
+    training bit-for-bit (decimal means, 6-dp rounding) and the purge
+    labeling against cent{N} — exact values, not rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroid_arrays(
+        emb, seed_filter=_PURGE_SEED_FILTER, iterations=_ITERATIONS
+    )
+    return semantic_purge(emb, centroids=cent, cosine_threshold=0.3)
+
+
+def _semantic_purge_trained_sql(threshold: float = 0.3) -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import _D_COS
+
+    return f"""
+    WITH {_kmeans_ctes(seed_filter=_PURGE_SEED_FILTER)},
+    assigned AS (
+      SELECT nid AS id, ve AS e, cid FROM (
+        SELECT v.nid, v.ve, c.cid,
+          row_number() OVER (PARTITION BY v.nid
+            ORDER BY {_D_COS.format(a="v.ve", b="c.ce")} DESC, c.cid) AS r
+        FROM v, cent{_ITERATIONS} c)
+      WHERE r = 1
+    ),
+    dups AS (
+      SELECT a.id AS id_dup, MIN(b.id) AS dup_of
+      FROM assigned a JOIN assigned b ON a.cid = b.cid AND b.id < a.id
+      WHERE {_D_COS.format(a="a.e", b="b.e")} >= {threshold}
+      GROUP BY a.id
+    )
+    SELECT assigned.id AS vec_id, cid, dup_of, dup_of IS NULL AS keep
+    FROM assigned LEFT JOIN dups ON assigned.id = dups.id_dup
+"""
 
 
 def q_dedup_minhash_signature_fast(spark, sf_dir):
@@ -547,6 +598,9 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim_ivf_topk_trained": QuerySpec(
         q_sim_ivf_topk_trained, _ivf_trained_sql()
+    ),
+    "dedup_semantic_purge_trained": QuerySpec(
+        q_dedup_semantic_purge_trained, _semantic_purge_trained_sql()
     ),
     "dedup_minhash_signature_fast": QuerySpec(
         q_dedup_minhash_signature_fast, _SQL_MINHASH_SIG

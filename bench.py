@@ -69,6 +69,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",
     "dedup_semantic_purge",
+    # round-8: the production SemDeDup shape (fixed-k trained quantizer;
+    # pays Lloyd training inline — a train+serve line like sim_pq_topk_cold)
+    "dedup_semantic_purge_trained",
     "sim_cosine_topk",
     "sim_cosine_topk_fast",
     "sim_ivf_topk",

@@ -38,6 +38,9 @@ DEFAULT = [
     "sim_lsh_topk_from_index",
     "dedup_semantic_purge",
     "text_logprob_from_model",
+    # round-8: the production SemDeDup shape — FIXED-k trained quantizer,
+    # assignment O(n·k) with constant k
+    "dedup_semantic_purge_trained",
 ]
 
 

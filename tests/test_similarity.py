@@ -1224,6 +1224,73 @@ def test_lsh_from_index_prunes_clustered_files(vectors, spark, tmp_path):
     assert 0 < len(set(pruned.inputFiles())) < n_parts
 
 
+def test_probe_concurrent_with_compaction_sees_one_generation(
+    vectors, spark, tmp_path
+):
+    """A serving probe racing a clustered compaction commit on the SAME
+    index table must observe exactly one generation — old or new, never
+    a mix and never a dead-file read.  Three commit-crossing shapes:
+    (a) a free-running prober thread while compact+vacuum cycles run,
+    (b) a probe PLANNED before each compaction and EXECUTED after its
+    vacuum (the in-flight reader the vacuum horizon protects), and
+    (c) a fresh post-everything probe.  All must equal the pre-race
+    answer: both generations hold identical rows by construction, so
+    any mix/partial read would change the top-k."""
+    import threading
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_ann_index,
+        lsh_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        compact,
+        vacuum,
+    )
+
+    V, df = vectors
+    t = str(tmp_path / "ann")
+    build_ann_index(spark, df, t, source_version="v1", planes=4)
+    q = df.filter("vec_id < 4")
+    kw = dict(planes=4, k=5, max_hamming=1)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["qid"], r["rnk"], r["nid"], r["cosine"]) for r in rows
+    )
+    ref = key(lsh_topk_from_index(spark, t, q, **kw).collect())
+    assert ref  # non-degenerate: the race has something to corrupt
+
+    probed, errs = [], []
+    stop = threading.Event()
+
+    def prober():
+        while not stop.is_set():
+            try:
+                probed.append(
+                    key(lsh_topk_from_index(spark, t, q, **kw).collect())
+                )
+            except Exception as exc:  # noqa: BLE001 — recorded, asserted
+                errs.append(exc)
+                return
+
+    th = threading.Thread(target=prober)
+    th.start()
+    try:
+        for parts in (3, 5, 2):
+            # plan against the CURRENT snapshot, execute after the next
+            # compaction has committed and vacuumed — keep_versions=3
+            # gives an in-flight reader two commits of grace, the same
+            # horizon contract vacuum documents
+            spanning = lsh_topk_from_index(spark, t, q, **kw)
+            compact(spark, t, target_parts=parts, cluster_by=["bnum"])
+            vacuum(t, keep_versions=3)
+            assert key(spanning.collect()) == ref
+    finally:
+        stop.set()
+        th.join()
+    assert not errs
+    assert probed and all(r == ref for r in probed)
+    assert key(lsh_topk_from_index(spark, t, q, **kw).collect()) == ref
+
+
 def test_ivf_scattered_probe_prunes_between_ranges(
     vectors, spark, tmp_path
 ):

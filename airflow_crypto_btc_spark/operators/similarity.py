@@ -1012,6 +1012,7 @@ def semantic_purge_delta(
     vec_col: str = "embedding",
     cosine_threshold: float = 0.9,
     max_cluster_size: int | None = None,
+    delta_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Label ONLY the delta against an existing semantic index — the
     online half of SemDeDup-at-ingest.  With a frozen quantizer and
@@ -1035,26 +1036,32 @@ def semantic_purge_delta(
     shared ``_cap_buckets`` guard); the delta side is bounded by |Δ|
     already.  As with the capped text sibling, a capped incremental run
     is union-of-per-run semantics, not equal to a one-shot capped run —
-    the exact identity above requires the cap off."""
+    the exact identity above requires the cap off.
+
+    ``delta_assigned``: a precomputed (id, e, vn, cid) assignment of the
+    delta (same quantizer!) — :func:`semantic_purge_from_tables` passes
+    the one it already materialized for file-level cluster pruning, so
+    the |Δ|×k assignment runs once, not twice."""
     from airflow_crypto_btc_spark.operators.dedup import _cap_buckets
 
     dot, nrm2, _dim = _vector_kernels(delta, vec_col)
-    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
-    delta_assigned = (
-        _nearest_centroids(
-            delta.select(
-                F.col(id_col).alias("id"), F.col(vec_col).alias("e")
-            ),
-            cent,
-            dot,
-            nrm2,
-            "id",
-            "e",
-            keep=1,
-        )
-        .select("id", "e", F.col("__n_e").alias("vn"), "cid")
-        .localCheckpoint(eager=False)
-    )  # probe side of the cid join AND the b-side union: compute once
+    if delta_assigned is None:
+        cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
+        delta_assigned = (
+            _nearest_centroids(
+                delta.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+                ),
+                cent,
+                dot,
+                nrm2,
+                "id",
+                "e",
+                keep=1,
+            )
+            .select("id", "e", F.col("__n_e").alias("vn"), "cid")
+            .localCheckpoint(eager=False)
+        )  # probe side of cid join AND the b-side union: compute once
     if members is None:  # empty index (a stream's first batch): the
         mates = None     # b-side is the delta itself
     else:
@@ -1249,6 +1256,7 @@ def semantic_purge_from_tables(
     cosine_threshold: float = 0.9,
     max_cluster_size: int | None = None,
     expect_source: str | None = None,
+    prune_clusters: bool = True,
 ) -> DataFrame:
     """Table-path front end of :func:`semantic_purge_delta` with the
     FRESHNESS + MONOTONICITY pinning the exactness argument needs, all
@@ -1262,7 +1270,17 @@ def semantic_purge_from_tables(
     - the delta's smallest id must exceed the recorded ``max_id`` (one
       delta-sized aggregation vs one metadata scalar) — interleaved ids
       would invalidate already-emitted old labelings, so they are
-      refused, not absorbed."""
+      refused, not absorbed.
+
+    ``prune_clusters``: file-level data skipping to match the plan-level
+    semi-join — the delta's assignment is materialized ONCE, its touched
+    cid list (bounded by min(|Δ|, quantizer size) — driver-safe by the
+    same argument that makes the centroid set broadcast-safe) collected,
+    and the members table read with one degenerate [cid, cid] prune
+    range per touched cluster: on a cid-clustered index, untouched
+    clusters' FILES are never opened, not just filtered map-side.
+    Answer-invariant — pruning keeps a superset of the rows the
+    semi-join keeps."""
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         current_snapshot,
         read_snapshot,
@@ -1282,14 +1300,41 @@ def semantic_purge_from_tables(
                 "emitted labelings; rebuild the index over the full "
                 "corpus instead"
             )
+    cent_df = read_snapshot(spark, centroids_table)
+    delta_assigned = None
+    prune = None
+    if prune_clusters:
+        dot, nrm2, _dim = _vector_kernels(delta, vec_col)
+        cent = cent_df.withColumn("cn", F.sqrt(nrm2("ce")))
+        delta_assigned = (
+            _nearest_centroids(
+                delta.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+                ),
+                cent,
+                dot,
+                nrm2,
+                "id",
+                "e",
+                keep=1,
+            )
+            .select("id", "e", F.col("__n_e").alias("vn"), "cid")
+            .localCheckpoint(eager=True)
+        )  # eager: the cid collect below and the pair join share it
+        cids = sorted(
+            r["cid"]
+            for r in delta_assigned.select("cid").distinct().collect()
+        )
+        prune = ("cid", [(c, c) for c in cids])
     return semantic_purge_delta(
-        read_snapshot(spark, centroids_table),
-        read_snapshot(spark, members_table),
+        cent_df,
+        read_snapshot(spark, members_table, prune=prune),
         delta,
         id_col,
         vec_col,
         cosine_threshold,
         max_cluster_size,
+        delta_assigned=delta_assigned,
     )
 
 

@@ -1224,6 +1224,56 @@ def test_lsh_from_index_prunes_clustered_files(vectors, spark, tmp_path):
     assert 0 < len(set(pruned.inputFiles())) < n_parts
 
 
+def test_semantic_delta_prunes_untouched_cluster_files(
+    vectors, spark, tmp_path
+):
+    """The table-path delta purge must SKIP the files of clusters the
+    delta never touches (file-level skipping matching the plan-level
+    semi-join), including files BETWEEN two touched clusters — scattered
+    multi-range pruning — while labeling the delta exactly as the
+    unpruned read does."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge_from_tables,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        compact,
+        current_snapshot,
+    )
+
+    V, df = vectors
+    ct, mt = str(tmp_path / "cent"), str(tmp_path / "members")
+    build_semantic_index(
+        spark, df, ct, mt, source_version="v1",
+        centroid_filter="vec_id % 7 = 2",  # cids 2, 9, ..., 58
+    )
+    compact(spark, mt, target_parts=4, cluster_by=["cid"])
+    n_parts = len(current_snapshot(mt).files)
+    assert n_parts >= 4
+    # delta rows = copies of the FIRST and LAST centroids with fresh ids
+    # (> max_id): they assign to cids {2, 58}, the ends of the clustered
+    # key range — the [2, 58] envelope would keep every file
+    delta = spark.createDataFrame(
+        [(100, V[2].tolist()), (101, V[58].tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    pruned = semantic_purge_from_tables(
+        spark, ct, mt, delta, cosine_threshold=0.5
+    )
+    unpruned = semantic_purge_from_tables(
+        spark, ct, mt, delta, cosine_threshold=0.5, prune_clusters=False
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["vec_id"], r["cid"], r["dup_of"], r["keep"]) for r in rows
+    )
+    got = key(pruned.collect())
+    assert got == key(unpruned.collect())
+    # both delta rows are exact copies of indexed vectors → labeled dups
+    assert [r[3] for r in got] == [False, False]
+    opened = {f for f in pruned.inputFiles() if "members" in f}
+    assert 0 < len(opened) < n_parts
+
+
 def test_probe_concurrent_with_compaction_sees_one_generation(
     vectors, spark, tmp_path
 ):

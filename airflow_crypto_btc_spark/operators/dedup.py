@@ -410,15 +410,45 @@ def build_minhash_index(
     the new version, so the probe's version check would pass while pair
     verification ran against stale shingle sets (and every id would
     fan out into duplicate rows).  Incremental growth of the same
-    corpus version goes through the streaming sink, not this builder."""
+    corpus version goes through the streaming sink, not this builder.
+
+    The persisted band rows carry ``bkn = xxhash64(band_idx, band_key)``
+    — a NUMERIC bucket key (band_key is a string, which the z-order
+    compactor cannot interleave) so the table can be
+    ``compact(cluster_by=["bkn"])``-ed and probes file-pruned by their
+    bkn list, the same layout contract the hyperplane ANN index
+    established with ``bnum``."""
     from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
 
     sets, banded = _minhash_sets_and_bands(
         df, id_col, text_col, k_shingle, num_hashes, bands, kernel
     )
+    banded = banded.withColumn("bkn", F.xxhash64("band_idx", "band_key"))
     meta = {"source_version": source_version}
     overwrite(spark, sets, sets_table, meta=meta)
     overwrite(spark, banded, bands_table, meta=meta)
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """(id, band_idx, band_key) band rows recomputed from raw text —
+    deterministic md5 math, bit-identical to what the index holds for
+    the same documents (pinned by the kernel-parity tests).  The DELTA's
+    rows are |Δ|-sized to compute; pass them as ``delta_banded`` to
+    :func:`minhash_lsh_pairs_from_index_tables` so the probe can
+    file-prune the bands table WITHOUT first scanning it to learn the
+    delta's bucket keys."""
+    _, banded = _minhash_sets_and_bands(
+        df, id_col, text_col, k_shingle, num_hashes, bands, kernel
+    )
+    return banded
 
 
 def minhash_lsh_pairs_from_index_tables(
@@ -429,6 +459,7 @@ def minhash_lsh_pairs_from_index_tables(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
     expect_source: str | None = None,
+    delta_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Table-path front end of :func:`minhash_lsh_pairs_from_index` with
     FRESHNESS PINNING: before reading a row, the two index tables'
@@ -438,7 +469,18 @@ def minhash_lsh_pairs_from_index_tables(
     when ``expect_source`` is given, with the version the caller is
     deduplicating against (mismatch = stale index, rebuild before
     probing).  Raises ``ValueError`` on either mismatch; the check reads
-    only the commit log, no data files."""
+    only the commit log, no data files.
+
+    ``delta_banded``: the delta's (id, band_idx, band_key) rows
+    recomputed from raw text (:func:`minhash_band_rows` — bit-identical
+    to the indexed rows, so this is knowledge the caller already has,
+    not a scan of the index).  When given, the bands table is read with
+    one degenerate [bkn, bkn] prune range per delta bucket key (bounded
+    by |Δ| × bands): on a bkn-clustered table, buckets without a delta
+    row never have their FILES opened.  Answer-invariant — every pair
+    has a delta endpoint, and all of the delta's buckets are kept;
+    pre-bkn index generations carry no bkn stats and are conservatively
+    unpruned."""
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         current_snapshot,
         read_snapshot,
@@ -456,9 +498,20 @@ def minhash_lsh_pairs_from_index_tables(
             f"stale index: built from {s_src!r}, caller expects "
             f"{expect_source!r} — rebuild before probing"
         )
+    prune = None
+    if delta_banded is not None:
+        keys = sorted(
+            r["bkn"]
+            for r in delta_banded.select(
+                F.xxhash64("band_idx", "band_key").alias("bkn")
+            )
+            .distinct()
+            .collect()
+        )  # bounded by |delta| × bands — never index-sized
+        prune = ("bkn", [(k, k) for k in keys])
     return minhash_lsh_pairs_from_index(
         read_snapshot(spark, sets_table),
-        read_snapshot(spark, bands_table),
+        read_snapshot(spark, bands_table, prune=prune),
         delta_ids,
         jaccard_threshold,
         max_bucket_size,

@@ -489,6 +489,7 @@ def q_dedup_pairs_from_persisted_index(spark, sf_dir):
 
     from airflow_crypto_btc_spark.operators.dedup import (
         build_minhash_index,
+        minhash_band_rows,
         minhash_lsh_pairs,
         minhash_lsh_pairs_from_index_tables,
     )
@@ -512,13 +513,17 @@ def q_dedup_pairs_from_persisted_index(spark, sf_dir):
         docs.filter("doc_id % 10 != 0"),
         num_hashes=12, bands=4, jaccard_threshold=0.5,
     )
+    delta = docs.filter("doc_id % 10 = 0")
     delta_pairs = minhash_lsh_pairs_from_index_tables(
         spark,
         os.path.join(idx, "sets"),
         os.path.join(idx, "bands"),
-        docs.filter("doc_id % 10 = 0").selectExpr("doc_id AS id"),
+        delta.selectExpr("doc_id AS id"),
         jaccard_threshold=0.5,
         expect_source=source_version,
+        # |delta|-sized recompute of the delta's band rows: enables
+        # file-level bucket pruning on a bkn-clustered bands table
+        delta_banded=minhash_band_rows(delta, num_hashes=12, bands=4),
     )
     return old_pairs.unionByName(delta_pairs)
 

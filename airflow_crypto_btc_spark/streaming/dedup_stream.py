@@ -152,6 +152,11 @@ def near_dup_index_sink(
         )
         batch_bands = prep.select(
             "id", F.posexplode("band_keys").alias("band_idx", "band_key")
+        ).withColumn(
+            # numeric cluster key matching build_minhash_index: lets the
+            # periodic compaction bkn-cluster the bands table so probes
+            # can file-prune (a pre-bkn generation unions as nulls)
+            "bkn", F.xxhash64("band_idx", "band_key")
         )
         # Probe the committed index unioned with the in-flight batch
         # rows.  The sets union dedupes by anti-joining the SMALL batch
@@ -173,9 +178,14 @@ def near_dup_index_sink(
             all_sets = committed_sets.select(*probe_cols).unionByName(
                 batch_only
             )
+        # probe carries only the join columns (schema-stable across bkn
+        # generations — a pre-bkn committed table unions cleanly)
+        band_cols = ["id", "band_idx", "band_key"]
         all_bands = (
-            batch_bands if committed_bands is None
-            else committed_bands.unionByName(batch_bands)
+            batch_bands.select(*band_cols) if committed_bands is None
+            else committed_bands.select(*band_cols).unionByName(
+                batch_bands.select(*band_cols)
+            )
         )
         pairs = minhash_lsh_pairs_from_index(
             all_sets,
@@ -214,9 +224,21 @@ def near_dup_index_sink(
             if conflicts_table is not None:
                 maintained.append(conflicts_table)
             for table in maintained:
+                # the bands rewrite bkn-CLUSTERS so compacted parts stay
+                # range-aligned and probe file-pruning keeps skipping as
+                # the stream grows (skip for a pre-bkn generation —
+                # nulls cannot z-order; None-guard: a table appended
+                # this batch can still be log-empty on replay shapes)
+                cluster = None
+                if table == bands_table:
+                    snap = read_snapshot_or_none(spark, table)
+                    if snap is not None and "bkn" in snap.columns:
+                        cluster = ["bkn"]
                 try:
                     compact(
-                        spark, table, target_parts=compact_target_parts
+                        spark, table,
+                        target_parts=compact_target_parts,
+                        cluster_by=cluster,
                     )
                 except ValueError:
                     continue  # table still empty (e.g. no pairs yet)

@@ -504,6 +504,57 @@ def test_persisted_index_version_pinning(spark, sf_dir, tmp_path):
         )
 
 
+def test_band_index_probe_prunes_clustered_files(spark, sf_dir, tmp_path):
+    """Same physical-pruning contract the ANN/semantic indexes carry, on
+    the minhash band index: with the bands table bkn-clustered by
+    compaction, a probe that passes the delta's recomputed band rows
+    opens fewer files than the table holds and returns exactly the
+    unpruned pair set."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_band_rows,
+        minhash_lsh_pairs_from_index_tables,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        compact,
+        current_snapshot,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant an exact clone so the one-doc probe provably has a pair to
+    # find (a random single doc may have no near-dup in the fixture)
+    text0 = base.filter("doc_id = 0").first()["text"]
+    corpus = base.unionByName(
+        spark.createDataFrame([(100000, text0)], "doc_id long, text string")
+    )
+    s_tbl, b_tbl = str(tmp_path / "sets"), str(tmp_path / "bands")
+    build_minhash_index(spark, corpus, s_tbl, b_tbl, source_version="v1")
+    compact(spark, b_tbl, target_parts=24, cluster_by=["bkn"])
+    n_parts = len(current_snapshot(b_tbl).files)
+    assert n_parts >= 20
+    # one probe doc → at most `bands` (=4) bucket keys, scattered across
+    # the xxhash64 domain: a bkn-clustered layout must skip most files
+    delta = corpus.filter("doc_id = 100000")
+    delta_ids = delta.selectExpr("doc_id AS id")
+    kw = dict(jaccard_threshold=0.5, expect_source="v1")
+    pruned = minhash_lsh_pairs_from_index_tables(
+        spark, s_tbl, b_tbl, delta_ids,
+        delta_banded=minhash_band_rows(delta), **kw,
+    )
+    unpruned = minhash_lsh_pairs_from_index_tables(
+        spark, s_tbl, b_tbl, delta_ids, **kw
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in rows
+    )
+    got = key(pruned.collect())
+    assert got == key(unpruned.collect())
+    assert (0, 100000, 1.0) in got  # the planted clone pair survived
+    opened = {f for f in pruned.inputFiles() if "/bands/" in f}
+    assert 0 < len(opened) <= 8 < n_parts
+
+
 def test_index_rebuild_replaces_previous_generation(spark, sf_dir, tmp_path):
     """Rebuilding into the same tables must REPLACE the old generation
     (overwrite commit): after a rebuild with a new source_version, the

@@ -605,6 +605,96 @@ _SQL_SIM_IVF_TOPK = f"""
 """
 
 
+def _ann_recall_report(exact, approx):
+    """One-row (n_exact, n_approx, n_both, precision_ann, recall_ann)
+    report over (qid, nid) top-k sets — integer counts + exact
+    micro-unit ratios, the same cross-engine discipline as
+    ``dedup_lsh_quality``."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+
+    e = exact.agg(F.count("*").alias("n_exact"))
+    a = approx.agg(F.count("*").alias("n_approx"))
+    b = exact.join(approx, ["qid", "nid"], "left_semi").agg(
+        F.count("*").alias("n_both")
+    )
+    return (
+        e.crossJoin(a)
+        .crossJoin(b)
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_both",
+            F.when(
+                F.col("n_approx") > 0, ratio_micro("n_both", "n_approx")
+            ).alias("precision_ann"),
+            F.when(
+                F.col("n_exact") > 0, ratio_micro("n_both", "n_exact")
+            ).alias("recall_ann"),
+        )
+    )
+
+
+def q_sim_ivf_recall(spark, sf_dir):
+    """Approximation ACCOUNTING for the IVF search path: recall@10 of
+    the n_probe=4 coarse-quantized search against the exact cosine
+    top-k on the same queries — the one-row report an operator reads
+    before trusting (n_centroids, n_probe) on a new corpus, mirroring
+    `dedup_lsh_quality` for the similarity family (the recall trade is
+    measured, not asserted).  Catalog-only accounting, not a headline
+    query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
+        "qid", "nid"
+    )
+    approx = ivf_topk(
+        emb,
+        centroid_filter="vec_id % 25 = 7",
+        query_filter="vec_id < 20",
+        n_probe=4,
+        k=10,
+    ).select("qid", "nid")
+    return _ann_recall_report(exact, approx)
+
+
+def q_sim_lsh_recall(spark, sf_dir):
+    """`q_sim_ivf_recall`'s twin for the hyperplane-LSH search path:
+    recall@10 of the planes=4 / max_hamming=1 probe vs exact cosine
+    top-k — the (planes, max_hamming) trade, measured."""
+    from airflow_crypto_btc_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
+        "qid", "nid"
+    )
+    approx = lsh_topk(
+        emb, planes=4, query_filter="vec_id < 20", k=10, max_hamming=1
+    ).select("qid", "nid")
+    return _ann_recall_report(exact, approx)
+
+
+def _ann_recall_sql(approx_sql: str) -> str:
+    micro = (
+        "((2 * CAST(n_both AS BIGINT) * 1000000 + CAST({d} AS BIGINT))"
+        " // (2 * CAST({d} AS BIGINT)) / 1000000.0)"
+    )
+    return f"""
+    WITH exact_topk AS ({_SQL_SIM_COSINE_TOPK}),
+    approx_topk AS ({approx_sql}),
+    e AS (SELECT count(*) AS n_exact FROM exact_topk),
+    a AS (SELECT count(*) AS n_approx FROM approx_topk),
+    b AS (SELECT count(*) AS n_both FROM (
+      SELECT qid, nid FROM exact_topk
+      INTERSECT
+      SELECT qid, nid FROM approx_topk))
+    SELECT n_exact, n_approx, n_both,
+      CASE WHEN n_approx > 0
+           THEN {micro.format(d="n_approx")} END AS precision_ann,
+      CASE WHEN n_exact > 0
+           THEN {micro.format(d="n_exact")} END AS recall_ann
+    FROM e, a, b
+"""
+
+
 def q_dedup_semantic_purge(spark, sf_dir):
     # threshold pinned at 0.3 for the synthetic corpus (random-ish
     # embeddings top out ~0.49 intra-cluster; the real-world default is
@@ -912,6 +1002,14 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     ),
     "sim_cosine_topk": QuerySpec(q_sim_cosine_topk, _SQL_SIM_COSINE_TOPK),
     "sim_ivf_topk": QuerySpec(q_sim_ivf_topk, _SQL_SIM_IVF_TOPK),
+    # ANN quality accounting: recall/precision of the approximate search
+    # paths vs exact cosine top-k, measured not asserted
+    "sim_ivf_recall": QuerySpec(
+        q_sim_ivf_recall, _ann_recall_sql(_SQL_SIM_IVF_TOPK)
+    ),
+    "sim_lsh_recall": QuerySpec(
+        q_sim_lsh_recall, _ann_recall_sql(_SQL_SIM_LSH_TOPK)
+    ),
     # numpy-matmul twin of sim_cosine_topk: BLAS sum order differs at the
     # last ulp so no hash oracle; neighbor-set equality with the exact
     # operator is asserted in tests/test_similarity.py

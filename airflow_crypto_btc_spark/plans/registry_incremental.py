@@ -335,6 +335,103 @@ def q_text_logprob_from_model(spark, sf_dir):
     )
 
 
+def q_dedup_semantic_quality(spark, sf_dir):
+    """Approximation ACCOUNTING for the semantic-dedup path: the
+    cluster-bounded purge's DROP DECISIONS measured against the exact
+    all-pairs rule (drop every doc with ANY smaller-id neighbor at
+    cosine ≥ t, cluster or not) — the cross-cluster miss rate SemDeDup's
+    clustering trades away, until now documented but never measured.
+    Precision is 1.0 by construction (every purge drop names a real
+    ≥-threshold smaller-id neighbor — this entry value-checks that
+    contract end-to-end); recall is the fraction of exact drops the
+    clustering retains.  The exact baseline is all-pairs (the
+    small-corpus verification shape); catalog-only accounting, not a
+    headline query."""
+    from airflow_crypto_btc_spark.functions.hashing import (
+        dot_expr,
+        norm2_expr,
+    )
+    from airflow_crypto_btc_spark.operators.similarity import (
+        semantic_purge,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    ).withColumn("na", F.sqrt(norm2_expr("ea")))
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    ).withColumn("nb", F.sqrt(norm2_expr("eb")))
+    cos = F.when(
+        F.col("na") * F.col("nb") != 0,
+        F.round(dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+    )
+    exact_drops = (
+        a.join(b, F.col("ida") > F.col("idb"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.3)
+        .select(F.col("ida").alias("vec_id"))
+        .distinct()
+    )
+    purge_drops = (
+        semantic_purge(
+            emb, centroid_filter="vec_id % 25 = 7", cosine_threshold=0.3
+        )
+        .filter(~F.col("keep"))
+        .select("vec_id")
+    )
+    e = exact_drops.agg(F.count("*").alias("n_exact"))
+    p = purge_drops.agg(F.count("*").alias("n_purge"))
+    both = exact_drops.join(purge_drops, ["vec_id"], "left_semi").agg(
+        F.count("*").alias("n_both")
+    )
+    return (
+        e.crossJoin(p)
+        .crossJoin(both)
+        .select(
+            "n_exact",
+            "n_purge",
+            "n_both",
+            F.when(
+                F.col("n_purge") > 0, ratio_micro("n_both", "n_purge")
+            ).alias("precision_purge"),
+            F.when(
+                F.col("n_exact") > 0, ratio_micro("n_both", "n_exact")
+            ).alias("recall_purge"),
+        )
+    )
+
+
+def _semantic_quality_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import _D_COS
+
+    micro = (
+        "((2 * CAST(n_both AS BIGINT) * 1000000 + CAST({d} AS BIGINT))"
+        " // (2 * CAST({d} AS BIGINT)) / 1000000.0)"
+    )
+    return f"""
+    WITH labeling AS ({_SQL_DEDUP_SEMANTIC_PURGE}),
+    exact_drops AS (
+      SELECT DISTINCT a.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id > b.vec_id
+      WHERE {_D_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+    ),
+    purge_drops AS (SELECT vec_id FROM labeling WHERE NOT keep),
+    e AS (SELECT count(*) AS n_exact FROM exact_drops),
+    p AS (SELECT count(*) AS n_purge FROM purge_drops),
+    bd AS (SELECT count(*) AS n_both FROM (
+      SELECT vec_id FROM exact_drops
+      INTERSECT
+      SELECT vec_id FROM purge_drops))
+    SELECT n_exact, n_purge, n_both,
+      CASE WHEN n_purge > 0
+           THEN {micro.format(d="n_purge")} END AS precision_purge,
+      CASE WHEN n_exact > 0
+           THEN {micro.format(d="n_exact")} END AS recall_purge
+    FROM e, p, bd
+"""
+
+
 def q_dedup_lsh_quality(spark, sf_dir):
     """Approximation ACCOUNTING for the LSH dedup path: banded-MinHash
     pair generation measured against the exact all-pairs n-gram Jaccard
@@ -1053,6 +1150,9 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
         q_text_logprob_from_model, _SQL_TEXT_UNIGRAM_LOGPROB
     ),
     # approximation accounting: banded LSH vs the exact-Jaccard baseline
+    "dedup_semantic_quality": QuerySpec(
+        q_dedup_semantic_quality, _semantic_quality_sql()
+    ),
     "dedup_lsh_quality": QuerySpec(
         q_dedup_lsh_quality, _lsh_quality_sql()
     ),

@@ -527,6 +527,33 @@ def q_sim_pq_topk_cold(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def _pq_recall_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _ann_recall_sql,
+    )
+
+    return _ann_recall_sql(_pq_topk_sql())
+
+
+def q_sim_pq_recall(spark, sf_dir):
+    """`sim_ivf_recall`'s twin for the PQ-ADC path: recall@10 of the
+    shortlist-then-rerank search (warm landing-zone codebooks) vs exact
+    cosine top-k on the same queries — the (m, shortlist) trade,
+    measured.  Shares `sim_pq_topk`'s full-replay oracle composed into
+    the recall report."""
+    from airflow_crypto_btc_spark.operators.similarity import cosine_topk
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _ann_recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
+        "qid", "nid"
+    )
+    approx = q_sim_pq_topk(spark, sf_dir).select("qid", "nid")
+    return _ann_recall_report(exact, approx)
+
+
 def q_sim_quantized_topk(spark, sf_dir):
     """Cosine top-k over the int8-quantized vectors
     (operators/similarity.quantized_topk): integer dot products are
@@ -590,6 +617,7 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     # encode + serve every invocation) as its own named entry so bench
     # lines never mix train+serve with serve-only again
     "sim_pq_topk_cold": QuerySpec(q_sim_pq_topk_cold, _pq_topk_sql()),
+    "sim_pq_recall": QuerySpec(q_sim_pq_recall, _pq_recall_sql()),
     "sim_quantized_topk": QuerySpec(
         q_sim_quantized_topk, _SQL_SIM_QUANTIZED_TOPK
     ),

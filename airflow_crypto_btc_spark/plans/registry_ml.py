@@ -527,6 +527,85 @@ def q_sim_pq_topk_cold(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_sim_knn_classify(spark, sf_dir):
+    """kNN auto-labeling over the embedding space — the
+    label-propagation shape a curation pipeline uses to extend a small
+    labeled seed set: each query's predicted label is the majority vote
+    of its exact cosine top-10 neighbors (ties broken toward the
+    smaller label id), reported against the true label so the accuracy
+    of the propagation is a checkable column, not a claim.  Query side
+    bounded (broadcast); the corpus is scanned once by the top-k."""
+    from airflow_crypto_btc_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, query_filter="vec_id < 20", k=10)
+    votes = (
+        topk.join(
+            emb.select(
+                F.col("vec_id").alias("nid"),
+                F.col("label").alias("nlabel"),
+            ),
+            "nid",
+        )
+        .groupBy("qid", "nlabel")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = votes.groupBy("qid").agg(
+        F.max_by(
+            F.col("nlabel"),
+            F.struct(F.col("cnt"), (-F.col("nlabel")).alias("nl")),
+        ).alias("pred_label")
+    )
+    truth = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    return truth.join(pred, ["qid"]).select(
+        "qid",
+        "true_label",
+        "pred_label",
+        (F.col("true_label") == F.col("pred_label")).alias("correct"),
+    )
+
+
+_SQL_KNN_CLASSIFY = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 20),
+    v AS (SELECT vec_id AS nid, embedding AS ve, label AS nlabel
+          FROM embeddings),
+    p AS (
+      SELECT qid, nid, nlabel,
+        list_sum(list_transform(range(1, len(qe)+1),
+          i -> CAST(qe[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))) AS dot,
+        list_sum(list_transform(qe,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qn,
+        list_sum(list_transform(ve,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vn
+      FROM v, q WHERE nid <> qid
+    ),
+    topk AS (
+      SELECT qid, nid, nlabel FROM (
+        SELECT qid, nid, nlabel, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(dot / (sqrt(qn) * sqrt(vn)), 6) DESC, nid
+        ) AS rnk FROM p)
+      WHERE rnk <= 10
+    ),
+    votes AS (
+      SELECT qid, nlabel, count(*) AS cnt FROM topk GROUP BY qid, nlabel
+    ),
+    pred AS (
+      SELECT qid, nlabel AS pred_label FROM (
+        SELECT qid, nlabel, row_number() OVER (
+          PARTITION BY qid ORDER BY cnt DESC, nlabel ASC) AS r
+        FROM votes)
+      WHERE r = 1
+    )
+    SELECT e.vec_id AS qid, e.label AS true_label, pred_label,
+           e.label = pred_label AS correct
+    FROM embeddings e JOIN pred ON e.vec_id = pred.qid
+"""
+
+
 def _pq_recall_sql() -> str:
     from airflow_crypto_btc_spark.plans.registry_ext import (
         _ann_recall_sql,
@@ -618,6 +697,7 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     # lines never mix train+serve with serve-only again
     "sim_pq_topk_cold": QuerySpec(q_sim_pq_topk_cold, _pq_topk_sql()),
     "sim_pq_recall": QuerySpec(q_sim_pq_recall, _pq_recall_sql()),
+    "sim_knn_classify": QuerySpec(q_sim_knn_classify, _SQL_KNN_CLASSIFY),
     "sim_quantized_topk": QuerySpec(
         q_sim_quantized_topk, _SQL_SIM_QUANTIZED_TOPK
     ),

@@ -614,7 +614,8 @@ def _ann_recall_report(exact, approx):
 
     e = exact.agg(F.count("*").alias("n_exact"))
     a = approx.agg(F.count("*").alias("n_approx"))
-    b = exact.join(approx, ["qid", "nid"], "left_semi").agg(
+    # approx is |queries|·k rows by construction — broadcast-safe
+    b = exact.join(F.broadcast(approx), ["qid", "nid"], "left_semi").agg(
         F.count("*").alias("n_both")
     )
     return (

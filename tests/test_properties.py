@@ -607,3 +607,64 @@ def test_integer_micro_unit_mean_rounds_half_away(s, n):
     want_mag = floor + (1 if half else 0)
     want = -want_mag if s < 0 else want_mag
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50),
+        min_size=1,
+        max_size=30,
+    ),
+    ranges=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=55),
+            st.integers(min_value=-5, max_value=55),
+        ).map(lambda t: (min(t), max(t))),
+        min_size=0,
+        max_size=6,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_multi_range_prune_equals_filtered_full_read(
+    spark, tmp_path_factory, vals, ranges, parts
+):
+    """PROPERTY: for ANY committed layout and ANY range list,
+    read_snapshot(prune=(col, ranges)) followed by the caller's own row
+    filter returns exactly the rows of an unpruned read under the same
+    filter — pruning is a correct-by-construction superset at every
+    file boundary, including empty range lists and ranges that miss
+    every file."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        read_snapshot,
+    )
+
+    table = str(tmp_path_factory.mktemp("prop") / "tbl")
+    # spread the values across several commits so file stats partition
+    # the domain in an input-dependent way
+    chunk = max(1, len(vals) // parts)
+    for i in range(0, len(vals), chunk):
+        df = spark.createDataFrame(
+            [(v,) for v in vals[i:i + chunk]], "k bigint"
+        )
+        append(spark, df, table)
+
+    cond = None
+    for lo, hi in ranges:
+        c = (F.col("k") >= lo) & (F.col("k") <= hi)
+        cond = c if cond is None else (cond | c)
+    if cond is None:
+        cond = F.lit(False)  # empty probe set matches nothing
+
+    pruned = sorted(
+        r["k"]
+        for r in read_snapshot(spark, table, prune=("k", list(ranges)))
+        .filter(cond)
+        .collect()
+    )
+    full = sorted(
+        r["k"]
+        for r in read_snapshot(spark, table).filter(cond).collect()
+    )
+    assert pruned == full

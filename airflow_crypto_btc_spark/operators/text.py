@@ -236,6 +236,74 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dup_ngram_coverage(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-span accounting — the distributable
+    core of exact-substring deduplication (Lee et al. 2022,
+    arXiv:2107.06499, which builds a suffix array to find repeated
+    spans; the k-token rolling-gram formulation below is its shuffle-
+    friendly approximation): every k-gram position whose gram occurs in
+    ≥2 DISTINCT documents is a duplicated span position.  Per document:
+    (doc_id, n_grams, n_dup_grams, dup_coverage) — coverage exact via
+    ``ratio_micro``; docs shorter than k tokens report 0 grams and NULL
+    coverage.  Within-document repetition is deliberately NOT counted
+    (that is :func:`repetition_scores`' dup_bigram_frac); this is the
+    cross-corpus training-leakage signal.
+
+    Grams are keyed by md5 — the SAME function on both engines, so the
+    oracle replays exactly even in the astronomically-unlikely
+    collision case, and the shuffle moves 32-byte keys instead of
+    k-token strings.  Scale: the gram arrays are built on the
+    UN-exploded side (never riding the Generate projection — the
+    O(doc_len²) trap `repetition_scores` documents); the doc-frequency
+    census aggregates map-side-deduplicated (doc_id, h) pairs; work is
+    O(total tokens), state O(distinct grams) — the shape the MinHash
+    band index already carries."""
+    from airflow_crypto_btc_spark.functions.hashing import (
+        ratio_micro,
+        shingles_expr,
+    )
+
+    tok = with_tokens(df, text_col)
+    grams = shingles_expr("tokens", k)
+    g = tok.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("h"))
+    dfreq = (
+        g.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    dup = (
+        g.join(dfreq.filter("df >= 2"), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    sizes = tok.select(
+        "doc_id", F.size(grams).cast("long").alias("n_grams")
+    )
+    return (
+        sizes.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.when(
+                F.col("n_grams") > 0,
+                ratio_micro("n_dup_grams", "n_grams"),
+            ).alias("dup_coverage"),
+        )
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",

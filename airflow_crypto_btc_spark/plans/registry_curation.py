@@ -185,6 +185,45 @@ _SQL_CURATE_STRATIFIED_SAMPLE = """
 """
 
 
+# ------------------------------------- cross-document duplicated spans
+
+
+def q_text_dup_ngram_coverage(spark, sf_dir):
+    """Per-doc fraction of 8-token gram positions duplicated in ≥2
+    distinct documents — the shuffle-friendly core of exact-substring
+    dedup (Lee et al. 2022); see operators/text.dup_ngram_coverage."""
+    from airflow_crypto_btc_spark.operators.text import (
+        dup_ngram_coverage,
+    )
+
+    return dup_ngram_coverage(load_table(spark, sf_dir, "documents"))
+
+
+_GRAM8 = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(8))
+
+_SQL_TEXT_DUP_NGRAM_COVERAGE = f"""
+    WITH tok AS (SELECT doc_id, tokens FROM ({_D_TOKENS})),
+    g AS (SELECT doc_id, md5(gram) AS h FROM (
+      SELECT doc_id, unnest(CASE WHEN len(tokens) >= 8 THEN
+        list_transform(range(1, len(tokens)-6), i -> {_GRAM8})
+      ELSE [] END) AS gram
+      FROM tok)),
+    dfreq AS (SELECT h, count(*) AS df FROM (
+      SELECT DISTINCT doc_id, h FROM g) GROUP BY h),
+    dup AS (SELECT doc_id, count(*) AS n_dup
+            FROM g JOIN dfreq USING (h) WHERE df >= 2 GROUP BY doc_id),
+    sizes AS (SELECT doc_id,
+      CAST(CASE WHEN len(tokens) >= 8 THEN len(tokens) - 7 ELSE 0 END
+           AS BIGINT) AS n_grams FROM tok)
+    SELECT s.doc_id, n_grams,
+      CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams,
+      CASE WHEN n_grams > 0 THEN
+        ((2 * CAST(coalesce(n_dup, 0) AS BIGINT) * 1000000 + n_grams)
+         // (2 * n_grams) / 1000000.0) END AS dup_coverage
+    FROM sizes s LEFT JOIN dup USING (doc_id)
+"""
+
+
 # ---------------------------------------------- repetition quality signals
 
 
@@ -295,6 +334,9 @@ _SQL_TEXT_BIGRAM_PMI = f"""
 
 
 CURATION_REGISTRY: dict[str, QuerySpec] = {
+    "text_dup_ngram_coverage": QuerySpec(
+        q_text_dup_ngram_coverage, _SQL_TEXT_DUP_NGRAM_COVERAGE
+    ),
     "text_repetition_score": QuerySpec(
         q_text_repetition_score, _SQL_TEXT_REPETITION_SCORE
     ),

@@ -88,6 +88,8 @@ HEADLINE = [
     "ts_twap",
     "text_repetition_score",
     "text_bigram_pmi",
+    # round-8: cross-document duplicated-span accounting (Lee et al.)
+    "text_dup_ngram_coverage",
     "sim_quantized_topk",
     # round-6: serving-shape PQ (trains once per fixture version into a
     # landing-zone snapshot table; pass 1 of a fresh environment pays

@@ -485,3 +485,39 @@ def test_text_models_staleness_refusal(spark, tmp_path):
         tfidf_top_terms_from_model(spark, docs, it, expect_source="v2")
     with pytest.raises(ValueError, match="stale text model"):
         unigram_logprob_from_model(spark, docs, ut, expect_source="v2")
+
+
+def test_dup_ngram_coverage_counts_cross_doc_spans_only(spark):
+    """Edge semantics of the duplicated-span detector: a k-gram repeated
+    WITHIN one document only is not a duplicate (that is
+    repetition_scores' signal); a span shared across two docs marks
+    every occurrence position in both; docs shorter than k tokens get
+    0 grams and NULL coverage."""
+    from airflow_crypto_btc_spark.operators.text import dup_ngram_coverage
+
+    span = "a b c d e f g h"          # one 8-gram
+    rows = [
+        (1, f"{span} tail1 x y z"),   # shares the span with doc 2
+        (2, f"lead {span} q r s"),
+        (3, f"{span} mid {span}"),    # 3 copies of positions incl. span twice
+        (4, "solo u v w only"),       # no 8 tokens → 0 grams
+        (5, " ".join(["rep"] * 20)),  # heavy WITHIN-doc repetition only…
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_coverage"])
+        for r in dup_ngram_coverage(df, k=8).collect()
+    }
+    # doc 4: 4 tokens < 8 → zero grams, NULL coverage
+    assert got[4] == (0, 0, None)
+    # doc 5: "rep"*20 → 13 grams, all the SAME gram, but only doc 5 has
+    # it → zero duplicated positions (within-doc repetition excluded)
+    assert got[5] == (13, 0, 0.0)
+    # docs 1 and 2 share exactly the one 8-gram "a b c d e f g h"
+    assert got[1][1] >= 1 and got[2][1] >= 1
+    # doc 3 contains that shared gram too (twice) — both positions count
+    assert got[3][1] >= 2
+    # coverage is n_dup/n_grams in exact micro-units
+    for d in (1, 2, 3):
+        n, nd, cov = got[d]
+        assert cov == ((2 * nd * 1_000_000 + n) // (2 * n)) / 1_000_000

@@ -304,6 +304,133 @@ def dup_ngram_coverage(
     )
 
 
+def build_gram_index(
+    spark,
+    docs: DataFrame,
+    gram_table: str,
+    source_version: str,
+    text_col: str = "text",
+    k: int = 8,
+) -> None:
+    """Persist the corpus GRAM-FREQUENCY index — the offline half of
+    cross-document duplicated-span accounting: (h, df) where h =
+    md5(k-token gram) and df = distinct-document frequency, as a
+    snapshot table recording ``source_version`` AND ``k`` in commit
+    metadata (the probe takes its gram width from the index, so a
+    mismatched-k scoring run cannot exist).  State is O(distinct
+    grams) — the same scale shape as the MinHash band index.  Rebuild
+    is an OVERWRITE commit, same as every persisted artifact here."""
+    from airflow_crypto_btc_spark.functions.hashing import shingles_expr
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    tok = with_tokens(docs, text_col)
+    g = tok.select(
+        "doc_id", F.explode(shingles_expr("tokens", k)).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("h"))
+    rows = (
+        g.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    overwrite(
+        spark, rows, gram_table,
+        meta={"source_version": source_version, "k": k},
+    )
+
+
+def dup_coverage_from_index(
+    spark,
+    delta: DataFrame,
+    gram_table: str,
+    text_col: str = "text",
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Score a DELTA of new documents against the FROZEN corpus gram
+    index — the online half of :func:`dup_ngram_coverage` (the ingest
+    gate a 100 TB pipeline runs per batch instead of re-aggregating the
+    corpus).  A delta gram position is duplicated when its gram occurs
+    anywhere in the indexed corpus (one corpus doc + this delta doc ≥ 2
+    distinct docs) OR in ≥2 distinct delta docs.  EXACT for delta rows:
+    identical to recomputing :func:`dup_ngram_coverage` over
+    corpus ∪ delta and keeping the delta's rows (indexed docs' own
+    coverage does change as new duplicates arrive — rebuilding re-scores
+    them; this function serves arrivals).  Stale indexes are refused
+    from commit metadata before any data file is read; ``k`` is pinned
+    from the index meta.
+
+    Scale: the index is NEVER shuffled — the delta's distinct gram-hash
+    set rides a broadcast left-semi into the index scan (bounded by
+    |Δ| × grams-per-doc; for multi-million-gram batches swap the
+    broadcast for the sharded-bloom pre-filter the novelty family
+    uses), and the resulting hit set, also delta-bounded, broadcasts
+    back onto the delta's positions."""
+    from airflow_crypto_btc_spark.functions.hashing import (
+        ratio_micro,
+        shingles_expr,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    meta = current_snapshot(gram_table).meta
+    if (
+        expect_source is not None
+        and meta.get("source_version") != expect_source
+    ):
+        raise ValueError(
+            f"stale gram index: built from "
+            f"{meta.get('source_version')!r}, caller expects "
+            f"{expect_source!r} — rebuild before scoring"
+        )
+    k = int(meta.get("k", 8))
+    tok = with_tokens(delta, text_col)
+    grams = shingles_expr("tokens", k)
+    g = tok.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("h"))
+    delta_df = (
+        g.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count("*").alias("ddf"))
+        .localCheckpoint(eager=False)
+    )  # feeds the corpus probe AND the delta-internal branch
+    corpus_hits = read_snapshot(spark, gram_table).select("h").join(
+        F.broadcast(delta_df.select("h")), ["h"], "left_semi"
+    )
+    dup_h = (
+        delta_df.filter("ddf >= 2")
+        .select("h")
+        .unionByName(corpus_hits)
+        .distinct()
+    )
+    dup = g.join(F.broadcast(dup_h), ["h"], "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_dup"))
+    sizes = tok.select(
+        "doc_id", F.size(grams).cast("long").alias("n_grams")
+    )
+    return (
+        sizes.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.when(
+                F.col("n_grams") > 0,
+                ratio_micro("n_dup_grams", "n_grams"),
+            ).alias("dup_coverage"),
+        )
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",

@@ -224,6 +224,51 @@ _SQL_TEXT_DUP_NGRAM_COVERAGE = f"""
 """
 
 
+def q_text_dup_coverage_from_index(spark, sf_dir):
+    """The SERVING shape of duplicated-span accounting: the gram-
+    frequency index lives in a snapshot table built once per corpus
+    version (landing-zone keyed by the fixture fingerprint) over the
+    NON-delta 90% of documents; each increment scores against the
+    frozen index through the version-pinned front end.  The oracle is
+    the one-shot full-corpus recompute restricted to delta ids, so
+    passing proves the frozen-index decomposition is exact for
+    arrivals (one corpus occurrence + one delta occurrence ≥ 2
+    distinct docs — see operators/text.dup_coverage_from_index)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.text import (
+        build_gram_index,
+        dup_coverage_from_index,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_gram_index(
+            spark,
+            docs.filter("doc_id % 10 != 0"),
+            staging,
+            source_version=source_version,
+        )
+
+    idx = _landing_zone(sf_dir, "documents", "gram_index", _land)
+    return dup_coverage_from_index(
+        spark,
+        docs.filter("doc_id % 10 = 0"),
+        idx,
+        expect_source=source_version,
+    )
+
+
+_SQL_TEXT_DUP_FROM_INDEX = f"""
+    WITH full_scores AS ({_SQL_TEXT_DUP_NGRAM_COVERAGE})
+    SELECT * FROM full_scores WHERE doc_id % 10 = 0
+"""
+
+
 # ---------------------------------------------- repetition quality signals
 
 
@@ -336,6 +381,9 @@ _SQL_TEXT_BIGRAM_PMI = f"""
 CURATION_REGISTRY: dict[str, QuerySpec] = {
     "text_dup_ngram_coverage": QuerySpec(
         q_text_dup_ngram_coverage, _SQL_TEXT_DUP_NGRAM_COVERAGE
+    ),
+    "text_dup_coverage_from_index": QuerySpec(
+        q_text_dup_coverage_from_index, _SQL_TEXT_DUP_FROM_INDEX
     ),
     "text_repetition_score": QuerySpec(
         q_text_repetition_score, _SQL_TEXT_REPETITION_SCORE

@@ -521,3 +521,52 @@ def test_dup_ngram_coverage_counts_cross_doc_spans_only(spark):
     for d in (1, 2, 3):
         n, nd, cov = got[d]
         assert cov == ((2 * nd * 1_000_000 + n) // (2 * n)) / 1_000_000
+
+
+def test_gram_index_serves_exact_delta_and_refuses_stale(spark, tmp_path):
+    """The frozen gram index's delta scoring must equal the one-shot
+    full-corpus recompute restricted to delta ids (one corpus
+    occurrence + one delta occurrence ≥ 2 distinct docs), and a stale
+    index is refused from metadata alone."""
+    import pytest as _pytest
+
+    from airflow_crypto_btc_spark.operators.text import (
+        build_gram_index,
+        dup_coverage_from_index,
+        dup_ngram_coverage,
+    )
+
+    span = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(1, f"{span} tail x y z"), (2, "totally different words here "
+                                        "one two three four five six")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, f"lead {span} q r s"),           # dup vs corpus doc 1
+         (11, "novel content w only here a1 a2 a3 a4 a5 a6 a7"),
+         (12, "shared-delta p1 p2 p3 p4 p5 p6 p7 p8 end"),
+         (13, "shared-delta p1 p2 p3 p4 p5 p6 p7 p8 end2")],  # dup vs 12
+        "doc_id long, text string",
+    )
+    t = str(tmp_path / "grams")
+    build_gram_index(spark, corpus, t, source_version="v1")
+    got = sorted(
+        tuple(r)
+        for r in dup_coverage_from_index(
+            spark, delta, t, expect_source="v1"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dup_ngram_coverage(corpus.unionByName(delta))
+        .filter("doc_id >= 10")
+        .collect()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[10][2] >= 1   # corpus-shared span found
+    assert by_id[11][2] == 0   # novel doc untouched
+    assert by_id[12][2] >= 1 and by_id[13][2] >= 1  # delta-internal dup
+    with _pytest.raises(ValueError, match="stale gram index"):
+        dup_coverage_from_index(spark, delta, t, expect_source="v2")

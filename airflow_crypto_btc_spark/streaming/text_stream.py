@@ -37,6 +37,7 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
     compact,
     current_snapshot,
     read_snapshot_or_none,
+    upsert,
     vacuum,
 )
 
@@ -117,5 +118,135 @@ def quality_scores_sink(
             except ValueError:
                 return
             vacuum(scores_table)
+
+    return _fold
+
+
+def gram_index_sink(
+    gram_table: str,
+    scores_table: str,
+    ids_table: str,
+    query_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expect_source: str | None = None,
+    compact_every: int | None = None,
+    compact_target_parts: int = 4,
+):
+    """``foreachBatch`` callback maintaining the duplicated-span family
+    ONLINE: arriving documents are scored against the CURRENT committed
+    gram index (exact for arrivals — the
+    ``operators/text.dup_coverage_from_index`` decomposition) and the
+    index then GROWS by the batch's distinct-doc gram frequencies, all
+    exactly-once.
+
+    Unlike the frozen text model (whose sink refuses a rebuild under a
+    running stream), this index is additively maintainable without
+    invalidating any already-emitted score: a document's coverage is
+    defined against the corpus AS OF its arrival plus its own batch —
+    exactly the batch operator's semantics under arrival order — so the
+    per-batch merge is the contract, not a violation of it.  ``k`` is
+    pinned from the index commit metadata; ``expect_source`` pins the
+    base generation at construction.
+
+    Commit order scores → gram-upsert → ids: freshness keys off the
+    FINAL commit (ids), so any crash window replays the whole batch and
+    each commit lands or skips via its txn id.  The gram upsert's
+    incoming totals are a LAZY frame over the pre-merge snapshot and
+    its txn guard runs before staging, so a replay after the merge
+    committed can never double-count a df."""
+
+    base_meta = current_snapshot(gram_table).meta
+    if (
+        expect_source is not None
+        and base_meta.get("source_version") != expect_source
+    ):
+        raise ValueError(
+            f"stale gram index: built from "
+            f"{base_meta.get('source_version')!r}, sink expects "
+            f"{expect_source!r} — rebuild before streaming"
+        )
+    k = int(base_meta.get("k", 8))
+
+    def _fold(batch_df, batch_id: int) -> None:
+        from airflow_crypto_btc_spark.functions.hashing import (
+            shingles_expr,
+        )
+        from airflow_crypto_btc_spark.operators.text import (
+            dup_coverage_from_index,
+            with_tokens,
+        )
+        from airflow_crypto_btc_spark.sources.snapshot_table import (
+            read_snapshot,
+        )
+
+        spark = batch_df.sparkSession
+        live_k = int(current_snapshot(gram_table).meta.get("k", 8))
+        if live_k != k:
+            raise ValueError(
+                f"gram index k changed under a running stream "
+                f"({k} -> {live_k}) — scores would mix gram widths"
+            )
+        w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)))
+        fresh = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        seen = read_snapshot_or_none(spark, ids_table)
+        if seen is not None:
+            fresh = fresh.join(
+                seen.select(F.col("id").alias("_seen")),
+                fresh[id_col] == F.col("_seen"),
+                "left_anti",
+            )
+        fresh = fresh.select(
+            F.col(id_col).alias("doc_id"), text_col
+        ).localCheckpoint(eager=False)  # scores + gram delta + ids
+        scores = dup_coverage_from_index(
+            spark, fresh, gram_table, text_col
+        )
+        append(
+            spark, scores, scores_table,
+            txn_id=f"{query_name}:{batch_id}:scores",
+        )
+        delta_df = (
+            with_tokens(fresh, text_col)
+            .select(
+                "doc_id",
+                F.explode(shingles_expr("tokens", k)).alias("gram"),
+            )
+            .select("doc_id", F.md5("gram").alias("h"))
+            .dropDuplicates(["doc_id", "h"])
+            .groupBy("h")
+            .agg(F.count("*").alias("ddf"))
+        )
+        committed = read_snapshot(spark, gram_table)
+        inc = delta_df.join(
+            committed.select("h", F.col("df").alias("_old")), "h", "left"
+        ).select(
+            "h",
+            (F.coalesce("_old", F.lit(0)) + F.col("ddf"))
+            .cast("long")
+            .alias("df"),
+        )
+        upsert(
+            spark, inc, gram_table, ["h"],
+            txn_id=f"{query_name}:{batch_id}:grams",
+        )
+        append(
+            spark, fresh.select(F.col("doc_id").alias("id")), ids_table,
+            txn_id=f"{query_name}:{batch_id}:ids",
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for table in (scores_table, ids_table):
+                try:
+                    compact(
+                        spark, table, target_parts=compact_target_parts
+                    )
+                except ValueError:
+                    continue
+                vacuum(table)
+            vacuum(gram_table)  # upserts are rewrites: drop old gens
 
     return _fold

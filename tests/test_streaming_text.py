@@ -87,3 +87,64 @@ def test_streaming_scores_frozen_model_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="changed under a running"):
         sink(arrivals.filter("doc_id >= 102"), 1)
+
+
+def test_streaming_gram_index_scores_and_grows(spark, tmp_path):
+    """The duplicated-span maintainer: arrivals score against the index
+    AS OF arrival (a batch-1 doc duplicating a batch-0 doc is caught —
+    proof the index grew), replay/re-delivery fold nothing, and the
+    stored distinct-doc frequencies are exact."""
+    from airflow_crypto_btc_spark.operators.text import build_gram_index
+    from airflow_crypto_btc_spark.streaming.text_stream import (
+        gram_index_sink,
+    )
+
+    span_a = "a b c d e f g h"      # seeded in the base corpus
+    span_b = "p1 p2 p3 p4 p5 p6 p7 p8"  # first appears in batch 0
+    corpus = spark.createDataFrame(
+        [(1, f"{span_a} tail x y z"),
+         (2, "totally different words here one two three four five")],
+        "doc_id long, text string",
+    )
+    gt = str(tmp_path / "grams")
+    build_gram_index(spark, corpus, gt, source_version="v1")
+    st, it = str(tmp_path / "scores"), str(tmp_path / "ids")
+    sink = gram_index_sink(gt, st, it, query_name="g",
+                           expect_source="v1")
+
+    b0 = spark.createDataFrame(
+        [(10, f"lead {span_a} q r s"),        # dup vs corpus doc 1
+         (11, f"{span_b} novel tail words")],  # novel NOW
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(12, f"{span_b} other suffix toks"),  # dup vs doc 11 (batch 0!)
+         (13, "fresh unseen u1 u2 u3 u4 u5 u6 u7 u8 u9")],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {
+        r["doc_id"]: r["n_dup_grams"]
+        for r in read_snapshot(spark, st).collect()
+    }
+    assert got[10] >= 1 and got[11] == 0
+    # doc 12's span came from batch 0's doc 11 — the index grew
+    assert got[12] >= 1 and got[13] == 0
+    # replay folds nothing anywhere
+    vs = (current_snapshot(st).version, current_snapshot(gt).version,
+          current_snapshot(it).version)
+    sink(b1, 1)
+    assert vs == (current_snapshot(st).version,
+                  current_snapshot(gt).version,
+                  current_snapshot(it).version)
+    # re-delivery of an already-indexed doc in a later batch: no rows
+    sink(b0.filter("doc_id = 10"), 2)
+    assert len(read_snapshot(spark, st).collect()) == 4
+    # distinct-doc frequency of span_a's first gram is exact: docs 1, 10
+    import hashlib
+
+    h = hashlib.md5(span_a.encode()).hexdigest()
+    df_row = [r for r in read_snapshot(spark, gt).collect()
+              if r["h"] == h]
+    assert df_row and df_row[0]["df"] == 2

@@ -269,7 +269,9 @@ def dup_ngram_coverage(
     grams = shingles_expr("tokens", k)
     g = tok.select(
         "doc_id", F.explode(grams).alias("gram")
-    ).select("doc_id", F.md5("gram").alias("h"))
+    ).select("doc_id", F.md5("gram").alias("h")).localCheckpoint(
+        eager=False
+    )  # one tokenize+explode scan feeds the census AND the position join
     dfreq = (
         g.dropDuplicates(["doc_id", "h"])
         .groupBy("h")
@@ -388,7 +390,9 @@ def dup_coverage_from_index(
     grams = shingles_expr("tokens", k)
     g = tok.select(
         "doc_id", F.explode(grams).alias("gram")
-    ).select("doc_id", F.md5("gram").alias("h"))
+    ).select("doc_id", F.md5("gram").alias("h")).localCheckpoint(
+        eager=False
+    )  # one tokenize+explode of the delta feeds df census + positions
     delta_df = (
         g.dropDuplicates(["doc_id", "h"])
         .groupBy("h")

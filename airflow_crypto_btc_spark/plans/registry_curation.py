@@ -269,6 +269,42 @@ _SQL_TEXT_DUP_FROM_INDEX = f"""
 """
 
 
+def q_curate_span_gate(spark, sf_dir):
+    """Doc-level training gate on cross-document duplicated-span
+    coverage — the drop-the-document policy pipelines use when they
+    cannot rewrite span content in place: keep documents whose 8-gram
+    dup_coverage is under 0.5 (docs too short to have grams keep —
+    absence of evidence is not duplication).  Returns kept docs WITH
+    the evidence columns, so the gate decision is auditable."""
+    from airflow_crypto_btc_spark.operators.text import (
+        dup_ngram_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cov = dup_ngram_coverage(docs)
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(cov, "doc_id")
+        .filter(
+            F.col("dup_coverage").isNull()
+            | (F.col("dup_coverage") < 0.5)
+        )
+        .select(
+            "doc_id", "lang", "source",
+            "n_grams", "n_dup_grams", "dup_coverage",
+        )
+    )
+
+
+_SQL_CURATE_SPAN_GATE = f"""
+    WITH cov AS ({_SQL_TEXT_DUP_NGRAM_COVERAGE})
+    SELECT d.doc_id, d.lang, d.source,
+           n_grams, n_dup_grams, dup_coverage
+    FROM documents d JOIN cov ON d.doc_id = cov.doc_id
+    WHERE dup_coverage IS NULL OR dup_coverage < 0.5
+"""
+
+
 # ---------------------------------------------- repetition quality signals
 
 
@@ -384,6 +420,9 @@ CURATION_REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_dup_coverage_from_index": QuerySpec(
         q_text_dup_coverage_from_index, _SQL_TEXT_DUP_FROM_INDEX
+    ),
+    "curate_span_gate": QuerySpec(
+        q_curate_span_gate, _SQL_CURATE_SPAN_GATE
     ),
     "text_repetition_score": QuerySpec(
         q_text_repetition_score, _SQL_TEXT_REPETITION_SCORE

@@ -110,7 +110,7 @@ def test_streaming_gram_index_scores_and_grows(spark, tmp_path):
     build_gram_index(spark, corpus, gt, source_version="v1")
     st, it = str(tmp_path / "scores"), str(tmp_path / "ids")
     sink = gram_index_sink(gt, st, it, query_name="g",
-                           expect_source="v1")
+                           expect_source="v1", compact_every=1)
 
     b0 = spark.createDataFrame(
         [(10, f"lead {span_a} q r s"),        # dup vs corpus doc 1
@@ -131,13 +131,18 @@ def test_streaming_gram_index_scores_and_grows(spark, tmp_path):
     assert got[10] >= 1 and got[11] == 0
     # doc 12's span came from batch 0's doc 11 — the index grew
     assert got[12] >= 1 and got[13] == 0
-    # replay folds nothing anywhere
-    vs = (current_snapshot(st).version, current_snapshot(gt).version,
-          current_snapshot(it).version)
+    # replay folds nothing anywhere: with compact_every=1 the versions
+    # still advance (compaction rewrites commit), so assert CONTENT —
+    # rows identical, dfs not double-counted
+    def _contents():
+        return tuple(
+            sorted(map(tuple, read_snapshot(spark, t).collect()))
+            for t in (st, gt, it)
+        )
+
+    before = _contents()
     sink(b1, 1)
-    assert vs == (current_snapshot(st).version,
-                  current_snapshot(gt).version,
-                  current_snapshot(it).version)
+    assert _contents() == before
     # re-delivery of an already-indexed doc in a later batch: no rows
     sink(b0.filter("doc_id = 10"), 2)
     assert len(read_snapshot(spark, st).collect()) == 4

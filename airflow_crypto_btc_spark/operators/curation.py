@@ -272,3 +272,77 @@ def pack_sequences(
         .withColumn("bin_offset", F.expr(f"cum_excl % {budget}"))
         .select(id_col, "shard", "n_tokens", "bin", "bin_offset")
     )
+
+
+def domain_quota(
+    docs: DataFrame,
+    cap: int = 10,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb-style quota that stops
+    a handful of giant domains from dominating a web-scale corpus: keep at
+    most ``cap`` documents per ``domain_col`` (first by ``id_col``, the
+    deterministic arrival order), with the domain's total riding along as
+    evidence (``n_domain_docs``) so the gate decision is auditable.
+
+    Scale design — the naive rendition is one global window
+    (``row_number() over (partition by domain order by id)``), which
+    shuffles and SORTS the entire corpus even though the overwhelming
+    majority of web domains sit far under any sane cap.  Instead:
+
+    1. one map-side-combined ``groupBy(domain).count()`` census (output
+       is #domains rows, a broadcastable frame at any corpus size);
+    2. documents of under-cap domains pass through wholesale via a
+       broadcast join on the census — never shuffled, never sorted;
+    3. only over-cap domains' rows take the ranked top-``cap`` window —
+       at web scale that is the head of the domain distribution, a small
+       fraction of rows, and a domain's cost is one pass over its own
+       rows.  (A pathological single-domain corpus degrades to the naive
+       plan, no worse.)
+
+    Both branches emit the same schema and the union is exactly the
+    naive window's answer — the split is a physical optimization only.
+    """
+    census = docs.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("n_domain_docs")
+    )
+    docs_c = docs.select(id_col, "lang", domain_col).join(
+        F.broadcast(census), domain_col
+    )
+    under = docs_c.filter(F.col("n_domain_docs") <= cap)
+    w = Window.partitionBy(domain_col).orderBy(id_col)
+    over = (
+        docs_c.filter(F.col("n_domain_docs") > cap)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    return under.unionByName(over).select(
+        id_col, "lang", domain_col, "n_domain_docs"
+    )
+
+
+def domain_quota_census(
+    docs: DataFrame,
+    cap: int = 10,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain accounting for :func:`domain_quota`: documents seen,
+    kept, dropped under the cap.  Pure aggregate arithmetic on the census
+    — no second pass over the documents, no window at all (the kept count
+    is ``least(n, cap)`` by construction), so the report costs one
+    map-side-combined aggregation regardless of corpus size.
+    """
+    return (
+        docs.groupBy(domain_col)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            domain_col,
+            "n_docs",
+            F.least(F.col("n_docs"), F.lit(cap)).cast("long").alias("n_kept"),
+            F.greatest(F.col("n_docs") - cap, F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -809,16 +809,47 @@ def simhash_near_dup_pairs(
     trades the no-false-negative guarantee for boundedness — pairs whose
     every agreeing band is over-cap are lost — so it defaults to off.
     """
+    fps = simhash_fingerprints(df, id_col, text_col, bits).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("fp")
+    )
+    return banded_hamming_pairs(
+        fps, bits=bits, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def banded_hamming_pairs(
+    fps: DataFrame,
+    bits: int,
+    max_hamming: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over ANY bigint fingerprint column via
+    pigeonhole banding — the shared candidate engine behind
+    :func:`simhash_near_dup_pairs` (token-level SimHash) and
+    ``operators/multimodal.block_hash_near_dup`` (payload block hashes).
+
+    ``fps`` must have columns ``(id, fp)``.  The ``bits``-bit fingerprint
+    is split into ``max_hamming + 1`` disjoint bands; any pair within
+    ``max_hamming`` bit flips agrees EXACTLY on at least one band (no
+    false negatives), so candidates are a shuffle on (band_idx,
+    band_bits), never all-pairs.  Candidates are verified with the true
+    hamming distance (popcount of xor).  Returns (id_a, id_b, hamming),
+    id_a < id_b.
+
+    ``max_bucket_size``: same skew guard as :func:`minhash_lsh_pairs`;
+    see :func:`simhash_near_dup_pairs` for the false-negative trade when
+    a cap is set.
+    """
     n_bands = max_hamming + 1
     band_width = bits // n_bands
-    fps = simhash_fingerprints(df, id_col, text_col, bits).select(
-        F.col(id_col).alias("id"), "simhash"
-    ).localCheckpoint(eager=False)  # feeds banding AND both verify sides
+    # feeds banding AND both verify sides — cut lineage once
+    fps = fps.localCheckpoint(eager=False)
 
     band_arr = F.expr(
         f"transform(sequence(0, {n_bands - 1}), b -> struct("
         f"b AS band_idx, "
-        f"(simhash div cast(pow(2, b * {band_width}) as bigint)) "
+        f"(fp div cast(pow(2, b * {band_width}) as bigint)) "
         f"% cast(pow(2, {band_width}) as bigint) AS band_bits))"
     )
     banded = (
@@ -840,8 +871,8 @@ def simhash_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    ha = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
-    hb = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    ha = fps.select(F.col("id").alias("id_a"), F.col("fp").alias("sa"))
+    hb = fps.select(F.col("id").alias("id_b"), F.col("fp").alias("sb"))
     hamming = F.bit_count(F.expr("sa ^ sb"))
     return (
         cand.join(ha, "id_a")

@@ -349,3 +349,86 @@ def window_audio(
         n_windows.alias("n_windows"),
         F.array_join(digests, "|").alias("window_digest"),
     )
+
+
+# ----------------------------------------------------- block-hash near-dup
+
+
+def block_hash_fingerprints(
+    mm: DataFrame,
+    n_blocks: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-payload ``n_blocks``-bit block-hash fingerprint — the
+    multimodal analogue of SimHash for OPAQUE media payloads: split the
+    byte string into ``n_blocks`` equal spans, digest each span, keep one
+    parity bit per span.  Payloads that differ by a localized in-place
+    edit (re-encoded header, truncated metadata chunk, corrupted region)
+    differ in only the touched blocks' bits, so near-identical media
+    collapses under a small Hamming radius while unrelated payloads land
+    ~``n_blocks/2`` bits apart.
+
+    Deliberately NOT insert-robust: a byte insertion shifts every later
+    block boundary and randomizes the tail bits — that is the standard
+    fixed-grid block-hash trade (content-defined chunking or the token
+    n-gram family in operators/text.py cover shifted content).
+
+    All JVM-side expressions over the ``binary`` column — block slicing
+    with integer bounds ``[(i·L) div n, ((i+1)·L) div n)``, md5 per
+    block, parity of the first hex nibble — one embarrassingly parallel
+    projection, no shuffle, no Python.  ``n_blocks`` ≤ 32 keeps the
+    fingerprint comfortably in a bigint.
+    """
+    if not 1 <= n_blocks <= 32:
+        raise ValueError("n_blocks must be in [1, 32]")
+    bit = (
+        f"cast(conv(substr(md5(substring({payload_col}, "
+        f"cast(1 + (i * L) div {n_blocks} as int), "
+        f"cast(((i + 1) * L) div {n_blocks} - (i * L) div {n_blocks} as int)"
+        f")), 1, 1), 16, 10) as int) % 2"
+    )
+    fp = F.expr(
+        f"aggregate(sequence(0, {n_blocks - 1}), cast(0 as bigint), "
+        f"(acc, i) -> acc + shiftleft(cast(({bit}) as bigint), i))"
+    )
+    return mm.withColumn(
+        "L", F.length(payload_col).cast("bigint")
+    ).select(
+        F.col(id_col),
+        F.col("L").alias("n_bytes"),
+        fp.alias("block_hash"),
+    )
+
+
+def block_hash_near_dup(
+    mm: DataFrame,
+    n_blocks: int = 32,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Multimodal near-duplicate pairs: block-hash fingerprints joined by
+    the shared pigeonhole-banded Hamming engine
+    (operators/dedup.banded_hamming_pairs) — candidates shuffle on
+    (band_idx, band_bits), never all-pairs, and the popcount(xor) verify
+    is exact.  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    At 100 TB the payloads never move: only (id, 64-bit fingerprint)
+    rows enter the shuffle, so the exchange is a few bytes per media
+    object regardless of object size.
+    """
+    fps = block_hash_fingerprints(
+        mm, n_blocks, id_col=id_col, payload_col=payload_col
+    ).select(F.col(id_col).alias("id"), F.col("block_hash").alias("fp"))
+    from airflow_crypto_btc_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    return banded_hamming_pairs(
+        fps,
+        bits=n_blocks,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

@@ -121,6 +121,52 @@ _SQL_CURATE_CONTAMINATION = f"""
 """
 
 
+def q_curate_domain_quota(spark, sf_dir):
+    """C4/RefinedWeb-style per-domain cap: keep the first 10 documents
+    (by doc_id) of every source, with the domain total as evidence — see
+    operators/curation.domain_quota for the under-cap fast path that
+    windows ONLY over-cap domains' rows."""
+    from airflow_crypto_btc_spark.operators.curation import domain_quota
+
+    return domain_quota(load_table(spark, sf_dir, "documents"), cap=10)
+
+
+_SQL_CURATE_DOMAIN_QUOTA = """
+    WITH census AS (
+      SELECT source, COUNT(*) AS n_domain_docs FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.source, c.n_domain_docs,
+             row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+               AS rn
+      FROM documents d JOIN census c USING (source)
+    )
+    SELECT doc_id, lang, source,
+           CAST(n_domain_docs AS BIGINT) AS n_domain_docs
+    FROM ranked WHERE rn <= 10
+"""
+
+
+def q_curate_domain_census(spark, sf_dir):
+    """Per-domain quota accounting (seen / kept / dropped under cap=10)
+    — one map-side-combined aggregate, no second documents pass."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        domain_quota_census,
+    )
+
+    return domain_quota_census(
+        load_table(spark, sf_dir, "documents"), cap=10
+    )
+
+
+_SQL_CURATE_DOMAIN_CENSUS = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(least(COUNT(*), 10) AS BIGINT) AS n_kept,
+           CAST(greatest(COUNT(*) - 10, 0) AS BIGINT) AS n_dropped
+    FROM documents GROUP BY source
+"""
+
+
 def q_curate_pack_sequences(spark, sf_dir):
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
@@ -442,5 +488,11 @@ CURATION_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_pack_sequences": QuerySpec(
         q_curate_pack_sequences, _SQL_CURATE_PACK_SEQUENCES
+    ),
+    "curate_domain_quota": QuerySpec(
+        q_curate_domain_quota, _SQL_CURATE_DOMAIN_QUOTA
+    ),
+    "curate_domain_census": QuerySpec(
+        q_curate_domain_census, _SQL_CURATE_DOMAIN_CENSUS
     ),
 }

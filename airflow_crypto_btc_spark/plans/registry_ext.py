@@ -894,6 +894,58 @@ _SQL_MM_BYTE_FEATURES = """
 """
 
 
+# duplicated so the fingerprint construction is pinned in ONE place for
+# both the per-doc entry and the pairs entry's oracle
+_SQL_MM_BLOCK_HASH = """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(list_sum(list_transform(range(0, 32), i ->
+        CASE WHEN (('0x' || substr(md5(substring(text,
+              CAST(1 + (i * length(text)) // 32 AS INT),
+              CAST(((i + 1) * length(text)) // 32
+                   - (i * length(text)) // 32 AS INT))), 1, 1))::INT % 2) = 1
+        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS block_hash
+    FROM documents
+"""
+
+
+def q_mm_block_hash(spark, sf_dir):
+    """32-bit block-hash fingerprint per media payload (equal byte spans,
+    md5-parity bit per span) — the per-doc half of multimodal near-dup;
+    see operators/multimodal.block_hash_fingerprints.  Oracle replays the
+    same slicing over the text (payload = its UTF-8 bytes; the fixture is
+    pure ASCII, so byte and char windows coincide)."""
+    from airflow_crypto_btc_spark.operators.multimodal import (
+        block_hash_fingerprints,
+    )
+
+    return block_hash_fingerprints(_mm(spark, sf_dir), n_blocks=32)
+
+
+def q_mm_block_hash_near_dup(spark, sf_dir):
+    """Multimodal near-dup pairs: banded-Hamming join over the block
+    hashes (operators/multimodal.block_hash_near_dup — only (id, bigint)
+    rows shuffle, payloads never move).  The oracle verifies with the
+    direct quadratic xor-popcount — banding is no-false-negative, so the
+    answers are identical.  At sf0.01 the fixture has no same-grid
+    payload near-dups (0 rows, still compared); sf0.1 yields a nonzero
+    pair set — unit tests cover engineered in-place edits."""
+    from airflow_crypto_btc_spark.operators.multimodal import (
+        block_hash_near_dup,
+    )
+
+    return block_hash_near_dup(_mm(spark, sf_dir), n_blocks=32, max_hamming=3)
+
+
+_SQL_MM_BLOCK_HASH_NEAR_DUP = f"""
+    WITH fp AS ({_SQL_MM_BLOCK_HASH})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.block_hash, b.block_hash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.block_hash, b.block_hash)) <= 3
+"""
+
+
 # --------------------------------------------------------- curation pipeline
 
 
@@ -1035,3 +1087,8 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "mm_decode_stub": QuerySpec(q_mm_decode_stub, _SQL_MM_DECODE_STUB),
     "mm_byte_features": QuerySpec(q_mm_byte_features, _SQL_MM_BYTE_FEATURES),
 }
+# mm_block_hash / mm_block_hash_near_dup are registered in
+# registry_incremental.py: appending keeps the driver's first-50
+# correctness window stable, and the pairs entry's sf0.01 result is
+# legitimately empty (no same-grid payload near-dups in the small
+# fixture) — a slot the value-checked window shouldn't spend.

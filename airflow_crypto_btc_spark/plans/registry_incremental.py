@@ -1157,3 +1157,22 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
         q_dedup_lsh_quality, _lsh_quality_sql()
     ),
 }
+
+# Multimodal block-hash family — defined beside the other mm_* entries in
+# registry_ext.py, registered here so the driver's first-50 window keeps
+# its established membership (see catalog.py ordering note).
+from airflow_crypto_btc_spark.plans.registry_ext import (  # noqa: E402
+    _SQL_MM_BLOCK_HASH,
+    _SQL_MM_BLOCK_HASH_NEAR_DUP,
+    q_mm_block_hash,
+    q_mm_block_hash_near_dup,
+)
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "mm_block_hash": QuerySpec(q_mm_block_hash, _SQL_MM_BLOCK_HASH),
+        "mm_block_hash_near_dup": QuerySpec(
+            q_mm_block_hash_near_dup, _SQL_MM_BLOCK_HASH_NEAR_DUP
+        ),
+    }
+)

@@ -65,6 +65,9 @@ HEADLINE = [
     "curate_pack_sequences",
     "curate_chunk_documents",
     "curate_stratified_sample",
+    # round-8 third wave: per-domain quota + multimodal block-hash near-dup
+    "curate_domain_quota",
+    "mm_block_hash_near_dup",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",

@@ -337,3 +337,86 @@ def test_near_dup_purge_under_engineered_skew(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string"
+    )
+
+
+def test_domain_quota_caps_hot_domain_keeps_small_ones(spark):
+    """One hot domain (12 docs) against two under-cap domains: the hot
+    domain is cut to the first ``cap`` by doc_id, small domains pass
+    wholesale, and the evidence column carries the PRE-cap total."""
+    from airflow_crypto_btc_spark.operators.curation import domain_quota
+
+    rows = [(i, "en", "hot") for i in range(12)]
+    rows += [(100, "en", "tiny"), (101, "de", "tiny"), (200, "en", "solo")]
+    out = domain_quota(_docs_src(spark, rows), cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert sorted(r.doc_id for r in by_src["hot"]) == [0, 1, 2, 3, 4]
+    assert all(r.n_domain_docs == 12 for r in by_src["hot"])
+    assert sorted(r.doc_id for r in by_src["tiny"]) == [100, 101]
+    assert [r.doc_id for r in by_src["solo"]] == [200]
+
+
+def test_domain_quota_windows_only_overcap_rows(spark):
+    """The scale contract: the window (the only sort in the operator)
+    must sit under a filter selecting over-cap domains — under-cap
+    documents reach the output through the no-window branch."""
+    from airflow_crypto_btc_spark.operators.curation import domain_quota
+
+    rows = [(i, "en", "hot") for i in range(12)] + [(100, "en", "tiny")]
+    plan = domain_quota(
+        _docs_src(spark, rows), cap=5
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one Window node, and it is guarded by the over-cap filter
+    assert plan.count("Window [") == 1
+    assert "n_domain_docs" in plan
+    # the union proves the pass-through branch exists alongside it
+    assert "Union" in plan
+    # Catalyst's rank-limit pushdown: each task pre-keeps only its own
+    # top-cap rows per domain BEFORE the full sort — pin it, it is the
+    # difference between sorting the hot domain and skimming it
+    assert "WindowGroupLimit" in plan
+
+
+def test_domain_quota_matches_naive_window(spark):
+    """Fast-path union == naive global window on a mixed corpus."""
+    from pyspark.sql import Window
+    from airflow_crypto_btc_spark.operators.curation import domain_quota
+
+    rows = [
+        (i, "en", f"s{i % 7}") for i in range(60)
+    ]  # domains of ~9 docs each, cap 4 puts all over-cap
+    rows += [(1000 + j, "de", f"rare{j}") for j in range(5)]
+    docs = _docs_src(spark, rows)
+    got = {
+        (r.doc_id, r.source, r.n_domain_docs)
+        for r in domain_quota(docs, cap=4).collect()
+    }
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cnt = Window.partitionBy("source")
+    naive = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cnt))
+        .filter("rn <= 4")
+    )
+    want = {(r.doc_id, r.source, r.n) for r in naive.collect()}
+    assert got == want
+
+
+def test_domain_quota_census_arithmetic(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        domain_quota_census,
+    )
+
+    rows = [(i, "en", "hot") for i in range(12)] + [(100, "en", "tiny")]
+    cen = {
+        r.source: (r.n_docs, r.n_kept, r.n_dropped)
+        for r in domain_quota_census(_docs_src(spark, rows), cap=5).collect()
+    }
+    assert cen == {"hot": (12, 5, 7), "tiny": (1, 1, 0)}

@@ -205,3 +205,95 @@ def test_audio_windows_overlap_and_counts(spark, sf_dir):
         # overlap: consecutive windows share win-hop = 16 chars, so
         # distinct digests unless content repeats exactly
         assert len(digests) == len(set(digests)) or r["n_windows"] > 1
+
+
+# ------------------------------------------------------ block-hash near-dup
+
+
+def _payloads(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+
+def test_block_hash_detects_in_place_edit(spark):
+    """A payload with a small in-place corruption (same length) must land
+    within a small Hamming radius of the original; an unrelated payload
+    must not pair at ≤3."""
+    from airflow_crypto_btc_spark.operators.multimodal import (
+        block_hash_near_dup,
+    )
+
+    base = "x" * 640
+    edited = base[:300] + "CORRUPT" + base[307:]  # touches 1 block of 32
+    other = "".join(chr(65 + (i * 7) % 26) for i in range(640))
+    mm = _payloads(spark, [(1, base), (2, edited), (3, other)])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in block_hash_near_dup(mm, n_blocks=32, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_block_hash_not_insert_robust_documented_trade(spark):
+    """The documented fixed-grid trade: a byte INSERTION shifts every
+    later block and the pair does NOT surface — the gram family covers
+    shifted content."""
+    from airflow_crypto_btc_spark.operators.multimodal import (
+        block_hash_fingerprints,
+        block_hash_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 16
+    shifted = "INSERTED " + base
+    mm = _payloads(spark, [(1, base), (2, shifted)])
+    assert block_hash_near_dup(mm, n_blocks=32, max_hamming=3).count() == 0
+    fps = {
+        r.doc_id: r.block_hash
+        for r in block_hash_fingerprints(mm, n_blocks=32).collect()
+    }
+    assert bin(fps[1] ^ fps[2]).count("1") > 3
+
+
+def test_block_hash_fingerprint_no_shuffle_and_pairs_banded(spark):
+    """Scale contract: the fingerprint projection is exchange-free, and
+    the pairs plan shuffles only banded (id, bigint) rows — the payload
+    column must not appear beyond the scan-side projection."""
+    from airflow_crypto_btc_spark.operators.multimodal import (
+        block_hash_fingerprints,
+        block_hash_near_dup,
+    )
+
+    mm = _payloads(spark, [(i, "a" * (64 + i)) for i in range(20)])
+    fp_plan = block_hash_fingerprints(mm, 32)._jdf.queryExecution()
+    assert "Exchange" not in fp_plan.executedPlan().toString()
+    pair_plan = (
+        block_hash_near_dup(mm, 32, 3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # verification joins read fingerprints, never payloads
+    assert "payload" not in pair_plan.split("Join")[0]
+
+
+def test_block_hash_empty_and_tiny_payloads(spark):
+    """Payloads shorter than the grid (and empty ones) still fingerprint
+    deterministically — empty blocks hash md5('') and the operator never
+    errors on degenerate media."""
+    from airflow_crypto_btc_spark.operators.multimodal import (
+        block_hash_fingerprints,
+    )
+
+    mm = _payloads(spark, [(1, ""), (2, "ab"), (3, "ab")])
+    rows = {
+        r.doc_id: (r.n_bytes, r.block_hash)
+        for r in block_hash_fingerprints(mm, n_blocks=32).collect()
+    }
+    assert rows[2] == rows[3]
+    assert rows[1][0] == 0
+    # all-empty blocks: every bit is parity(md5('')) = parity('d') = 1
+    assert rows[1][1] == (1 << 32) - 1

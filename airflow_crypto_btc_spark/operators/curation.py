@@ -346,3 +346,32 @@ def domain_quota_census(
             .alias("n_dropped"),
         )
     )
+
+
+def quota_decisions(
+    docs: DataFrame,
+    cap: int = 10,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full per-document admission audit frame — every document with
+    its 1-based arrival rank inside its domain and the gate verdict
+    (``admitted`` ⇔ rank ≤ cap).  This is the batch twin of
+    ``streaming/quota_stream.domain_quota_sink``'s decisions table: fed
+    the corpus in id order, the sink produces exactly these rows
+    (asserted in tests/test_streaming_quota.py), so the oracle that
+    checks this frame checks the streamed gate's arithmetic too.
+
+    Unlike :func:`domain_quota` there is no under-cap fast path here —
+    the audit frame NEEDS every row's rank, so the global window is the
+    spec, not a missed optimization (Catalyst still applies no
+    WindowGroupLimit because unranked rows aren't discarded).  Use
+    :func:`domain_quota` for the kept-set; this for the audit trail.
+    """
+    w = Window.partitionBy(domain_col).orderBy(id_col)
+    return docs.select(id_col, domain_col).select(
+        id_col,
+        domain_col,
+        F.row_number().over(w).cast("long").alias("admit_rank"),
+        (F.row_number().over(w) <= cap).alias("admitted"),
+    )

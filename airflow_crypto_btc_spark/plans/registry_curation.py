@@ -167,6 +167,26 @@ _SQL_CURATE_DOMAIN_CENSUS = """
 """
 
 
+def q_curate_quota_decisions(spark, sf_dir):
+    """Full admission audit frame (every doc's in-domain arrival rank +
+    verdict, cap=10) — the batch twin of the streaming quota sink's
+    decisions table; see operators/curation.quota_decisions."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        quota_decisions,
+    )
+
+    return quota_decisions(load_table(spark, sf_dir, "documents"), cap=10)
+
+
+_SQL_CURATE_QUOTA_DECISIONS = """
+    SELECT doc_id, source,
+           CAST(row_number() OVER w AS BIGINT) AS admit_rank,
+           row_number() OVER w <= 10 AS admitted
+    FROM documents
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+"""
+
+
 def q_curate_pack_sequences(spark, sf_dir):
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
@@ -494,5 +514,8 @@ CURATION_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_domain_census": QuerySpec(
         q_curate_domain_census, _SQL_CURATE_DOMAIN_CENSUS
+    ),
+    "curate_quota_decisions": QuerySpec(
+        q_curate_quota_decisions, _SQL_CURATE_QUOTA_DECISIONS
     ),
 }

@@ -68,8 +68,14 @@ def domain_quota_sink(
       row per DISTINCT arrival, admitted or not; ``admit_rank`` is the
       document's 1-based position within its domain's arrival order
       (> cap ⇔ dropped), so the audit trail shows exactly why.
-    - ``counts_table``: (source, n_admitted) keyed by source — the only
-      state the gate needs, #domains rows total.
+    - ``counts_table``: (source, n_seen, n_admitted) keyed by source —
+      the only state the gate needs, #domains rows total.  ``n_seen``
+      (ALL decided arrivals, admitted or not) is the rank base: the
+      arrival rank must keep counting past the cap, or a dropped
+      document would erase its successors' positions and the audit
+      trail would disagree with the batch twin
+      (operators/curation.quota_decisions).  ``n_admitted`` =
+      least(n_seen, cap) rides along for direct consumption.
     - ``ids_table``: (id) — decided ids for re-delivery suppression.
     """
     if cap < 0:
@@ -103,7 +109,7 @@ def domain_quota_sink(
             with_prior = fresh.join(
                 F.broadcast(
                     counts.select(
-                        domain_col, F.col("n_admitted").alias("_prior")
+                        domain_col, F.col("n_seen").alias("_prior")
                     )
                 ),
                 domain_col,
@@ -126,9 +132,12 @@ def domain_quota_sink(
             txn_id=f"{query_name}:{batch_id}:decisions",
         )
         new_counts = (
-            decided.filter("admitted")
-            .groupBy(domain_col)
-            .agg(F.max("admit_rank").cast("long").alias("n_admitted"))
+            decided.groupBy(domain_col)
+            .agg(F.max("admit_rank").cast("long").alias("n_seen"))
+            .withColumn(
+                "n_admitted",
+                F.least(F.col("n_seen"), F.lit(cap)).cast("long"),
+            )
         )
         if counts is None:  # bootstrap: first write creates the table
             append(

@@ -50,12 +50,28 @@ def test_streaming_quota_matches_batch_operator_in_id_order(
     }
     want = {r.doc_id for r in domain_quota(corpus, cap=4).collect()}
     assert admitted == want
-    # counts table carries exactly the per-domain admitted totals
+    # ... and the FULL audit frame (rank + verdict for every doc)
+    # equals the oracle-backed batch twin row-for-row
+    from airflow_crypto_btc_spark.operators.curation import (
+        quota_decisions,
+    )
+
+    streamed = {
+        (r.doc_id, r.source, r.admit_rank, r.admitted)
+        for r in read_snapshot(spark, dt).collect()
+    }
+    twin = {
+        (r.doc_id, r.source, r.admit_rank, r.admitted)
+        for r in quota_decisions(corpus, cap=4).collect()
+    }
+    assert streamed == twin
+    # counts table carries per-domain seen totals (the rank base) and
+    # the derived admitted totals
     counts = {
-        r.source: r.n_admitted
+        r.source: (r.n_seen, r.n_admitted)
         for r in read_snapshot(spark, ct).collect()
     }
-    assert counts == {"s0": 4, "s1": 4, "s2": 4}
+    assert counts == {"s0": (7, 4), "s1": (7, 4), "s2": (6, 4)}
 
 
 def test_streaming_quota_drops_are_permanent_and_audited(

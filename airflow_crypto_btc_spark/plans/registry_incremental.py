@@ -1176,3 +1176,109 @@ INCREMENTAL_REGISTRY.update(
         ),
     }
 )
+
+
+# ----------------------------------------------------- skew-machinery proofs
+#
+# operators/physical.salted_aggregate / salted_join were equivalence-
+# tested only (tests/test_physical.py); these entries additionally pin
+# each against the DuckDB oracle: the salted plan must produce the PLAIN
+# plan's answer bit-for-bit — salting is a physical rewrite, never a
+# semantic one.  Decimal-cast sums make the double addition
+# order-insensitive across shard counts and engines.
+
+
+def q_phys_salted_aggregate(spark, sf_dir):
+    """Two-phase skew-safe groupBy over events (salt=16): a hot
+    event_type fans out over 16 reducers in phase 1; phase 2 re-combines
+    the decomposed partials.  Answer == plain groupBy, oracle-pinned."""
+    from airflow_crypto_btc_spark.operators.physical import (
+        salted_aggregate,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(38,6)")
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        [
+            ("value_dec", "sum", "sum_value"),
+            ("event_id", "count", "n_events"),
+            ("value_dec", "max", "max_value"),
+        ],
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+_SQL_PHYS_SALTED_AGGREGATE = """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           CAST(MAX(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+"""
+
+
+def q_phys_salted_join(spark, sf_dir):
+    """Skew-proof equi-join (salt=8): events joined to a 5-row type dim
+    with the small side replicated per shard and the big side scattered
+    by a deterministic row hash.  Aggregated per (type, tier) so the
+    result is compact; answer == the plain join, oracle-pinned."""
+    from airflow_crypto_btc_spark.operators.physical import salted_join
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, tier string",
+    )
+    joined = salted_join(ev, dim, key="event_type", salt=8)
+    return (
+        joined.groupBy("event_type", "tier")
+        .agg(
+            F.count("event_id").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+_SQL_PHYS_SALTED_JOIN = """
+    WITH dim(event_type, tier) AS (VALUES
+      ('click', 'engage'), ('view', 'engage'), ('purchase', 'revenue'),
+      ('signup', 'growth'), ('error', 'ops'))
+    SELECT e.event_type, d.tier,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type, d.tier
+"""
+
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "phys_salted_aggregate": QuerySpec(
+            q_phys_salted_aggregate, _SQL_PHYS_SALTED_AGGREGATE
+        ),
+        "phys_salted_join": QuerySpec(
+            q_phys_salted_join, _SQL_PHYS_SALTED_JOIN
+        ),
+    }
+)

@@ -303,15 +303,26 @@ def domain_quota(
 
     Both branches emit the same schema and the union is exactly the
     naive window's answer — the split is a physical optimization only.
+
+    NULL domains: grouped as ONE domain (matching the window twin's
+    null partition), not silently dropped by inner-join null semantics
+    — missing domain metadata must not exempt documents from the cap,
+    and a quota gate that loses rows is a correctness bug.  The join
+    runs on an internal null-coalesced key; the output keeps the
+    original (possibly null) domain value.
     """
-    census = docs.groupBy(domain_col).agg(
-        F.count("*").cast("long").alias("n_domain_docs")
+    dom = F.coalesce(F.col(domain_col), F.lit("\x00__null_domain__"))
+    census = (
+        docs.groupBy(dom.alias("_dom"))
+        .agg(F.count("*").cast("long").alias("n_domain_docs"))
     )
-    docs_c = docs.select(id_col, "lang", domain_col).join(
-        F.broadcast(census), domain_col
+    docs_c = (
+        docs.select(id_col, "lang", domain_col)
+        .withColumn("_dom", dom)
+        .join(F.broadcast(census), "_dom")
     )
     under = docs_c.filter(F.col("n_domain_docs") <= cap)
-    w = Window.partitionBy(domain_col).orderBy(id_col)
+    w = Window.partitionBy("_dom").orderBy(id_col)
     over = (
         docs_c.filter(F.col("n_domain_docs") > cap)
         .withColumn("rn", F.row_number().over(w))

@@ -68,7 +68,8 @@ def domain_quota_sink(
       row per DISTINCT arrival, admitted or not; ``admit_rank`` is the
       document's 1-based position within its domain's arrival order
       (> cap ⇔ dropped), so the audit trail shows exactly why.
-    - ``counts_table``: (source, n_seen, n_admitted) keyed by source —
+    - ``counts_table``: (domain_key, n_seen, n_admitted) keyed by the
+      null-coalesced domain —
       the only state the gate needs, #domains rows total.  ``n_seen``
       (ALL decided arrivals, admitted or not) is the rank base: the
       arrival rank must keep counting past the cap, or a dropped
@@ -97,8 +98,19 @@ def domain_quota_sink(
                 fresh[id_col] == F.col("_seen"),
                 "left_anti",
             )
-        fresh = fresh.select(id_col, domain_col).localCheckpoint(
-            eager=False
+        # NULL domains group as ONE domain under an internal coalesced
+        # key (same doctrine as operators/curation.domain_quota): a null
+        # key would match nothing in the counts join and its rank would
+        # silently reset every batch.  The audit rows keep the original
+        # (possibly null) domain value; only the counts table is keyed
+        # by the sentinel.
+        dom = F.coalesce(
+            F.col(domain_col), F.lit("\x00__null_domain__")
+        )
+        fresh = (
+            fresh.select(id_col, domain_col)
+            .withColumn("_dom", dom)
+            .localCheckpoint(eager=False)
         )  # feeds decisions, counts, and ids
 
         counts = read_snapshot_or_none(spark, counts_table)
@@ -109,14 +121,14 @@ def domain_quota_sink(
             with_prior = fresh.join(
                 F.broadcast(
                     counts.select(
-                        domain_col, F.col("n_seen").alias("_prior")
+                        "domain_key", F.col("n_seen").alias("_prior")
                     )
                 ),
-                domain_col,
+                fresh["_dom"] == F.col("domain_key"),
                 "left",
             ).withColumn("_prior", F.coalesce("_prior", F.lit(0)))
 
-        batch_w = Window.partitionBy(domain_col).orderBy(id_col)
+        batch_w = Window.partitionBy("_dom").orderBy(id_col)
         decided = (
             with_prior.withColumn("_brn", F.row_number().over(batch_w))
             .withColumn(
@@ -124,15 +136,15 @@ def domain_quota_sink(
                 (F.col("_prior") + F.col("_brn")).cast("long"),
             )
             .withColumn("admitted", F.col("admit_rank") <= cap)
-            .select(id_col, domain_col, "admit_rank", "admitted")
+            .select(id_col, domain_col, "_dom", "admit_rank", "admitted")
             .localCheckpoint(eager=False)  # decisions AND counts
         )
         append(
-            spark, decided, decisions_table,
+            spark, decided.drop("_dom"), decisions_table,
             txn_id=f"{query_name}:{batch_id}:decisions",
         )
         new_counts = (
-            decided.groupBy(domain_col)
+            decided.groupBy(F.col("_dom").alias("domain_key"))
             .agg(F.max("admit_rank").cast("long").alias("n_seen"))
             .withColumn(
                 "n_admitted",
@@ -146,7 +158,7 @@ def domain_quota_sink(
             )
         else:
             upsert(
-                spark, new_counts, counts_table, [domain_col],
+                spark, new_counts, counts_table, ["domain_key"],
                 txn_id=f"{query_name}:{batch_id}:counts",
             )
         append(

@@ -420,3 +420,18 @@ def test_domain_quota_census_arithmetic(spark):
         for r in domain_quota_census(_docs_src(spark, rows), cap=5).collect()
     }
     assert cen == {"hot": (12, 5, 7), "tiny": (1, 1, 0)}
+
+
+def test_domain_quota_null_domain_grouped_not_dropped(spark):
+    """NULL-domain documents are capped as one group and kept in the
+    output with their null value — never silently inner-joined away."""
+    from airflow_crypto_btc_spark.operators.curation import domain_quota
+
+    rows = [(i, "en", None) for i in range(8)] + [(100, "en", "s")]
+    out = domain_quota(_docs_src(spark, rows), cap=3).collect()
+    nulls = sorted(r.doc_id for r in out if r.source is None)
+    assert nulls == [0, 1, 2]
+    assert all(
+        r.n_domain_docs == 8 for r in out if r.source is None
+    )
+    assert [r.doc_id for r in out if r.source == "s"] == [100]

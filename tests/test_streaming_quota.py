@@ -68,7 +68,7 @@ def test_streaming_quota_matches_batch_operator_in_id_order(
     # counts table carries per-domain seen totals (the rank base) and
     # the derived admitted totals
     counts = {
-        r.source: (r.n_seen, r.n_admitted)
+        r.domain_key: (r.n_seen, r.n_admitted)
         for r in read_snapshot(spark, ct).collect()
     }
     assert counts == {"s0": (7, 4), "s1": (7, 4), "s2": (6, 4)}
@@ -112,7 +112,7 @@ def test_streaming_quota_replay_folds_nothing(spark, tmp_path):
     sink(b0, 0)
     versions = tuple(current_snapshot(t).version for t in (dt, ct, it))
     counts0 = {
-        r.source: r.n_admitted
+        r.domain_key: r.n_admitted
         for r in read_snapshot(spark, ct).collect()
     }
     sink(b0, 0)  # replay
@@ -121,7 +121,7 @@ def test_streaming_quota_replay_folds_nothing(spark, tmp_path):
         == versions
     )
     assert {
-        r.source: r.n_admitted
+        r.domain_key: r.n_admitted
         for r in read_snapshot(spark, ct).collect()
     } == counts0
 
@@ -171,3 +171,26 @@ def test_streaming_quota_rejects_negative_cap(spark, tmp_path):
     dt, ct, it = _tables(tmp_path)
     with pytest.raises(ValueError, match="nonnegative"):
         domain_quota_sink(dt, ct, it, query_name="q", cap=-1)
+
+
+def test_streaming_quota_null_domain_is_one_capped_group(
+    spark, tmp_path
+):
+    """Documents with a NULL domain must be capped as one group across
+    batches, not silently dropped or rank-reset per batch (the
+    inner-join-on-null failure mode) — and the decisions keep the
+    original null value."""
+    dt, ct, it = _tables(tmp_path)
+    sink = domain_quota_sink(dt, ct, it, query_name="q", cap=2)
+    sink(_docs(spark, [(0, "en", None), (1, "en", None)]), 0)
+    sink(_docs(spark, [(2, "en", None), (3, "en", "ok")]), 1)
+    dec = {
+        r.doc_id: (r.source, r.admit_rank, r.admitted)
+        for r in read_snapshot(spark, dt).collect()
+    }
+    assert dec == {
+        0: (None, 1, True),
+        1: (None, 2, True),
+        2: (None, 3, False),  # cap carried ACROSS batches
+        3: ("ok", 1, True),
+    }

@@ -14,6 +14,7 @@ from airflow_crypto_btc_spark.plans.registry_incremental import (
 )
 from airflow_crypto_btc_spark.plans.registry_ml import ML_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_more import MORE_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_probe import PROBE_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_sql import SQL_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_stream import STREAM_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ta import TA_REGISTRY
@@ -35,6 +36,7 @@ _MERGED: dict[str, QuerySpec] = {
     **SQL_REGISTRY,
     # appended last: keeps the driver's first-50 correctness window stable
     **INCREMENTAL_REGISTRY,
+    **PROBE_REGISTRY,
 }
 
 # Oracle-backed entries first, rows-only (sql=None) sketches last: the

@@ -105,6 +105,11 @@ HEADLINE = [
     "sim_pq_topk_from_codes",
     "sim_ivf_topk_from_index",
     "text_logprob_from_model",
+    # round-8: trainable quality probe — the inline entry is a deliberate
+    # train line (6 full-batch GD iterations); from_model is the serving
+    # scan a 100 TB ingest gate actually pays
+    "curate_quality_probe",
+    "curate_probe_from_model",
     # round-7: sharded-bloom novelty serving
     "dedup_novel_sharded",
     "curate_weighted_sample",

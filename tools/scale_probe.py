@@ -41,6 +41,10 @@ DEFAULT = [
     # round-8: the production SemDeDup shape — FIXED-k trained quantizer,
     # assignment O(n·k) with constant k
     "dedup_semantic_purge_trained",
+    # round-8: trainable probe — training is full-batch GD (linear scans
+    # per iteration, dim-group gradient exchanges); serving is frozen
+    "curate_quality_probe",
+    "curate_probe_from_model",
 ]
 
 

@@ -519,3 +519,77 @@ CURATION_REGISTRY: dict[str, QuerySpec] = {
         q_curate_quota_decisions, _SQL_CURATE_QUOTA_DECISIONS
     ),
 }
+
+
+def q_curate_balanced_shards(spark, sf_dir):
+    """Balanced output sharding (8 shards, 64 micro-shards): hash
+    micro-shard + serpentine LPT over the bounded census — no global
+    sort, the only window runs over 64 rows; see
+    operators/curation.balanced_shards."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        balanced_shards,
+    )
+
+    return balanced_shards(load_table(spark, sf_dir, "documents"))
+
+
+def q_curate_shard_summary(spark, sf_dir):
+    """Per-shard balance report (doc count, token mass, exact micro-unit
+    corpus share) over the balanced assignment — what the sharding job
+    logs to prove its output is balanced."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        balanced_shards,
+        shard_summary,
+    )
+
+    return shard_summary(
+        balanced_shards(load_table(spark, sf_dir, "documents"))
+    )
+
+
+_SQL_BALANCED_ASSIGN = f"""
+    n AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+          AS micro_shard,
+        len(tokens) AS n_tokens
+      FROM ({_D_TOKENS})
+    ),
+    census AS (
+      SELECT micro_shard, SUM(n_tokens) AS tok_total
+      FROM n GROUP BY micro_shard
+    ),
+    ranked AS (
+      SELECT micro_shard,
+        row_number() OVER (ORDER BY tok_total DESC, micro_shard ASC)
+          AS rk
+      FROM census
+    ),
+    assign AS (
+      SELECT micro_shard,
+        CAST(CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16
+             ELSE 15 - ((rk - 1) % 16) END AS BIGINT) AS shard
+      FROM ranked
+    )
+"""
+
+_SQL_CURATE_BALANCED_SHARDS = f"""
+    WITH {_SQL_BALANCED_ASSIGN}
+    SELECT n.doc_id, n.n_tokens, n.micro_shard, a.shard
+    FROM n JOIN assign a USING (micro_shard)
+"""
+
+_SQL_CURATE_SHARD_SUMMARY = f"""
+    WITH {_SQL_BALANCED_ASSIGN},
+    joined AS (
+      SELECT a.shard, n.n_tokens
+      FROM n JOIN assign a USING (micro_shard)
+    ),
+    tot AS (SELECT SUM(n_tokens) AS tok_corpus FROM joined)
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+           ((2 * CAST(SUM(n_tokens) AS BIGINT) * 1000000 + t.tok_corpus)
+            // (2 * t.tok_corpus) / 1000000.0) AS share
+    FROM joined, tot t
+    GROUP BY shard, t.tok_corpus
+"""

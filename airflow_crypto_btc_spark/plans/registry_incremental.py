@@ -1282,3 +1282,125 @@ INCREMENTAL_REGISTRY.update(
         ),
     }
 )
+
+# Balanced output sharding — defined beside the other curation entries in
+# registry_curation.py, registered here so the driver's first-50 window
+# keeps its established membership (see catalog.py ordering note).
+from airflow_crypto_btc_spark.plans.registry_curation import (  # noqa: E402
+    _SQL_CURATE_BALANCED_SHARDS,
+    _SQL_CURATE_SHARD_SUMMARY,
+    q_curate_balanced_shards,
+    q_curate_shard_summary,
+)
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "curate_balanced_shards": QuerySpec(
+            q_curate_balanced_shards, _SQL_CURATE_BALANCED_SHARDS
+        ),
+        "curate_shard_summary": QuerySpec(
+            q_curate_shard_summary, _SQL_CURATE_SHARD_SUMMARY
+        ),
+    }
+)
+
+# Quality-aware canonical selection — the composition a production purge
+# actually runs: survivors are the HIGHEST-QUALITY member of each
+# near-dup cluster, not the smallest id (min-id is an arbitrary tie-break
+# that systematically keeps whatever crawled first; quality-aware
+# selection keeps the cleanest rendition of the duplicated content).
+
+
+def q_curate_best_rep_purge(spark, sf_dir):
+    """Near-dup purge with quality-aware representative selection: LSH
+    pairs → connected components → per-cluster argmax of the quality
+    score (id tie-break), reporting cluster size, purge count, the
+    winner's quality, and whether quality-selection disagreed with the
+    min-id rule (``rep_shifted``).  One partial-aggregatable
+    ``max_by(struct(quality, -doc_id))`` per cluster — the reduction
+    shuffles one row per member, never materializing a per-cluster
+    sort."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from airflow_crypto_btc_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    clusters = near_dup_clusters(docs, pairs)
+    qual = quality_score(docs).select("doc_id", "quality")
+    joined = clusters.join(qual, "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("t"),
+                ),
+            ).alias("rep_id"),
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("t"),
+                )
+            )["q"].alias("rep_quality"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            "rep_id",
+            "rep_quality",
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_purged"),
+            (F.col("rep_id") != F.col("cluster_id"))
+            .cast("int")
+            .alias("rep_shifted"),
+        )
+    )
+
+
+from airflow_crypto_btc_spark.plans.registry_ext import (  # noqa: E402
+    _SQL_TEXT_QUALITY_SCORE,
+)
+
+_SQL_CURATE_BEST_REP_PURGE = f"""
+    WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+    ),
+    qual AS ({_SQL_TEXT_QUALITY_SCORE}),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+        row_number() OVER (PARTITION BY c.cluster_id
+          ORDER BY q.quality DESC, c.doc_id ASC) AS r,
+        COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN qual q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS rep_id, quality AS rep_quality,
+           cluster_size, cluster_size - 1 AS n_purged,
+           CAST(rep_id <> cluster_id AS INT) AS rep_shifted
+    FROM ranked WHERE r = 1
+"""
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "curate_best_rep_purge": QuerySpec(
+            q_curate_best_rep_purge, _SQL_CURATE_BEST_REP_PURGE
+        ),
+    }
+)

@@ -65,6 +65,8 @@ HEADLINE = [
     "curate_pack_sequences",
     "curate_chunk_documents",
     "curate_stratified_sample",
+    # round-8 fourth wave: balanced output sharding
+    "curate_balanced_shards",
     # round-8 third wave: per-domain quota + multimodal block-hash near-dup
     "curate_domain_quota",
     "mm_block_hash_near_dup",

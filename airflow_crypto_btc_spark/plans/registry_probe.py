@@ -50,11 +50,14 @@ def _probe_ctes(
     lr_num: int = _LR_NUM,
     lr_den: int = _LR_DEN,
     positive_min: int = _POSITIVE_MIN,
+    train_where: str = "TRUE",
 ) -> str:
-    """x + w0 + ``iterations`` GD rounds; final weights in
+    """x + tr + w0 + ``iterations`` GD rounds; final weights in
     w{iterations}.  Mirrors operators/probe.quality_probe_train step for
     step: quantize → margin → rational sigmoid → integer error →
-    exact gradient sum → half-away micro-unit update."""
+    exact gradient sum → half-away micro-unit update.  ``train_where``
+    restricts the rows gradient descent sees (holdout evaluation) —
+    scoring CTEs still read the full ``x``."""
     parts = [
         f"""
     x AS (
@@ -67,9 +70,10 @@ def _probe_ctes(
              AS BIGINT) AS y
       FROM embeddings
     ),
+    tr AS (SELECT * FROM x WHERE {train_where}),
     w0 AS (
       SELECT list_transform(xqa, x -> CAST(0 AS BIGINT)) AS warr
-      FROM x LIMIT 1
+      FROM tr LIMIT 1
     )"""
     ]
     for i in range(1, iterations + 1):
@@ -78,7 +82,7 @@ def _probe_ctes(
     e{i} AS (
       SELECT nid, xqa, ({_D_SIG.format(z="z")}) - y AS err
       FROM (SELECT x.nid, x.xqa, x.y, {z} AS z
-            FROM x, w{i - 1} w)
+            FROM tr x, w{i - 1} w)
     ),
     g{i} AS (
       SELECT pos, SUM(err * xv) AS g, COUNT(*) AS n
@@ -120,14 +124,19 @@ def _probe_scores_sql(iterations: int = _ITERATIONS) -> str:
 """
 
 
-def _probe_eval_sql(iterations: int = _ITERATIONS) -> str:
+def _probe_eval_sql(
+    iterations: int = _ITERATIONS,
+    train_where: str = "TRUE",
+    score_where: str = "TRUE",
+) -> str:
     z = _D_Z.format(x="x.xqa", w="w.warr")
     return f"""
-    WITH {_probe_ctes(iterations)},
+    WITH {_probe_ctes(iterations, train_where=train_where)},
     sc AS (
       SELECT nid, y, ({_D_SIG.format(z="z")}) AS score_micro
       FROM (SELECT x.nid, x.y, {z} AS z
-            FROM x, w{iterations} w)
+            FROM x, w{iterations} w
+            WHERE {score_where})
     ),
     cls AS (
       SELECT CAST(CASE WHEN y = 1000000 THEN 1 ELSE 0 END AS INT)
@@ -146,6 +155,14 @@ def _probe_eval_sql(iterations: int = _ITERATIONS) -> str:
 
 _SQL_CURATE_QUALITY_PROBE = _probe_scores_sql()
 _SQL_CURATE_PROBE_EVAL = _probe_eval_sql()
+
+# holdout: train on 4/5 of the corpus (vec_id mod 5 < 4), evaluate on
+# the held-out fifth the optimizer never saw
+_TRAIN_WHERE = "nid % 5 < 4"
+_SCORE_WHERE = "nid % 5 = 4"
+_SQL_CURATE_PROBE_HOLDOUT = _probe_eval_sql(
+    train_where=_TRAIN_WHERE, score_where=_SCORE_WHERE
+)
 
 # ----------------------------------------------------------------- queries
 
@@ -195,6 +212,33 @@ def q_curate_probe_eval(spark, sf_dir):
     )
     return quality_probe_eval(
         quality_probe_scores(emb, w, positive_min=_POSITIVE_MIN)
+    )
+
+
+def q_curate_probe_holdout(spark, sf_dir):
+    """Held-out evaluation — the honest generalization measurement: the
+    probe trains on 4/5 of the corpus (``vec_id % 5 < 4``) and the
+    confusion rollup covers ONLY the held-out fifth the optimizer never
+    saw.  The in-sample eval (``curate_probe_eval``) bounds what the
+    model memorized; this bounds what it learned."""
+    from airflow_crypto_btc_spark.operators.probe import (
+        quality_probe_eval,
+        quality_probe_scores,
+        quality_probe_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = quality_probe_train(
+        emb.filter("vec_id % 5 < 4"),
+        iterations=_ITERATIONS,
+        lr_num=_LR_NUM,
+        lr_den=_LR_DEN,
+        positive_min=_POSITIVE_MIN,
+    )
+    return quality_probe_eval(
+        quality_probe_scores(
+            emb.filter("vec_id % 5 = 4"), w, positive_min=_POSITIVE_MIN
+        )
     )
 
 
@@ -258,6 +302,9 @@ PROBE_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_probe_eval": QuerySpec(
         q_curate_probe_eval, _SQL_CURATE_PROBE_EVAL
+    ),
+    "curate_probe_holdout": QuerySpec(
+        q_curate_probe_holdout, _SQL_CURATE_PROBE_HOLDOUT
     ),
     # oracle = the inline entry's SQL: frozen-model serving on the
     # model's own corpus must reproduce the training-run scores exactly

@@ -66,3 +66,35 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["date"]: r for r in merged.collect()}
     assert rows["2024-01-01"]["volume"] is None
     assert rows["2024-01-02"]["volume"] == 42.0
+
+
+def test_balanced_shards_partitioned_write_prunes(spark, tmp_path):
+    """The sharding assignment tied to its physical layout: writing
+    partitionBy('shard') produces one directory per shard, and a
+    single-shard read scans only that directory (PartitionFilters, not a
+    post-scan filter) — the layout a tokenizer job reads shard-by-shard."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        balanced_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (1 + i % 19)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    assigned = balanced_shards(docs, shards=4, oversample=8)
+    docs.join(assigned.select("doc_id", "shard"), "doc_id").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(out)
+
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert dirs == {f"shard={s}" for s in range(4)}
+
+    one = spark.read.parquet(out).filter("shard = 2")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    # pruned read returns exactly the shard's docs
+    want = {r["doc_id"] for r in assigned.filter("shard = 2").collect()}
+    assert {r["doc_id"] for r in one.collect()} == want

@@ -18,7 +18,23 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
 )
 from airflow_crypto_btc_spark.streaming.probe_stream import probe_gate_sink
 
-from tests.test_probe import _separable
+
+def _separable(spark, n=120, dim=4):
+    """Same deterministic linearly separable fixture as test_probe.py
+    (duplicated rather than cross-imported: the test tree is not a
+    package, so module imports between test files depend on the pytest
+    invocation directory)."""
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        base = 0.8 if pos else -0.8
+        vec = [base + ((i * 7) % 5 - 2) * 0.02] + [
+            ((i * 13 + j) % 7 - 3) * 0.05 for j in range(1, dim)
+        ]
+        rows.append((i, [float(v) for v in vec], 9 if pos else 0))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
 
 
 def _arrivals(spark, lo, hi):

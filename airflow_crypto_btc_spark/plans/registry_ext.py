@@ -927,18 +927,22 @@ def q_mm_block_hash_near_dup(spark, sf_dir):
     hashes (operators/multimodal.block_hash_near_dup — only (id, bigint)
     rows shuffle, payloads never move).  The oracle verifies with the
     direct quadratic xor-popcount — banding is no-false-negative, so the
-    answers are identical.  ``max_hamming=5`` (6 pigeonhole bands) is
-    chosen so EVERY scale factor — including the driver-gated sf0.01,
-    where the fixture has no planted same-grid payloads and a tighter
-    bar returns an empty (vacuously matching) pair set — pushes a
-    NONZERO candidate set through the banding + popcount-verify
-    machinery (11 pairs at sf0.01); unit tests additionally cover
-    engineered in-place edits at tight thresholds."""
+    answers are identical.  At sf0.01 the fixture has no same-grid
+    payload near-dups (0 rows, still compared); sf0.1 yields a nonzero
+    pair set — unit tests cover engineered in-place edits, and
+    ``mm_block_hash`` value-checks every signature at every SF, so the
+    hashing itself is never vacuously verified.  The bar stays at the
+    production-shaped ``max_hamming=3`` (4 pigeonhole bands of 8 bits):
+    a bar loose enough to be non-vacuous at sf0.01 catches only CHANCE
+    collisions (hamming 4-5 on random 32-bit signatures), and its
+    5-bit bands (32 keys) degrade toward quadratic candidate counts —
+    measured 0.70 s → 3.03 s at sf0.1 when tried, the wrong trade for
+    a plan that must survive 1000× the corpus."""
     from airflow_crypto_btc_spark.operators.multimodal import (
         block_hash_near_dup,
     )
 
-    return block_hash_near_dup(_mm(spark, sf_dir), n_blocks=32, max_hamming=5)
+    return block_hash_near_dup(_mm(spark, sf_dir), n_blocks=32, max_hamming=3)
 
 
 _SQL_MM_BLOCK_HASH_NEAR_DUP = f"""
@@ -946,7 +950,7 @@ _SQL_MM_BLOCK_HASH_NEAR_DUP = f"""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       CAST(bit_count(xor(a.block_hash, b.block_hash)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.block_hash, b.block_hash)) <= 5
+    WHERE bit_count(xor(a.block_hash, b.block_hash)) <= 3
 """
 
 

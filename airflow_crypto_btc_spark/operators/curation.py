@@ -478,3 +478,115 @@ def shard_summary(assignment: DataFrame) -> DataFrame:
             ratio_micro("tok_total", "tok_corpus").alias("share"),
         )
     )
+
+
+def build_shard_map(
+    spark,
+    docs: DataFrame,
+    table: str,
+    source_version: str,
+    shards: int = 8,
+    oversample: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the micro→shard assignment map — the offline half of
+    CONSISTENT output sharding: the serpentine deal is planned once on a
+    reference corpus census and every later assignment (batch re-runs,
+    streaming arrivals) reads the FROZEN map, so a document's shard
+    never changes as unrelated documents arrive.
+
+    Unlike :func:`balanced_shards`' inline census (which only ranks the
+    micro-shards the corpus actually hashes into), the persisted map is
+    COMPLETE over all ``shards × oversample`` micro-shards — absent
+    ones enter the ranking with a zero token total — so a future
+    arrival can never miss the map (no serving-time fallback path to
+    diverge on).  ``source_version`` + the (shards, oversample) design
+    land in commit metadata; serving refuses a mismatch from metadata
+    alone.  Rebuild is an OVERWRITE commit."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    m = shards * oversample
+    with_n = docs.select(
+        F.expr(
+            f"cast(conv(substr(md5(cast({id_col} as string)),1,8),16,10) "
+            f"as bigint) % {m}"
+        ).alias("micro_shard"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    census = with_n.groupBy("micro_shard").agg(
+        F.sum("n_tokens").alias("tok_total")
+    )
+    complete = (
+        spark.range(m)
+        .select(F.col("id").alias("micro_shard"))
+        .join(census, "micro_shard", "left")
+        .select(
+            "micro_shard",
+            F.coalesce("tok_total", F.lit(0)).alias("tok_total"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("tok_total"), F.asc("micro_shard"))
+    )
+    lane = (rk - 1) % (2 * shards)
+    assign = complete.select(
+        "micro_shard",
+        "tok_total",
+        F.when(lane < shards, lane)
+        .otherwise(2 * shards - 1 - lane)
+        .cast("long")
+        .alias("shard"),
+    )
+    overwrite(
+        spark, assign, table,
+        meta={
+            "source_version": source_version,
+            "shards": int(shards),
+            "oversample": int(oversample),
+        },
+    )
+
+
+def shards_from_map(
+    spark,
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Assign documents against the PERSISTED shard map — same output
+    contract as :func:`balanced_shards` (``(id, n_tokens, micro_shard,
+    shard)``) with the assignment FROZEN at map-build time: one
+    broadcast join on a bounded map, no census aggregation, no window —
+    the exchange-light scan a sharding re-run or ingest gate pays.
+    Refuses a stale map (``source_version`` mismatch) from commit
+    metadata before reading any data file."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    meta = current_snapshot(table).meta
+    if expect_source is not None:
+        got = meta.get("source_version")
+        if got != expect_source:
+            raise ValueError(
+                f"stale shard map in {table!r}: source_version={got!r},"
+                f" expected {expect_source!r} — rebuild with"
+                f" build_shard_map before assigning"
+            )
+    m = int(meta["shards"]) * int(meta["oversample"])
+    mapping = read_snapshot(spark, table).select("micro_shard", "shard")
+    with_n = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"cast(conv(substr(md5(cast({id_col} as string)),1,8),16,10) "
+            f"as bigint) % {m}"
+        ).alias("micro_shard"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    )
+    return with_n.join(F.broadcast(mapping), "micro_shard").select(
+        id_col, "n_tokens", "micro_shard", "shard"
+    )

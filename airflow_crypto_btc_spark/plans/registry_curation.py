@@ -593,3 +593,89 @@ _SQL_CURATE_SHARD_SUMMARY = f"""
     FROM joined, tot t
     GROUP BY shard, t.tok_corpus
 """
+
+
+def _shard_map_zone(spark, sf_dir):
+    """Landing-zone build of the persisted shard map — one serpentine
+    plan per fixture version, shared by the from-map entry.  Returns
+    (zone_path, source_version)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.curation import (
+        build_shard_map,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_shard_map(
+            spark,
+            docs,
+            os.path.join(staging, "map"),
+            source_version=source_version,
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "shard_map", _land),
+        source_version,
+    )
+
+
+def q_curate_shards_from_map(spark, sf_dir):
+    """Shard assignment served from the PERSISTED map: the serpentine
+    deal is planned once per fixture version into a snapshot table and
+    assignment is one broadcast map join — no census aggregation, no
+    window.  The oracle replays the COMPLETE-census plan (all 64
+    micro-shards ranked, absent ones at zero) — the map-build
+    semantics, which differ from the inline entry's census exactly when
+    a micro-shard is unpopulated."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.curation import (
+        shards_from_map,
+    )
+
+    zone, source_version = _shard_map_zone(spark, sf_dir)
+    return shards_from_map(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "map"),
+        expect_source=source_version,
+    )
+
+
+_SQL_CURATE_SHARDS_FROM_MAP = f"""
+    WITH n AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+          AS micro_shard,
+        len(tokens) AS n_tokens
+      FROM ({_D_TOKENS})
+    ),
+    census AS (
+      SELECT micro_shard, SUM(n_tokens) AS tok_total
+      FROM n GROUP BY micro_shard
+    ),
+    complete AS (
+      SELECT m.ms AS micro_shard, COALESCE(c.tok_total, 0) AS tok_total
+      FROM (SELECT unnest(range(0, 64)) AS ms) m
+      LEFT JOIN census c ON c.micro_shard = m.ms
+    ),
+    ranked AS (
+      SELECT micro_shard,
+        row_number() OVER (ORDER BY tok_total DESC, micro_shard ASC)
+          AS rk
+      FROM complete
+    ),
+    assign AS (
+      SELECT micro_shard,
+        CAST(CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16
+             ELSE 15 - ((rk - 1) % 16) END AS BIGINT) AS shard
+      FROM ranked
+    )
+    SELECT n.doc_id, n.n_tokens, n.micro_shard, a.shard
+    FROM n JOIN assign a USING (micro_shard)
+"""

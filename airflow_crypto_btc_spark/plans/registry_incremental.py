@@ -1404,3 +1404,16 @@ INCREMENTAL_REGISTRY.update(
         ),
     }
 )
+
+from airflow_crypto_btc_spark.plans.registry_curation import (  # noqa: E402
+    _SQL_CURATE_SHARDS_FROM_MAP,
+    q_curate_shards_from_map,
+)
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "curate_shards_from_map": QuerySpec(
+            q_curate_shards_from_map, _SQL_CURATE_SHARDS_FROM_MAP
+        ),
+    }
+)

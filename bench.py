@@ -65,8 +65,9 @@ HEADLINE = [
     "curate_pack_sequences",
     "curate_chunk_documents",
     "curate_stratified_sample",
-    # round-8 fourth wave: balanced output sharding
+    # round-8 fourth wave: balanced output sharding (inline + frozen-map)
     "curate_balanced_shards",
+    "curate_shards_from_map",
     # round-8 third wave: per-domain quota + multimodal block-hash near-dup
     "curate_domain_quota",
     "mm_block_hash_near_dup",

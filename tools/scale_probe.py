@@ -45,6 +45,8 @@ DEFAULT = [
     # per iteration, dim-group gradient exchanges); serving is frozen
     "curate_quality_probe",
     "curate_probe_from_model",
+    # round-8: frozen-map output sharding (broadcast join, no census)
+    "curate_shards_from_map",
 ]
 
 

@@ -590,3 +590,72 @@ def shards_from_map(
     return with_n.join(F.broadcast(mapping), "micro_shard").select(
         id_col, "n_tokens", "micro_shard", "shard"
     )
+
+
+def shard_drift_report(
+    spark,
+    docs: DataFrame,
+    map_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Balance-drift monitor for the frozen shard map: per shard, the
+    DESIGN token share (from the census the map was planned on, stored
+    in the map rows) against the OBSERVED share on the current corpus,
+    plus the signed micro-unit drift — the alarm feed that says when the
+    frozen plan has drifted far enough to justify a re-plan (which is a
+    deliberate rebuild + stream restart, never an online mutation).
+
+    One frozen-map assignment scan + two bounded aggregations; the map
+    is broadcast twice (assignment join, design shares) and never
+    shuffled."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    assigned = shards_from_map(
+        spark, docs, map_table,
+        id_col=id_col, text_col=text_col, expect_source=expect_source,
+    )
+    observed = assigned.groupBy("shard").agg(
+        F.sum("n_tokens").alias("obs_tokens")
+    )
+    obs_tot = observed.groupBy().agg(
+        F.sum("obs_tokens").alias("obs_corpus")
+    )
+    design = (
+        read_snapshot(spark, map_table)
+        .groupBy("shard")
+        .agg(F.sum("tok_total").alias("design_tokens"))
+    )
+    des_tot = design.groupBy().agg(
+        F.sum("design_tokens").alias("design_corpus")
+    )
+    return (
+        observed.join(F.broadcast(design), "shard")
+        .crossJoin(F.broadcast(obs_tot))
+        .crossJoin(F.broadcast(des_tot))
+        .select(
+            "shard",
+            "obs_tokens",
+            "design_tokens",
+            "obs_corpus",
+            "design_corpus",
+            ratio_micro("obs_tokens", "obs_corpus").alias("obs_share"),
+            ratio_micro("design_tokens", "design_corpus").alias(
+                "design_share"
+            ),
+        )
+        .withColumn(
+            "drift_micro",
+            F.expr(
+                "(2 * obs_tokens * 1000000 + obs_corpus)"
+                " div (2 * obs_corpus)"
+                " - (2 * design_tokens * 1000000 + design_corpus)"
+                " div (2 * design_corpus)"
+            ).cast("long"),
+        )
+        .drop("obs_corpus", "design_corpus")
+    )

@@ -311,3 +311,36 @@ def quality_probe_scores_from_model(
         label_col=label_col,
         positive_min=int(meta.get("positive_min", 5)),
     )
+
+
+def quality_probe_calibration(
+    scores: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """Calibration report over a scores frame: fixed-width score buckets
+    (``score_micro div (10^6/n_buckets)``) vs the empirical positive
+    rate — the table that says whether "score 0.7" MEANS 70 % positive.
+    Fixed buckets, not ntile: a rank-based decile would be a global sort
+    through one partition (the unpartitioned-window trap); bucketing is
+    one map-side-combined aggregation at any corpus size.  All exact:
+    counts are integers, rates are micro-unit ratios."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+
+    width = 1_000_000 // n_buckets
+    return (
+        scores.groupBy(
+            F.expr(
+                f"CAST(least(score_micro div {width},"
+                f" {n_buckets - 1}) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y_true").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            ratio_micro("n_pos", "n").alias("pos_rate"),
+        )
+    )

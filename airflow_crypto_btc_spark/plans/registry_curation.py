@@ -679,3 +679,82 @@ _SQL_CURATE_SHARDS_FROM_MAP = f"""
     SELECT n.doc_id, n.n_tokens, n.micro_shard, a.shard
     FROM n JOIN assign a USING (micro_shard)
 """
+
+
+def q_curate_shard_drift(spark, sf_dir):
+    """Balance-drift monitor: the frozen map's DESIGN token shares vs
+    the OBSERVED shares of a later arrival slice (``doc_id % 3 = 0`` —
+    a deterministic "this month's traffic" stand-in), drift as an exact
+    integer micro-unit difference; see
+    operators/curation.shard_drift_report."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.curation import (
+        shard_drift_report,
+    )
+
+    zone, source_version = _shard_map_zone(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_drift_report(
+        spark,
+        docs.filter("doc_id % 3 = 0"),
+        os.path.join(zone, "map"),
+        expect_source=source_version,
+    )
+
+
+_SQL_CURATE_SHARD_DRIFT = f"""
+    WITH n AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64
+          AS micro_shard,
+        len(tokens) AS n_tokens
+      FROM ({_D_TOKENS})
+    ),
+    census AS (
+      SELECT micro_shard, SUM(n_tokens) AS tok_total
+      FROM n GROUP BY micro_shard
+    ),
+    complete AS (
+      SELECT m.ms AS micro_shard, COALESCE(c.tok_total, 0) AS tok_total
+      FROM (SELECT unnest(range(0, 64)) AS ms) m
+      LEFT JOIN census c ON c.micro_shard = m.ms
+    ),
+    ranked AS (
+      SELECT micro_shard, tok_total,
+        row_number() OVER (ORDER BY tok_total DESC, micro_shard ASC)
+          AS rk
+      FROM complete
+    ),
+    assign AS (
+      SELECT micro_shard, tok_total,
+        CAST(CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16
+             ELSE 15 - ((rk - 1) % 16) END AS BIGINT) AS shard
+      FROM ranked
+    ),
+    design AS (
+      SELECT shard, CAST(SUM(tok_total) AS BIGINT) AS design_tokens
+      FROM assign GROUP BY shard
+    ),
+    obs AS (
+      SELECT a.shard, CAST(SUM(n.n_tokens) AS BIGINT) AS obs_tokens
+      FROM n JOIN assign a USING (micro_shard)
+      WHERE n.doc_id % 3 = 0
+      GROUP BY a.shard
+    ),
+    ot AS (SELECT CAST(SUM(obs_tokens) AS BIGINT) AS obs_corpus
+           FROM obs),
+    dt AS (SELECT CAST(SUM(design_tokens) AS BIGINT) AS design_corpus
+           FROM design)
+    SELECT o.shard, o.obs_tokens, d.design_tokens,
+      ((2 * o.obs_tokens * 1000000 + ot.obs_corpus)
+       // (2 * ot.obs_corpus) / 1000000.0) AS obs_share,
+      ((2 * d.design_tokens * 1000000 + dt.design_corpus)
+       // (2 * dt.design_corpus) / 1000000.0) AS design_share,
+      CAST((2 * o.obs_tokens * 1000000 + ot.obs_corpus)
+            // (2 * ot.obs_corpus)
+         - (2 * d.design_tokens * 1000000 + dt.design_corpus)
+            // (2 * dt.design_corpus) AS BIGINT) AS drift_micro
+    FROM obs o
+    JOIN design d USING (shard), ot, dt
+"""

@@ -1417,3 +1417,16 @@ INCREMENTAL_REGISTRY.update(
         ),
     }
 )
+
+from airflow_crypto_btc_spark.plans.registry_curation import (  # noqa: E402
+    _SQL_CURATE_SHARD_DRIFT,
+    q_curate_shard_drift,
+)
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "curate_shard_drift": QuerySpec(
+            q_curate_shard_drift, _SQL_CURATE_SHARD_DRIFT
+        ),
+    }
+)

@@ -312,3 +312,57 @@ PROBE_REGISTRY: dict[str, QuerySpec] = {
         q_curate_probe_from_model, _SQL_CURATE_QUALITY_PROBE
     ),
 }
+
+
+def q_curate_probe_calibration(spark, sf_dir):
+    """Calibration table for the trained probe: fixed-width score
+    buckets vs empirical positive rate — whether "score 0.7" MEANS
+    70 % positive.  Fixed buckets, not ntile (a rank-based decile is a
+    global sort through one partition); one map-side-combined
+    aggregation, exact integer rates."""
+    from airflow_crypto_btc_spark.operators.probe import (
+        quality_probe_calibration,
+        quality_probe_scores,
+        quality_probe_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = quality_probe_train(
+        emb,
+        iterations=_ITERATIONS,
+        lr_num=_LR_NUM,
+        lr_den=_LR_DEN,
+        positive_min=_POSITIVE_MIN,
+    )
+    return quality_probe_calibration(
+        quality_probe_scores(emb, w, positive_min=_POSITIVE_MIN)
+    )
+
+
+def _probe_calibration_sql(iterations: int = _ITERATIONS) -> str:
+    z = _D_Z.format(x="x.xqa", w="w.warr")
+    return f"""
+    WITH {_probe_ctes(iterations)},
+    sc AS (
+      SELECT nid, y, ({_D_SIG.format(z="z")}) AS score_micro
+      FROM (SELECT x.nid, x.y, {z} AS z
+            FROM x, w{iterations} w)
+    ),
+    cls AS (
+      SELECT CASE WHEN y = 1000000 THEN 1 ELSE 0 END AS y_true,
+             score_micro
+      FROM sc
+    )
+    SELECT CAST(least(score_micro // 100000, 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(y_true) AS BIGINT) AS n_pos,
+           ((2 * CAST(SUM(y_true) AS BIGINT) * 1000000 + COUNT(*))
+            // (2 * COUNT(*)) / 1000000.0) AS pos_rate
+    FROM cls
+    GROUP BY 1
+"""
+
+
+PROBE_REGISTRY["curate_probe_calibration"] = QuerySpec(
+    q_curate_probe_calibration, _probe_calibration_sql()
+)

@@ -122,3 +122,20 @@ def test_probe_weight_rows_roundtrip(spark):
     w = quality_probe_train(emb, iterations=2)
     back = weights_from_model_rows(probe_model_rows(w))
     assert back.first()["warr"] == w.first()["warr"]
+
+
+def test_probe_calibration_buckets_and_rates(spark):
+    emb = _separable(spark, n=80)
+    w = quality_probe_train(emb, iterations=4, lr_num=4)
+    from airflow_crypto_btc_spark.operators.probe import (
+        quality_probe_calibration,
+    )
+
+    cal = quality_probe_calibration(quality_probe_scores(emb, w))
+    rows = {r["bucket"]: r for r in cal.collect()}
+    assert sum(r["n"] for r in rows.values()) == 80
+    assert all(0 <= b <= 9 for b in rows)
+    # separable fixture: a well-calibrated probe's low buckets are pure
+    # negatives, high buckets pure positives
+    assert rows[min(rows)]["pos_rate"] == 0.0
+    assert rows[max(rows)]["pos_rate"] == 1.0

@@ -96,3 +96,29 @@ def test_shard_map_is_complete_and_batch_op_refuses_stale(spark, tmp_path):
         shards_from_map(
             spark, reference, mt, expect_source="v2"
         ).collect()
+
+
+def test_shard_drift_report_zero_on_design_corpus(spark, tmp_path):
+    """Drift against the map's own census corpus is exactly zero in
+    every shard; a skewed arrival slice shows nonzero integer drift
+    that sums to ~0 (shares are a partition of unity)."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        build_shard_map,
+        shard_drift_report,
+    )
+
+    reference = _docs(spark, 0, 160)
+    mt = str(tmp_path / "map")
+    build_shard_map(
+        spark, reference, mt, source_version="v1", shards=4, oversample=4
+    )
+    same = shard_drift_report(
+        spark, reference, mt, expect_source="v1"
+    ).collect()
+    assert {r["drift_micro"] for r in same} == {0}
+    skewed = shard_drift_report(
+        spark, reference.filter("doc_id % 4 = 1"), mt,
+        expect_source="v1",
+    ).collect()
+    assert any(r["drift_micro"] != 0 for r in skewed)
+    assert abs(sum(r["drift_micro"] for r in skewed)) <= len(skewed)

@@ -659,3 +659,104 @@ def shard_drift_report(
         )
         .drop("obs_corpus", "design_corpus")
     )
+
+
+def corpus_data_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language release data card — the summary table a training-data
+    pipeline ships with every corpus release: document counts,
+    exact-duplicate accounting, whitespace- and BPE-ish token totals, the
+    language's share of corpus tokens, and mean document quality.
+
+    Scale design: ONE corpus scan computes tokens, language scores,
+    quality, and the exact-dup digest per document in a single
+    projection; everything after operates on digest-level rows only —
+    a partial-aggregated groupBy (fp_md5, lang) so document bodies cross
+    no shuffle, a digest-partitioned window for cross-language dup
+    counts, and a language-keyed rollup whose output is bounded by the
+    language alphabet (≤6 rows), so the final share window is
+    single-partition over a provably tiny frame, never over the corpus.
+    All ratios are exact integer micro-units (``ratio_micro``)."""
+    from airflow_crypto_btc_spark.operators.dedup import NORMALIZED_TEXT
+    from airflow_crypto_btc_spark.operators.text import (
+        QUALITY_MICRO_SQL,
+        lang_id,
+        BPE_ISH_PATTERN,
+    )
+
+    per = (
+        lang_id(docs, text_col)  # tokens + score_* + lang_pred, one pass
+        .withColumn("n_tokens", F.expr("size(tokens)"))
+        # lang_id's English stop count IS quality's stop_cnt — reuse it
+        .withColumn("stop_cnt", F.col("score_en"))
+        .withColumn(
+            "n_uniq_tokens", F.expr("size(array_distinct(tokens))")
+        )
+        .withColumn(
+            "n_bpe_tokens",
+            F.size(
+                F.regexp_extract_all(
+                    text_col, F.lit(BPE_ISH_PATTERN), 1
+                )
+            ),
+        )
+        .withColumn(
+            "fp_md5",
+            F.expr(f"md5({NORMALIZED_TEXT.format(col=text_col)})"),
+        )
+        .withColumn(
+            "quality_micro",
+            F.when(
+                F.col("n_tokens") > 0, F.expr(QUALITY_MICRO_SQL)
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+    )
+    g = per.groupBy("fp_md5", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_fl"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+        F.sum("n_bpe_tokens").cast("long").alias("bpe"),
+        F.sum("quality_micro").cast("long").alias("qm"),
+    )
+    # cross-LANGUAGE duplicate visibility: a digest's total count, not
+    # its per-language count, decides dup-ness (a doc duplicated across
+    # two language buckets is a dup in both)
+    g = g.withColumn(
+        "n_f", F.sum("n_fl").over(Window.partitionBy("fp_md5"))
+    )
+    lang = g.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum("n_fl").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_f") > 1, F.col("n_fl")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum("bpe").cast("long").alias("total_bpe_tokens"),
+        F.sum("qm").cast("long").alias("sum_qm"),
+    )
+    # bounded single-partition window: input is one row per predicted
+    # language (≤6), NOT corpus-sized — the unpartitioned-window trap
+    # doctrine does not apply to alphabet-bounded frames
+    lang = lang.withColumn(
+        "corpus_tokens",
+        F.sum("total_tokens").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return lang.select(
+        "lang",
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "total_bpe_tokens",
+        ratio_micro("total_tokens", "corpus_tokens").alias(
+            "token_share"
+        ),
+        (
+            F.expr("(2 * sum_qm + n_docs) div (2 * n_docs)")
+            / 1000000.0
+        ).alias("mean_quality"),
+    )

@@ -109,6 +109,24 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+# 0.4·min(1, n/50) + 0.3·min(1, 3s/n) + 0.3·u/n as the EXACT rational
+# (2·min(50,n)·n + 75·(min(n,3s) + u)) / (250·n), rounded half-away in
+# integer micro-units: 250·n divides 2·10^6 for many doc lengths, so the
+# double formulation lands EXACTLY on 6-dp rounding boundaries and a
+# downstream quality gate would amplify an engine split into different
+# survivor sets (same doctrine as _jaccard_micro / the unigram-LM mean).
+# Requires columns n_tokens / stop_cnt / n_uniq_tokens; identical text
+# (s/div/\/\//) runs on the DuckDB side — shared by quality_score and
+# the corpus data card so the two can never drift apart.
+QUALITY_MICRO_SQL = (
+    "(2 * (2 * least(CAST(50 AS BIGINT), n_tokens) * n_tokens"
+    " + 75 * (least(CAST(n_tokens AS BIGINT), 3 * stop_cnt)"
+    " + n_uniq_tokens)) * 1000000"
+    " + 250 * CAST(n_tokens AS BIGINT))"
+    " div (500 * CAST(n_tokens AS BIGINT))"
+)
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document quality heuristic in [0,1]:
     0.4·length-score + 0.3·stopword-score + 0.3·uniqueness-ratio.
@@ -121,20 +139,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stop_cnt", _stop_count("en"))
         .withColumn("n_uniq_tokens", F.expr("size(array_distinct(tokens))"))
     )
-    # 0.4·min(1, n/50) + 0.3·min(1, 3s/n) + 0.3·u/n as the EXACT
-    # rational (2·min(50,n)·n + 75·(min(n,3s) + u)) / (250·n), rounded
-    # half-away in integer micro-units: 250·n divides 2·10^6 for many
-    # doc lengths, so the double formulation lands EXACTLY on 6-dp
-    # rounding boundaries and the downstream quality gate would amplify
-    # an engine split into different survivor sets (same doctrine as
-    # _jaccard_micro / the unigram-LM mean)
-    micro = F.expr(
-        "(2 * (2 * least(CAST(50 AS BIGINT), n_tokens) * n_tokens"
-        " + 75 * (least(CAST(n_tokens AS BIGINT), 3 * stop_cnt)"
-        " + n_uniq_tokens)) * 1000000"
-        " + 250 * CAST(n_tokens AS BIGINT))"
-        " div (500 * CAST(n_tokens AS BIGINT))"
-    )
+    micro = F.expr(QUALITY_MICRO_SQL)
     return df.withColumn(
         "quality",
         # empty doc → quality 0 (ANSI /0 guard; fixture docs are non-empty)

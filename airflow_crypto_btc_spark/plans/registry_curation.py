@@ -758,3 +758,85 @@ _SQL_CURATE_SHARD_DRIFT = f"""
     FROM obs o
     JOIN design d USING (shard), ot, dt
 """
+
+
+def q_curate_data_card(spark, sf_dir):
+    """Per-language release data card: doc counts, exact-dup accounting,
+    token totals (whitespace + BPE-ish), token share, mean quality — one
+    corpus scan, digest-level shuffles only; see
+    operators/curation.corpus_data_card."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        corpus_data_card,
+    )
+
+    return corpus_data_card(load_table(spark, sf_dir, "documents"))
+
+
+def _data_card_sql() -> str:
+    from airflow_crypto_btc_spark.operators.text import QUALITY_MICRO_SQL
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _duck_stop,
+        tokens_sql,
+    )
+
+    q_micro = QUALITY_MICRO_SQL.replace(" div ", " // ")
+    return f"""
+    WITH t AS ({tokens_sql()}),
+    per AS (
+      SELECT doc_id,
+        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        CAST({_duck_stop('en')} AS BIGINT) AS stop_cnt,
+        {_duck_stop('fr')} AS score_fr,
+        {_duck_stop('de')} AS score_de,
+        {_duck_stop('es')} AS score_es,
+        len(regexp_extract_all(text, '(\\p{{Han}})', 1)) AS score_zh,
+        CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq_tokens,
+        CAST(len(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1))
+          AS BIGINT) AS n_bpe_tokens,
+        md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+          AS fp_md5
+      FROM t
+    ),
+    lp AS (
+      SELECT *,
+        CASE WHEN score_zh > 0 THEN 'zh'
+             WHEN stop_cnt = 0 AND score_fr = 0 AND score_de = 0
+                  AND score_es = 0 THEN 'unknown'
+             WHEN stop_cnt >= score_fr AND stop_cnt >= score_de
+                  AND stop_cnt >= score_es THEN 'en'
+             WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+             WHEN score_de >= score_es THEN 'de'
+             ELSE 'es' END AS lang,
+        CASE WHEN n_tokens > 0 THEN {q_micro}
+             ELSE 0 END AS quality_micro
+      FROM per
+    ),
+    g AS (
+      SELECT fp_md5, lang, COUNT(*) AS n_fl, SUM(n_tokens) AS tok,
+             SUM(n_bpe_tokens) AS bpe, SUM(quality_micro) AS qm
+      FROM lp GROUP BY 1, 2
+    ),
+    gf AS (
+      SELECT *, SUM(n_fl) OVER (PARTITION BY fp_md5) AS n_f FROM g
+    ),
+    l AS (
+      SELECT lang, CAST(SUM(n_fl) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN n_f > 1 THEN n_fl ELSE 0 END) AS BIGINT)
+          AS n_dup_docs,
+        CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+        CAST(SUM(qm) AS BIGINT) AS sum_qm
+      FROM gf GROUP BY 1
+    ),
+    c AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus FROM l)
+    SELECT lang, n_docs, n_dup_docs, total_tokens, total_bpe_tokens,
+      ((2 * total_tokens * 1000000 + corpus) // (2 * corpus)
+        / 1000000.0) AS token_share,
+      ((2 * sum_qm + n_docs) // (2 * n_docs) / 1000000.0) AS mean_quality
+    FROM l, c
+"""
+
+
+CURATION_REGISTRY["curate_data_card"] = QuerySpec(
+    q_curate_data_card, _data_card_sql()
+)

@@ -513,3 +513,32 @@ def test_balanced_shards_serpentine_pairs_heavy_with_light(spark):
         .collect()
     )
     assert {r["count"] for r in per_shard} == {2}
+
+
+def test_corpus_data_card_counts_and_dups(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        corpus_data_card,
+    )
+
+    en = "the cat and the dog are in the house with a ball"
+    fr = "le chat et le chien sont dans la maison avec une balle"
+    rows = [
+        (1, en),
+        (2, en),          # exact dup of 1 (same digest)
+        (3, en + " x"),   # near but NOT exact — must not count as dup
+        (4, fr),
+        (5, "qqq zzz"),   # no stopwords in any language → unknown
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    card = {r["lang"]: r for r in corpus_data_card(docs).collect()}
+    assert set(card) == {"en", "fr", "unknown"}
+    assert card["en"]["n_docs"] == 3
+    assert card["en"]["n_dup_docs"] == 2   # both copies count, not one
+    assert card["fr"]["n_dup_docs"] == 0
+    assert card["unknown"]["n_docs"] == 1
+    # shares partition unity to within one micro-unit per language row
+    assert (
+        abs(sum(r["token_share"] for r in card.values()) - 1.0) < 1e-5
+    )
+    assert card["en"]["total_tokens"] == 12 + 12 + 13
+    assert 0.0 < card["en"]["mean_quality"] <= 1.0

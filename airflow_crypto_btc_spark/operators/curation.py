@@ -760,3 +760,48 @@ def corpus_data_card(
             / 1000000.0
         ).alias("mean_quality"),
     )
+
+
+def corpus_diff_report(
+    spark,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language release diff between two snapshot VERSIONS of a
+    documents table — "what changed since the last corpus release":
+    documents and tokens inserted/deleted, one row per language.
+
+    Built on the commit-log change feed (``snapshot_changes``): an
+    append-only span costs ONLY a scan of the added files (zero
+    old-snapshot reads — the 100 TB common case for a growing corpus);
+    a span containing a rewrite commit falls back to the feed's
+    multiset-exact two-snapshot diff, gated on ``key_cols`` so the
+    expensive path is always an explicit choice.  Language scoring runs
+    on the changed rows only, after the feed has reduced the span to
+    its deltas."""
+    from airflow_crypto_btc_spark.operators.text import lang_id
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        snapshot_changes,
+    )
+
+    feed = snapshot_changes(
+        spark, table, from_version, to_version, key_cols=[id_col]
+    )
+    per = lang_id(feed, text_col).select(
+        "_change_type",
+        "lang_pred",
+        F.expr("size(tokens)").alias("n_tokens"),
+    )
+    ins = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    del_ = F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+    return per.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum(ins).cast("long").alias("docs_added"),
+        F.sum(ins * F.col("n_tokens")).cast("long").alias("tokens_added"),
+        F.sum(del_).cast("long").alias("docs_removed"),
+        F.sum(del_ * F.col("n_tokens"))
+        .cast("long")
+        .alias("tokens_removed"),
+    )

@@ -840,3 +840,104 @@ def _data_card_sql() -> str:
 CURATION_REGISTRY["curate_data_card"] = QuerySpec(
     q_curate_data_card, _data_card_sql()
 )
+
+
+def _corpus_versions_zone(spark, sf_dir):
+    """Landing-zone two-version corpus: v_first = the %7 slice, then an
+    OVERWRITE to the %5 slice — a span with both inserts (docs in the
+    new slice only) and deletes (docs in the old slice only), forcing
+    the change feed's multiset-exact rewrite fallback."""
+    import os
+
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        _landing_zone,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        overwrite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        t = os.path.join(staging, "corpus")
+        append(spark, docs.filter("doc_id % 7 != 3"), t)
+        overwrite(spark, docs.filter("doc_id % 5 != 0"), t)
+
+    return _landing_zone(sf_dir, "documents", "corpus_versions", _land)
+
+
+def q_curate_corpus_diff(spark, sf_dir):
+    """Per-language release diff between the two landed corpus versions
+    (insert = in the %5 slice but not the %7 slice; delete = the
+    reverse), served from the commit-log change feed; see
+    operators/curation.corpus_diff_report."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.curation import (
+        corpus_diff_report,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+    )
+
+    zone = _corpus_versions_zone(spark, sf_dir)
+    t = os.path.join(zone, "corpus")
+    v_new = current_snapshot(t).version
+    return corpus_diff_report(spark, t, from_version=v_new - 1)
+
+
+def _corpus_diff_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _duck_stop,
+        tokens_sql,
+    )
+
+    return f"""
+    WITH t AS ({tokens_sql()}),
+    per AS (
+      SELECT doc_id,
+        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        CAST({_duck_stop('en')} AS BIGINT) AS score_en,
+        {_duck_stop('fr')} AS score_fr,
+        {_duck_stop('de')} AS score_de,
+        {_duck_stop('es')} AS score_es,
+        len(regexp_extract_all(text, '(\\p{{Han}})', 1)) AS score_zh
+      FROM t
+    ),
+    lp AS (
+      SELECT doc_id, n_tokens,
+        CASE WHEN score_zh > 0 THEN 'zh'
+             WHEN score_en = 0 AND score_fr = 0 AND score_de = 0
+                  AND score_es = 0 THEN 'unknown'
+             WHEN score_en >= score_fr AND score_en >= score_de
+                  AND score_en >= score_es THEN 'en'
+             WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+             WHEN score_de >= score_es THEN 'de'
+             ELSE 'es' END AS lang
+      FROM per
+    ),
+    ch AS (
+      SELECT lang, n_tokens, 'insert' AS ct FROM lp
+      WHERE doc_id % 7 = 3 AND doc_id % 5 != 0
+      UNION ALL
+      SELECT lang, n_tokens, 'delete' AS ct FROM lp
+      WHERE doc_id % 5 = 0 AND doc_id % 7 != 3
+    )
+    SELECT lang,
+      CAST(SUM(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_added,
+      CAST(SUM(CASE WHEN ct = 'insert' THEN n_tokens ELSE 0 END)
+        AS BIGINT) AS tokens_added,
+      CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_removed,
+      CAST(SUM(CASE WHEN ct = 'delete' THEN n_tokens ELSE 0 END)
+        AS BIGINT) AS tokens_removed
+    FROM ch
+    GROUP BY lang
+"""
+
+
+CURATION_REGISTRY["curate_corpus_diff"] = QuerySpec(
+    q_curate_corpus_diff, _corpus_diff_sql()
+)

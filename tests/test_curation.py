@@ -542,3 +542,51 @@ def test_corpus_data_card_counts_and_dups(spark):
     )
     assert card["en"]["total_tokens"] == 12 + 12 + 13
     assert 0.0 < card["en"]["mean_quality"] <= 1.0
+
+
+def test_corpus_diff_report_rewrite_and_append_spans(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.curation import (
+        corpus_diff_report,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append,
+        overwrite,
+    )
+
+    en = "the cat and the dog are in the house"
+    fr = "le chat et le chien sont dans la maison"
+    t = str(tmp_path / "corpus")
+    v1 = append(
+        spark,
+        spark.createDataFrame(
+            [(1, en), (2, en + " now"), (3, fr)], ["doc_id", "text"]
+        ),
+        t,
+    )
+    # rewrite span: doc 2 removed, doc 4 added, 1/3 unchanged
+    v2 = overwrite(
+        spark,
+        spark.createDataFrame(
+            [(1, en), (3, fr), (4, fr + " ici")], ["doc_id", "text"]
+        ),
+        t,
+    )
+    d = {
+        r["lang"]: r
+        for r in corpus_diff_report(spark, t, from_version=v1).collect()
+    }
+    assert d["en"]["docs_removed"] == 1 and d["en"]["docs_added"] == 0
+    assert d["en"]["tokens_removed"] == 10
+    assert d["fr"]["docs_added"] == 1 and d["fr"]["tokens_added"] == 10
+    # append-only span: feed fast path, inserts only
+    append(
+        spark,
+        spark.createDataFrame([(5, en + " again")], ["doc_id", "text"]),
+        t,
+    )
+    d2 = {
+        r["lang"]: r
+        for r in corpus_diff_report(spark, t, from_version=v2).collect()
+    }
+    assert set(d2) == {"en"}
+    assert d2["en"]["docs_added"] == 1 and d2["en"]["docs_removed"] == 0

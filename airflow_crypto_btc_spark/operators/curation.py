@@ -661,25 +661,18 @@ def shard_drift_report(
     )
 
 
-def corpus_data_card(
+def card_facts(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-language release data card — the summary table a training-data
-    pipeline ships with every corpus release: document counts,
-    exact-duplicate accounting, whitespace- and BPE-ish token totals, the
-    language's share of corpus tokens, and mean document quality.
-
-    Scale design: ONE corpus scan computes tokens, language scores,
-    quality, and the exact-dup digest per document in a single
-    projection; everything after operates on digest-level rows only —
-    a partial-aggregated groupBy (fp_md5, lang) so document bodies cross
-    no shuffle, a digest-partitioned window for cross-language dup
-    counts, and a language-keyed rollup whose output is bounded by the
-    language alphabet (≤6 rows), so the final share window is
-    single-partition over a provably tiny frame, never over the corpus.
-    All ratios are exact integer micro-units (``ratio_micro``)."""
+    """Per-document data-card facts — the ingest-time projection the
+    card family extracts ONCE per document: exact-dup digest, predicted
+    language, token/BPE counts, and the exact quality micro-score.
+    One corpus scan, no shuffle; document bodies never leave it.
+    Returns (id, fp_md5, lang, n_tokens, n_bpe_tokens, quality_micro) —
+    the skinny rows both the batch card and the streaming facts
+    maintainer roll up."""
     from airflow_crypto_btc_spark.operators.dedup import NORMALIZED_TEXT
     from airflow_crypto_btc_spark.operators.text import (
         QUALITY_MICRO_SQL,
@@ -687,7 +680,7 @@ def corpus_data_card(
         BPE_ISH_PATTERN,
     )
 
-    per = (
+    return (
         lang_id(docs, text_col)  # tokens + score_* + lang_pred, one pass
         .withColumn("n_tokens", F.expr("size(tokens)"))
         # lang_id's English stop count IS quality's stop_cnt — reuse it
@@ -713,8 +706,27 @@ def corpus_data_card(
                 F.col("n_tokens") > 0, F.expr(QUALITY_MICRO_SQL)
             ).otherwise(F.lit(0).cast("bigint")),
         )
+        .select(
+            id_col,
+            "fp_md5",
+            F.col("lang_pred").alias("lang"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            "quality_micro",
+        )
     )
-    g = per.groupBy("fp_md5", "lang_pred").agg(
+
+
+def card_from_facts(facts: DataFrame) -> DataFrame:
+    """Roll per-document card facts up to the per-language release card.
+    Operates on digest-level rows only: a partial-aggregated groupBy
+    (fp_md5, lang) so nothing body-sized crosses a shuffle, a
+    digest-partitioned window for cross-language dup counts, and a
+    language rollup whose output is bounded by the language alphabet
+    (≤6 rows) — the final share window is single-partition over a
+    provably tiny frame, never over the corpus.  All ratios are exact
+    integer micro-units (``ratio_micro``)."""
+    g = facts.groupBy("fp_md5", F.col("lang").alias("lang_pred")).agg(
         F.count("*").cast("long").alias("n_fl"),
         F.sum("n_tokens").cast("long").alias("tok"),
         F.sum("n_bpe_tokens").cast("long").alias("bpe"),
@@ -760,6 +772,21 @@ def corpus_data_card(
             / 1000000.0
         ).alias("mean_quality"),
     )
+
+
+def corpus_data_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language release data card — the summary table a training-data
+    pipeline ships with every corpus release: document counts,
+    exact-duplicate accounting, whitespace- and BPE-ish token totals,
+    the language's share of corpus tokens, and mean document quality.
+    ``card_facts`` (one scan, ingest-time projection) composed with
+    ``card_from_facts`` (digest-level rollup) — the same two halves the
+    streaming facts maintainer keeps current incrementally."""
+    return card_from_facts(card_facts(docs, text_col, id_col))
 
 
 def corpus_diff_report(

@@ -941,3 +941,44 @@ def _corpus_diff_sql() -> str:
 CURATION_REGISTRY["curate_corpus_diff"] = QuerySpec(
     q_curate_corpus_diff, _corpus_diff_sql()
 )
+
+
+def q_curate_data_card_from_facts(spark, sf_dir):
+    """The release card served from the PERSISTED facts table: the
+    ingest-time projection (tokenize/score/digest) is landed once per
+    fixture version; serving is the digest-level rollup only — no
+    document body is read.  Oracle: identical to the inline data card
+    (facts ∘ rollup ≡ one-shot card, the composition identity the
+    streaming maintainer relies on)."""
+    import os
+
+    from airflow_crypto_btc_spark.streaming.card_stream import (
+        data_card_from_facts_table,
+    )
+
+    zone = _card_facts_zone(spark, sf_dir)
+    return data_card_from_facts_table(
+        spark, os.path.join(zone, "facts")
+    )
+
+
+def _card_facts_zone(spark, sf_dir):
+    import os
+
+    from airflow_crypto_btc_spark.operators.curation import card_facts
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        _landing_zone,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        append(spark, card_facts(docs), os.path.join(staging, "facts"))
+
+    return _landing_zone(sf_dir, "documents", "card_facts", _land)
+
+
+CURATION_REGISTRY["curate_data_card_from_facts"] = QuerySpec(
+    q_curate_data_card_from_facts, _data_card_sql()
+)

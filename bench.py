@@ -129,6 +129,14 @@ HEADLINE = [
     # recurrence are ewm_macd (applyInPandas) and window cumulatives.
     "backtest_ma_crossover",
     "ohlc_resample_weekly",
+    # round-8 fifth wave: release reports — the inline one-scan card,
+    # the serving rollup over maintained facts (no body re-read), the
+    # change-feed release diff, and the two monitoring reports
+    "curate_data_card",
+    "curate_data_card_from_facts",
+    "curate_corpus_diff",
+    "curate_probe_calibration",
+    "curate_shard_drift",
 ]
 
 

@@ -47,6 +47,11 @@ DEFAULT = [
     "curate_probe_from_model",
     # round-8: frozen-map output sharding (broadcast join, no census)
     "curate_shards_from_map",
+    # round-8 fifth wave: release reports — one-scan card, rollup over
+    # maintained facts (no body re-read), change-feed release diff
+    "curate_data_card",
+    "curate_data_card_from_facts",
+    "curate_corpus_diff",
 ]
 
 

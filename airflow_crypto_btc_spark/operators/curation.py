@@ -832,3 +832,105 @@ def corpus_diff_report(
         .cast("long")
         .alias("tokens_removed"),
     )
+
+
+def training_order(
+    docs: DataFrame,
+    seed: str = "epoch0",
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reproducible global training order: every document gets a
+    deterministic (shard, position, order_key) — the shuffle a training
+    run reads, pinned so a re-run (or an auditor) replays the exact
+    byte order.  ``seed`` reshuffles between epochs without touching
+    the data.
+
+    The order key is md5(seed ‖ id): uniform, engine-portable, and
+    independent of ingest order.  Its first 8 hex chars (as an integer)
+    pick the shard; position is the rank WITHIN the shard by the full
+    key — a per-shard sort, never a global one, so parallelism is
+    #shards and no single partition ever sees the corpus.  The global
+    order is (shard, position) lexicographic: readers consume shard
+    files round-robin or in sequence, both reproducible."""
+    keyed = docs.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ).alias("order_key"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "shard",
+        F.expr(
+            "cast(conv(substr(order_key, 1, 8), 16, 10) as bigint)"
+            f" % {shards}"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return keyed.withColumn(
+        "position", F.row_number().over(w).cast("long")
+    ).select(id_col, "shard", "position", "order_key", "n_tokens")
+
+
+def token_budget_head(
+    docs: DataFrame,
+    budget: int,
+    seed: str = "epoch0",
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The first ``budget`` tokens of the reproducible training order —
+    "train on the first N tokens of epoch-0 order" as a corpus filter.
+
+    GLOBAL cumulative sums are the classic distributed prefix-sum: a
+    single unpartitioned window would drag the corpus through one
+    partition, so instead (1) per-shard token totals aggregate to a
+    #shards-row frame, (2) each shard's exclusive OFFSET — the sum of
+    all earlier positions across shards at interleave granularity —
+    would require a merge order; we define the global order as shard-
+    major ((shard, position) lexicographic, matching ``training_order``),
+    so the offset is just the sum of earlier shards' totals, computed
+    on the tiny frame and broadcast back, and (3) the in-shard
+    exclusive cumsum adds to the offset.  A document straddling the
+    boundary is kept (training truncates at the tokenizer), documents
+    past it are dropped — so the kept set is exactly a prefix of the
+    global order."""
+    ordered = training_order(
+        docs, seed=seed, shards=shards, id_col=id_col, text_col=text_col
+    )
+    per_shard = ordered.groupBy("shard").agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    # offsets on the #shards-row frame: bounded, broadcast back
+    offs = per_shard.withColumn(
+        "shard_offset",
+        F.coalesce(
+            F.sum("shard_tokens").over(
+                Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    ).select("shard", "shard_offset")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("position")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ordered.withColumn(
+            "cum_in_shard",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
+        )
+        .join(F.broadcast(offs), "shard")
+        .withColumn(
+            "global_offset", F.col("shard_offset") + F.col("cum_in_shard")
+        )
+        .filter(F.col("global_offset") < budget)
+        .select(
+            id_col, "shard", "position", "n_tokens", "global_offset"
+        )
+    )

@@ -982,3 +982,77 @@ def _card_facts_zone(spark, sf_dir):
 CURATION_REGISTRY["curate_data_card_from_facts"] = QuerySpec(
     q_curate_data_card_from_facts, _data_card_sql()
 )
+
+
+_D_ORDER = f"""
+    SELECT doc_id,
+      md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS order_key,
+      CAST(len(tokens) AS BIGINT) AS n_tokens,
+      ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 8 AS shard
+    FROM ({_D_TOKENS})
+"""
+
+
+def q_curate_training_order(spark, sf_dir):
+    """Reproducible global training order: deterministic (shard,
+    position, order_key) per document — per-shard sorts, never a global
+    one; see operators/curation.training_order."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        training_order,
+    )
+
+    return training_order(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CURATE_TRAINING_ORDER = f"""
+    SELECT doc_id, shard,
+      CAST(row_number() OVER (PARTITION BY shard
+                              ORDER BY order_key, doc_id) AS BIGINT)
+        AS position,
+      order_key, n_tokens
+    FROM ({_D_ORDER})
+"""
+
+
+def q_curate_token_budget_head(spark, sf_dir):
+    """First-10000-tokens prefix of the epoch-0 training order via the
+    distributed prefix-sum (per-shard totals → broadcast offsets →
+    in-shard cumsum); see operators/curation.token_budget_head."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        token_budget_head,
+    )
+
+    return token_budget_head(
+        load_table(spark, sf_dir, "documents"), budget=10_000
+    )
+
+
+_SQL_CURATE_TOKEN_BUDGET_HEAD = f"""
+    WITH o AS (
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard
+                                ORDER BY order_key, doc_id) AS BIGINT)
+          AS position,
+        n_tokens
+      FROM ({_D_ORDER})
+    ),
+    c AS (
+      SELECT *,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          ORDER BY shard, position
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS global_offset
+      FROM o
+    )
+    SELECT doc_id, shard, position, n_tokens, global_offset
+    FROM c WHERE global_offset < 10000
+"""
+
+
+CURATION_REGISTRY["curate_training_order"] = QuerySpec(
+    q_curate_training_order, _SQL_CURATE_TRAINING_ORDER
+)
+CURATION_REGISTRY["curate_token_budget_head"] = QuerySpec(
+    q_curate_token_budget_head, _SQL_CURATE_TOKEN_BUDGET_HEAD
+)

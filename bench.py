@@ -137,6 +137,10 @@ HEADLINE = [
     "curate_corpus_diff",
     "curate_probe_calibration",
     "curate_shard_drift",
+    # round-8 sixth wave: reproducible training order + the global
+    # token-budget prefix via distributed prefix-sum
+    "curate_training_order",
+    "curate_token_budget_head",
 ]
 
 

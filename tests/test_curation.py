@@ -590,3 +590,59 @@ def test_corpus_diff_report_rewrite_and_append_spans(spark, tmp_path):
     }
     assert set(d2) == {"en"}
     assert d2["en"]["docs_added"] == 1 and d2["en"]["docs_removed"] == 0
+
+
+def test_training_order_reproducible_and_seeded(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        training_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    a = sorted(training_order(docs).collect())
+    b = sorted(training_order(docs).collect())
+    assert a == b  # byte-reproducible across runs
+    # per-shard positions are dense ranks starting at 1
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a new seed is a different permutation of the same documents
+    c = training_order(docs, seed="epoch1").collect()
+    assert {r["doc_id"] for r in c} == {r["doc_id"] for r in a}
+    key = lambda rows: [
+        r["doc_id"] for r in sorted(rows, key=lambda r: (r["shard"], r["position"]))
+    ]
+    assert key(a) != key(c)
+
+
+def test_token_budget_head_is_exact_global_prefix(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        token_budget_head,
+        training_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1)) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    budget = 50
+    head = token_budget_head(docs, budget=budget).collect()
+    # recompute the global order driver-side and check head == prefix
+    full = sorted(
+        training_order(docs).collect(),
+        key=lambda r: (r["shard"], r["position"]),
+    )
+    cum, want = 0, []
+    for r in full:
+        if cum < budget:
+            want.append((r["doc_id"], cum))
+        cum += r["n_tokens"]
+    assert sorted((r["doc_id"], r["global_offset"]) for r in head) == sorted(want)
+    # the boundary straddler is kept: last kept doc may overflow budget
+    kept_tokens = sum(r["n_tokens"] for r in head)
+    assert kept_tokens >= budget
+    assert 0 < len(head) < 60

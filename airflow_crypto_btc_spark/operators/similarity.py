@@ -2200,3 +2200,83 @@ def pq_topk_from_index(
     return _pq_shortlist_rerank(
         cands, vectors, id_col, vec_col, query_filter, shortlist, k
     )
+
+
+def centroid_drift_report(
+    reference: DataFrame,
+    arrivals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 25 = 7",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-distribution drift monitor: per FROZEN centroid, the
+    reference slice's assignment share vs an arrival slice's, with the
+    signed micro-unit drift — the semantic family's re-plan alarm
+    (symmetric with ``curation.shard_drift_report``: when arrivals stop
+    looking like the corpus the quantizer was trained on, the fix is a
+    deliberate retrain + restart, never an online centroid mutation).
+
+    Centroids are frozen: the seed ``centroid_filter`` over the
+    REFERENCE slice by default (oracle-deterministic), or pass trained
+    arrays (``kmeans_centroid_arrays``) for the production shape.  Each
+    side's assignment is one linear scan against the broadcast centroid
+    set (``_nearest_centroids`` keep=1 — partial-aggregated, vectors
+    never shuffle); everything after operates on centroid-bounded
+    frames, so the totals windows are single-partition over ≤|centroids|
+    rows, never the corpus.  Shares and drift are exact integer
+    micro-units (half-away, the shared ``ratio_micro`` doctrine)."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+
+    dot, nrm2, _dim = _vector_kernels(reference, vec_col)
+    if centroids is None:
+        centroids = reference.filter(centroid_filter).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+        )
+    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        assigned = _nearest_centroids(
+            df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("e")
+            ),
+            cent,
+            dot,
+            nrm2,
+            "id",
+            "e",
+            keep=1,
+        )
+        return assigned.groupBy("cid").agg(
+            F.count("*").cast("long").alias(out)
+        )
+
+    j = (
+        _counts(reference, "ref_n")
+        .join(_counts(arrivals, "arr_n"), "cid", "full_outer")
+        .select(
+            "cid",
+            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce("arr_n", F.lit(0)).cast("long").alias("arr_n"),
+        )
+    )
+    # centroid-bounded single-partition windows (≤|centroids| rows)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = j.withColumn("ref_tot", F.sum("ref_n").over(wall)).withColumn(
+        "arr_tot", F.sum("arr_n").over(wall)
+    )
+    return j.select(
+        "cid",
+        "ref_n",
+        "arr_n",
+        ratio_micro("ref_n", "ref_tot").alias("ref_share"),
+        ratio_micro("arr_n", "arr_tot").alias("arr_share"),
+        F.expr(
+            "(2 * arr_n * 1000000 + arr_tot) div (2 * arr_tot)"
+            " - (2 * ref_n * 1000000 + ref_tot) div (2 * ref_tot)"
+        )
+        .cast("long")
+        .alias("drift_micro"),
+    )

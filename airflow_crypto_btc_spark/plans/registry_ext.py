@@ -1100,3 +1100,55 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
 # correctness window stable, and the pairs entry's sf0.01 result is
 # legitimately empty (no same-grid payload near-dups in the small
 # fixture) — a slot the value-checked window shouldn't spend.
+
+
+def q_sim_centroid_drift(spark, sf_dir):
+    """Embedding drift vs the frozen seed quantizer: the full corpus as
+    the reference slice, ``vec_id % 3 = 0`` as the arrival slice; see
+    operators/similarity.centroid_drift_report."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        centroid_drift_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift_report(emb, emb.filter("vec_id % 3 = 0"))
+
+
+_SQL_SIM_CENTROID_DRIFT = f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % 25 = 7),
+    v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+    ra AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+          row_number() OVER (PARTITION BY id
+            ORDER BY {_D_COS.format(a="e", b="ce")} DESC, cid) AS r
+        FROM v, cent)
+      WHERE r = 1
+    ),
+    refc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS ref_n
+             FROM ra GROUP BY cid),
+    arrc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS arr_n
+             FROM ra WHERE id % 3 = 0 GROUP BY cid),
+    j AS (
+      SELECT COALESCE(refc.cid, arrc.cid) AS cid,
+        COALESCE(ref_n, 0) AS ref_n, COALESCE(arr_n, 0) AS arr_n
+      FROM refc FULL JOIN arrc ON refc.cid = arrc.cid
+    ),
+    t AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS ref_tot,
+                 CAST(SUM(arr_n) AS BIGINT) AS arr_tot FROM j)
+    SELECT cid, ref_n, arr_n,
+      ((2 * ref_n * 1000000 + ref_tot) // (2 * ref_tot)
+        / 1000000.0) AS ref_share,
+      ((2 * arr_n * 1000000 + arr_tot) // (2 * arr_tot)
+        / 1000000.0) AS arr_share,
+      CAST((2 * arr_n * 1000000 + arr_tot) // (2 * arr_tot)
+         - (2 * ref_n * 1000000 + ref_tot) // (2 * ref_tot)
+        AS BIGINT) AS drift_micro
+    FROM j, t
+"""
+
+
+EXT_REGISTRY["sim_centroid_drift"] = QuerySpec(
+    q_sim_centroid_drift, _SQL_SIM_CENTROID_DRIFT
+)

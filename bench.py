@@ -141,6 +141,9 @@ HEADLINE = [
     # token-budget prefix via distributed prefix-sum
     "curate_training_order",
     "curate_token_budget_head",
+    # round-8: embedding drift vs the frozen quantizer — the semantic
+    # family's re-plan alarm
+    "sim_centroid_drift",
 ]
 
 

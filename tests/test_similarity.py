@@ -1380,3 +1380,38 @@ def test_ivf_scattered_probe_prunes_between_ranges(
     opened = {f for f in pruned.inputFiles() if "members" in f}
     # the [2, 58] envelope spans every part; per-cid ranges must not
     assert 0 < len(opened) < n_parts
+
+
+def test_centroid_drift_zero_on_self_and_signed_on_skew(spark, vectors):
+    from airflow_crypto_btc_spark.operators.similarity import (
+        centroid_drift_report,
+        kmeans_centroid_arrays,
+    )
+
+    _, df = vectors
+    # arrival slice == reference corpus: zero drift in every centroid
+    same = centroid_drift_report(
+        df, df, centroid_filter="vec_id % 10 = 1"
+    ).collect()
+    assert len(same) > 1
+    assert {r["drift_micro"] for r in same} == {0}
+    assert all(r["ref_share"] == r["arr_share"] for r in same)
+    # skewed arrivals: signed drifts, summing to ~0 (partition of unity)
+    skew = centroid_drift_report(
+        df, df.filter("vec_id % 4 = 2"), centroid_filter="vec_id % 10 = 1"
+    ).collect()
+    assert any(r["drift_micro"] != 0 for r in skew)
+    assert abs(sum(r["drift_micro"] for r in skew)) <= len(skew)
+    # every centroid row survives even when arrivals miss it entirely
+    assert sum(r["arr_n"] for r in skew) == 15
+    assert sum(r["ref_n"] for r in skew) == 60
+    # trained-quantizer mode: same report shape under kmeans centroids
+    trained = centroid_drift_report(
+        df,
+        df.filter("vec_id % 4 = 2"),
+        centroids=kmeans_centroid_arrays(
+            df, seed_filter="vec_id % 15 = 1", iterations=2
+        ),
+    ).collect()
+    assert len(trained) <= 4
+    assert abs(sum(r["drift_micro"] for r in trained)) <= len(trained)

@@ -1105,18 +1105,26 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
 def q_sim_centroid_drift(spark, sf_dir):
     """Embedding drift vs the frozen seed quantizer: the full corpus as
     the reference slice, ``vec_id % 3 = 0`` as the arrival slice; see
-    operators/similarity.centroid_drift_report."""
+    operators/similarity.centroid_drift_report.  The quantizer is
+    pinned to a FIXED 20-centroid set (``vec_id < 500`` exists at every
+    scale factor) so the measured entry holds the production fixed-k
+    shape — assignment O(n·k) with constant k, like SemDeDup's fixed
+    cluster count — instead of the corpus-proportional seed mode."""
     from airflow_crypto_btc_spark.operators.similarity import (
         centroid_drift_report,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return centroid_drift_report(emb, emb.filter("vec_id % 3 = 0"))
+    return centroid_drift_report(
+        emb,
+        emb.filter("vec_id % 3 = 0"),
+        centroid_filter="vec_id % 25 = 7 AND vec_id < 500",
+    )
 
 
 _SQL_SIM_CENTROID_DRIFT = f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                  WHERE vec_id % 25 = 7),
+                  WHERE vec_id % 25 = 7 AND vec_id < 500),
     v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
     ra AS (
       SELECT id, cid FROM (

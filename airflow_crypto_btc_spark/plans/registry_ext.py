@@ -1160,3 +1160,124 @@ _SQL_SIM_CENTROID_DRIFT = f"""
 EXT_REGISTRY["sim_centroid_drift"] = QuerySpec(
     q_sim_centroid_drift, _SQL_SIM_CENTROID_DRIFT
 )
+
+
+# ------------------------------------------------------------- CM sketch
+
+_D_CMS_BUILD = f"""
+    SELECT CAST(c.d AS BIGINT) AS d,
+      ('0x' || substr(md5(CAST(c.d AS VARCHAR) || ':' || c.token), 1, 8))::BIGINT
+        % 256 AS w,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT t.token, dd.d
+      FROM (SELECT unnest(tokens) AS token FROM ({_D_TOKENS})) t,
+           (SELECT unnest(range(0, 4)) AS d) dd
+    ) c
+    GROUP BY 1, 2
+"""
+
+
+def q_text_cms_counts(spark, sf_dir):
+    """Count-Min sketch build over the documents token stream: depth 4 ×
+    width 256 cells by portable md5 placement — one posexplode pass,
+    one bounded-key aggregation; see operators/sketch.cms_build."""
+    from airflow_crypto_btc_spark.operators.sketch import cms_build
+
+    return cms_build(load_table(spark, sf_dir, "documents"))
+
+
+def _cms_probes(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 97 = 13")
+        .select(
+            F.explode(
+                F.expr("filter(split(text, '\\\\s+'), t -> t != '')")
+            ).alias("token")
+        )
+        .distinct()
+    )
+
+
+_D_CMS_PROBES = f"""
+    SELECT DISTINCT token FROM (
+      SELECT doc_id, unnest(tokens) AS token FROM ({_D_TOKENS})
+    ) WHERE doc_id % 97 = 13
+"""
+
+
+def q_text_cms_estimate(spark, sf_dir):
+    """Point-frequency estimates from the sketch for a deterministic
+    probe token set (tokens of the ``doc_id % 97 = 13`` docs): min over
+    depth rows, broadcast sketch side, CM overestimate guarantee; see
+    operators/sketch.cms_estimate."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_estimate(cms_build(docs), _cms_probes(spark, sf_dir))
+
+
+_SQL_TEXT_CMS_ESTIMATE = f"""
+    WITH sk AS ({_D_CMS_BUILD}),
+    probes AS ({_D_CMS_PROBES}),
+    pc AS (
+      SELECT p.token, CAST(dd.d AS BIGINT) AS d,
+        ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || p.token), 1, 8))::BIGINT
+          % 256 AS w
+      FROM probes p, (SELECT unnest(range(0, 4)) AS d) dd
+    )
+    SELECT token, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN sk USING (d, w)
+    GROUP BY token
+"""
+
+
+def _cms_sketch_zone(spark, sf_dir):
+    """Landing-zone sketch table built as TWO half-corpus appends —
+    the merged serve must equal the one-shot sketch (additivity is the
+    whole point of a CM sketch), which the shared one-shot oracle
+    proves."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.sketch import cms_build
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        _landing_zone,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        t = os.path.join(staging, "cms")
+        append(spark, cms_build(docs.filter("doc_id % 2 = 0")), t)
+        append(spark, cms_build(docs.filter("doc_id % 2 = 1")), t)
+
+    return _landing_zone(sf_dir, "documents", "cms_sketch", _land)
+
+
+def q_text_cms_from_sketch(spark, sf_dir):
+    """The merged sketch served from its snapshot table (two half-corpus
+    partial sketches folded by cell-wise sum); oracle = the one-shot
+    full-corpus sketch — the additivity identity the streaming
+    maintainer relies on."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.sketch import cms_from_table
+
+    zone = _cms_sketch_zone(spark, sf_dir)
+    return cms_from_table(spark, os.path.join(zone, "cms"))
+
+
+EXT_REGISTRY["text_cms_counts"] = QuerySpec(
+    q_text_cms_counts, _D_CMS_BUILD
+)
+EXT_REGISTRY["text_cms_estimate"] = QuerySpec(
+    q_text_cms_estimate, _SQL_TEXT_CMS_ESTIMATE
+)
+EXT_REGISTRY["text_cms_from_sketch"] = QuerySpec(
+    q_text_cms_from_sketch, _D_CMS_BUILD
+)

@@ -1,0 +1,74 @@
+"""Streaming Count-Min sketch maintenance: fold each micro-batch's
+token frequencies into a persisted sketch table by APPENDING the
+batch's partial sketch — CM sketches are additive under union, so the
+merged sketch is just the cell-wise sum over everything committed and
+a batch contributes its counts exactly once via the txn-id idempotent
+append (crash-replay of a batch id is a no-op commit, not a double
+count).
+
+This is the sketch's scale story: the hot path never reads the
+existing sketch (no read-modify-write, no upsert contention — one
+bounded append of ≤ depth × width skinny rows per batch), and serving
+(``operators/sketch.cms_from_table``) folds the history with one
+bounded aggregation.  ``merge_every`` bounds the history: every N
+batches the history is re-aggregated to ≤ depth × width rows and
+committed as one overwrite.  The merge preserves every estimate
+bit-for-bit (sum of sums); because txn ids live in the commit LOG,
+which ``vacuum`` trims, the merge+vacuum pair assumes the stream's
+replay horizon is the most recent batch (Structured Streaming's
+contract) — the same quiesced-maintenance doctrine as clustered
+compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.sketch import cms_build
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    append,
+    overwrite,
+    read_snapshot,
+    vacuum,
+)
+
+
+def cms_merge(spark: SparkSession, sketch_table: str) -> None:
+    """Collapse the per-batch history to one ≤ depth × width row set
+    (one overwrite commit).  Cell-wise sum of sums — no estimate
+    changes.  Run from the maintenance path (or ``merge_every``), not
+    concurrently with an unbounded replay horizon."""
+    merged = (
+        read_snapshot(spark, sketch_table)
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    overwrite(spark, merged, sketch_table)
+    vacuum(sketch_table)
+
+
+def cms_sink(
+    sketch_table: str,
+    query_name: str,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+    merge_every: int | None = None,
+):
+    """``foreachBatch`` callback folding each batch's partial sketch
+    into the table."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = cms_build(
+            batch_df, depth=depth, width=width, text_col=text_col
+        )
+        append(
+            spark, part, sketch_table,
+            txn_id=f"{query_name}:{batch_id}",
+        )
+        if merge_every and (batch_id + 1) % merge_every == 0:
+            cms_merge(spark, sketch_table)
+
+    return _fold

@@ -144,6 +144,10 @@ HEADLINE = [
     # round-8: embedding drift vs the frozen quantizer — the semantic
     # family's re-plan alarm
     "sim_centroid_drift",
+    # round-8 seventh wave: Count-Min sketch — fixed-size mergeable
+    # frequency summary, build + serve-from-merged-table
+    "text_cms_counts",
+    "text_cms_from_sketch",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Count-Min sketch: one-sided error (estimate ≥ truth, exact for
+tokens with no cell collisions), additivity under union, and the
+streaming maintainer's exactly-once + merge invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from airflow_crypto_btc_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_from_table,
+)
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    current_snapshot,
+)
+from airflow_crypto_btc_spark.streaming.sketch_stream import (
+    cms_merge,
+    cms_sink,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _truth(rows):
+    c = Counter()
+    for _, text in rows:
+        c.update(t for t in text.split() if t)
+    return c
+
+
+def test_cms_overestimates_never_under(spark):
+    rows = [
+        (i, f"tok{i % 13} tok{i % 7} common common") for i in range(50)
+    ]
+    docs = _docs(spark, rows)
+    sketch = cms_build(docs, depth=4, width=64)
+    probes = spark.createDataFrame(
+        [(t,) for t in _truth(rows)], "token string"
+    )
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(sketch, probes, depth=4, width=64).collect()
+    }
+    truth = _truth(rows)
+    assert set(est) == set(truth)
+    for t, n in truth.items():
+        assert est[t] >= n  # the CM guarantee: one-sided error
+    # total mass per depth row equals the token count exactly
+    total = sum(r["cnt"] for r in sketch.collect())
+    assert total == 4 * sum(truth.values())
+
+
+def test_cms_wide_sketch_is_exact_on_small_vocab(spark):
+    rows = [(i, f"a{i % 5} b{i % 3}") for i in range(30)]
+    sketch = cms_build(_docs(spark, rows), depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [(t,) for t in _truth(rows)], "token string"
+    )
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(
+            sketch, probes, depth=4, width=4096
+        ).collect()
+    }
+    assert est == dict(_truth(rows))  # 8 tokens, 4096 cells: no collision
+
+
+def test_cms_streaming_additive_exactly_once_and_merge(spark, tmp_path):
+    t = str(tmp_path / "cms")
+    sink = cms_sink(t, query_name="cms", depth=4, width=64)
+    b0 = [(1, "x y x"), (2, "y z")]
+    b1 = [(3, "x q"), (4, "z z z")]
+    sink(_docs(spark, b0), 0)
+    sink(_docs(spark, b1), 1)
+    # crash-replay folds nothing (txn-id idempotent append)
+    v = current_snapshot(t).version
+    sink(_docs(spark, b1), 1)
+    assert current_snapshot(t).version == v
+    merged = {
+        (r["d"], r["w"]): r["cnt"] for r in cms_from_table(spark, t).collect()
+    }
+    oneshot = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in cms_build(_docs(spark, b0 + b1), depth=4, width=64).collect()
+    }
+    assert merged == oneshot  # additivity: sum of partials == one-shot
+    # explicit merge collapses rows without changing any cell
+    cms_merge(spark, t)
+    assert {
+        (r["d"], r["w"]): r["cnt"] for r in cms_from_table(spark, t).collect()
+    } == oneshot

@@ -1,0 +1,131 @@
+"""Tokenizer-vocabulary lifecycle: build the frequency-ranked vocab,
+persist it version-pinned, and encode documents against the FROZEN
+vocab — the step between curation and tokenizer sharding where text
+becomes the id arrays a trainer actually reads.
+
+Scale design:
+- **Build**: token counts are one vocabulary-keyed aggregation
+  (map-side combined; the key space is the Zipf-bounded vocabulary,
+  not the corpus), then the top-``size`` cut is a distributed top-k
+  (``orderBy().limit()`` compiles to TakeOrderedAndProject — no global
+  sort), and id assignment is a rank over the ≤``size``-row result
+  (single-partition over a provably bounded frame).
+- **Encode**: the vocab folds into ONE map value (built distributed —
+  ``map_from_entries(collect_list(...))`` — never collected to the
+  driver) that broadcasts to every task; encoding is then a pure
+  per-row ``transform(tokens, t -> map[t])`` — document token rows
+  never enter a shuffle, and OOV handling (id −1 + a count) is part of
+  the same projection.  A real 32k-100k BPE vocab is kilobytes-MBs:
+  exactly the broadcast-don't-shuffle shape.
+- **Freeze**: ids are only meaningful against one vocab generation, so
+  the table pins ``source_version`` + ``size`` in commit meta and
+  ``encode_from_vocab`` refuses a mismatched generation from metadata
+  alone (same doctrine as the text models / the semantic quantizer).
+
+No counterpart in the reference (``dags/dag_btc_daily.py`` has no text
+surface); extends the SURVEY §2.8 text family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.functions.hashing import tokens_expr
+
+
+def vocab_build(
+    docs: DataFrame,
+    size: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the ``size`` most frequent tokens,
+    ids 1..size by (count desc, token asc) — a deterministic total
+    order, so the boundary cut never splits by engine.  Returns
+    (token, token_id, cnt)."""
+    counts = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(size)
+    # rank over the ≤size-row top cut: bounded single partition
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select(
+        "token",
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "cnt",
+    )
+
+
+def build_vocab_table(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    size: int = 20,
+    text_col: str = "text",
+    source_version: str | None = None,
+) -> int:
+    """Persist the vocab as a version-pinned snapshot table."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    return append(
+        spark,
+        vocab_build(docs, size=size, text_col=text_col),
+        table,
+        meta={"source_version": source_version, "size": size},
+    )
+
+
+def encode_from_vocab(
+    spark: SparkSession,
+    docs: DataFrame,
+    vocab_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Encode documents against the FROZEN persisted vocab: id arrays
+    (OOV → −1) plus token/OOV counts, one pure per-row projection over
+    a broadcast one-row map — no shuffle touches document rows.
+    Returns (id, ids_str, n_tokens, n_oov); ids are emitted as a
+    space-joined string for stable cross-engine comparison (the
+    signature-array precedent)."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    if expect_source is not None:
+        meta = current_snapshot(vocab_table).meta
+        if meta.get("source_version") != expect_source:
+            raise ValueError(
+                f"stale vocab: built from "
+                f"{meta.get('source_version')!r}, encoder expects "
+                f"{expect_source!r} — rebuild before encoding (ids are "
+                f"only meaningful against one vocab generation)"
+            )
+    vmap = read_snapshot(spark, vocab_table).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "token_id"))
+        ).alias("vm")
+    )
+    return (
+        docs.select(
+            F.col(id_col), tokens_expr(text_col).alias("toks")
+        )
+        .crossJoin(F.broadcast(vmap))
+        .select(
+            id_col,
+            F.expr(
+                "array_join(transform(toks,"
+                " t -> coalesce(vm[t], -1L)), ' ')"
+            ).alias("ids_str"),
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                "size(filter(toks, t -> vm[t] is null))"
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )

@@ -1281,3 +1281,99 @@ EXT_REGISTRY["text_cms_estimate"] = QuerySpec(
 EXT_REGISTRY["text_cms_from_sketch"] = QuerySpec(
     q_text_cms_from_sketch, _D_CMS_BUILD
 )
+
+
+# -------------------------------------------------------- tokenizer vocab
+
+_D_VOCAB = f"""
+    SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token)
+      AS BIGINT) AS token_id, cnt
+    FROM (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(tokens) AS token FROM ({_D_TOKENS}))
+      GROUP BY 1
+    )
+    ORDER BY cnt DESC, token
+    LIMIT 20
+"""
+
+
+def q_text_vocab_build(spark, sf_dir):
+    """Frequency-ranked tokenizer vocabulary (top-20 cut — below the
+    fixture's 31-token alphabet at every scale factor, so the OOV path
+    downstream is never vacuous); see operators/vocab.vocab_build."""
+    from airflow_crypto_btc_spark.operators.vocab import vocab_build
+
+    return vocab_build(load_table(spark, sf_dir, "documents"))
+
+
+def _vocab_zone(spark, sf_dir):
+    import os
+
+    from airflow_crypto_btc_spark.operators.vocab import (
+        build_vocab_table,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        _landing_zone,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_vocab_table(
+            spark,
+            docs,
+            os.path.join(staging, "vocab"),
+            source_version=source_version,
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "vocab", _land),
+        source_version,
+    )
+
+
+def q_text_encode_from_vocab(spark, sf_dir):
+    """Documents encoded against the FROZEN persisted vocab: id arrays
+    (space-joined for stable comparison, OOV = -1) + token/OOV counts —
+    one pure per-row projection over a broadcast one-row map, zero
+    shuffles of document rows; see operators/vocab.encode_from_vocab."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.vocab import (
+        encode_from_vocab,
+    )
+
+    zone, source_version = _vocab_zone(spark, sf_dir)
+    return encode_from_vocab(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "vocab"),
+        expect_source=source_version,
+    )
+
+
+_SQL_TEXT_ENCODE_FROM_VOCAB = f"""
+    WITH t AS ({_D_TOKENS}),
+    v AS ({_D_VOCAB}),
+    m AS (SELECT MAP(list(token ORDER BY token_id),
+                     list(token_id ORDER BY token_id)) AS vm FROM v)
+    SELECT doc_id,
+      array_to_string(list_transform(tokens,
+        tk -> COALESCE(map_extract(vm, tk)[1], CAST(-1 AS BIGINT))), ' ')
+        AS ids_str,
+      CAST(len(tokens) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(tokens, tk -> len(map_extract(vm, tk)) = 0))
+        AS BIGINT) AS n_oov
+    FROM t, m
+"""
+
+
+EXT_REGISTRY["text_vocab_build"] = QuerySpec(
+    q_text_vocab_build, _D_VOCAB
+)
+EXT_REGISTRY["text_encode_from_vocab"] = QuerySpec(
+    q_text_encode_from_vocab, _SQL_TEXT_ENCODE_FROM_VOCAB
+)

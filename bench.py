@@ -148,6 +148,10 @@ HEADLINE = [
     # frequency summary, build + serve-from-merged-table
     "text_cms_counts",
     "text_cms_from_sketch",
+    # round-8: tokenizer-vocab lifecycle — frozen-vocab encode is the
+    # tokenizer-sharding step (broadcast map, zero doc-row shuffles)
+    "text_vocab_build",
+    "text_encode_from_vocab",
 ]
 
 

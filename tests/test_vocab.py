@@ -1,0 +1,52 @@
+"""Tokenizer-vocab lifecycle: deterministic ranked build, frozen-vocab
+encode with OOV accounting, stale-generation refusal."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_crypto_btc_spark.operators.vocab import (
+    build_vocab_table,
+    encode_from_vocab,
+    vocab_build,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_build_rank_order_and_boundary_ties(spark):
+    docs = _docs(
+        spark,
+        [(1, "aa aa aa bb bb cc"), (2, "bb dd cc"), (3, "ee")],
+    )
+    v = {r["token"]: (r["token_id"], r["cnt"])
+         for r in vocab_build(docs, size=3).collect()}
+    # counts: aa=3 bb=3 cc=2 dd=1 ee=1 — tie aa/bb broken by token asc,
+    # the size-3 cut lands after cc deterministically
+    assert v == {"aa": (1, 3), "bb": (2, 3), "cc": (3, 2)}
+
+
+def test_encode_from_vocab_ids_oov_and_refusal(spark, tmp_path):
+    docs = _docs(spark, [(1, "aa bb zz aa"), (2, ""), (3, "zz qq")])
+    vt = str(tmp_path / "vocab")
+    build_vocab_table(
+        spark,
+        _docs(spark, [(9, "aa aa bb")]),
+        vt,
+        size=5,
+        source_version="v1",
+    )
+    got = {
+        r["doc_id"]: (r["ids_str"], r["n_tokens"], r["n_oov"])
+        for r in encode_from_vocab(
+            spark, docs, vt, expect_source="v1"
+        ).collect()
+    }
+    # vocab from the OTHER corpus: aa=1, bb=2; zz/qq are OOV -> -1
+    assert got[1] == ("1 2 -1 1", 4, 1)
+    assert got[2] == ("", 0, 0)  # empty doc: empty ids, zero counts
+    assert got[3] == ("-1 -1", 2, 2)
+    with pytest.raises(ValueError, match="stale vocab"):
+        encode_from_vocab(spark, docs, vt, expect_source="v2")

@@ -50,3 +50,46 @@ def test_encode_from_vocab_ids_oov_and_refusal(spark, tmp_path):
     assert got[3] == ("-1 -1", 2, 2)
     with pytest.raises(ValueError, match="stale vocab"):
         encode_from_vocab(spark, docs, vt, expect_source="v2")
+
+
+def test_streaming_encode_matches_batch_and_refuses_rebuild(
+    spark, tmp_path
+):
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.streaming.vocab_stream import (
+        encoded_sink,
+    )
+
+    vt, et = str(tmp_path / "vocab"), str(tmp_path / "enc")
+    corpus = _docs(spark, [(9, "aa aa bb cc")])
+    build_vocab_table(spark, corpus, vt, size=3, source_version="v1")
+    with pytest.raises(ValueError, match="stale vocab"):
+        encoded_sink(vt, et, query_name="e", expect_source="v2")
+    sink = encoded_sink(vt, et, query_name="e", expect_source="v1")
+    arrivals = _docs(
+        spark, [(1, "aa zz"), (2, "bb"), (3, "cc qq aa")]
+    )
+    sink(arrivals.filter("doc_id < 3"), 0)
+    sink(arrivals.filter("doc_id >= 3"), 1)
+    got = {
+        r["doc_id"]: (r["ids_str"], r["n_oov"])
+        for r in read_snapshot(spark, et).collect()
+    }
+    want = {
+        r["doc_id"]: (r["ids_str"], r["n_oov"])
+        for r in encode_from_vocab(spark, arrivals, vt).collect()
+    }
+    assert got == want
+    # replay + re-delivery fold nothing
+    v = current_snapshot(et).version
+    sink(arrivals.filter("doc_id >= 3"), 1)
+    assert current_snapshot(et).version == v
+    sink(arrivals.filter("doc_id = 1"), 2)
+    assert len(read_snapshot(spark, et).collect()) == 3
+    # a vocab rebuild mid-stream stops the sink, never mixes id spaces
+    build_vocab_table(spark, corpus, vt, size=2, source_version="v2")
+    with pytest.raises(ValueError, match="changed under a running"):
+        sink(_docs(spark, [(4, "aa")]), 3)

@@ -129,3 +129,59 @@ def encode_from_vocab(
             .alias("n_oov"),
         )
     )
+
+
+def pack_bins_from_vocab(
+    spark: SparkSession,
+    docs: DataFrame,
+    vocab_table: str,
+    budget: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expect_source: str | None = None,
+) -> DataFrame:
+    """The final training-batch artifact: frozen-vocab-encoded documents
+    packed into fixed-``budget`` bins, each bin one concatenated id
+    sequence — what a trainer's data loader actually reads.
+
+    Composition of the pipeline's last three steps in ONE lineage: the
+    encode projection (broadcast vocab map, no shuffle) already carries
+    ``n_tokens``, so bin assignment reuses it — hash-shard by id,
+    in-shard exclusive cumsum (``pack_sequences``' exact integer
+    arithmetic: deterministic, re-run- and repartition-stable), bin =
+    cumsum div budget — and the only data that ever crosses a shuffle
+    is the encoded id strings being grouped into their bins (inherent:
+    packing MATERIALIZES sequences; two keyed exchanges, both on
+    compact (shard[, bin]) keys).  Empty documents still occupy their
+    bin slot (n_docs counts them) but contribute no id segment —
+    filtered inside the concat, so no double separators."""
+    enc = encode_from_vocab(
+        spark, docs, vocab_table, id_col, text_col, expect_source
+    )
+    with_shard = enc.withColumn(
+        "shard",
+        F.expr(
+            f"cast(conv(substr(md5(cast({id_col} as string)),1,8),16,10)"
+            f" as bigint) % {shards}"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = with_shard.withColumn(
+        "cum_excl",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
+    ).withColumn("bin", F.expr(f"cum_excl div {budget}"))
+    return binned.groupBy("shard", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.sum("n_oov").cast("long").alias("bin_oov"),
+        F.expr(
+            "concat_ws(' ', filter(transform("
+            f"array_sort(collect_list(struct({id_col}, ids_str))),"
+            " s -> s.ids_str), x -> x != ''))"
+        ).alias("bin_ids"),
+    )

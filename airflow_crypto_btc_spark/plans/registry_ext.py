@@ -1377,3 +1377,64 @@ EXT_REGISTRY["text_vocab_build"] = QuerySpec(
 EXT_REGISTRY["text_encode_from_vocab"] = QuerySpec(
     q_text_encode_from_vocab, _SQL_TEXT_ENCODE_FROM_VOCAB
 )
+
+
+def q_curate_pack_bins(spark, sf_dir):
+    """Frozen-vocab-encoded documents packed into 512-token bins, each
+    bin one concatenated id sequence — the training-batch artifact a
+    data loader reads; see operators/vocab.pack_bins_from_vocab."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.vocab import (
+        pack_bins_from_vocab,
+    )
+
+    zone, source_version = _vocab_zone(spark, sf_dir)
+    return pack_bins_from_vocab(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "vocab"),
+        budget=512,
+        expect_source=source_version,
+    )
+
+
+_SQL_CURATE_PACK_BINS = f"""
+    WITH t AS ({_D_TOKENS}),
+    v AS ({_D_VOCAB}),
+    m AS (SELECT MAP(list(token ORDER BY token_id),
+                     list(token_id ORDER BY token_id)) AS vm FROM v),
+    enc AS (
+      SELECT doc_id,
+        array_to_string(list_transform(tokens,
+          tk -> COALESCE(map_extract(vm, tk)[1], CAST(-1 AS BIGINT))),
+          ' ') AS ids_str,
+        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(tokens,
+          tk -> len(map_extract(vm, tk)) = 0)) AS BIGINT) AS n_oov,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+          AS shard
+      FROM t, m
+    ),
+    binned AS (
+      SELECT *,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) // 512 AS bin
+      FROM enc
+    )
+    SELECT shard, bin,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+      CAST(SUM(n_oov) AS BIGINT) AS bin_oov,
+      COALESCE(string_agg(ids_str, ' ' ORDER BY doc_id)
+        FILTER (WHERE ids_str <> ''), '') AS bin_ids
+    FROM binned
+    GROUP BY shard, bin
+"""
+
+
+EXT_REGISTRY["curate_pack_bins"] = QuerySpec(
+    q_curate_pack_bins, _SQL_CURATE_PACK_BINS
+)

@@ -152,6 +152,9 @@ HEADLINE = [
     # tokenizer-sharding step (broadcast map, zero doc-row shuffles)
     "text_vocab_build",
     "text_encode_from_vocab",
+    # round-8: the training-batch artifact — encoded ids packed into
+    # fixed-budget bins in one lineage
+    "curate_pack_bins",
 ]
 
 

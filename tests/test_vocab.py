@@ -93,3 +93,37 @@ def test_streaming_encode_matches_batch_and_refuses_rebuild(
     build_vocab_table(spark, corpus, vt, size=2, source_version="v2")
     with pytest.raises(ValueError, match="changed under a running"):
         sink(_docs(spark, [(4, "aa")]), 3)
+
+
+def test_pack_bins_reconstruct_and_budget(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.vocab import (
+        pack_bins_from_vocab,
+    )
+
+    vt = str(tmp_path / "vocab")
+    corpus = _docs(spark, [(9, "aa aa bb")])
+    build_vocab_table(spark, corpus, vt, size=2, source_version="v1")
+    docs = _docs(
+        spark,
+        [(i, " ".join(["aa"] * 3)) for i in range(40)] + [(100, "")],
+    )
+    bins = pack_bins_from_vocab(
+        spark, docs, vt, budget=7, shards=2, expect_source="v1"
+    ).collect()
+    # every doc lands in exactly one bin; token mass conserved
+    assert sum(r["n_docs"] for r in bins) == 41
+    assert sum(r["bin_tokens"] for r in bins) == 120
+    for r in bins:
+        # each bin's ids string has exactly bin_tokens ids, all vocab id 1
+        ids = r["bin_ids"].split() if r["bin_ids"] else []
+        assert len(ids) == r["bin_tokens"]
+        assert set(ids) <= {"1"}
+        # a bin STARTS under budget (a straddler may overflow it):
+        # 3-token docs, budget 7 -> at most 9 tokens per bin
+        assert r["bin_tokens"] <= 7 + 2
+    # bins within a shard are contiguous from 0
+    by_shard = {}
+    for r in bins:
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for bs in by_shard.values():
+        assert sorted(bs) == list(range(len(bs)))

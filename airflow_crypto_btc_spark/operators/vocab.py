@@ -185,3 +185,49 @@ def pack_bins_from_vocab(
             " s -> s.ids_str), x -> x != ''))"
         ).alias("bin_ids"),
     )
+
+
+def release_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    vocab_table: str,
+    quality_min_micro: int = 500_000,
+    budget: int = 512,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expect_source: str | None = None,
+) -> DataFrame:
+    """The corpus release as ONE declarative plan: quality gate →
+    exact-dedup keep-first → frozen-vocab encode → fixed-budget packing,
+    ending in the bins a trainer reads.  Each stage is the catalog's own
+    oracle-backed operator; composing them in one lineage lets Catalyst
+    optimize ACROSS stages (the gate's projection prunes into the scan,
+    the dedup semi-join reuses the facts projection) instead of
+    materializing intermediates between pipeline steps.
+
+    Stage costs: the gate + digest come from ``card_facts`` (one scan,
+    no shuffle); keep-first is one digest-keyed aggregation + an
+    id-keyed semi-join (compact keys both); encode is the broadcast-map
+    projection; packing's two exchanges carry only surviving encoded
+    rows.  Nothing quadratic, nothing corpus-sized on the driver."""
+    from airflow_crypto_btc_spark.operators.curation import card_facts
+
+    facts = card_facts(docs, text_col, id_col)
+    gated = facts.filter(
+        F.col("quality_micro") >= quality_min_micro
+    )
+    keep_ids = gated.groupBy("fp_md5").agg(
+        F.min(id_col).alias(id_col)
+    ).select(id_col)
+    survivors = docs.join(keep_ids, id_col, "left_semi")
+    return pack_bins_from_vocab(
+        spark,
+        survivors,
+        vocab_table,
+        budget=budget,
+        shards=shards,
+        id_col=id_col,
+        text_col=text_col,
+        expect_source=expect_source,
+    )

@@ -1438,3 +1438,82 @@ _SQL_CURATE_PACK_BINS = f"""
 EXT_REGISTRY["curate_pack_bins"] = QuerySpec(
     q_curate_pack_bins, _SQL_CURATE_PACK_BINS
 )
+
+
+def q_curate_release_pipeline(spark, sf_dir):
+    """The corpus release end-to-end in one declarative plan: quality
+    gate (micro >= 0.5) -> exact-dedup keep-first -> frozen-vocab
+    encode -> 512-token packing; see
+    operators/vocab.release_pipeline."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.vocab import (
+        release_pipeline,
+    )
+
+    zone, source_version = _vocab_zone(spark, sf_dir)
+    return release_pipeline(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "vocab"),
+        expect_source=source_version,
+    )
+
+
+def _release_pipeline_sql() -> str:
+    from airflow_crypto_btc_spark.operators.text import QUALITY_MICRO_SQL
+
+    q_micro = QUALITY_MICRO_SQL.replace(" div ", " // ")
+    return f"""
+    WITH t AS ({_D_TOKENS}),
+    facts AS (
+      SELECT doc_id,
+        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        CAST({_duck_stop('en')} AS BIGINT) AS stop_cnt,
+        CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq_tokens,
+        md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+          AS fp_md5
+      FROM t
+    ),
+    gated AS (
+      SELECT doc_id, fp_md5 FROM facts
+      WHERE (CASE WHEN n_tokens > 0 THEN {q_micro} ELSE 0 END) >= 500000
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fp_md5),
+    v AS ({_D_VOCAB}),
+    m AS (SELECT MAP(list(token ORDER BY token_id),
+                     list(token_id ORDER BY token_id)) AS vm FROM v),
+    enc AS (
+      SELECT t.doc_id,
+        array_to_string(list_transform(tokens,
+          tk -> COALESCE(map_extract(vm, tk)[1], CAST(-1 AS BIGINT))),
+          ' ') AS ids_str,
+        CAST(len(tokens) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(tokens,
+          tk -> len(map_extract(vm, tk)) = 0)) AS BIGINT) AS n_oov,
+        ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+          AS shard
+      FROM t JOIN keep USING (doc_id), m
+    ),
+    binned AS (
+      SELECT *,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) // 512 AS bin
+      FROM enc
+    )
+    SELECT shard, bin,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+      CAST(SUM(n_oov) AS BIGINT) AS bin_oov,
+      COALESCE(string_agg(ids_str, ' ' ORDER BY doc_id)
+        FILTER (WHERE ids_str <> ''), '') AS bin_ids
+    FROM binned
+    GROUP BY shard, bin
+"""
+
+
+EXT_REGISTRY["curate_release_pipeline"] = QuerySpec(
+    q_curate_release_pipeline, _release_pipeline_sql()
+)

@@ -155,6 +155,9 @@ HEADLINE = [
     # round-8: the training-batch artifact — encoded ids packed into
     # fixed-budget bins in one lineage
     "curate_pack_bins",
+    # round-8 capstone: the corpus release end-to-end in one plan
+    # (gate -> dedup -> encode -> pack), Catalyst optimizing across stages
+    "curate_release_pipeline",
 ]
 
 

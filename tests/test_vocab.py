@@ -127,3 +127,39 @@ def test_pack_bins_reconstruct_and_budget(spark, tmp_path):
         by_shard.setdefault(r["shard"], []).append(r["bin"])
     for bs in by_shard.values():
         assert sorted(bs) == list(range(len(bs)))
+
+
+def test_release_pipeline_gates_dedups_and_packs(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.vocab import (
+        release_pipeline,
+    )
+
+    vt = str(tmp_path / "vocab")
+    good = (
+        "the cat and the dog are in the house with a ball near the "
+        "door and the tree by the red wall"
+    )
+    build_vocab_table(
+        spark, _docs(spark, [(9, good)]), vt, size=10,
+        source_version="v1",
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, good),
+            (2, good),        # exact dup of 1: keep-first drops it
+            (3, "zz zz zz"),  # degenerate: fails the quality gate
+            (4, good + " extra words here"),
+        ],
+    )
+    bins = release_pipeline(
+        spark, docs, vt, budget=64, expect_source="v1"
+    ).collect()
+    kept_docs = sum(r["n_docs"] for r in bins)
+    assert kept_docs == 2  # 1 survives, 2 deduped, 3 gated, 4 survives
+    # the gated and deduped docs contribute no tokens anywhere
+    total = sum(r["bin_tokens"] for r in bins)
+    assert total == len(good.split()) + len(good.split()) + 3
+    # every id is from the frozen vocab or the OOV sentinel
+    for r in bins:
+        assert set(r["bin_ids"].split()) <= {str(i) for i in range(1, 11)} | {"-1"}

@@ -2280,3 +2280,46 @@ def centroid_drift_report(
         .cast("long")
         .alias("drift_micro"),
     )
+
+
+def rrf_topk(
+    lists: list[DataFrame], k: int = 10, c: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of multiple top-k retrieval lists — the standard way to combine
+    ANN indexes with different blind spots (here: IVF probes clusters,
+    hyperplane LSH probes sign-buckets; each finds neighbors the other
+    misses, and RRF needs no score calibration between them because it
+    consumes only RANKS).
+
+    Each (qid, nid, rnk) row contributes round(10^6/(c + rnk)) in exact
+    half-away integer micro-units (the ``ratio_micro`` doctrine — a
+    float 1/(c+r) sum would invite cross-engine last-ulp splits at the
+    ranking boundary); fused rank orders by (rrf_micro desc, nid).
+
+    Scale: inputs are top-k lists — |queries| × k rows each — so every
+    stage (union, (qid, nid) aggregation, per-qid window) is bounded by
+    the query workload, never the corpus.  Returns
+    (qid, nid, rrf_micro, n_lists, rnk)."""
+    u = None
+    for df in lists:
+        part = df.select("qid", "nid", "rnk")
+        u = part if u is None else u.unionByName(part)
+    term = F.expr(
+        f"(2 * 1000000 + ({c} + rnk)) div (2 * ({c} + rnk))"
+    )
+    agg = (
+        u.withColumn("term", term)
+        .groupBy("qid", "nid")
+        .agg(
+            F.sum("term").cast("long").alias("rrf_micro"),
+            F.count("*").cast("long").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_micro"), F.asc("nid")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1517,3 +1517,54 @@ def _release_pipeline_sql() -> str:
 EXT_REGISTRY["curate_release_pipeline"] = QuerySpec(
     q_curate_release_pipeline, _release_pipeline_sql()
 )
+
+
+def q_sim_rrf_topk(spark, sf_dir):
+    """Reciprocal-rank fusion of the IVF and hyperplane-LSH top-10
+    lists for the shared query set — rank-only combination in exact
+    integer micro-units; see operators/similarity.rrf_topk."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        lsh_topk,
+        rrf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(
+        emb,
+        centroid_filter="vec_id % 25 = 7",
+        query_filter="vec_id < 20",
+        n_probe=4,
+        k=10,
+    )
+    lsh = lsh_topk(
+        emb, planes=4, query_filter="vec_id < 20", k=10, max_hamming=1
+    )
+    return rrf_topk([ivf, lsh], k=10)
+
+
+_SQL_SIM_RRF_TOPK = f"""
+    WITH ivf AS (SELECT * FROM ({_SQL_SIM_IVF_TOPK})),
+    lsh AS (SELECT * FROM ({_SQL_SIM_LSH_TOPK})),
+    u AS (
+      SELECT qid, nid, rnk FROM ivf
+      UNION ALL
+      SELECT qid, nid, rnk FROM lsh
+    ),
+    s AS (
+      SELECT qid, nid,
+        CAST(SUM((2 * 1000000 + (60 + rnk)) // (2 * (60 + rnk)))
+          AS BIGINT) AS rrf_micro,
+        CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1, 2
+    )
+    SELECT qid, nid, rrf_micro, n_lists, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS BIGINT) AS rnk
+      FROM s)
+    WHERE rnk <= 10
+"""
+
+
+EXT_REGISTRY["sim_rrf_topk"] = QuerySpec(
+    q_sim_rrf_topk, _SQL_SIM_RRF_TOPK
+)

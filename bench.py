@@ -158,6 +158,8 @@ HEADLINE = [
     # round-8 capstone: the corpus release end-to-end in one plan
     # (gate -> dedup -> encode -> pack), Catalyst optimizing across stages
     "curate_release_pipeline",
+    # round-8: reciprocal-rank fusion of the IVF and LSH indexes
+    "sim_rrf_topk",
 ]
 
 

@@ -1415,3 +1415,28 @@ def test_centroid_drift_zero_on_self_and_signed_on_skew(spark, vectors):
     ).collect()
     assert len(trained) <= 4
     assert abs(sum(r["drift_micro"] for r in trained)) <= len(trained)
+
+
+def test_rrf_topk_rank_fusion_semantics(spark):
+    from airflow_crypto_btc_spark.operators.similarity import rrf_topk
+
+    la = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["qid", "nid", "rnk"]
+    )
+    lb = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], ["qid", "nid", "rnk"]
+    )
+    got = {
+        r["nid"]: (r["rrf_micro"], r["n_lists"], r["rnk"])
+        for r in rrf_topk([la, lb], k=10).collect()
+    }
+    m = lambda r: (2 * 1_000_000 + (60 + r)) // (2 * (60 + r))
+    # doc 11 appears in both lists (ranks 2 and 1) and must fuse on top
+    assert got[11] == (m(2) + m(1), 2, 1)
+    assert got[10] == (m(1), 1, 2)
+    assert got[13] == (m(2), 1, 3)
+    assert got[12] == (m(3), 1, 4)
+    # fused order never depends on score calibration, only on ranks
+    assert [n for n, v in sorted(got.items(), key=lambda kv: kv[1][2])] == [
+        11, 10, 13, 12
+    ]

@@ -122,3 +122,82 @@ def cms_from_table(
         .groupBy("d", "w")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# HLL bias-correction constants (Flajolet et al. 2007) per register count.
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_pieces(key_expr: str, m: int) -> tuple[str, str]:
+    """(bucket, rho) SQL over a 32-bit md5 prefix of ``key_expr``:
+    bucket = low log2(m) bits; rho = 1 + leading zeros of the remaining
+    (32 − log2(m))-bit suffix, computed EXACTLY from the binary-string
+    length (``bin()`` prints identically in Spark and DuckDB) — no
+    float log2 anywhere."""
+    import math
+
+    b = int(math.log2(m))
+    assert 2**b == m, "m must be a power of two"
+    width = 32 - b
+    h = hex8_to_bigint_sql(f"md5({key_expr})")
+    bucket = f"({h} % {m})"
+    v = f"({h} div {m})"
+    rho = (
+        f"(CASE WHEN {v} = 0 THEN {width + 1}"
+        f" ELSE {width + 1} - length(bin({v})) END)"
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    docs: DataFrame,
+    m: int = 16,
+    key_expr: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """HyperLogLog registers over a key expression (default: the
+    normalized-content digest — "how many DISTINCT documents", the
+    dedup-aware cardinality).  One aggregation with ≤``m`` output rows;
+    registers are pure integer arithmetic on portable md5 bits, so the
+    sketch — like the CM sketch — is bit-reproducible across engines
+    and MERGEABLE (union = per-bucket max).  Returns (bucket, register).
+    """
+    from airflow_crypto_btc_spark.operators.dedup import NORMALIZED_TEXT
+
+    if key_expr is None:
+        key_expr = f"md5({NORMALIZED_TEXT.format(col=text_col)})"
+    bucket, rho = _hll_pieces(key_expr, m)
+    return (
+        docs.select(
+            F.expr(bucket).cast("long").alias("bucket"),
+            F.expr(rho).cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 16) -> DataFrame:
+    """The raw HLL cardinality estimate from a registers frame: one row
+    (m, est).  Absent buckets count as register 0.  The power sums are
+    exact binary doubles (powers of two), so the only rounding is the
+    final round-6 on a deterministically-computed double — cross-engine
+    safe without micro-units.  The small-range (linear counting) branch
+    is deliberately NOT implemented: callers sketch key spaces whose
+    cardinality exceeds 2.5·m (the registry entry sketches document
+    digests, ≥500 at every scale factor against m=16) — for tiny key
+    spaces use exact ``count(distinct ...)``, not a sketch."""
+    alpha = _HLL_ALPHA[m]
+    spark = registers.sparkSession
+    full = spark.range(m).select(F.col("id").alias("bucket"))
+    filled = full.join(registers, "bucket", "left").select(
+        F.coalesce("register", F.lit(0)).alias("register")
+    )
+    return filled.agg(
+        F.lit(m).cast("long").alias("m"),
+        F.round(
+            F.lit(alpha * m * m)
+            / F.sum(F.expr("power(2.0, -register)")),
+            6,
+        ).alias("est"),
+    )

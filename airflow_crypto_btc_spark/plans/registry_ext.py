@@ -1568,3 +1568,69 @@ _SQL_SIM_RRF_TOPK = f"""
 EXT_REGISTRY["sim_rrf_topk"] = QuerySpec(
     q_sim_rrf_topk, _SQL_SIM_RRF_TOPK
 )
+
+
+# -------------------------------------------------- portable HLL sketch
+
+_D_HLL_REGISTERS = """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(md5(lower(trim(
+        regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))),
+        1, 8))::BIGINT AS h32
+      FROM documents
+    ),
+    r AS (
+      SELECT CAST(h32 % 16 AS BIGINT) AS bucket,
+        CAST(CASE WHEN h32 // 16 = 0 THEN 29
+             ELSE 29 - length(bin(h32 // 16)) END AS BIGINT) AS rho
+      FROM h
+    )
+    SELECT bucket, CAST(MAX(rho) AS BIGINT) AS register
+    FROM r GROUP BY bucket
+"""
+
+
+def q_approx_hll_registers(spark, sf_dir):
+    """Portable HyperLogLog registers over document digests (m=16):
+    pure integer arithmetic on md5 bits, bit-reproducible across
+    engines and mergeable by per-bucket max; see
+    operators/sketch.hll_registers."""
+    from airflow_crypto_btc_spark.operators.sketch import hll_registers
+
+    return hll_registers(load_table(spark, sf_dir, "documents"))
+
+
+def q_approx_hll_doc_estimate(spark, sf_dir):
+    """The raw HLL distinct-document estimate from the m=16 registers
+    (no linear-counting branch: the digest key space is ≥500 at every
+    scale factor against 2.5·m=40); see
+    operators/sketch.hll_estimate."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    return hll_estimate(
+        hll_registers(load_table(spark, sf_dir, "documents"))
+    )
+
+
+_SQL_APPROX_HLL_DOC_ESTIMATE = f"""
+    WITH regs AS ({_D_HLL_REGISTERS}),
+    fullb AS (SELECT unnest(range(0, 16)) AS bucket),
+    filled AS (
+      SELECT COALESCE(register, 0) AS register
+      FROM fullb LEFT JOIN regs USING (bucket)
+    )
+    SELECT CAST(16 AS BIGINT) AS m,
+      round(0.673 * 256 / SUM(power(2.0, -register)), 6) AS est
+    FROM filled
+"""
+
+
+EXT_REGISTRY["approx_hll_registers"] = QuerySpec(
+    q_approx_hll_registers, _D_HLL_REGISTERS
+)
+EXT_REGISTRY["approx_hll_doc_estimate"] = QuerySpec(
+    q_approx_hll_doc_estimate, _SQL_APPROX_HLL_DOC_ESTIMATE
+)

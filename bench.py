@@ -160,6 +160,8 @@ HEADLINE = [
     "curate_release_pipeline",
     # round-8: reciprocal-rank fusion of the IVF and LSH indexes
     "sim_rrf_topk",
+    # round-8: portable HLL — the cardinality sibling of the CM sketch
+    "approx_hll_doc_estimate",
 ]
 
 

@@ -92,3 +92,35 @@ def test_cms_streaming_additive_exactly_once_and_merge(spark, tmp_path):
     assert {
         (r["d"], r["w"]): r["cnt"] for r in cms_from_table(spark, t).collect()
     } == oneshot
+
+
+def test_hll_estimate_accuracy_and_mergeability(spark):
+    from airflow_crypto_btc_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _docs(
+        spark, [(i, f"document body number {i}") for i in range(500)]
+    )
+    regs = hll_registers(docs, m=16)
+    est = hll_estimate(regs, m=16).collect()[0]
+    assert est["m"] == 16
+    # raw HLL on 500 distinct with m=16: relative error ~1.04/sqrt(16)
+    assert 500 * 0.5 <= est["est"] <= 500 * 1.7
+    # mergeability: per-bucket MAX of two half sketches == one-shot
+    ra = hll_registers(docs.filter("doc_id % 2 = 0"), m=16)
+    rb = hll_registers(docs.filter("doc_id % 2 = 1"), m=16)
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs.collect())
+    )
+    # duplicates don't move the sketch: cardinality, not count
+    doubled = docs.unionByName(docs)
+    assert sorted(map(tuple, hll_registers(doubled, m=16).collect())) == \
+        sorted(map(tuple, regs.collect()))

@@ -201,3 +201,20 @@ def hll_estimate(registers: DataFrame, m: int = 16) -> DataFrame:
             6,
         ).alias("est"),
     )
+
+
+def hll_from_table(
+    spark: SparkSession, registers_table: str
+) -> DataFrame:
+    """The merged HLL served from its snapshot table: per-batch partial
+    register sets fold by per-bucket MAX (the HLL merge), one bounded
+    aggregation over ≤ m × #commits skinny rows."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    return (
+        read_snapshot(spark, registers_table)
+        .groupBy("bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )

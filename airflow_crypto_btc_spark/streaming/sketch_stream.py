@@ -64,11 +64,51 @@ def cms_sink(
         part = cms_build(
             batch_df, depth=depth, width=width, text_col=text_col
         )
-        append(
+        committed = append(
             spark, part, sketch_table,
             txn_id=f"{query_name}:{batch_id}",
         )
+        if committed == -1:
+            # crash-replay of an already-committed batch: the append
+            # was an idempotent no-op, so maintenance must not commit
+            # either — a replay folds NOTHING, not even a merge
+            return
         if merge_every and (batch_id + 1) % merge_every == 0:
             cms_merge(spark, sketch_table)
+
+    return _fold
+
+
+def hll_sink(
+    registers_table: str,
+    query_name: str,
+    m: int = 16,
+    text_col: str = "text",
+    merge_every: int | None = None,
+):
+    """``foreachBatch`` callback folding each batch's partial HLL
+    registers into the table — same no-read-modify-write shape as
+    ``cms_sink``; the merge is per-bucket MAX instead of sum, which
+    additionally makes RE-DELIVERED DATA harmless (max is idempotent:
+    replaying rows can never inflate a register, only the txn-id guard
+    is needed for commit dedup)."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        hll_from_table,
+        hll_registers,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = hll_registers(batch_df, m=m, text_col=text_col)
+        committed = append(
+            spark, part, registers_table,
+            txn_id=f"{query_name}:{batch_id}",
+        )
+        if committed == -1:
+            return  # replay: no append, no maintenance (see cms_sink)
+        if merge_every and (batch_id + 1) % merge_every == 0:
+            merged = hll_from_table(spark, registers_table)
+            overwrite(spark, merged, registers_table)
+            vacuum(registers_table)
 
     return _fold

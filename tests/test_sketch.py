@@ -124,3 +124,27 @@ def test_hll_estimate_accuracy_and_mergeability(spark):
     doubled = docs.unionByName(docs)
     assert sorted(map(tuple, hll_registers(doubled, m=16).collect())) == \
         sorted(map(tuple, regs.collect()))
+
+
+def test_hll_streaming_merge_by_max_and_replay(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.sketch import (
+        hll_from_table,
+        hll_registers,
+    )
+    from airflow_crypto_btc_spark.streaming.sketch_stream import hll_sink
+
+    t = str(tmp_path / "hll")
+    sink = hll_sink(t, query_name="hll", m=16, merge_every=2)
+    b0 = [(i, f"body {i}") for i in range(40)]
+    b1 = [(i, f"body {i}") for i in range(30, 80)]  # overlaps b0
+    sink(_docs(spark, b0), 0)
+    sink(_docs(spark, b1), 1)  # triggers merge+vacuum
+    v = current_snapshot(t).version
+    sink(_docs(spark, b1), 1)  # crash-replay: txn-id no-op
+    assert current_snapshot(t).version == v
+    merged = sorted(map(tuple, hll_from_table(spark, t).collect()))
+    oneshot = sorted(
+        map(tuple, hll_registers(_docs(spark, b0 + b1), m=16).collect())
+    )
+    # max-merge makes the overlap harmless: merged == one-shot over union
+    assert merged == oneshot

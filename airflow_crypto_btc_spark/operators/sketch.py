@@ -111,8 +111,9 @@ def cms_from_table(
     """The merged sketch served from its snapshot table: per-batch
     partial sketches fold by cell-wise SUM (CM sketches are additive
     under union), so the serve-time view is one bounded aggregation
-    over ≤ depth × width × #commits skinny rows — compaction collapses
-    the history without changing any estimate."""
+    over ≤ depth × width × #commits skinny rows —
+    ``sketch_stream.cms_merge`` collapses the row history (and file
+    ``compact`` the part count) without changing any estimate."""
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         read_snapshot,
     )

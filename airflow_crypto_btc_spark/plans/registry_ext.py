@@ -1634,3 +1634,162 @@ EXT_REGISTRY["approx_hll_registers"] = QuerySpec(
 EXT_REGISTRY["approx_hll_doc_estimate"] = QuerySpec(
     q_approx_hll_doc_estimate, _SQL_APPROX_HLL_DOC_ESTIMATE
 )
+
+
+def q_text_cms_heavy_hitters(spark, sf_dir):
+    """The CM sketch's error MEASURED, not asserted: tokens whose
+    sketch estimate crosses the heavy-hitter bar vs the exact counts —
+    one accounting row (the dedup_lsh_quality pattern).  The one-sided
+    error guarantee shows up as recall EXACTLY 1.0 (est ≥ truth can
+    never miss a true heavy hitter); collisions can only inflate
+    precision's denominator."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+    from airflow_crypto_btc_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("filter(split(text, '\\\\s+'), t -> t != '')")
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    est = cms_estimate(
+        cms_build(docs, depth=4, width=64),
+        exact.select("token"),
+        depth=4,
+        width=64,
+    )
+    bar = 100
+    j = exact.join(est, "token")
+    return j.agg(
+        F.sum((F.col("cnt") >= bar).cast("long"))
+        .cast("long")
+        .alias("n_true_heavy"),
+        F.sum((F.col("est") >= bar).cast("long"))
+        .cast("long")
+        .alias("n_est_heavy"),
+        F.sum(
+            ((F.col("cnt") >= bar) & (F.col("est") >= bar)).cast("long")
+        )
+        .cast("long")
+        .alias("n_both"),
+    ).select(
+        "n_true_heavy",
+        "n_est_heavy",
+        "n_both",
+        ratio_micro("n_both", "n_est_heavy").alias("precision_cms"),
+        ratio_micro("n_both", "n_true_heavy").alias("recall_cms"),
+    )
+
+
+_SQL_TEXT_CMS_HEAVY_HITTERS = f"""
+    WITH toks AS (
+      SELECT unnest(tokens) AS token FROM ({_D_TOKENS})
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1
+    ),
+    sk AS (
+      SELECT CAST(c.d AS BIGINT) AS d,
+        ('0x' || substr(md5(CAST(c.d AS VARCHAR) || ':' || c.token), 1, 8))::BIGINT
+          % 64 AS w,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT t.token, dd.d
+        FROM toks t, (SELECT unnest(range(0, 4)) AS d) dd
+      ) c
+      GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT e.token, CAST(dd.d AS BIGINT) AS d,
+        ('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || e.token), 1, 8))::BIGINT
+          % 64 AS w
+      FROM (SELECT DISTINCT token FROM exact) e,
+           (SELECT unnest(range(0, 4)) AS d) dd
+    ),
+    est AS (
+      SELECT token, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+      FROM pc LEFT JOIN sk USING (d, w)
+      GROUP BY token
+    ),
+    j AS (SELECT exact.token, exact.cnt, est.est
+          FROM exact JOIN est USING (token)),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN cnt >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_true_heavy,
+        CAST(SUM(CASE WHEN est >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_est_heavy,
+        CAST(SUM(CASE WHEN cnt >= 100 AND est >= 100 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_both
+      FROM j
+    )
+    SELECT n_true_heavy, n_est_heavy, n_both,
+      ((2 * n_both * 1000000 + n_est_heavy) // (2 * n_est_heavy)
+        / 1000000.0) AS precision_cms,
+      ((2 * n_both * 1000000 + n_true_heavy) // (2 * n_true_heavy)
+        / 1000000.0) AS recall_cms
+    FROM agg
+"""
+
+
+def q_approx_hll_quality(spark, sf_dir):
+    """The HLL's error MEASURED: estimate vs exact distinct-document
+    count, absolute relative error in micro-units — one row.  m=16's
+    design error is σ ≈ 1.04/√16 = 26%; the measured fixture draws
+    (11.6% at sf0.001, 31.8% at sf0.1) sit within ~1.2σ — the report
+    exists precisely so that trade is a NUMBER a 100 TB operator reads
+    before picking m, not an assertion."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = hll_estimate(hll_registers(docs))
+    exact = docs.select(
+        F.expr(
+            "md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"
+        ).alias("fp")
+    ).agg(F.countDistinct("fp").cast("long").alias("n_exact"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            "est",
+            "n_exact",
+            F.expr(
+                "cast((2 * cast(abs(est - n_exact) * 1000000 as bigint)"
+                " + n_exact) div (2 * n_exact) as bigint)"
+            ).alias("rel_err_micro"),
+        )
+    )
+
+
+_SQL_APPROX_HLL_QUALITY = f"""
+    WITH e AS ({_SQL_APPROX_HLL_DOC_ESTIMATE}),
+    x AS (
+      SELECT CAST(COUNT(DISTINCT md5(lower(trim(
+        regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))))
+        AS BIGINT) AS n_exact
+      FROM documents
+    )
+    SELECT m, est, n_exact,
+      CAST((2 * CAST(abs(est - n_exact) * 1000000 AS BIGINT) + n_exact)
+        // (2 * n_exact) AS BIGINT) AS rel_err_micro
+    FROM e, x
+"""
+
+
+EXT_REGISTRY["text_cms_heavy_hitters"] = QuerySpec(
+    q_text_cms_heavy_hitters, _SQL_TEXT_CMS_HEAVY_HITTERS
+)
+EXT_REGISTRY["approx_hll_quality"] = QuerySpec(
+    q_approx_hll_quality, _SQL_APPROX_HLL_QUALITY
+)

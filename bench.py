@@ -162,6 +162,9 @@ HEADLINE = [
     "sim_rrf_topk",
     # round-8: portable HLL — the cardinality sibling of the CM sketch
     "approx_hll_doc_estimate",
+    # round-8: sketch error measured, not asserted
+    "text_cms_heavy_hitters",
+    "approx_hll_quality",
 ]
 
 

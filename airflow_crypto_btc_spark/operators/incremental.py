@@ -206,16 +206,18 @@ def maintain_ohlc_rollup(
     txn id records — so an append racing in between the head read and the
     change read is NOT folded early (it belongs to the next run's span).
 
-    Concurrency contract: maintenance is SINGLE-WRITER per state table.
-    Two racing runs that observed different base heads would commit under
-    distinct txn ids, so the idempotence check alone cannot stop the
-    overlapping span from being folded twice.  As defence in depth the
-    high-water mark is re-validated immediately before the state commit
-    and the run aborts with ``ConcurrentMaintenanceError`` if another run
-    advanced it; a TOCTOU window between that check and the commit remains
-    — the single-writer rule, not the check, is the correctness guarantee.
+    Concurrency contract: racing maintenance runs are safe — the state
+    commit is a COMPARE-AND-SWAP pinned to the state-table version this
+    run READ (``expect_version``, arbitrated by the commit log's
+    put-if-absent), so two runs that observed different base heads can
+    never both fold: the loser's commit raises and surfaces as
+    ``ConcurrentMaintenanceError``, to be retried from the read.  The
+    early high-water-mark re-check remains as a cheap fast-fail; the
+    CAS, not the check, is the correctness guarantee (round-7's
+    documented check-to-commit TOCTOU window is thereby closed).
     """
     from airflow_crypto_btc_spark.sources.snapshot_table import (
+        CommitConflictError,
         append,
         current_snapshot,
         read_snapshot,
@@ -223,6 +225,9 @@ def maintain_ohlc_rollup(
         upsert,
     )
 
+    # the CAS anchor: the state version THIS run's read is based on
+    # (-1 for an absent/empty table — the bootstrap commit is then v0)
+    state_v = current_snapshot(state_table).version
     consumed = rollup_high_water_mark(state_table)
     head = current_snapshot(base_table).version
     if head <= consumed:
@@ -249,11 +254,23 @@ def maintain_ohlc_rollup(
         old = read_snapshot(spark, state_table)
     except ValueError:  # state table absent/empty — bootstrap run
         _guard()
-        append(spark, delta_state, state_table, txn_id=txn)
+        try:
+            append(
+                spark, delta_state, state_table, txn_id=txn,
+                expect_version=state_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         return head
     # only groups the delta touches participate in the merge
     old_touched = old.join(delta_state.select(*keys), keys, "left_semi")
     merged = merge_ohlc_states(old_touched, delta_state, key_cols=key_cols)
-    _guard()
-    upsert(spark, merged, state_table, key_cols=keys, txn_id=txn)
+    _guard()  # cheap fast-fail; the CAS below is the guarantee
+    try:
+        upsert(
+            spark, merged, state_table, key_cols=keys, txn_id=txn,
+            expect_version=state_v,
+        )
+    except CommitConflictError as exc:
+        raise ConcurrentMaintenanceError(str(exc)) from exc
     return head

@@ -262,6 +262,12 @@ def _try_commit(table: str, version: int, entry: dict) -> bool:
     return True
 
 
+class CommitConflictError(RuntimeError):
+    """An ``expect_version`` commit lost its compare-and-swap: another
+    writer committed first.  The caller's read-compute-commit span is
+    stale and must be retried FROM THE READ, not by re-committing."""
+
+
 def commit(
     table: str,
     add: list[str],
@@ -271,15 +277,31 @@ def commit(
     max_retries: int = 20,
     stats: dict | None = None,
     meta: dict | None = None,
+    expect_version: int | None = None,
 ) -> int:
     """Optimistic-concurrency commit loop: losers re-read the log and retry
     at the next version.  Append-shaped commits are always safe to retry;
     full-replace commits pass their ``remove`` set computed at staging time
-    (last-writer-wins, like the reference's DELETE+INSERT)."""
+    (last-writer-wins, like the reference's DELETE+INSERT).
+
+    ``expect_version`` turns the commit into a COMPARE-AND-SWAP: it
+    succeeds only as version ``expect_version + 1`` (i.e. only if the
+    table is still exactly at the version the caller read) and raises
+    :class:`CommitConflictError` instead of retrying otherwise.  This is
+    how read-compute-commit cycles whose correctness depends on the READ
+    snapshot (incremental maintenance folding a delta into state) close
+    their check-to-commit race: the put-if-absent log file is the atomic
+    arbiter, so exactly one of two racing writers can ever win."""
     for _ in range(max_retries):
         version = (current_snapshot(table).version) + 1
         if txn_id and txn_id in current_snapshot(table).txn_ids:
             return -1  # already committed by a racing idempotent retry
+        if expect_version is not None and version != expect_version + 1:
+            raise CommitConflictError(
+                f"{table}: expected to commit v{expect_version + 1} but "
+                f"the table is already past it (next free is v{version}) "
+                "— re-read and recompute before retrying"
+            )
         entry = {
             "version": version,
             "operation": operation,
@@ -300,16 +322,19 @@ def append(
     table: str,
     txn_id: str | None = None,
     meta: dict | None = None,
+    expect_version: int | None = None,
 ) -> int:
     """Transactional append.  ``txn_id`` makes a re-run idempotent: if a
     commit with this id is already in the log (the reference's
     skip-if-done, ``:52-53``), nothing is staged and no commit happens.
-    Returns the committed version, or -1 for an idempotent skip."""
+    Returns the committed version, or -1 for an idempotent skip.
+    ``expect_version`` makes the commit a CAS (see :func:`commit`)."""
     if txn_id and txn_id in current_snapshot(table).txn_ids:
         return -1
     parts, stats = _write_parts(df, table)
     return commit(table, add=parts, remove=[], operation="append",
-                  txn_id=txn_id, stats=stats, meta=meta)
+                  txn_id=txn_id, stats=stats, meta=meta,
+                  expect_version=expect_version)
 
 
 def overwrite(
@@ -472,6 +497,7 @@ def upsert(
     key_cols: list[str],
     update_cols: list[str] | None = None,
     txn_id: str | None = None,
+    expect_version: int | None = None,
 ) -> int:
     """Copy-on-write MERGE (S8 semantics via operators/merge.upsert_by_key):
     read the current snapshot, merge, stage the merged result, commit as a
@@ -493,7 +519,8 @@ def upsert(
     old = current_snapshot(table).files
     parts, stats = _write_parts(merged, table)
     return commit(table, add=parts, remove=old, operation="upsert",
-                  txn_id=txn_id, stats=stats)
+                  txn_id=txn_id, stats=stats,
+                  expect_version=expect_version)
 
 
 def snapshot_changes(

@@ -289,3 +289,71 @@ def test_maintenance_guard_rejects_concurrent_writer(spark, tmp_path, monkeypatc
     monkeypatch.setattr(inc, "rollup_high_water_mark", shifting)
     with pytest.raises(inc.ConcurrentMaintenanceError):
         inc.maintain_ohlc_rollup(spark, base, state)
+
+
+def test_maintenance_cas_closes_check_to_commit_window(
+    spark, tmp_path, monkeypatch
+):
+    """The round-7 TOCTOU: a racer that commits to the STATE table after
+    this run's guard check but before its commit does NOT move the
+    high-water mark, so the mark re-check alone cannot see it.  The
+    expect_version CAS must reject the commit anyway — and the retried
+    run must converge to the exact batch result."""
+    import pytest
+
+    from airflow_crypto_btc_spark.operators import incremental as inc
+    from airflow_crypto_btc_spark.operators.ohlc import daily_ohlc
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+    base = str(tmp_path / "events_tbl")
+    state = str(tmp_path / "ohlc_state")
+    st.append(spark, _mk_events(spark, 1, [10.0, 11.0]), base)
+    inc.maintain_ohlc_rollup(spark, base, state)
+    st.append(spark, _mk_events(spark, 2, [20.0]), base)
+
+    real_merge = inc.merge_ohlc_states
+    fired = {"done": False}
+
+    def racing_merge(*args, **kwargs):
+        out = real_merge(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            # the racer: a NON-maintenance state commit (no mark move) —
+            # e.g. a compaction or manual repair landing mid-run
+            st.append(
+                spark,
+                st.read_snapshot(spark, state).limit(0),
+                state,
+            )
+        return out
+
+    monkeypatch.setattr(inc, "merge_ohlc_states", racing_merge)
+    with pytest.raises(inc.ConcurrentMaintenanceError):
+        inc.maintain_ohlc_rollup(spark, base, state)
+    monkeypatch.setattr(inc, "merge_ohlc_states", real_merge)
+
+    # nothing was folded by the losing run; the retry converges exactly
+    inc.maintain_ohlc_rollup(spark, base, state)
+    got = _rows(inc.state_to_ohlc(st.read_snapshot(spark, state)))
+    want = _rows(daily_ohlc(st.read_snapshot(spark, base)))
+    assert got == want
+
+
+def test_commit_expect_version_cas_semantics(spark, tmp_path):
+    """expect_version commits succeed only from the exact version read
+    and raise CommitConflictError (never silently retry-next) after any
+    interleaved commit."""
+    import pytest
+
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+    t = str(tmp_path / "cas_tbl")
+    df = _mk_events(spark, 1, [1.0])
+    v0 = st.append(spark, df, t, expect_version=-1)  # bootstrap CAS
+    assert v0 == 0
+    v1 = st.append(spark, df, t, expect_version=v0)
+    assert v1 == 1
+    with pytest.raises(st.CommitConflictError):
+        st.append(spark, df, t, expect_version=v0)  # stale read
+    # plain commits still retry past contention as before
+    assert st.append(spark, df, t) == 2

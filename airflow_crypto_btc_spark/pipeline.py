@@ -474,8 +474,11 @@ def plot_report(
 ) -> str:
     """Stage 5 (reference ``:299-371``): last-60-day close/ma7/ma30 chart.
     Driver-side sink by design — Arrow ``toPandas()`` on a ≤60-row slice.
-    matplotlib is not in this container, so the PNG render degrades to a CSV
-    artifact with identical content; the plotting call is gated, not gone.
+    matplotlib is preferred when present; without it the chart is rasterized
+    by the stdlib PNG renderer (``functions/rasterplot.py``, zlib+struct),
+    so S9 produces a real PNG in every environment. A CSV twin with the
+    exact window data is written alongside either way, so the numbers
+    behind the raster stay machine-readable.
     """
     os.makedirs(wh.reports_dir, exist_ok=True)
     metrics = spark.read.parquet(wh.daily_metrics)
@@ -488,8 +491,10 @@ def plot_report(
     if pdf.empty:  # P7, reference ``:331-332, :344-345``
         raise ValueError(f"no report window data ending {day}")
     out = wh.report_png(day)
+    pdf.to_csv(out.replace(".png", ".csv"), index=False)
+    title = f"daily close / ma7 / ma30 through {day}"
     try:
-        import matplotlib  # noqa: F401 — absent in this container
+        import matplotlib  # noqa: F401 — preferred renderer when present
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -498,12 +503,18 @@ def plot_report(
         for col in ("close", "ma7", "ma30"):
             ax.plot(pdf["date"], pdf[col], label=col)
         ax.legend()
-        ax.set_title(f"daily close / ma7 / ma30 through {day}")
+        ax.set_title(title)
         fig.savefig(out, dpi=140)
         plt.close(fig)
     except ImportError:
-        out = out.replace(".png", ".csv")
-        pdf.to_csv(out, index=False)
+        from .functions.rasterplot import render_line_chart
+
+        render_line_chart(
+            out,
+            [str(d) for d in pdf["date"]],
+            {c: pdf[c].tolist() for c in ("close", "ma7", "ma30")},
+            title=title,
+        )
     return out
 
 

@@ -40,10 +40,17 @@ class CheckResult:
 
 
 def check_artifact_nonempty(path: str, name: str = "artifact") -> CheckResult:
-    """Q1/Q5: file (or directory) exists and is non-empty."""
+    """Q1/Q5: file (or directory) exists and is non-empty; a ``.png``
+    artifact must additionally open with the PNG signature (Q5 now always
+    receives a real raster — the stdlib renderer covers matplotlib-less
+    environments)."""
     size = 0
+    ok_format = True
     if os.path.isfile(path):
         size = os.path.getsize(path)
+        if path.endswith(".png"):
+            with open(path, "rb") as fh:
+                ok_format = fh.read(8) == b"\x89PNG\r\n\x1a\n"
     elif os.path.isdir(path):
         size = sum(
             os.path.getsize(os.path.join(r, f))
@@ -51,7 +58,10 @@ def check_artifact_nonempty(path: str, name: str = "artifact") -> CheckResult:
             for f in fs
         )
     return CheckResult(
-        f"{name}_nonempty", size > 0, f"bytes={size}", "bytes>0"
+        f"{name}_nonempty",
+        size > 0 and ok_format,
+        f"bytes={size} format_ok={ok_format}",
+        "bytes>0 and magic matches",
     )
 
 

@@ -5,6 +5,8 @@ recomputation, prove day re-runs are idempotent, and check DQ gates fire.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -338,10 +340,10 @@ def test_read_raw_range_prunes_partitions_at_planning_time(
 
 
 def test_plot_report_artifact_branches(spark, sf_dir, wh):
-    """The report stage renders a PNG when matplotlib is present and
-    degrades to a CSV with identical content otherwise — this test
-    asserts whichever branch the environment enables end-to-end, so the
-    moment the container gains matplotlib the real render is covered."""
+    """The report stage always writes a real PNG (matplotlib when present,
+    the stdlib zlib+struct rasterizer otherwise) plus a CSV twin carrying
+    the exact window data — S9 no longer degrades to CSV-only in
+    matplotlib-less environments."""
     from airflow_crypto_btc_spark.pipeline import plot_report
 
     run_range(
@@ -352,17 +354,13 @@ def test_plot_report_artifact_branches(spark, sf_dir, wh):
         min_day_rows=10,
     )
     out = plot_report(spark, wh, DAYS[-1])
-    try:
-        import matplotlib  # noqa: F401
-
-        assert out.endswith(".png")
-        with open(out, "rb") as fh:
-            assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
-    except ImportError:
-        assert out.endswith(".csv")
-        pdf = pd.read_csv(out)
-        assert list(pdf.columns) == ["date", "close", "ma7", "ma30"]
-        assert len(pdf) == len(DAYS)
+    assert out.endswith(".png")
+    with open(out, "rb") as fh:
+        assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
+    assert os.path.getsize(out) > 500  # a drawn raster, not a husk
+    pdf = pd.read_csv(out.replace(".png", ".csv"))
+    assert list(pdf.columns) == ["date", "close", "ma7", "ma30"]
+    assert len(pdf) == len(DAYS)
 
 
 class _KlinesStub:

@@ -15,9 +15,17 @@ from airflow_crypto_btc_spark.plans.quality import (
 
 
 def test_artifact_nonempty(tmp_path):
-    p = tmp_path / "report.png"
-    p.write_bytes(b"xx")
-    assert check_artifact_nonempty(str(p)).passed
+    # Q5 contract: a .png artifact must carry the real PNG signature —
+    # a non-empty husk that no decoder could open does not pass.
+    fake = tmp_path / "report.png"
+    fake.write_bytes(b"xx")
+    assert not check_artifact_nonempty(str(fake)).passed
+    real = tmp_path / "real.png"
+    real.write_bytes(b"\x89PNG\r\n\x1a\n" + b"rest-of-chunks")
+    assert check_artifact_nonempty(str(real)).passed
+    csv = tmp_path / "data.csv"
+    csv.write_bytes(b"a,b\n1,2\n")  # non-PNG artifacts: size check only
+    assert check_artifact_nonempty(str(csv)).passed
     empty = tmp_path / "empty.csv"
     empty.write_bytes(b"")
     res = check_artifact_nonempty(str(empty))

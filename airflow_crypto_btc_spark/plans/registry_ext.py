@@ -1570,6 +1570,103 @@ EXT_REGISTRY["sim_rrf_topk"] = QuerySpec(
 )
 
 
+def q_sim_rrf_recall(spark, sf_dir):
+    """Completes the measured-quality pattern for the fusion path (IVF,
+    LSH, PQ, LSH-banding, and SemDeDup all have quality entries; the RRF
+    fusion did not): recall@10 of IVF, LSH, and their RRF fusion against
+    the exact cosine top-k on the shared query set, plus a
+    ``fused_ge_components`` flag — the reason to fuse at all (the fused
+    list recovers at least what either index recovers alone) is MEASURED
+    on the query workload, not asserted.  One-row report; every compared
+    side is |queries|·k rows, so the semi-joins are broadcast and no
+    stage touches the corpus beyond the three searches themselves."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+    from airflow_crypto_btc_spark.operators.similarity import (
+        lsh_topk,
+        rrf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
+        "qid", "nid"
+    )
+    ivf = ivf_topk(
+        emb,
+        centroid_filter="vec_id % 25 = 7",
+        query_filter="vec_id < 20",
+        n_probe=4,
+        k=10,
+    )
+    lsh = lsh_topk(
+        emb, planes=4, query_filter="vec_id < 20", k=10, max_hamming=1
+    )
+    fused = rrf_topk([ivf, lsh], k=10)
+
+    def _hits(approx, name):
+        return exact.join(
+            F.broadcast(approx.select("qid", "nid")),
+            ["qid", "nid"],
+            "left_semi",
+        ).agg(F.count("*").alias(name))
+
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(_hits(ivf, "n_ivf"))
+        .crossJoin(_hits(lsh, "n_lsh"))
+        .crossJoin(_hits(fused, "n_rrf"))
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_lsh",
+            "n_rrf",
+            ratio_micro("n_ivf", "n_exact").alias("recall_ivf"),
+            ratio_micro("n_lsh", "n_exact").alias("recall_lsh"),
+            ratio_micro("n_rrf", "n_exact").alias("recall_rrf"),
+            F.expr(
+                "CAST(CASE WHEN n_rrf >= n_ivf AND n_rrf >= n_lsh"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("fused_ge_components"),
+        )
+    )
+
+
+def _rrf_recall_micro(n: str) -> str:
+    return (
+        f"((2 * CAST({n} AS BIGINT) * 1000000 + CAST(n_exact AS BIGINT))"
+        f" // (2 * CAST(n_exact AS BIGINT)) / 1000000.0)"
+    )
+
+
+_SQL_SIM_RRF_RECALL = f"""
+    WITH exact_topk AS ({_SQL_SIM_COSINE_TOPK}),
+    ivf AS (SELECT * FROM ({_SQL_SIM_IVF_TOPK})),
+    lsh AS (SELECT * FROM ({_SQL_SIM_LSH_TOPK})),
+    fused AS (SELECT * FROM ({_SQL_SIM_RRF_TOPK})),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_topk),
+    hi AS (SELECT CAST(count(*) AS BIGINT) AS n_ivf FROM (
+      SELECT qid, nid FROM exact_topk
+      INTERSECT SELECT qid, nid FROM ivf)),
+    hl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM (
+      SELECT qid, nid FROM exact_topk
+      INTERSECT SELECT qid, nid FROM lsh)),
+    hr AS (SELECT CAST(count(*) AS BIGINT) AS n_rrf FROM (
+      SELECT qid, nid FROM exact_topk
+      INTERSECT SELECT qid, nid FROM fused))
+    SELECT n_exact, n_ivf, n_lsh, n_rrf,
+      {_rrf_recall_micro("n_ivf")} AS recall_ivf,
+      {_rrf_recall_micro("n_lsh")} AS recall_lsh,
+      {_rrf_recall_micro("n_rrf")} AS recall_rrf,
+      CAST(CASE WHEN n_rrf >= n_ivf AND n_rrf >= n_lsh
+           THEN 1 ELSE 0 END AS BIGINT) AS fused_ge_components
+    FROM e, hi, hl, hr
+"""
+
+
+EXT_REGISTRY["sim_rrf_recall"] = QuerySpec(
+    q_sim_rrf_recall, _SQL_SIM_RRF_RECALL
+)
+
+
 # -------------------------------------------------- portable HLL sketch
 
 _D_HLL_REGISTERS = """

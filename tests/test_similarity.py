@@ -1440,3 +1440,23 @@ def test_rrf_topk_rank_fusion_semantics(spark):
     assert [n for n, v in sorted(got.items(), key=lambda kv: kv[1][2])] == [
         11, 10, 13, 12
     ]
+
+
+@pytest.mark.smoke
+def test_rrf_recall_report_fusion_wins(spark, sf_dir):
+    """The fusion quality report: recall@10 of IVF, LSH, and their RRF
+    fusion vs exact cosine top-k.  The reason to fuse — the fused list
+    recovers at least what either component recovers alone — must hold
+    as a measured fact on the fixture query set, and the report's
+    internal accounting must be consistent."""
+    from airflow_crypto_btc_spark.plans.registry_ext import q_sim_rrf_recall
+
+    r = q_sim_rrf_recall(spark, sf_dir).collect()[0]
+    assert r["n_exact"] > 0
+    for n in ("n_ivf", "n_lsh", "n_rrf"):
+        assert 0 <= r[n] <= r["n_exact"]
+    assert r["fused_ge_components"] == 1
+    assert r["recall_rrf"] >= max(r["recall_ivf"], r["recall_lsh"])
+    # fusion genuinely adds over the components on this fixture (each
+    # index has blind spots the other covers)
+    assert r["n_rrf"] > max(r["n_ivf"], r["n_lsh"])

@@ -105,6 +105,22 @@ def current_snapshot(table: str, version: int | None = None) -> Snapshot:
     )
 
 
+def txn_meta(table: str, txn_id: str) -> dict | None:
+    """Commit metadata of the log entry that carried ``txn_id`` (``None``
+    if no commit did).  Multi-commit maintenance batches use this to make
+    replays deterministic: the FIRST (CAS-serialized) commit records the
+    exact inputs its fold was computed from — e.g. the quota sink's
+    per-domain prior counts — and a replayed batch recomputes its
+    follow-up commits from that pinned record instead of from live state
+    that has already moved past the fold."""
+    for v in _list_versions(table):
+        with open(_log_path(table, v)) as fh:
+            entry = json.load(fh)
+        if entry.get("txn_id") == txn_id:
+            return entry.get("meta") or {}
+    return None
+
+
 def _json_safe(v):
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
@@ -498,6 +514,7 @@ def upsert(
     update_cols: list[str] | None = None,
     txn_id: str | None = None,
     expect_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE (S8 semantics via operators/merge.upsert_by_key):
     read the current snapshot, merge, stage the merged result, commit as a
@@ -520,7 +537,7 @@ def upsert(
     parts, stats = _write_parts(merged, table)
     return commit(table, add=parts, remove=old, operation="upsert",
                   txn_id=txn_id, stats=stats,
-                  expect_version=expect_version)
+                  expect_version=expect_version, meta=meta)
 
 
 def snapshot_changes(

@@ -32,9 +32,14 @@ from airflow_crypto_btc_spark.operators.curation import (
     card_facts,
     card_from_facts,
 )
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
+    current_snapshot,
     read_snapshot,
     read_snapshot_or_none,
     vacuum,
@@ -54,6 +59,11 @@ def card_facts_sink(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # CAS anchor: the facts version the dedup anti-join is based on
+        # (same closure as maintain_ohlc_rollup — the commit lands only
+        # if no other writer advanced the table between our read and our
+        # commit, so a racing fold can never double-ingest a doc id)
+        facts_v = current_snapshot(facts_table).version
         w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)))
         fresh = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -67,12 +77,16 @@ def card_facts_sink(
                 fresh[id_col] == F.col("_seen"),
                 "left_anti",
             )
-        append(
-            spark,
-            card_facts(fresh, text_col, id_col),
-            facts_table,
-            txn_id=f"{query_name}:{batch_id}",
-        )
+        try:
+            append(
+                spark,
+                card_facts(fresh, text_col, id_col),
+                facts_table,
+                txn_id=f"{query_name}:{batch_id}",
+                expect_version=facts_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         if compact_every and (batch_id + 1) % compact_every == 0:
             try:
                 compact(

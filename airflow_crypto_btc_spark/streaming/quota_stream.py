@@ -24,12 +24,30 @@ join, never a shuffle of arrivals):
    away (re-delivery safe);
 2. one window over the BATCH ONLY (rank per domain by id — batch-sized,
    not corpus-sized);
-3. admit where prior_count + rank ≤ cap, one decisions append and one
-   counts keyed-upsert, each txn-id idempotent — a crash between the
-   two replays the batch and every commit lands or skips by its txn id.
+3. admit where prior_count + rank ≤ cap; the counts keyed-upsert, a
+   decisions append, and an ids append, each txn-id idempotent.
 
-Commit order decisions → counts → ids: freshness keys off the FINAL
-commit, so a replayed batch can never double-admit or double-count.
+Commit order counts → decisions → ids.  The COUNTS commit is the
+serialization point: it is a compare-and-swap anchored on the counts
+version the priors were read from (``expect_version`` — the
+``maintain_ohlc_rollup`` closure), so two racing gates that based their
+admissions on the same prior counts can never both fold — the loser
+aborts with ZERO side effects.  The counts commit also records the
+batch's per-domain PRIOR counts in its metadata: a crash-replay that
+finds the counts txn already committed recomputes its decisions from
+that pinned record (``txn_meta``) instead of from the live counts the
+fold already advanced, so the audit trail always matches the fold
+exactly.  Freshness still keys off the FINAL commit (ids), so a
+replayed batch can never double-admit or double-count.
+
+Residual (documented) window: the seen-ids read and the counts read
+are two tables, so a second writer that starts between this gate's
+counts commit and its ids commit could re-decide a doc id; closing
+that needs cross-table atomicity the log-per-table design does not
+have.  An ids-version fast-fail guard immediately before the counts
+commit narrows the window to the commit call itself; two gates sharing
+tables remains a single-writer-contract violation, now surfaced as
+``ConcurrentMaintenanceError`` instead of silent corruption.
 
 The reference has no streaming surface; this extends the curation
 family (SURVEY §2 extension) to the Structured-Streaming model.
@@ -40,10 +58,16 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
+    current_snapshot,
     read_snapshot_or_none,
+    txn_meta,
     upsert,
     vacuum,
 )
@@ -84,6 +108,7 @@ def domain_quota_sink(
 
     def _gate(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        counts_txn = f"{query_name}:{batch_id}:counts"
 
         w = Window.partitionBy(id_col).orderBy(F.md5(F.col(domain_col)))
         fresh = (
@@ -91,6 +116,7 @@ def domain_quota_sink(
             .filter("_rn = 1")
             .drop("_rn")
         )
+        ids_v = current_snapshot(ids_table).version
         seen = read_snapshot_or_none(spark, ids_table)
         if seen is not None:
             fresh = fresh.join(
@@ -113,10 +139,30 @@ def domain_quota_sink(
             .localCheckpoint(eager=False)
         )  # feeds decisions, counts, and ids
 
+        # CAS anchor: the counts version the priors are read from
+        counts_v = current_snapshot(counts_table).version
         counts = read_snapshot_or_none(spark, counts_table)
-        if counts is None:
-            prior = F.lit(0)
-            with_prior = fresh.withColumn("_prior", prior)
+        replayed = txn_meta(counts_table, counts_txn)
+        if replayed is not None:
+            # crash-replay after the fold landed: recompute decisions
+            # from the priors PINNED in the counts commit, never from
+            # the live counts (which the fold already advanced)
+            pinned = {
+                k: int(v) for k, v in replayed.get("priors", {}).items()
+            }
+            if pinned:
+                prior_rows = spark.createDataFrame(
+                    list(pinned.items()), ["domain_key", "_prior"]
+                )
+                with_prior = fresh.join(
+                    F.broadcast(prior_rows),
+                    fresh["_dom"] == F.col("domain_key"),
+                    "left",
+                ).withColumn("_prior", F.coalesce("_prior", F.lit(0)))
+            else:
+                with_prior = fresh.withColumn("_prior", F.lit(0))
+        elif counts is None:
+            with_prior = fresh.withColumn("_prior", F.lit(0))
         else:
             with_prior = fresh.join(
                 F.broadcast(
@@ -136,31 +182,63 @@ def domain_quota_sink(
                 (F.col("_prior") + F.col("_brn")).cast("long"),
             )
             .withColumn("admitted", F.col("admit_rank") <= cap)
-            .select(id_col, domain_col, "_dom", "admit_rank", "admitted")
+            .select(
+                id_col, domain_col, "_dom", "_prior", "admit_rank",
+                "admitted",
+            )
             .localCheckpoint(eager=False)  # decisions AND counts
         )
+        if replayed is None:
+            # the batch's nonzero priors, pinned into the counts commit
+            # for deterministic replay (driver-bounded: one row per
+            # domain IN THIS BATCH — same scale class as the broadcast
+            # counts table itself)
+            priors = {
+                r["_dom"]: r["_prior"]
+                for r in decided.select("_dom", "_prior")
+                .filter(F.col("_prior") > 0)
+                .distinct()
+                .collect()
+            }
+            new_counts = (
+                decided.groupBy(F.col("_dom").alias("domain_key"))
+                .agg(F.max("admit_rank").cast("long").alias("n_seen"))
+                .withColumn(
+                    "n_admitted",
+                    F.least(F.col("n_seen"), F.lit(cap)).cast("long"),
+                )
+            )
+            # fast-fail: a second gate that already folded would have
+            # appended ids; the counts CAS below is the guarantee, this
+            # narrows the cross-table (ids-read) window to the commit
+            if current_snapshot(ids_table).version != ids_v:
+                raise ConcurrentMaintenanceError(
+                    f"ids table moved v{ids_v} -> "
+                    f"v{current_snapshot(ids_table).version} during "
+                    "quota gating — a second writer is sharing these "
+                    "tables; retry the batch"
+                )
+            try:
+                if counts is None:  # bootstrap: first write creates it
+                    append(
+                        spark, new_counts, counts_table,
+                        txn_id=counts_txn,
+                        meta={"priors": priors, "batch": batch_id},
+                        expect_version=counts_v,
+                    )
+                else:
+                    upsert(
+                        spark, new_counts, counts_table, ["domain_key"],
+                        txn_id=counts_txn,
+                        expect_version=counts_v,
+                        meta={"priors": priors, "batch": batch_id},
+                    )
+            except CommitConflictError as exc:
+                raise ConcurrentMaintenanceError(str(exc)) from exc
         append(
-            spark, decided.drop("_dom"), decisions_table,
+            spark, decided.drop("_dom", "_prior"), decisions_table,
             txn_id=f"{query_name}:{batch_id}:decisions",
         )
-        new_counts = (
-            decided.groupBy(F.col("_dom").alias("domain_key"))
-            .agg(F.max("admit_rank").cast("long").alias("n_seen"))
-            .withColumn(
-                "n_admitted",
-                F.least(F.col("n_seen"), F.lit(cap)).cast("long"),
-            )
-        )
-        if counts is None:  # bootstrap: first write creates the table
-            append(
-                spark, new_counts, counts_table,
-                txn_id=f"{query_name}:{batch_id}:counts",
-            )
-        else:
-            upsert(
-                spark, new_counts, counts_table, ["domain_key"],
-                txn_id=f"{query_name}:{batch_id}:counts",
-            )
         append(
             spark,
             fresh.select(F.col(id_col).alias("id")),

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
     current_snapshot,
@@ -81,6 +85,10 @@ def shard_assignments_sink(
                 "restart the sink against the new generation (documents "
                 "assigned under different plans would split the corpus)"
             )
+        # CAS anchor: the assignments version the dedup anti-join is
+        # based on — a racing fold can never double-assign an id (the
+        # map-version assert above stays as the cross-table fast-fail)
+        assignments_v = current_snapshot(assignments_table).version
         w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)))
         fresh = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -111,10 +119,14 @@ def shard_assignments_sink(
             .join(F.broadcast(mapping), "micro_shard")
             .select(id_col, "n_tokens", "micro_shard", "shard")
         )
-        append(
-            spark, assigned, assignments_table,
-            txn_id=f"{query_name}:{batch_id}",
-        )
+        try:
+            append(
+                spark, assigned, assignments_table,
+                txn_id=f"{query_name}:{batch_id}",
+                expect_version=assignments_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         if compact_every and (batch_id + 1) % compact_every == 0:
             try:
                 compact(

@@ -29,10 +29,14 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.operators.text import (
     unigram_logprob_from_model,
 )
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
     current_snapshot,
@@ -79,6 +83,10 @@ def quality_scores_sink(
                 "restart the sink against the new generation (scores "
                 "from different model generations are not comparable)"
             )
+        # CAS anchor: the scores version the dedup anti-join is based on
+        # (the model-version assert above stays as the cross-table
+        # fast-fail; the CAS is the same-table guarantee)
+        scores_v = current_snapshot(scores_table).version
         w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)))
         fresh = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -105,10 +113,14 @@ def quality_scores_sink(
                     F.col("mean_logprob") >= min_logprob, F.lit(False)
                 ),
             )
-        append(
-            spark, scores, scores_table,
-            txn_id=f"{query_name}:{batch_id}",
-        )
+        try:
+            append(
+                spark, scores, scores_table,
+                txn_id=f"{query_name}:{batch_id}",
+                expect_version=scores_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         if compact_every and (batch_id + 1) % compact_every == 0:
             try:
                 compact(
@@ -181,7 +193,15 @@ def gram_index_sink(
         )
 
         spark = batch_df.sparkSession
-        live_k = int(current_snapshot(gram_table).meta.get("k", 8))
+        # CAS anchor: the gram-index version this whole fold is based on.
+        # Both gram reads below (the arrival scoring and the merge's old
+        # counts) happen after this point, so if ANY other writer commits
+        # to the index mid-fold the upsert's CAS rejects — the index can
+        # never lose or double-count an update (the k re-check stays as
+        # the semantic fast-fail).
+        gram_snap = current_snapshot(gram_table)
+        gram_v = gram_snap.version
+        live_k = int(gram_snap.meta.get("k", 8))
         if live_k != k:
             raise ValueError(
                 f"gram index k changed under a running stream "
@@ -230,10 +250,14 @@ def gram_index_sink(
             .cast("long")
             .alias("df"),
         )
-        upsert(
-            spark, inc, gram_table, ["h"],
-            txn_id=f"{query_name}:{batch_id}:grams",
-        )
+        try:
+            upsert(
+                spark, inc, gram_table, ["h"],
+                txn_id=f"{query_name}:{batch_id}:grams",
+                expect_version=gram_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         append(
             spark, fresh.select(F.col("doc_id").alias("id")), ids_table,
             txn_id=f"{query_name}:{batch_id}:ids",

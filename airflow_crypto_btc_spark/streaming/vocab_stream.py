@@ -19,8 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.operators.vocab import encode_from_vocab
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
     current_snapshot,
@@ -59,6 +63,11 @@ def encoded_sink(
                 "the sink against the new generation (id spaces from "
                 "different vocab generations must never mix)"
             )
+        # CAS anchor: the encoded-table version the dedup anti-join is
+        # based on — a racing encode fold can never double-append an id
+        # (the vocab-version assert above stays as the cross-table
+        # fast-fail; the CAS is the same-table guarantee)
+        encoded_v = current_snapshot(encoded_table).version
         w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)))
         fresh = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -72,14 +81,18 @@ def encoded_sink(
                 fresh[id_col] == F.col("_seen"),
                 "left_anti",
             )
-        append(
-            spark,
-            encode_from_vocab(
-                spark, fresh, vocab_table, id_col, text_col
-            ),
-            encoded_table,
-            txn_id=f"{query_name}:{batch_id}",
-        )
+        try:
+            append(
+                spark,
+                encode_from_vocab(
+                    spark, fresh, vocab_table, id_col, text_col
+                ),
+                encoded_table,
+                txn_id=f"{query_name}:{batch_id}",
+                expect_version=encoded_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         if compact_every and (batch_id + 1) % compact_every == 0:
             try:
                 compact(

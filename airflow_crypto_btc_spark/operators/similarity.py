@@ -212,7 +212,46 @@ def hyperplane_bucket_expr(
     )
 
 
-#: Logical-plan node names whose presence means re-executing the frame
+#: Schema-metadata key carrying the embedding width.  The width travels
+#: WITH the column through every projection/join/aggregate that
+#: references it, so derived frames get the fast kernels with no probe
+#: at all — the sturdy channel; the plan-shape probe below is only the
+#: fallback for unannotated frames.
+VEC_DIM_METADATA_KEY = "vec_dim"
+
+
+def annotate_vec_dim(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Stamp the vector width into ``vec_col``'s column metadata so every
+    downstream operator reads it from the SCHEMA instead of probing.
+
+    Pass ``dim`` when the width is known up front (the explicit-parameter
+    channel); otherwise one constant-cost ``first()`` probe runs HERE —
+    call this at the scan, where the probe is a bare partition read by
+    construction, and the stamped width then survives arbitrary plan
+    derivation (column metadata rides the attribute reference through
+    Catalyst)."""
+    if dim is None:
+        row = vectors.select(vec_col).first()
+        if row is None or row[0] is None:
+            return vectors
+        dim = len(row[0])
+    return vectors.withMetadata(vec_col, {VEC_DIM_METADATA_KEY: int(dim)})
+
+
+def _schema_vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
+    """Width from column metadata (``annotate_vec_dim``), else None."""
+    try:
+        md = vectors.schema[vec_col].metadata
+    except Exception:
+        return None
+    v = (md or {}).get(VEC_DIM_METADATA_KEY)
+    return int(v) if v is not None else None
+
+
+#: FALLBACK probe gate (the schema-metadata channel above is preferred):
+#: logical-plan node names whose presence means re-executing the frame
 #: for a one-row probe would re-run real work (joins, shuffles, Python
 #: stages) — the probe is then skipped and callers keep the generic HOF
 #: kernels, which are always correct.
@@ -252,11 +291,18 @@ def _plan_is_cheap_scan(vectors: DataFrame) -> bool:
 def _vec_dim(vectors: DataFrame, vec_col: str) -> int | None:
     """Vector width for the literal-weight / unrolled fast paths.
 
-    Only probes (one first() job, constant cost) when the plan is a bare
-    scan — on a derived frame (joins/aggregates upstream) the probe would
-    silently execute the upstream stages twice, so it is skipped and the
-    caller stays on the generic HOF expressions.  None on empty/null
-    input for the same reason."""
+    Resolution order: (1) column metadata stamped by
+    :func:`annotate_vec_dim` — schema-carried, so it works on ANY derived
+    frame with zero execution and no Spark-version-dependent plan
+    inspection; (2) fallback: a one-row probe (one first() job, constant
+    cost), fired only when the plan is a bare scan — on a derived frame
+    (joins/aggregates upstream) the probe would silently execute the
+    upstream stages twice, so it is skipped and the caller stays on the
+    generic HOF expressions.  None on empty/null input for the same
+    reason."""
+    dim = _schema_vec_dim(vectors, vec_col)
+    if dim is not None:
+        return dim
     if not _plan_is_cheap_scan(vectors):
         return None
     row = vectors.select(vec_col).first()

@@ -1442,6 +1442,78 @@ def test_rrf_topk_rank_fusion_semantics(spark):
     ]
 
 
+def test_vec_dim_from_schema_metadata_beats_probe_gate(spark):
+    """The round-9 width channel: `annotate_vec_dim` stamps the width
+    into column metadata, which rides the attribute through joins and
+    aggregates — so `_vec_dim` resolves on DERIVED frames where the
+    plan-shape probe gate (the node-name fallback) must refuse."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        _plan_is_cheap_scan,
+        _vec_dim,
+        annotate_vec_dim,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # explicit dim= channel
+    stamped = annotate_vec_dim(vecs, "embedding", dim=3)
+    assert _vec_dim(stamped, "embedding") == 3
+    # probe-at-scan channel (bare local relation)
+    assert _vec_dim(annotate_vec_dim(vecs, "embedding"), "embedding") == 3
+
+    # a derived frame: self-join + dedup — the probe gate refuses it...
+    other = stamped.select(
+        F.col("vec_id").alias("vid2"), F.col("embedding").alias("e2")
+    )
+    derived = (
+        stamped.join(other, stamped["vec_id"] == F.col("vid2"))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    assert not _plan_is_cheap_scan(derived)
+    # ...but the metadata survived the derivation: no probe needed
+    assert _vec_dim(derived, "embedding") == 3
+    # unannotated twin of the same derived plan: correctly None
+    bare = (
+        vecs.join(other, vecs["vec_id"] == F.col("vid2"))
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    assert _vec_dim(bare, "embedding") is None
+
+
+def test_annotated_and_bare_frames_agree_on_buckets(spark):
+    """The width channel changes WHICH kernel form runs, never the
+    values: hyperplane buckets from an annotated frame (literal-weight
+    unrolled path, dim<=16) equal the generic-HOF buckets bit-for-bit."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        annotate_vec_dim,
+        hyperplane_bucket_expr,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7) - 3, float(i % 5) - 2, 1.5, -0.5])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    generic = {
+        r["vec_id"]: r["b"]
+        for r in vecs.select(
+            "vec_id", hyperplane_bucket_expr("embedding", 6, None).alias("b")
+        ).collect()
+    }
+    stamped = annotate_vec_dim(vecs, "embedding", dim=4)
+    unrolled = {
+        r["vec_id"]: r["b"]
+        for r in stamped.select(
+            "vec_id", hyperplane_bucket_expr("embedding", 6, 4).alias("b")
+        ).collect()
+    }
+    assert generic == unrolled
+
+
 @pytest.mark.smoke
 def test_rrf_recall_report_fusion_wins(spark, sf_dir):
     """The fusion quality report: recall@10 of IVF, LSH, and their RRF

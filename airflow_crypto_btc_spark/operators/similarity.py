@@ -2248,6 +2248,114 @@ def pq_topk_from_index(
     )
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 25 = 7",
+    query_filter: str = "vec_id < 20",
+    n_probe: int = 4,
+    m: int = 4,
+    shortlist: int = 100,
+    k: int = 10,
+    books=None,
+    sample_cap: int | None = 50000,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """IVF-PQ combined index — the production billion-scale ANN shape
+    (Jégou, Douze & Schmid, PAMI 2011; the FAISS ``IVFPQ`` layout with
+    ``by_residual=false``): a coarse quantizer restricts the search to
+    ``n_probe`` inverted lists AND product-quantized codes stand in for
+    the float vectors inside those lists, so a query touches
+    ``n_probe/|C|`` of the corpus at ~32× compression, with an
+    exact-cosine rerank of the ADC shortlist bounding the quality loss.
+    The engine's IVF (:func:`ivf_topk`) and PQ (:func:`pq_topk`) each
+    give one of those two savings; at 100 TB you need both at once.
+
+    Dataflow, Spark-first and fully JVM-side at serve time:
+
+    1. Coarse assignment/probe exactly as :func:`ivf_topk` (broadcast
+       centroid set, partial-aggregated ``max_by`` assignment — vectors
+       never shuffle).
+    2. Codebooks via :func:`pq_train_codebooks` (or pass ``books``);
+       codes via :func:`pq_encode` — at scale both persist
+       (:func:`pq_save_index`) and serving never re-trains.
+    3. ADC over the PROBED stream only: the per-query lookup tables are
+       exploded into a broadcast (qid, s, code, d) relation — |queries|
+       × m × k_s skinny rows — so scoring is a codegen'd broadcast join
+       + partial-aggregated sum, NO Python stage (pq_topk's mapInPandas
+       scorer earns its Arrow cost scanning the FULL corpus; the probed
+       subset is |q|·n_probe/|C| of it, where the join form wins).
+       Shard the query set when |queries| × m × k_s outgrows a
+       broadcast.
+    4. Global (adc, nid) shortlist + exact rerank — the shared
+       :func:`_pq_shortlist_rerank` tail, same 6-dp determinism
+       contract as the PQ family, so the DuckDB oracle replays the
+       whole pipeline including training."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
+    cent = vectors.filter(centroid_filter).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    ).withColumn("cn", F.sqrt(nrm2("ce")))
+    assigned = _nearest_centroids(
+        vectors.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+        ),
+        cent, dot, nrm2, "nid", "ve", keep=1,
+    ).select("nid", "cid")
+    probed = _nearest_centroids(
+        vectors.filter(query_filter).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+        ),
+        cent, dot, nrm2, "qid", "qe", keep=n_probe,
+    ).select("qid", "cid")
+
+    if books is None:
+        books = pq_train_codebooks(
+            vectors, id_col, vec_col, m=m, sample_cap=sample_cap,
+            corpus_rows=corpus_rows,
+        )
+    elif len(books) != m:
+        raise ValueError(f"got {len(books)} codebooks for m={m}")
+    codes = pq_encode(vectors, books, id_col, vec_col)
+
+    unit = _unit_vectors(vectors, id_col, vec_col)
+    qrows = (
+        unit.filter(query_filter)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+        .collect()
+    )
+    if not qrows:  # no queries (or all zero-norm): empty, not IndexError
+        return spark.createDataFrame([], _PQ_OUT_SCHEMA)
+    qids = [r["qid"] for r in qrows]
+    Q = np.array([r["qe"] for r in qrows], dtype=np.float64)
+    tables = _pq_adc_tables(Q, books, m)
+    lut = spark.createDataFrame(
+        [
+            (int(qid), s, j, float(tables[s][qi, j]))
+            for qi, qid in enumerate(qids)
+            for s in range(m)
+            for j in range(tables[s].shape[1])
+        ],
+        "qid long, s int, code int, d double",
+    )
+
+    stream = codes.join(assigned, "nid").join(F.broadcast(probed), "cid")
+    scored = (
+        stream.select(
+            "qid", "nid", F.posexplode("codes").alias("s", "code")
+        )
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "nid")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+    )
+    return _pq_shortlist_rerank(
+        scored, vectors, id_col, vec_col, query_filter, shortlist, k
+    )
+
+
 def centroid_drift_report(
     reference: DataFrame,
     arrivals: DataFrame,

@@ -527,6 +527,175 @@ def q_sim_pq_topk_cold(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def _ivfpq_topk_sql(
+    m: int = 4,
+    dim: int = 64,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    k: int = 10,
+    sample_cap: int = 50000,
+) -> str:
+    """Full DuckDB replay of ``ivfpq_topk``: the PQ replay
+    (:func:`_pq_topk_sql` — sampled training, rounded encode, rounded
+    ADC) composed with the IVF coarse quantizer's assignment/probe CTEs
+    (the same text as ``_SQL_SIM_IVF_TOPK``), the ADC candidate set
+    restricted to probed inverted lists BEFORE the shortlist rank.  The
+    oracle computes ADC for all pairs then filters (simpler SQL, same
+    values); the engine filters first (that is the point of IVF) —
+    identical rows either way because the restriction commutes with the
+    per-pair ADC."""
+    from airflow_crypto_btc_spark.plans.registry_ext import _D_COS
+
+    sub = dim // m
+    subspaces = ",".join(_pq_subspace_ctes(s, sub) for s in range(m))
+    adc_union = " UNION ALL ".join(
+        f"SELECT * FROM adcp{s}" for s in range(m)
+    )
+    return f"""
+    WITH u AS (
+      SELECT vec_id AS nid,
+        list_transform(embedding, e -> CAST(e AS DOUBLE) / sqrt(n2)) AS ue
+      FROM (SELECT vec_id, embedding,
+              list_sum(list_transform(embedding,
+                e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS n2
+            FROM embeddings)
+      WHERE n2 > 0
+    ),
+    sm AS (
+      SELECT greatest(1, CAST(ceil(count(*) / {sample_cap}.0) AS BIGINT))
+        AS v
+      FROM embeddings
+    ),
+    ut AS (SELECT * FROM u WHERE nid % (SELECT v FROM sm) = 0),
+    {subspaces},
+    icent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id % 25 = 7),
+    iv AS (SELECT vec_id AS nid, embedding AS ve FROM embeddings),
+    iq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 20),
+    iassigned AS (
+      SELECT nid, cid FROM (
+        SELECT nid, cid,
+          row_number() OVER (PARTITION BY nid
+            ORDER BY {_D_COS.format(a="ve", b="ce")} DESC, cid) AS r
+        FROM iv, icent)
+      WHERE r = 1
+    ),
+    iprobed AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY {_D_COS.format(a="qe", b="ce")} DESC, cid) AS r
+        FROM iq, icent)
+      WHERE r <= {n_probe}
+    ),
+    adc_all AS (
+      SELECT qid, nid, round(sum(d), 6) AS adc
+      FROM ({adc_union}) GROUP BY qid, nid
+    ),
+    adc AS (
+      SELECT a.qid, a.nid, a.adc
+      FROM adc_all a
+      JOIN iassigned s ON s.nid = a.nid
+      JOIN iprobed p ON p.qid = a.qid AND p.cid = s.cid
+    ),
+    short AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rs
+        FROM adc WHERE nid <> qid)
+      WHERE rs <= {shortlist}
+    ),
+    vv AS (
+      SELECT vec_id AS nid,
+        list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    vn AS (SELECT nid, ve, {_D_NORM.format(a='ve')} AS vn FROM vv),
+    qn AS (SELECT nid AS qid, ve AS qe, vn AS qn FROM vn WHERE nid < 20),
+    exact AS (
+      SELECT s.qid, s.nid,
+        CASE WHEN q.qn * v.vn <> 0
+             THEN round({_D_DOT.format(a='q.qe', b='v.ve')}
+                        / (q.qn * v.vn), 6) END AS cosine
+      FROM short s
+      JOIN vn v ON v.nid = s.nid
+      JOIN qn q ON q.qid = s.qid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      FROM exact)
+    WHERE rnk <= {k}
+"""
+
+
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ combined index (operators/similarity.ivfpq_topk) — the
+    production billion-scale ANN shape: coarse probe restricts the
+    candidate lists AND PQ codes stand in for the floats inside them.
+    Serving shape mirrors ``sim_pq_topk``: the m=4 codebooks train ONCE
+    per fixture version into a landing-zone snapshot table; after that
+    each invocation pays coarse assignment + encode + a JVM-side
+    broadcast-LUT ADC join over the probed lists + exact rerank.  Fully
+    oracle-backed including the training (:func:`_ivfpq_topk_sql`)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_load_codebooks,
+        pq_save_codebooks,
+        pq_train_codebooks,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.tables import parquet_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _land(staging: str) -> None:
+        books = pq_train_codebooks(
+            emb, m=4, sample_cap=50000,
+            corpus_rows=parquet_row_count(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ),
+        )
+        pq_save_codebooks(spark, books, staging)
+
+    path = _landing_zone(sf_dir, "embeddings", "ivfpq_books", _land)
+    out = ivfpq_topk(
+        emb, m=4, books=pq_load_codebooks(spark, path), n_probe=4,
+        shortlist=100, k=10,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+def q_sim_ivfpq_recall(spark, sf_dir):
+    """Measured quality for the combined index — recall@10 of IVF-PQ
+    against exact cosine top-k on the shared query set (the engine's
+    standing rule: every approximate structure ships with its measured
+    trade, never an asserted one).  The combined index stacks TWO
+    approximations (probe misses + quantization error in the
+    shortlist), so its recall is the one to watch before deploying the
+    memory-bound layout."""
+    from airflow_crypto_btc_spark.operators.similarity import cosine_topk
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _ann_recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
+        "qid", "nid"
+    )
+    approx = q_sim_ivfpq_topk(spark, sf_dir).select("qid", "nid")
+    return _ann_recall_report(exact, approx)
+
+
+def _ivfpq_recall_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import _ann_recall_sql
+
+    return _ann_recall_sql(_ivfpq_topk_sql())
+
+
 def q_sim_knn_classify(spark, sf_dir):
     """kNN auto-labeling over the embedding space — the
     label-propagation shape a curation pipeline uses to extend a small
@@ -697,6 +866,11 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     # lines never mix train+serve with serve-only again
     "sim_pq_topk_cold": QuerySpec(q_sim_pq_topk_cold, _pq_topk_sql()),
     "sim_pq_recall": QuerySpec(q_sim_pq_recall, _pq_recall_sql()),
+    # IVF-PQ combined index: coarse probe × quantized codes — the
+    # billion-scale layout; training-inclusive oracle replay, and the
+    # stacked approximation's recall measured like every other index
+    "sim_ivfpq_topk": QuerySpec(q_sim_ivfpq_topk, _ivfpq_topk_sql()),
+    "sim_ivfpq_recall": QuerySpec(q_sim_ivfpq_recall, _ivfpq_recall_sql()),
     "sim_knn_classify": QuerySpec(q_sim_knn_classify, _SQL_KNN_CLASSIFY),
     "sim_quantized_topk": QuerySpec(
         q_sim_quantized_topk, _SQL_SIM_QUANTIZED_TOPK

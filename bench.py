@@ -166,6 +166,9 @@ HEADLINE = [
     "curate_release_pipeline",
     # round-8: reciprocal-rank fusion of the IVF and LSH indexes
     "sim_rrf_topk",
+    # round-9: the combined IVF-PQ index (probe-restricted lists ×
+    # quantized codes) — warm-model serve after the landing-zone train
+    "sim_ivfpq_topk",
     # round-8: portable HLL — the cardinality sibling of the CM sketch
     "approx_hll_doc_estimate",
     # round-8: sketch error measured, not asserted

@@ -1514,6 +1514,56 @@ def test_annotated_and_bare_frames_agree_on_buckets(spark):
     assert generic == unrolled
 
 
+def test_ivfpq_with_big_shortlist_equals_ivf_exact(spark, sf_dir):
+    """Semantic pin for the combined index: with a shortlist at least as
+    large as any query's probed candidate pool, the ADC cut drops
+    nothing, so IVF-PQ (probe + quantize + rerank) must return EXACTLY
+    the plain-IVF result (probe + exact cosine) — the quantization layer
+    only ever narrows WITHIN the probed lists, never changes them."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {
+        (r["qid"], r["nid"], r["cosine"], r["rnk"])
+        for r in ivf_topk(
+            emb, centroid_filter="vec_id % 25 = 7",
+            query_filter="vec_id < 5", n_probe=2, k=5,
+        ).collect()
+    }
+    got = {
+        (r["qid"], r["nid"], r["cosine"], r["rnk"])
+        for r in ivfpq_topk(
+            emb, centroid_filter="vec_id % 25 = 7",
+            query_filter="vec_id < 5", n_probe=2, m=4,
+            shortlist=100000, k=5,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_warm_books_equal_inline_training(spark, sf_dir):
+    """Offline-train/online-serve split: passing pre-trained codebooks
+    must reproduce the inline-training output bit-for-bit (the landing
+    zone serves the same model the cold path would train)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4)
+    cold = ivfpq_topk(emb, m=4, k=5).collect()
+    warm = ivfpq_topk(emb, m=4, k=5, books=books).collect()
+    assert sorted(map(tuple, cold)) == sorted(map(tuple, warm))
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, m=8, books=books)  # m / books mismatch refused
+
+
 @pytest.mark.smoke
 def test_rrf_recall_report_fusion_wins(spark, sf_dir):
     """The fusion quality report: recall@10 of IVF, LSH, and their RRF

@@ -934,3 +934,100 @@ def token_budget_head(
             id_col, "shard", "position", "n_tokens", "global_offset"
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    band_width_micro: int = 100_000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020,
+    arXiv:1911.00359): rank every document by its LM score and split the
+    corpus into ``n_buckets`` equal-count buckets — bucket 1 ("head") is
+    the most fluent third, bucket ``n`` ("tail") the least; CCNet trains
+    on head+middle and discards or down-weights tail.  Scoring is the
+    corpus-estimated unigram LM (``text.unigram_logprob_score``);
+    unscorable (empty) documents are excluded, mirroring CCNet.
+
+    Semantics are EXACTLY ``ntile(n_buckets)`` over the total order
+    (mean_logprob DESC, id) — but a global ntile window would drag the
+    corpus through one partition, so the rank is decomposed the
+    distributed way (same doctrine as ``token_budget_head``'s
+    prefix-sum):
+
+    1. each document's exact 6-dp score maps to an integer micro-key;
+       keys group into VALUE BANDS (``key div band_width_micro`` —
+       floor division, so bands are value-ordered);
+    2. per-band counts aggregate to a #bands-row frame (bounded by the
+       score RANGE, not the corpus: unigram logprobs live in roughly
+       [-25, 0], ≈250 bands at the default width) where each band's
+       exclusive higher-rank offset is one tiny window;
+    3. in-band rank is a window PARTITIONED by band — distributed —
+       and global_rank = band_offset + in_band_rank;
+    4. the ntile bucket is closed-form from (rank, n): the first
+       ``n mod k`` buckets take ``ceil(n/k)`` rows, cumulative cut
+       ``C_b = b*(n div k) + least(b, n mod k)``.
+
+    Returns (id, n_tokens, mean_logprob, bucket) — bucket 1-based.
+    """
+    from airflow_crypto_btc_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    scored = (
+        unigram_logprob_score(
+            docs.select(F.col(id_col).alias("doc_id"), text_col),
+            text_col,
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "_key",
+            F.round(F.col("mean_logprob") * 1_000_000.0).cast("long"),
+        )
+        .withColumn(
+            "_band",
+            F.floor(F.col("_key") / F.lit(float(band_width_micro))).cast(
+                "long"
+            ),
+        )
+    )
+    band_counts = scored.groupBy("_band").agg(
+        F.count("*").alias("_bn")
+    )
+    w_bands = (
+        Window.orderBy(F.desc("_band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # #bands rows — bounded by score range, never the corpus
+    offsets = band_counts.withColumn(
+        "_higher",
+        F.coalesce(F.sum("_bn").over(w_bands), F.lit(0).cast("bigint")),
+    ).select("_band", "_higher")
+    w_in = Window.partitionBy("_band").orderBy(
+        F.desc("_key"), F.asc("doc_id")
+    )
+    n_frame = scored.agg(F.count("*").alias("_n"))
+    ranked = (
+        scored.join(F.broadcast(offsets), "_band")
+        .withColumn(
+            "_rank",
+            F.col("_higher") + F.row_number().over(w_in).cast("long"),
+        )
+        .crossJoin(F.broadcast(n_frame))
+    )
+    qdiv = (F.col("_n") / n_buckets).cast("long")  # n div k (n >= 0)
+    rem = F.col("_n") % n_buckets
+    bucket = F.lit(None).cast("long")
+    # smallest b with rank <= C_b, C_b = b*qdiv + least(b, rem)
+    for b in range(n_buckets, 0, -1):
+        cut = F.lit(b) * qdiv + F.least(F.lit(b).cast("long"), rem)
+        bucket = F.when(F.col("_rank") <= cut, F.lit(b)).otherwise(
+            bucket
+        )
+    return ranked.select(
+        F.col("doc_id").alias(id_col),
+        "n_tokens",
+        "mean_logprob",
+        bucket.cast("long").alias("bucket"),
+    )

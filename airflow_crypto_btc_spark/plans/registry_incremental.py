@@ -880,6 +880,48 @@ _SQL_TEXT_UNIGRAM_LOGPROB = r"""
 """
 
 
+def q_curate_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing
+    (operators/curation.perplexity_buckets): the corpus split into
+    head/middle/tail thirds by LM score, reported per bucket — the
+    classic quality-stratification step before mixing training data.
+    The engine computes the exact global ntile WITHOUT a global sort
+    (value-band rank decomposition — see the operator docstring); the
+    oracle replays it as a plain ntile window, so the decomposition's
+    equivalence is value-checked at every scale factor."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    per_doc = perplexity_buckets(load_table(spark, sf_dir, "documents"))
+    return per_doc.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        F.min("mean_logprob").alias("lp_min"),
+        F.max("mean_logprob").alias("lp_max"),
+    )
+
+
+_SQL_CURATE_PPL_BUCKETS = f"""
+    WITH lp AS ({_SQL_TEXT_UNIGRAM_LOGPROB}),
+    scored AS (
+      SELECT doc_id, n_tokens, mean_logprob FROM lp WHERE n_tokens > 0
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, mean_logprob,
+        CAST(ntile(3) OVER (ORDER BY mean_logprob DESC, doc_id)
+          AS BIGINT) AS bucket
+      FROM scored
+    )
+    SELECT bucket,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens,
+      min(mean_logprob) AS lp_min,
+      max(mean_logprob) AS lp_max
+    FROM b GROUP BY bucket
+"""
+
+
 def q_curate_ingest_pipeline(spark, sf_dir):
     """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
     form a training-data user actually runs: language/quality gate →
@@ -1107,6 +1149,11 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_unigram_logprob": QuerySpec(
         q_text_unigram_logprob, _SQL_TEXT_UNIGRAM_LOGPROB
+    ),
+    # CCNet head/middle/tail stratification: exact global ntile via the
+    # value-band rank decomposition (no global sort), ntile-replayed
+    "curate_ppl_buckets": QuerySpec(
+        q_curate_ppl_buckets, _SQL_CURATE_PPL_BUCKETS
     ),
     "dedup_novel_documents": QuerySpec(
         q_dedup_novel_documents, _SQL_DEDUP_NOVEL_DOCUMENTS

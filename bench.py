@@ -147,6 +147,9 @@ HEADLINE = [
     # token-budget prefix via distributed prefix-sum
     "curate_training_order",
     "curate_token_budget_head",
+    # round-9: CCNet head/middle/tail stratification — exact global
+    # ntile via the value-band rank decomposition (no global sort)
+    "curate_ppl_buckets",
     # round-8: embedding drift vs the frozen quantizer — the semantic
     # family's re-plan alarm
     "sim_centroid_drift",

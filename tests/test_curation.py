@@ -3,6 +3,7 @@ detection on planted duplicates, packing invariants + determinism."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.operators.curation import (
@@ -646,3 +647,63 @@ def test_token_budget_head_is_exact_global_prefix(spark):
     kept_tokens = sum(r["n_tokens"] for r in head)
     assert kept_tokens >= budget
     assert 0 < len(head) < 60
+
+
+@pytest.mark.smoke
+def test_perplexity_buckets_equal_global_ntile(spark):
+    """The value-band rank decomposition must equal a plain global
+    ntile(3) over (mean_logprob DESC, doc_id) — including ties (docs
+    with identical text score identically and split by id) and an
+    uneven n (n mod 3 != 0: the first buckets take the extra rows).
+    Empty docs are excluded, not bucketed."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        perplexity_buckets,
+    )
+    from airflow_crypto_btc_spark.operators.text import (
+        unigram_logprob_score,
+    )
+    from pyspark.sql import Window as W
+
+    rows = [(i, f"w{i % 7} common common w{i % 3}") for i in range(10)]
+    rows += [(100, "common common common"), (101, "common common common")]
+    rows += [(200, "")]  # unscorable: excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(docs).collect()
+    }
+    scored = unigram_logprob_score(docs).filter("n_tokens > 0")
+    want = {
+        r["doc_id"]: r["b"]
+        for r in scored.withColumn(
+            "b",
+            F.ntile(3).over(
+                W.orderBy(F.desc("mean_logprob"), F.asc("doc_id"))
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == want
+    assert 200 not in got
+    # n = 12 -> buckets of exactly 4 each
+    from collections import Counter
+
+    assert Counter(got.values()) == {1: 4, 2: 4, 3: 4}
+    # tie pair (100, 101): identical text, adjacent ranks split by id
+    assert want[100] <= want[101]
+
+
+def test_perplexity_buckets_uneven_split_takes_ceil_first(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        perplexity_buckets,
+    )
+    from collections import Counter
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i} x") for i in range(7)],
+        "doc_id long, text string",
+    )
+    got = Counter(
+        r["bucket"] for r in perplexity_buckets(docs).collect()
+    )
+    assert got == {1: 3, 2: 2, 3: 2}  # 7 = 3 + 2 + 2, extras go first

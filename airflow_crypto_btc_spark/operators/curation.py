@@ -1031,3 +1031,43 @@ def perplexity_buckets(
         "mean_logprob",
         bucket.cast("long").alias("bucket"),
     )
+
+
+def ppl_cutoffs(per_doc: DataFrame) -> DataFrame:
+    """Boundary scores of a :func:`perplexity_buckets` split — the FROZEN
+    artifact CCNet-style serving classifies against: ``cut_head`` /
+    ``cut_middle`` are the minimum mean_logprob inside buckets 1 and 2
+    of the reference split.  One row; persist it (snapshot table, source
+    version in the commit meta) and gate arrivals with
+    :func:`ppl_gate_from_cutoffs` — serve time then never ranks."""
+    return per_doc.agg(
+        F.min(
+            F.when(F.col("bucket") == 1, F.col("mean_logprob"))
+        ).alias("cut_head"),
+        F.min(
+            F.when(F.col("bucket") == 2, F.col("mean_logprob"))
+        ).alias("cut_middle"),
+    )
+
+
+def ppl_gate_from_cutoffs(
+    scored: DataFrame, cut_head: float, cut_middle: float
+) -> DataFrame:
+    """Classify scored documents against FROZEN perplexity cutoffs — the
+    serve half of the CCNet split: one comparison per row, no window, no
+    rank, so arrivals stream through at scan cost.  Ties AT a boundary
+    go to the better bucket (``score >= cut_head`` → head), unlike the
+    equal-count build, which splits boundary ties by id — the standard
+    build/serve asymmetry of a frozen percentile gate, documented here
+    and replayed by the oracle.  ``scored`` is (doc_id, n_tokens,
+    mean_logprob), e.g. from the persisted unigram LM."""
+    return scored.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "mean_logprob",
+        F.when(F.col("mean_logprob") >= F.lit(cut_head), F.lit(1))
+        .when(F.col("mean_logprob") >= F.lit(cut_middle), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("bucket"),
+    )

@@ -922,6 +922,87 @@ _SQL_CURATE_PPL_BUCKETS = f"""
 """
 
 
+def q_curate_ppl_gate_from_model(spark, sf_dir):
+    """The SERVE half of the CCNet split: arrivals score against the
+    PERSISTED unigram LM and classify against PERSISTED tercile cutoffs
+    (the boundary scores of the reference split, landing-zoned per
+    fixture with the source version pinned in the commit meta) — one
+    comparison per row, no ranking, no window, so the gate runs at scan
+    cost however large the arrival stream.  Boundary ties go to the
+    better bucket (threshold semantics), unlike the equal-count build —
+    the standard frozen-percentile asymmetry, replayed by the oracle."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.curation import (
+        perplexity_buckets,
+        ppl_cutoffs,
+        ppl_gate_from_cutoffs,
+    )
+    from airflow_crypto_btc_spark.operators.text import (
+        unigram_logprob_from_model,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append as snap_append,
+        current_snapshot,
+        read_snapshot,
+    )
+
+    zone, source_version = _text_models_zone(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        snap_append(
+            spark,
+            ppl_cutoffs(perplexity_buckets(docs)),
+            os.path.join(staging, "cutoffs"),
+            meta={"source_version": source_version, "n_buckets": 3},
+        )
+
+    path = _landing_zone(sf_dir, "documents", "ppl_cutoffs", _land)
+    cuts_table = os.path.join(path, "cutoffs")
+    meta = current_snapshot(cuts_table).meta
+    if meta.get("source_version") != source_version:
+        raise ValueError(
+            f"stale perplexity cutoffs: built from "
+            f"{meta.get('source_version')!r}, gate expects "
+            f"{source_version!r} — rebuild before gating"
+        )
+    cuts = read_snapshot(spark, cuts_table).collect()[0]  # one row
+    scored = unigram_logprob_from_model(
+        spark, docs, os.path.join(zone, "unigram"),
+        expect_source=source_version,
+    )
+    return ppl_gate_from_cutoffs(
+        scored, cuts["cut_head"], cuts["cut_middle"]
+    )
+
+
+_SQL_CURATE_PPL_GATE = f"""
+    WITH lp AS ({_SQL_TEXT_UNIGRAM_LOGPROB}),
+    scored AS (
+      SELECT doc_id, n_tokens, mean_logprob FROM lp WHERE n_tokens > 0
+    ),
+    b AS (
+      SELECT mean_logprob,
+        CAST(ntile(3) OVER (ORDER BY mean_logprob DESC, doc_id)
+          AS BIGINT) AS bucket
+      FROM scored
+    ),
+    cuts AS (
+      SELECT
+        min(CASE WHEN bucket = 1 THEN mean_logprob END) AS cut_head,
+        min(CASE WHEN bucket = 2 THEN mean_logprob END) AS cut_middle
+      FROM b
+    )
+    SELECT s.doc_id, s.n_tokens, s.mean_logprob,
+      CAST(CASE WHEN s.mean_logprob >= c.cut_head THEN 1
+                WHEN s.mean_logprob >= c.cut_middle THEN 2
+                ELSE 3 END AS BIGINT) AS bucket
+    FROM scored s, cuts c
+"""
+
+
 def q_curate_ingest_pipeline(spark, sf_dir):
     """The WHOLE corpus-ingest pipeline as ONE lazy plan — the fused
     form a training-data user actually runs: language/quality gate →
@@ -1154,6 +1235,11 @@ INCREMENTAL_REGISTRY: dict[str, QuerySpec] = {
     # value-band rank decomposition (no global sort), ntile-replayed
     "curate_ppl_buckets": QuerySpec(
         q_curate_ppl_buckets, _SQL_CURATE_PPL_BUCKETS
+    ),
+    # ...and its serve half: frozen LM + frozen cutoffs, one comparison
+    # per arrival — no ranking at scan time
+    "curate_ppl_gate_from_model": QuerySpec(
+        q_curate_ppl_gate_from_model, _SQL_CURATE_PPL_GATE
     ),
     "dedup_novel_documents": QuerySpec(
         q_dedup_novel_documents, _SQL_DEDUP_NOVEL_DOCUMENTS

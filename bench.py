@@ -150,6 +150,8 @@ HEADLINE = [
     # round-9: CCNet head/middle/tail stratification — exact global
     # ntile via the value-band rank decomposition (no global sort)
     "curate_ppl_buckets",
+    # round-9: its serve half — frozen LM + frozen cutoffs, scan cost
+    "curate_ppl_gate_from_model",
     # round-8: embedding drift vs the frozen quantizer — the semantic
     # family's re-plan alarm
     "sim_centroid_drift",

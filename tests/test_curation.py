@@ -707,3 +707,47 @@ def test_perplexity_buckets_uneven_split_takes_ceil_first(spark):
         r["bucket"] for r in perplexity_buckets(docs).collect()
     )
     assert got == {1: 3, 2: 2, 3: 2}  # 7 = 3 + 2 + 2, extras go first
+
+
+def test_ppl_gate_thresholds_and_tie_asymmetry(spark):
+    """The frozen-cutoff gate classifies by comparison: every doc at or
+    above bucket 1's boundary score goes to head — so a boundary TIE
+    that the equal-count build split by id lands WHOLLY in the better
+    bucket under the gate (the documented build/serve asymmetry)."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        perplexity_buckets,
+        ppl_cutoffs,
+        ppl_gate_from_cutoffs,
+    )
+    from airflow_crypto_btc_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    # 6 docs, three identical-score PAIRS -> build splits pair members
+    # across bucket boundaries, gate must not
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a a"),
+         (3, "a a b"), (4, "a a b"),
+         (5, "b c d"), (6, "b c d")],
+        "doc_id long, text string",
+    )
+    built = perplexity_buckets(docs)
+    cuts = ppl_cutoffs(built).collect()[0]
+    gated = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_gate_from_cutoffs(
+            unigram_logprob_score(docs),
+            cuts["cut_head"], cuts["cut_middle"],
+        ).collect()
+    }
+    # identical text => identical gate bucket, always
+    assert gated[1] == gated[2]
+    assert gated[3] == gated[4]
+    assert gated[5] == gated[6]
+    # and the three score levels land in strictly ordered buckets
+    assert gated[1] <= gated[3] <= gated[5]
+    # unscorable arrivals are excluded, same as the build
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert ppl_gate_from_cutoffs(
+        unigram_logprob_score(empty), cuts["cut_head"], cuts["cut_middle"]
+    ).count() == 0

@@ -2292,8 +2292,6 @@ def ivfpq_topk(
        :func:`_pq_shortlist_rerank` tail, same 6-dp determinism
        contract as the PQ family, so the DuckDB oracle replays the
        whole pipeline including training."""
-    import numpy as np
-
     spark = vectors.sparkSession
     dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
     cent = vectors.filter(centroid_filter).select(
@@ -2320,6 +2318,32 @@ def ivfpq_topk(
     elif len(books) != m:
         raise ValueError(f"got {len(books)} codebooks for m={m}")
     codes = pq_encode(vectors, books, id_col, vec_col)
+    return _ivfpq_score_rerank(
+        spark, vectors, codes, assigned, probed, books, m,
+        id_col, vec_col, query_filter, shortlist, k,
+    )
+
+
+def _ivfpq_score_rerank(
+    spark,
+    vectors: DataFrame,
+    codes: DataFrame,
+    assigned: DataFrame,
+    probed: DataFrame,
+    books,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    query_filter: str,
+    shortlist: int,
+    k: int,
+) -> DataFrame:
+    """Shared serve tail of :func:`ivfpq_topk` and
+    :func:`ivfpq_topk_from_index`: broadcast-LUT ADC join over the
+    probed (codes ⋈ lists) stream + the PQ family's exact rerank —
+    fused and from-index serving must score identically by
+    construction, not by parallel implementations."""
+    import numpy as np
 
     unit = _unit_vectors(vectors, id_col, vec_col)
     qrows = (
@@ -2353,6 +2377,119 @@ def ivfpq_topk(
     )
     return _pq_shortlist_rerank(
         scored, vectors, id_col, vec_col, query_filter, shortlist, k
+    )
+
+
+def ivfpq_save_index(
+    spark,
+    vectors: DataFrame,
+    index_root: str,
+    source_version: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 25 = 7",
+    m: int = 4,
+    sample_cap: int | None = 50000,
+    corpus_rows: int | None = None,
+) -> None:
+    """Offline IVF-PQ index build: the PQ artifacts (``books`` +
+    ``codes``, via :func:`pq_save_index`) PLUS the coarse side — the
+    centroid table (``centroids``: cid, ce) and every vector's inverted-
+    list assignment (``lists``: nid, cid) — all version-pinned snapshot
+    tables under one root.  This is the 100 TB shape: assignment and
+    encode each scan the corpus ONCE at build time; serving then touches
+    only codes-in-probed-lists plus a float shortlist."""
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    pq_save_index(
+        spark, vectors, index_root, source_version, id_col, vec_col,
+        m=m, sample_cap=sample_cap, corpus_rows=corpus_rows,
+    )
+    dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
+    cent_df = vectors.filter(centroid_filter).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    cent = cent_df.withColumn("cn", F.sqrt(nrm2("ce")))
+    assigned = _nearest_centroids(
+        vectors.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+        ),
+        cent, dot, nrm2, "nid", "ve", keep=1,
+    ).select("nid", "cid")
+    meta = {"source_version": source_version, "m": m}
+    overwrite(
+        spark, cent_df, os.path.join(index_root, "centroids"), meta=meta
+    )
+    overwrite(
+        spark, assigned, os.path.join(index_root, "lists"), meta=meta
+    )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    index_root: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 20",
+    n_probe: int = 4,
+    shortlist: int = 100,
+    k: int = 10,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Serve IVF-PQ from the PERSISTED index (:func:`ivfpq_save_index`):
+    queries probe the loaded centroid table, ADC joins the persisted
+    CODES restricted to the persisted LISTS, and the float corpus is
+    touched only to rerank the shortlist — no re-assignment, no
+    re-encode, no training.  All four artifact tables must agree on
+    (source_version, m); a partial rebuild is refused, and
+    ``expect_source`` additionally pins the generation being queried.
+    Output is bit-identical to :func:`ivfpq_topk` on the same corpus
+    version (shared scoring tail, same 6-dp contract)."""
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    parts = {
+        name: os.path.join(index_root, name)
+        for name in ("books", "codes", "centroids", "lists")
+    }
+    metas = {n: current_snapshot(p).meta for n, p in parts.items()}
+    if len({tuple(sorted(m.items())) for m in metas.values()}) != 1:
+        raise ValueError(
+            f"IVF-PQ index tables disagree ({metas!r}) — partial "
+            "rebuild, rebuild all four"
+        )
+    if (
+        expect_source is not None
+        and metas["books"].get("source_version") != expect_source
+    ):
+        raise ValueError(
+            f"stale IVF-PQ index: built from "
+            f"{metas['books'].get('source_version')!r}, caller expects "
+            f"{expect_source!r} — rebuild before probing"
+        )
+    books = pq_load_codebooks(spark, parts["books"])
+    dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
+    cent = read_snapshot(spark, parts["centroids"]).withColumn(
+        "cn", F.sqrt(nrm2("ce"))
+    )
+    probed = _nearest_centroids(
+        vectors.filter(query_filter).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+        ),
+        cent, dot, nrm2, "qid", "qe", keep=n_probe,
+    ).select("qid", "cid")
+    codes = read_snapshot(spark, parts["codes"])
+    assigned = read_snapshot(spark, parts["lists"])
+    return _ivfpq_score_rerank(
+        spark, vectors, codes, assigned, probed, books, len(books),
+        id_col, vec_col, query_filter, shortlist, k,
     )
 
 

@@ -669,6 +669,44 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("long"))
 
 
+def q_sim_ivfpq_from_index(spark, sf_dir):
+    """IVF-PQ served from the FULLY persisted index — books, codes,
+    centroids, AND inverted-list assignments all version-pinned snapshot
+    tables built once per fixture (``ivfpq_save_index``); serving probes
+    the loaded centroids, ADC-joins the persisted codes restricted to
+    the persisted lists, and touches the float corpus only to rerank
+    the shortlist.  Same oracle as ``sim_ivfpq_topk``: serving the
+    index's own corpus must equal the fused pipeline bit-for-bit
+    (shared scoring tail)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivfpq_save_index,
+        ivfpq_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.tables import parquet_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stat = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    source_version = f"embeddings@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        ivfpq_save_index(
+            spark, emb, staging, source_version, m=4,
+            corpus_rows=parquet_row_count(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ),
+        )
+
+    path = _landing_zone(sf_dir, "embeddings", "ivfpq_index", _land)
+    out = ivfpq_topk_from_index(
+        spark, path, emb, n_probe=4, shortlist=100, k=10,
+        expect_source=source_version,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
 def q_sim_ivfpq_recall(spark, sf_dir):
     """Measured quality for the combined index — recall@10 of IVF-PQ
     against exact cosine top-k on the shared query set (the engine's
@@ -870,6 +908,11 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     # billion-scale layout; training-inclusive oracle replay, and the
     # stacked approximation's recall measured like every other index
     "sim_ivfpq_topk": QuerySpec(q_sim_ivfpq_topk, _ivfpq_topk_sql()),
+    # the fully persisted serve path (books+codes+centroids+lists);
+    # same oracle — from-index must equal the fused pipeline
+    "sim_ivfpq_from_index": QuerySpec(
+        q_sim_ivfpq_from_index, _ivfpq_topk_sql()
+    ),
     "sim_ivfpq_recall": QuerySpec(q_sim_ivfpq_recall, _ivfpq_recall_sql()),
     "sim_knn_classify": QuerySpec(q_sim_knn_classify, _SQL_KNN_CLASSIFY),
     "sim_quantized_topk": QuerySpec(

@@ -174,6 +174,9 @@ HEADLINE = [
     # round-9: the combined IVF-PQ index (probe-restricted lists ×
     # quantized codes) — warm-model serve after the landing-zone train
     "sim_ivfpq_topk",
+    # ...and its fully persisted serve path (books+codes+centroids+
+    # lists): no re-assignment, no re-encode at query time
+    "sim_ivfpq_from_index",
     # round-8: portable HLL — the cardinality sibling of the CM sketch
     "approx_hll_doc_estimate",
     # round-8: sketch error measured, not asserted

@@ -48,6 +48,8 @@ SMOKE_TESTS = {
     "test_token_stats",                       # text analysis
     "test_vocab_build_rank_order_and_boundary_ties",  # vocab lifecycle
     "test_dynamic_overwrite_touches_only_its_partition",  # write paths
+    "test_ivfpq_with_big_shortlist_equals_ivf_exact",  # IVF-PQ index
+    "test_perplexity_buckets_equal_global_ntile",  # CCNet ppl split
 }
 
 

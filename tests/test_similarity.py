@@ -1582,3 +1582,48 @@ def test_rrf_recall_report_fusion_wins(spark, sf_dir):
     # fusion genuinely adds over the components on this fixture (each
     # index has blind spots the other covers)
     assert r["n_rrf"] > max(r["n_ivf"], r["n_lsh"])
+
+
+def test_ivfpq_from_index_equals_fused_and_refuses_stale(
+    spark, sf_dir, tmp_path
+):
+    """The persisted-index serve path must reproduce the fused pipeline
+    bit-for-bit on the index's own corpus, refuse a stale generation,
+    and refuse a partial rebuild (artifact tables disagreeing on
+    version)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivfpq_save_index,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "ivfpq")
+    ivfpq_save_index(spark, emb, root, "v1", m=4)
+    fused = sorted(
+        map(tuple, ivfpq_topk(emb, m=4, k=5, shortlist=50).collect())
+    )
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_topk_from_index(
+                spark, root, emb, k=5, shortlist=50, expect_source="v1"
+            ).collect(),
+        )
+    )
+    assert served == fused
+    with pytest.raises(ValueError, match="stale IVF-PQ index"):
+        ivfpq_topk_from_index(spark, root, emb, expect_source="v2")
+    # partial rebuild: one table re-landed under a new version
+    import os
+
+    overwrite(
+        spark,
+        spark.createDataFrame([(0, 0)], "nid long, cid long"),
+        os.path.join(root, "lists"),
+        meta={"source_version": "v2", "m": 4},
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        ivfpq_topk_from_index(spark, root, emb, expect_source="v1")

@@ -39,10 +39,14 @@ from airflow_crypto_btc_spark.functions.hashing import (
     dot_expr_unrolled,
     norm2_expr,
 )
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.operators.similarity import (
     hyperplane_bucket_expr,
 )
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
     read_snapshot_or_none,
@@ -301,20 +305,176 @@ def pq_codes_sink(
         if "books" not in books_cache:
             books_cache["books"] = pq_load_codebooks(spark, books_t)
         books = books_cache["books"]
+        # CAS anchor: the codes version the dedup anti-join is based on
+        # (round-9 closure, same as every other maintainer)
+        codes_v = current_snapshot(codes_t).version
         committed = read_snapshot_or_none(spark, codes_t)
         fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
-        append(
-            spark,
-            pq_encode(fresh, books, id_col, vec_col),
-            codes_t,
-            txn_id=f"{query_name}:{batch_id}",
-            meta=meta,
-        )
+        try:
+            append(
+                spark,
+                pq_encode(fresh, books, id_col, vec_col),
+                codes_t,
+                txn_id=f"{query_name}:{batch_id}",
+                meta=meta,
+                expect_version=codes_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         if compact_every and (batch_id + 1) % compact_every == 0:
             try:
                 compact(spark, codes_t, target_parts=compact_target_parts)
             except ValueError:
                 return
             vacuum(codes_t)
+
+    return _fold
+
+
+def ivfpq_arrivals_sink(
+    index_root: str,
+    query_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expect_source: str | None = None,
+    compact_every: int | None = None,
+    compact_target_parts: int = 4,
+):
+    """``foreachBatch`` callback maintaining the FULL IVF-PQ index
+    (``operators/similarity.ivfpq_save_index`` layout) on a stream of
+    arriving vectors: each batch encodes its fresh ids against the
+    FROZEN codebooks and assigns them to the FROZEN centroid set, then
+    appends (codes, lists) — so ``ivfpq_topk_from_index`` serves a
+    corpus that grows online without ever re-training or re-scanning.
+
+    Frozen-model contract: books AND centroids are version-asserted
+    every batch (a retrain/re-seed mid-stream would silently mix code
+    spaces or split inverted lists — refused, restart the sink against
+    the new generation).  ``expect_source`` pins the generation at
+    construction; all four index tables must agree (partial rebuilds
+    refused).
+
+    Exactly-once: within-batch dedup is deterministic, already-indexed
+    ids anti-join away against the LISTS table (the final commit, so
+    freshness keys off it), and both appends are txn-id idempotent pure
+    functions of (batch, frozen model) — a crash between them replays
+    the batch, the codes append skips via its txn id, and the lists
+    append lands identical rows.  Concurrency: each append is a CAS
+    anchored on the version its read was based on (racing folds lose
+    the put-if-absent arbitration with zero side effects —
+    ``ConcurrentMaintenanceError``); the cross-table window between the
+    lists read and the codes commit is narrowed by an ohlc-style
+    version guard and remains a single-writer-contract violation,
+    surfaced rather than silent.
+
+    Scale shape per batch: one broadcast-centroid assignment scan and
+    one Arrow encode over the BATCH only; the growing index tables are
+    touched only by the anti-join (id column) and the appends."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        _nearest_centroids,
+        _vector_kernels,
+        annotate_vec_dim,
+        pq_encode,
+        pq_load_codebooks,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    parts = {
+        name: os.path.join(index_root, name)
+        for name in ("books", "codes", "centroids", "lists")
+    }
+    metas = {n: current_snapshot(p).meta for n, p in parts.items()}
+    if len({tuple(sorted(m.items())) for m in metas.values()}) != 1:
+        raise ValueError(
+            f"IVF-PQ index tables disagree ({metas!r}) — partial "
+            "rebuild, rebuild all four before streaming arrivals"
+        )
+    meta = metas["books"]
+    if (
+        expect_source is not None
+        and meta.get("source_version") != expect_source
+    ):
+        raise ValueError(
+            f"stale IVF-PQ index: built from "
+            f"{meta.get('source_version')!r}, sink expects "
+            f"{expect_source!r} — rebuild before streaming arrivals"
+        )
+    books_snap = current_snapshot(parts["books"])
+    cent_snap = current_snapshot(parts["centroids"])
+    cache: dict = {}
+
+    def _fold(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if current_snapshot(parts["books"]).version != books_snap.version:
+            raise ValueError(
+                "PQ codebooks changed under a running IVF-PQ stream — "
+                "restart the sink against the new generation"
+            )
+        if (
+            current_snapshot(parts["centroids"]).version
+            != cent_snap.version
+        ):
+            raise ValueError(
+                "coarse centroids changed under a running IVF-PQ "
+                "stream — restart the sink against the new generation"
+            )
+        if "books" not in cache:
+            cache["books"] = pq_load_codebooks(spark, parts["books"])
+        books = cache["books"]
+        dim = len(books) * books[0].shape[1]
+        # CAS anchors: the versions the anti-join (lists) and the codes
+        # append are based on
+        codes_v = current_snapshot(parts["codes"]).version
+        lists_v = current_snapshot(parts["lists"]).version
+        committed = read_snapshot_or_none(spark, parts["lists"])
+        fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
+        # the round-9 width channel: the batch frame is derived (window
+        # + anti-join), so stamp the dim known from the codebooks — the
+        # assignment kernels go unrolled with zero probes
+        fresh = annotate_vec_dim(fresh, vec_col, dim=dim)
+        dot, nrm2, _d = _vector_kernels(fresh, vec_col)
+        cent = read_snapshot(spark, parts["centroids"]).withColumn(
+            "cn", F.sqrt(nrm2("ce"))
+        )
+        assigned = _nearest_centroids(
+            fresh.select(
+                F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+            ),
+            cent, dot, nrm2, "nid", "ve", keep=1,
+        ).select("nid", "cid")
+        codes_new = pq_encode(fresh, books, id_col, vec_col)
+        # fast-fail: a second writer that already folded would have
+        # appended lists; the CAS below is the same-table guarantee
+        if current_snapshot(parts["lists"]).version != lists_v:
+            raise ConcurrentMaintenanceError(
+                f"lists table moved past v{lists_v} during IVF-PQ "
+                "maintenance — a second writer is sharing this index; "
+                "retry the batch"
+            )
+        try:
+            append(
+                spark, codes_new, parts["codes"],
+                txn_id=f"{query_name}:{batch_id}:codes",
+                meta=meta, expect_version=codes_v,
+            )
+            append(
+                spark, assigned, parts["lists"],
+                txn_id=f"{query_name}:{batch_id}:lists",
+                meta=meta, expect_version=lists_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for t in (parts["codes"], parts["lists"]):
+                try:
+                    compact(spark, t, target_parts=compact_target_parts)
+                except ValueError:
+                    continue
+                vacuum(t)
 
     return _fold

@@ -260,3 +260,152 @@ def test_streaming_pq_codes_sink_matches_batch_encode(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="changed under a running"):
         sink(emb.filter("vec_id % 4 = 3"), 2)
+
+
+def test_streaming_ivfpq_maintains_full_index(spark, tmp_path):
+    """The IVF-PQ arrivals sink: streamed codes/lists equal the offline
+    frozen-model twins on the union corpus, and from-index serving over
+    the maintained index equals the fused pipeline run on the union
+    (arrival ids chosen off the seed rule, so the coarse centroid set is
+    identical either way).  Replay and re-delivery fold nothing."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivfpq_save_index,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+        pq_encode,
+        pq_load_codebooks,
+    )
+    from airflow_crypto_btc_spark.streaming.ann_stream import (
+        ivfpq_arrivals_sink,
+    )
+
+    reference = _vectors(spark, n=50)
+    root = str(tmp_path / "ivfpq")
+    ivfpq_save_index(spark, reference, root, "v1", m=4)
+
+    # arrivals: new ids, none matching the seed rule (vec_id % 25 = 7)
+    arr_ids = [100, 101, 103, 104, 110, 126]
+    rng = np.random.RandomState(7)
+    arrivals = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in arr_ids],
+        "vec_id long, embedding array<double>",
+    )
+    sink = ivfpq_arrivals_sink(root, query_name="ivfpq")
+    sink(arrivals.filter("vec_id < 105"), 0)
+    sink(arrivals.filter("vec_id >= 105"), 1)
+
+    union = reference.unionByName(arrivals)
+    books = pq_load_codebooks(spark, str(tmp_path / "ivfpq/books"))
+    # codes table == offline frozen-books encode of the union
+    got_codes = {
+        r["nid"]: tuple(r["codes"])
+        for r in read_snapshot(spark, root + "/codes").collect()
+    }
+    want_codes = {
+        r["nid"]: tuple(r["codes"])
+        for r in pq_encode(union, books).collect()
+    }
+    assert got_codes == want_codes
+    # from-index serve over the maintained index == fused pipeline on
+    # the union (identical centroid seeds by construction)
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_topk_from_index(
+                spark, root, union, k=5, shortlist=60,
+                expect_source="v1",
+            ).collect(),
+        )
+    )
+    fused = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                union, m=4, k=5, shortlist=60, books=books
+            ).collect(),
+        )
+    )
+    assert served == fused
+    # replay + re-delivery fold nothing (content-level: both tables)
+    def _contents():
+        return tuple(
+            sorted(map(tuple, read_snapshot(spark, root + t).collect()))
+            for t in ("/codes", "/lists")
+        )
+
+    before = _contents()
+    sink(arrivals.filter("vec_id >= 105"), 1)  # replay
+    sink(arrivals.filter("vec_id = 100"), 2)   # re-delivery
+    assert _contents() == before
+
+
+def test_streaming_ivfpq_frozen_model_refusals_and_racer(
+    spark, tmp_path, monkeypatch
+):
+    """A centroid re-seed mid-stream is refused (mixed inverted lists);
+    a racer committing to the codes table between the sink's read and
+    its append loses the CAS with zero side effects."""
+    from airflow_crypto_btc_spark.operators.incremental import (
+        ConcurrentMaintenanceError,
+    )
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivfpq_save_index,
+    )
+    from airflow_crypto_btc_spark.sources import snapshot_table as st
+    from airflow_crypto_btc_spark.streaming import ann_stream
+
+    reference = _vectors(spark, n=50)
+    root = str(tmp_path / "ivfpq")
+    ivfpq_save_index(spark, reference, root, "v1", m=4)
+    with pytest.raises(ValueError, match="stale IVF-PQ index"):
+        ann_stream.ivfpq_arrivals_sink(root, "q", expect_source="v2")
+
+    sink = ann_stream.ivfpq_arrivals_sink(root, "q", expect_source="v1")
+    rng = np.random.RandomState(3)
+    batch = spark.createDataFrame(
+        [(200 + i, rng.randn(16).tolist()) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    # frozen-centroid refusal: bump the centroids table version
+    st.append(
+        spark,
+        read_snapshot(spark, root + "/centroids").limit(0),
+        root + "/centroids",
+    )
+    with pytest.raises(ValueError, match="centroids changed"):
+        sink(batch, 0)
+    # fresh sink against the current generation; racer on codes —
+    # injected via the module-level anti-join read (resolved at call
+    # time, AFTER the sink captured its CAS anchors)
+    sink = ann_stream.ivfpq_arrivals_sink(root, "q", expect_source="v1")
+    fired = {"done": False}
+    real_read = ann_stream.read_snapshot_or_none
+
+    def racing(spark_, table):
+        out = real_read(spark_, table)
+        if not fired["done"]:
+            fired["done"] = True
+            st.append(
+                spark,
+                read_snapshot(spark, root + "/codes").limit(0),
+                root + "/codes",
+            )
+        return out
+
+    monkeypatch.setattr(ann_stream, "read_snapshot_or_none", racing)
+    with pytest.raises(ConcurrentMaintenanceError):
+        sink(batch, 0)
+    monkeypatch.setattr(ann_stream, "read_snapshot_or_none", real_read)
+    # loser landed nothing new beyond the reference build + the racer's
+    # empty commit
+    assert all(
+        r["nid"] < 100
+        for r in read_snapshot(spark, root + "/codes").collect()
+    )
+    sink(batch, 0)  # retry converges
+    ids = {
+        r["nid"]
+        for r in read_snapshot(spark, root + "/lists").collect()
+        if r["nid"] >= 100
+    }
+    assert ids == {200, 201, 202, 203}

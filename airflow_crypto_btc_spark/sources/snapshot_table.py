@@ -105,6 +105,22 @@ def current_snapshot(table: str, version: int | None = None) -> Snapshot:
     )
 
 
+def txn_version(table: str, txn_id: str) -> int | None:
+    """Version of the commit that carried ``txn_id`` (``None`` if no
+    commit did).  With :func:`snapshot_changes` this lets a replayed
+    multi-commit batch recover exactly WHAT its already-landed state
+    commit folded (the rows of that version's added files) and derive
+    its remaining commits from that record — the second half of the
+    deterministic-replay pattern (:func:`txn_meta` covers pinned scalar
+    inputs; this covers pinned row sets)."""
+    for v in _list_versions(table):
+        with open(_log_path(table, v)) as fh:
+            entry = json.load(fh)
+        if entry.get("txn_id") == txn_id:
+            return v
+    return None
+
+
 def txn_meta(table: str, txn_id: str) -> dict | None:
     """Commit metadata of the log entry that carried ``txn_id`` (``None``
     if no commit did).  Multi-commit maintenance batches use this to make
@@ -358,14 +374,19 @@ def overwrite(
     df: DataFrame,
     table: str,
     meta: dict | None = None,
+    expect_version: int | None = None,
 ) -> int:
     """The reference's transactional rewrite (S7): stage the new data,
     then one commit swaps the entire live set.  Readers see the old table
-    until the commit lands, the new one after — never both, never neither."""
+    until the commit lands, the new one after — never both, never neither.
+    ``expect_version`` makes the swap a CAS (see :func:`commit`): a
+    read-modify-overwrite fold (e.g. the streaming bloom state's bitmap
+    OR) anchored on the version it read can never silently drop a racing
+    writer's update."""
     old = current_snapshot(table).files
     parts, stats = _write_parts(df, table)
     return commit(table, add=parts, remove=old, operation="overwrite",
-                  stats=stats, meta=meta)
+                  stats=stats, meta=meta, expect_version=expect_version)
 
 
 def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16):

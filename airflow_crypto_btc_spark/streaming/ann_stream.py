@@ -15,11 +15,14 @@ Per micro-batch:
    pairs with exact cosine ≥ threshold and at least one batch endpoint
    (the batch side is one join INPUT, so cost is |batch| ×
    bucket-mates, never |index|²);
-4. commit pairs FIRST, then the index rows.  Freshness keys off the
-   INDEX table (the final commit), so a crash between the appends
-   replays the batch — the pairs append skips via its txn id and the
-   index append lands its original rows; re-delivered ids in later
-   batches anti-join away.
+4. commit the INDEX rows first — a compare-and-swap anchored on the
+   index version the anti-join and the pair probe read (round-9: a
+   racing second writer loses the put-if-absent arbitration with zero
+   side effects) — then the pairs.  A crash between the appends
+   replays the batch against the PRE-FOLD index snapshot (time
+   travel via the index txn's version), so the pair set recomputes
+   identically even though the live index now holds the batch's own
+   rows; re-delivered ids in later batches anti-join away.
 
 Scale shape: the index table is the serving artifact (vectors + norms +
 bucket), appended per batch with the bucket column's min/max recorded in
@@ -126,7 +129,28 @@ def embedding_index_sink(
             if d is not None:
                 state["dim"] = d
         dim = state.get("dim")
-        committed = read_snapshot_or_none(spark, index_table)
+        # CAS anchor: the index version the freshness anti-join and the
+        # pair probe are based on (round-9 closure).  A replayed batch
+        # whose index fold already landed reads the PRE-FOLD snapshot
+        # (time travel) — the live index now holds the batch's own rows,
+        # which would empty the fresh set and drop the batch's pairs.
+        from airflow_crypto_btc_spark.sources.snapshot_table import (
+            current_snapshot,
+            read_snapshot,
+            txn_version,
+        )
+
+        index_txn = f"{query_name}:{batch_id}:index"
+        index_v = current_snapshot(index_table).version
+        folded_v = txn_version(index_table, index_txn)
+        if folded_v is not None:
+            committed = (
+                read_snapshot(spark, index_table, version=folded_v - 1)
+                if folded_v > 0
+                else None
+            )
+        else:
+            committed = read_snapshot_or_none(spark, index_table)
         fresh = _fresh_rows(batch_df, id_col, vec_col, committed, "nid")
         batch_rows = (
             fresh.select(
@@ -202,16 +226,23 @@ def embedding_index_sink(
             )
             .distinct()
         )
-        # pairs FIRST, index LAST: freshness keys off the final commit,
-        # so any crash window replays to the identical pair set (same
-        # doctrine as dedup_stream / novelty_stream)
+        # index FIRST — the CAS-serialized fold (round-9 order flip; a
+        # racing second writer loses the put-if-absent arbitration with
+        # zero side effects) — then pairs, whose content is a pure
+        # function of (batch, pre-fold index) and therefore replays
+        # identically via the time-travel branch above
+        if folded_v is None:
+            try:
+                append(
+                    spark, batch_rows, index_table,
+                    txn_id=index_txn,
+                    expect_version=index_v,
+                )
+            except CommitConflictError as exc:
+                raise ConcurrentMaintenanceError(str(exc)) from exc
         append(
             spark, pairs, pairs_table,
             txn_id=f"{query_name}:{batch_id}:pairs",
-        )
-        append(
-            spark, batch_rows, index_table,
-            txn_id=f"{query_name}:{batch_id}:index",
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             for table in (index_table, pairs_table):

@@ -10,18 +10,22 @@ each micro-batch of documents
 2. computes the survivors' index rows (one Arrow scan,
    ``operators/dedup_fast.minhash_prep_fast``),
 3. probes the committed index ∪ the batch rows for pairs with at least
-   one batch endpoint, then commits sets, pairs, and bands in that
-   order under txn ids ``<query>:<batch_id>:sets`` / ``:pairs`` /
-   ``:bands`` — pairs never durably reference an id the sets table
-   lacks, and freshness keys off the final commit.
+   one batch endpoint, then commits bands, sets, and pairs in that
+   order under txn ids ``<query>:<batch_id>:bands`` / ``:sets`` /
+   ``:pairs`` — the BANDS append is a compare-and-swap anchored on the
+   version the freshness anti-join read (round-9: a racing second
+   writer loses the put-if-absent arbitration with zero side effects),
+   and pairs still commit after sets, so they never durably reference
+   an id the sets table lacks.
 
 Every near-dup pair lands exactly once — in the micro-batch of its
-LATER endpoint.  Crash safety: freshness is keyed off the LAST append
-in the commit order (bands), so replaying any crash window recomputes
-the identical fresh set and identical pairs, and each of the three
-appends either skips (txn already logged) or lands its original
-content; an at-least-once source re-delivering a document in a later
-batch finds it already indexed and contributes nothing.
+LATER endpoint.  Crash safety: a replayed batch that finds its bands
+txn already committed reads both index tables at their PRE-FOLD
+versions (snapshot time travel), so the fresh set and the pairs
+recompute identically even though the live tables now hold the batch's
+own rows; each append then skips (txn already logged) or lands its
+original content.  An at-least-once source re-delivering a document in
+a later batch finds it already indexed and contributes nothing.
 
 Scale shape per batch: one Arrow scan of the batch, an append of
 |batch|·bands index rows, and a bucket join sized by the batch's bucket
@@ -39,10 +43,17 @@ from airflow_crypto_btc_spark.operators.dedup import (
     minhash_lsh_pairs_from_index,
 )
 from airflow_crypto_btc_spark.operators.dedup_fast import minhash_prep_fast
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
+    current_snapshot,
+    read_snapshot,
     read_snapshot_or_none,
+    txn_version,
     vacuum,
 )
 
@@ -106,8 +117,34 @@ def near_dup_index_sink(
             F.col(id_col).alias("id"),
             F.md5(F.col(text_col)).alias("digest"),
         )
-        committed_bands = read_snapshot_or_none(spark, bands_table)
-        committed_sets = read_snapshot_or_none(spark, sets_table)
+        # CAS anchor: the bands version the freshness anti-join is based
+        # on (round-9 closure).  A replayed batch whose bands fold
+        # already landed reads BOTH index tables at their PRE-FOLD
+        # versions (time travel) — the live tables now hold the batch's
+        # own rows, which would empty the fresh set and change pairs.
+        bands_txn = f"{query_name}:{batch_id}:bands"
+        bands_v = current_snapshot(bands_table).version
+        folded_v = txn_version(bands_table, bands_txn)
+        if folded_v is not None:
+            committed_bands = (
+                read_snapshot(spark, bands_table, version=folded_v - 1)
+                if folded_v > 0
+                else None
+            )
+            sets_v_txn = txn_version(
+                sets_table, f"{query_name}:{batch_id}:sets"
+            )
+            if sets_v_txn is None:
+                committed_sets = read_snapshot_or_none(spark, sets_table)
+            elif sets_v_txn > 0:
+                committed_sets = read_snapshot(
+                    spark, sets_table, version=sets_v_txn - 1
+                )
+            else:
+                committed_sets = None
+        else:
+            committed_bands = read_snapshot_or_none(spark, bands_table)
+            committed_sets = read_snapshot_or_none(spark, sets_table)
         conflicts = None
         if committed_bands is not None:
             # a re-delivered id whose content CHANGED upstream is about
@@ -194,24 +231,32 @@ def near_dup_index_sink(
             jaccard_threshold,
             max_bucket_size,
         )
-        # Commit order sets → pairs → bands: pairs never durably
-        # reference an id absent from the sets table (an independent
-        # consumer joining pairs to shingle sets sees no dangling rows,
-        # even mid-crash), while freshness still keys off the FINAL
-        # commit (bands), so replaying any crash window recomputes the
-        # identical fresh set and each append skips or lands exactly
-        # once via its txn id.
-        append(
-            spark, batch_sets, sets_table,
-            txn_id=f"{query_name}:{batch_id}:sets",
-        )
+        # Commit order bands → sets → pairs (round-9 flip): the BANDS
+        # append is the CAS-serialized fold — a racing second writer
+        # loses the put-if-absent arbitration with ZERO side effects —
+        # and pairs still commit after sets, so they never durably
+        # reference an id absent from the sets table.  Crash anywhere:
+        # the replay branch above reads the pre-fold snapshots, so every
+        # downstream frame recomputes identically and each append skips
+        # or lands exactly once via its txn id.
+        sets_cas_v = current_snapshot(sets_table).version
+        try:
+            if folded_v is None:
+                append(
+                    spark, batch_bands, bands_table,
+                    txn_id=bands_txn,
+                    expect_version=bands_v,
+                )
+            append(
+                spark, batch_sets, sets_table,
+                txn_id=f"{query_name}:{batch_id}:sets",
+                expect_version=sets_cas_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         append(
             spark, pairs, pairs_table,
             txn_id=f"{query_name}:{batch_id}:pairs",
-        )
-        append(
-            spark, batch_bands, bands_table,
-            txn_id=f"{query_name}:{batch_id}:bands",
         )
         if conflicts is not None:
             # observability, not integrity: committed last, own txn id

@@ -10,22 +10,27 @@ Per micro-batch of candidate documents:
    are definitely new and skip the join; the possibly-seen remainder
    anti-joins the committed digests table (exact verification — bloom
    false positives die here, so the novel set is EXACT);
-3. commit, in order: the novel rows to the output table FIRST, then
-   their digests to the digests table, then the bitmap row overwritten
-   with the OR of the old bitmap and the batch's novel hashes.
+3. commit, in order: the DIGESTS first — a compare-and-swap anchored on
+   the digests version the anti-join read (the round-9 closure: two
+   racing folds that verified against the same digests snapshot can
+   never both land; the loser aborts with ZERO side effects) — then the
+   novel rows, then the bitmap row overwritten (also CAS-anchored) with
+   the OR of the old bitmap and the batch's novel hashes.
 
-Commit order is load-bearing (same doctrine as ``dedup_stream``): the
-replay-time anti-join keys off the DIGESTS table, so digests must be
-the LAST append — committing digests first would make a crash-replay
-see its own half-committed digests, anti-join away the batch's
-bloom-false-positive novel rows, and lose them from the output forever.
-With novel-first, a crash between the appends replays to an identical
-novel set: the novel append skips via its txn id and the digests append
-lands its original content.
+Digests-first is safe because replay no longer re-runs the anti-join:
+a replayed batch that finds its digests txn already committed
+recomputes its novel set from that commit's CHANGE FEED
+(``txn_version`` + ``snapshot_changes`` — exactly the digests the fold
+added) joined back to the batch's deterministic representatives, so
+the novel append lands its original content even though the anti-join
+would now see the batch's own digests.  (The previous novel-first
+order handled crash-replay but left the check-to-commit window open to
+a racing second writer — the digests CAS closes it.)
 
 The bitmap is perf state, never truth: the OR is idempotent under
-replay, and a LOST bitmap update only weakens the next batch's
-pre-filter (more suspects reach the exact anti-join, output unchanged).
+replay, and a LOST bitmap update would only weaken the next batch's
+pre-filter — but the CAS surfaces the racing writer anyway (a race on
+the bloom table means a second maintainer is sharing this state).
 
 Scale shape per batch: one Arrow scan of the batch, an anti-join whose
 probe side is |suspects| (≈ |true dups| + fp·|new|), a distributed
@@ -40,12 +45,18 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
     current_snapshot,
     overwrite,
     read_snapshot_or_none,
+    snapshot_changes,
+    txn_version,
     vacuum,
 )
 
@@ -88,6 +99,11 @@ def novelty_sink(
             .select(F.col(id_col).alias("id"), "digest", "_h1", "_h2")
             .localCheckpoint(eager=False)
         )
+        # CAS anchors: the versions the digest anti-join and the bitmap
+        # read-modify-overwrite are based on
+        digests_v = current_snapshot(digests_table).version
+        bloom_v = current_snapshot(bloom_table).version
+        digests_txn = f"{query_name}:{batch_id}:digests"
         bloom_state = read_snapshot_or_none(spark, bloom_table)
         bitmap_b = None
         if bloom_state is not None:
@@ -121,24 +137,43 @@ def novelty_sink(
                 maybe_ids = flags.filter("maybe_seen").select("id")
                 suspects = batch.join(maybe_ids, "id", "left_semi")
                 certain = batch.join(maybe_ids, "id", "left_anti")
-            committed = read_snapshot_or_none(spark, digests_table)
-            if committed is None:
-                verified = suspects
+            folded_v = txn_version(digests_table, digests_txn)
+            if folded_v is not None:
+                # crash-replay after the fold landed: recompute the
+                # novel set from the fold's own CHANGE FEED (exactly
+                # the digests it added), never from the live anti-join
+                # — which would now see the batch's own digests and
+                # lose the bloom-false-positive rows forever
+                added = snapshot_changes(
+                    spark, digests_table, folded_v - 1, folded_v
+                ).select("digest")
+                novel = batch.join(
+                    added, "digest", "left_semi"
+                ).localCheckpoint(eager=False)
             else:
-                verified = suspects.join(
-                    committed.select("digest"), "digest", "left_anti"
+                committed = read_snapshot_or_none(spark, digests_table)
+                if committed is None:
+                    verified = suspects
+                else:
+                    verified = suspects.join(
+                        committed.select("digest"), "digest", "left_anti"
+                    )
+                novel = certain.unionByName(verified).localCheckpoint(
+                    eager=False
                 )
-            novel = certain.unionByName(verified).localCheckpoint(
-                eager=False
-            )
-            # novel FIRST, digests LAST — see module docstring
+            # digests FIRST (the CAS-serialized fold — see module
+            # docstring), then the output rows, then the bitmap
+            try:
+                append(
+                    spark, novel.select("digest"), digests_table,
+                    txn_id=digests_txn,
+                    expect_version=digests_v,
+                )
+            except CommitConflictError as exc:
+                raise ConcurrentMaintenanceError(str(exc)) from exc
             append(
                 spark, novel.select("id", "digest"), novel_table,
                 txn_id=f"{query_name}:{batch_id}:novel",
-            )
-            append(
-                spark, novel.select("digest"), digests_table,
-                txn_id=f"{query_name}:{batch_id}:digests",
             )
             # bitmap after both: an OR is idempotent under replay, and a
             # lost update only weakens the NEXT batch's pre-filter.
@@ -150,14 +185,18 @@ def novelty_sink(
                 delta_bm = delta_bm | np.frombuffer(
                     bitmap_b, dtype=np.uint8
                 )
-            overwrite(
-                spark,
-                spark.createDataFrame(
-                    [(bytearray(delta_bm.tobytes()),)], "bm binary"
-                ),
-                bloom_table,
-                meta={"n_bits": n_bits, "k": k},
-            )
+            try:
+                overwrite(
+                    spark,
+                    spark.createDataFrame(
+                        [(bytearray(delta_bm.tobytes()),)], "bm binary"
+                    ),
+                    bloom_table,
+                    meta={"n_bits": n_bits, "k": k},
+                    expect_version=bloom_v,
+                )
+            except CommitConflictError as exc:
+                raise ConcurrentMaintenanceError(str(exc)) from exc
             # every overwrite de-references the previous bitmap part but
             # leaves it on disk; without this an N-batch run accumulates
             # N dead copies of the (fixed-size) state

@@ -32,11 +32,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
 from airflow_crypto_btc_spark.operators.probe import (
     quality_probe_scores,
     weights_from_model_rows,
 )
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
     current_snapshot,
@@ -87,6 +91,9 @@ def probe_gate_sink(
                 "restart the sink against the new generation (scores "
                 "from different weight generations are not comparable)"
             )
+        # CAS anchor: the decisions version the dedup anti-join is based
+        # on (round-9 closure, same as every other maintainer)
+        decisions_v = current_snapshot(decisions_table).version
         w = Window.partitionBy(id_col).orderBy(
             F.md5(F.to_json(F.struct(vec_col)))
         )
@@ -121,10 +128,14 @@ def probe_gate_sink(
                 "passed"
             ),
         )
-        append(
-            spark, scores, decisions_table,
-            txn_id=f"{query_name}:{batch_id}",
-        )
+        try:
+            append(
+                spark, scores, decisions_table,
+                txn_id=f"{query_name}:{batch_id}",
+                expect_version=decisions_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
         if compact_every and (batch_id + 1) % compact_every == 0:
             try:
                 compact(

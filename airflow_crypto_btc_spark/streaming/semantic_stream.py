@@ -41,14 +41,19 @@ from airflow_crypto_btc_spark.operators.similarity import (
     semantic_purge_delta,
 )
 from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
     append,
     compact,
     current_snapshot,
     read_snapshot,
     read_snapshot_or_none,
+    txn_version,
     vacuum,
 )
-from airflow_crypto_btc_spark.streaming.ann_stream import _fresh_rows
+from airflow_crypto_btc_spark.streaming.ann_stream import (
+    ConcurrentMaintenanceError,
+    _fresh_rows,
+)
 
 
 def semantic_index_sink(
@@ -110,7 +115,24 @@ def semantic_index_sink(
             )
         if "cent" not in state:
             state["cent"] = read_snapshot(spark, centroids_table)
-        committed = read_snapshot_or_none(spark, members_table)
+        members_txn = f"{query_name}:{batch_id}:members"
+        # CAS anchor: the members version the labeling's delta read is
+        # based on (round-9 closure).  A replayed batch whose members
+        # fold already landed recomputes against the PRE-FOLD snapshot
+        # (time travel), never the live table — which would contain the
+        # batch's own members and change every labeling.
+        members_v = current_snapshot(members_table).version
+        folded_v = txn_version(members_table, members_txn)
+        if folded_v is not None:
+            committed = (
+                read_snapshot(spark, members_table, version=folded_v - 1)
+                if folded_v > 0
+                else None
+            )
+            meta_at = folded_v - 1
+        else:
+            committed = read_snapshot_or_none(spark, members_table)
+            meta_at = None
         # the fresh chain (deterministic dedup + anti-join) feeds the
         # high-water check, the labeling, the member rows, and the
         # batch-max aggregate — cut it once instead of recomputing the
@@ -123,8 +145,11 @@ def semantic_index_sink(
         # rides the members commit meta (max of all appended batches).
         prev_max = (
             None if committed is None
-            else current_snapshot(members_table).meta.get("max_id")
+            else current_snapshot(members_table, meta_at).meta.get(
+                "max_id"
+            )
         )
+        late_rows = None
         if prev_max is not None:
             late = fresh.filter(F.col(id_col) <= prev_max)
             n_late = late.count()
@@ -137,16 +162,11 @@ def semantic_index_sink(
                         "pass quarantine_table to divert them or "
                         "rebuild the index over the full corpus"
                     )
-                append(
-                    spark,
-                    late.select(
-                        F.col(id_col).alias("id"),
-                        F.lit(prev_max).cast("long").alias(
-                            "high_water_mark"
-                        ),
+                late_rows = late.select(
+                    F.col(id_col).alias("id"),
+                    F.lit(prev_max).cast("long").alias(
+                        "high_water_mark"
                     ),
-                    quarantine_table,
-                    txn_id=f"{query_name}:{batch_id}:quarantine",
                 )
                 fresh = fresh.filter(F.col(id_col) > prev_max)
         labeling = semantic_purge_delta(
@@ -182,20 +202,37 @@ def semantic_index_sink(
             else batch_max if prev_max is None
             else max(prev_max, int(batch_max))
         )
-        # labelings FIRST, members LAST: freshness keys off the final
-        # commit, so any crash window replays to the identical labeling
-        # set (same doctrine as dedup_stream / ann_stream)
+        # members FIRST — the CAS-serialized fold (round-9 order flip:
+        # with time-travel replay recomputing the labeling against the
+        # pre-fold snapshot, fold-first costs nothing and a racing
+        # second writer loses the put-if-absent arbitration with ZERO
+        # side effects); quarantine + labels follow, each a pure
+        # function of (batch, pre-fold snapshot), so a crash anywhere
+        # replays to identical content with the earlier commits
+        # skipping via their txn ids
+        if folded_v is None:
+            try:
+                append(
+                    spark, batch_members, members_table,
+                    txn_id=members_txn,
+                    expect_version=members_v,
+                    meta={
+                        **cent_snap.meta,
+                        "max_id": (
+                            None if new_max is None else int(new_max)
+                        ),
+                    },
+                )
+            except CommitConflictError as exc:
+                raise ConcurrentMaintenanceError(str(exc)) from exc
+        if late_rows is not None:
+            append(
+                spark, late_rows, quarantine_table,
+                txn_id=f"{query_name}:{batch_id}:quarantine",
+            )
         append(
             spark, labeling, labels_table,
             txn_id=f"{query_name}:{batch_id}:labels",
-        )
-        append(
-            spark, batch_members, members_table,
-            txn_id=f"{query_name}:{batch_id}:members",
-            meta={
-                **cent_snap.meta,
-                "max_id": None if new_max is None else int(new_max),
-            },
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             for table in (members_table, labels_table):

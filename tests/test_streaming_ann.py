@@ -77,11 +77,13 @@ def test_streaming_ann_crash_between_appends_replays_clean(
     real_append = ans.append
     calls = {"n": 0}
 
-    def crashing_append(spark_, d, table, txn_id=None):
+    def crashing_append(spark_, d, table, txn_id=None, **kw):
         calls["n"] += 1
-        if calls["n"] == 2:  # after pairs, before index
+        if calls["n"] == 2:  # after the index fold, before pairs — the
+            # round-9 index-first CAS order: the replay must probe the
+            # PRE-FOLD index (time travel), or the batch's pairs vanish
             raise RuntimeError("simulated crash")
-        return real_append(spark_, d, table, txn_id=txn_id)
+        return real_append(spark_, d, table, txn_id=txn_id, **kw)
 
     monkeypatch.setattr(ans, "append", crashing_append)
     batch1 = df.filter("vec_id % 2 = 0")
@@ -192,12 +194,12 @@ def test_streaming_ann_probe_broadcasts_batch_side(spark, tmp_path):
     captured = {}
     real_append = ans.append
 
-    def capturing_append(spark_, d, table, txn_id=None):
+    def capturing_append(spark_, d, table, txn_id=None, **kw):
         if table == p_tbl:
             captured["plan"] = (
                 d._jdf.queryExecution().executedPlan().toString()
             )
-        return real_append(spark_, d, table, txn_id=txn_id)
+        return real_append(spark_, d, table, txn_id=txn_id, **kw)
 
     with patch.object(ans, "append", capturing_append):
         sink(df.filter("vec_id >= 15"), 1)

@@ -1,13 +1,19 @@
 """Round-9 CAS closure for EVERY streaming maintainer: the check-to-commit
 window `maintain_ohlc_rollup` closed in round 8 (anchored `expect_version`
 commits arbitrated by the log's put-if-absent) is ported to the card-facts,
-vocab-encode, shard-assignment, quality-score, gram-index, and quota sinks.
+vocab-encode, shard-assignment, quality-score, gram-index, and quota sinks
+(first wave), then to the novelty, semantic, dedup-LSH, embedding-index,
+probe-gate, PQ-codes, and IVF-PQ sinks (second wave — multi-commit sinks
+flipped to fold-first order, with crash-replays recomputing their
+dependent outputs from the fold's pinned record: quota priors in commit
+meta, novelty's change feed, semantic/dedup/ANN snapshot time travel).
 
 Each test injects a racer commit between the sink's state read and its
 commit — the exact interleaving a high-water-mark or version re-check
 alone cannot see — and asserts (a) the sink raises
 ConcurrentMaintenanceError instead of silently double-folding, and (b) a
-retry from the read converges to the exact batch-twin result.
+retry from the read converges to the exact batch-twin result.  The
+updated crash tests in each sink's own suite cover the replay halves.
 """
 
 from __future__ import annotations
@@ -335,3 +341,112 @@ def test_quota_replay_recomputes_decisions_from_pinned_priors(
         for r in st.read_snapshot(spark, ct).collect()
     }
     assert counts == {"only_domain": 10}  # replay did not re-fold
+
+
+# ------------------------------------------------ round-9 second wave:
+# the remaining maintainers (novelty, semantic, dedup-LSH, embedding-
+# index, probe) flipped to fold-first CAS with time-travel/change-feed
+# replay; racers for the two with the most delicate replay semantics.
+
+
+def test_novelty_digests_cas_rejects_mid_fold_racer(
+    spark, tmp_path, monkeypatch
+):
+    """A racer committing digests between the novelty sink's anti-join
+    read and its digests fold loses the CAS before ANY commit (digests
+    is now first), so no stale novel rows can land."""
+    from airflow_crypto_btc_spark.streaming import novelty_stream as ns
+
+    d_tbl, n_tbl, b_tbl = (
+        str(tmp_path / "d"), str(tmp_path / "n"), str(tmp_path / "bl")
+    )
+    schema = "doc_id long, text string"
+    sink = ns.novelty_sink(d_tbl, n_tbl, b_tbl, query_name="nov")
+    sink(spark.createDataFrame([(1, "first doc body")], schema), 0)
+
+    fired = {"done": False}
+    real = ns.read_snapshot_or_none
+
+    def racing(spark_, table):
+        out = real(spark_, table)
+        if table == d_tbl and not fired["done"]:
+            fired["done"] = True
+            st.append(
+                spark, st.read_snapshot(spark, d_tbl).limit(0), d_tbl
+            )
+        return out
+
+    monkeypatch.setattr(ns, "read_snapshot_or_none", racing)
+    with pytest.raises(ConcurrentMaintenanceError):
+        sink(spark.createDataFrame([(2, "second doc body")], schema), 1)
+    monkeypatch.setattr(ns, "read_snapshot_or_none", real)
+
+    # loser landed nothing (novel would have been the SECOND commit)
+    assert len(st.read_snapshot(spark, n_tbl).collect()) == 1
+    sink(spark.createDataFrame([(2, "second doc body")], schema), 1)
+    assert sorted(
+        r["id"] for r in st.read_snapshot(spark, n_tbl).collect()
+    ) == [1, 2]
+
+
+def test_embedding_index_cas_rejects_mid_fold_racer(
+    spark, tmp_path, monkeypatch
+):
+    """A racer committing index rows between the ANN sink's anti-join
+    read and its index fold loses the CAS with zero side effects (index
+    is now the first commit)."""
+    import numpy as np
+
+    from airflow_crypto_btc_spark.streaming import ann_stream as ans
+
+    rng = np.random.RandomState(5)
+    schema = "vec_id long, embedding array<double>"
+    vecs = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(12)], schema
+    )
+    i_tbl, p_tbl = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = ans.embedding_index_sink(
+        i_tbl, p_tbl, query_name="ann", planes=4
+    )
+    sink(vecs.filter("vec_id < 6"), 0)
+
+    fired = {"done": False}
+    real = ans.read_snapshot_or_none
+
+    def racing(spark_, table):
+        out = real(spark_, table)
+        if table == i_tbl and not fired["done"]:
+            fired["done"] = True
+            st.append(
+                spark, st.read_snapshot(spark, i_tbl).limit(0), i_tbl
+            )
+        return out
+
+    monkeypatch.setattr(ans, "read_snapshot_or_none", racing)
+    with pytest.raises(ConcurrentMaintenanceError):
+        sink(vecs.filter("vec_id >= 6"), 1)
+    monkeypatch.setattr(ans, "read_snapshot_or_none", real)
+
+    assert len(st.read_snapshot(spark, i_tbl).collect()) == 6
+    sink(vecs.filter("vec_id >= 6"), 1)  # retry converges
+    rows = st.read_snapshot(spark, i_tbl).collect()
+    assert len(rows) == 12
+    assert len({r["nid"] for r in rows}) == 12
+
+
+def test_txn_version_and_overwrite_cas(spark, tmp_path):
+    """The two round-9 snapshot-table primitives: txn_version recovers
+    the commit a txn landed at (deterministic-replay support), and
+    overwrite honors expect_version (read-modify-overwrite folds can
+    never silently drop a racing writer's update)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "v long")
+    v0 = st.append(spark, df, t, txn_id="a")
+    v1 = st.append(spark, df, t, txn_id="b")
+    assert st.txn_version(t, "a") == v0
+    assert st.txn_version(t, "b") == v1
+    assert st.txn_version(t, "nope") is None
+    v2 = st.overwrite(spark, df, t, expect_version=v1)
+    assert v2 == v1 + 1
+    with pytest.raises(st.CommitConflictError):
+        st.overwrite(spark, df, t, expect_version=v1)  # stale read

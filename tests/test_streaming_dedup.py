@@ -173,10 +173,12 @@ def test_streaming_dedup_redelivery_is_harmless(spark, tmp_path):
 def test_streaming_dedup_crash_between_appends_replays_clean(
     spark, tmp_path, monkeypatch
 ):
-    """Crash mid-batch (after the sets commit, before pairs/bands): the
-    replayed batch must land the missing commits without duplicating
-    index rows or pairs, and a subsequent batch must see a consistent
-    index."""
+    """Crash mid-batch (after the bands fold, before sets/pairs — the
+    round-9 bands-first CAS order): the replayed batch must read the
+    PRE-FOLD index snapshots (the live bands now hold its own rows,
+    which would empty the fresh set), land the missing commits without
+    duplicating index rows or pairs, and a subsequent batch must see a
+    consistent index."""
     from airflow_crypto_btc_spark.sources import snapshot_table as st
     from airflow_crypto_btc_spark.streaming import dedup_stream as ds
 
@@ -191,11 +193,11 @@ def test_streaming_dedup_crash_between_appends_replays_clean(
     real_append = ds.append
     calls = {"n": 0}
 
-    def crashing_append(spark_, df, table, txn_id=None):
+    def crashing_append(spark_, df, table, txn_id=None, **kw):
         calls["n"] += 1
-        if calls["n"] == 2:  # after sets (call 1), before pairs (call 2)
+        if calls["n"] == 2:  # after bands (call 1), before sets (call 2)
             raise RuntimeError("simulated crash")
-        return real_append(spark_, df, table, txn_id=txn_id)
+        return real_append(spark_, df, table, txn_id=txn_id, **kw)
 
     monkeypatch.setattr(ds, "append", crashing_append)
     batch1 = spark.createDataFrame(

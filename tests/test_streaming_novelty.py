@@ -131,11 +131,15 @@ def test_streaming_novelty_crash_between_appends_replays_clean(
     real_append = ns.append
     calls = {"n": 0}
 
-    def crashing_append(spark_, df, table, txn_id=None):
+    def crashing_append(spark_, df, table, txn_id=None, **kw):
         calls["n"] += 1
-        if calls["n"] == 2:  # after novel (call 1), before digests
+        if calls["n"] == 2:  # after digests (call 1), before novel —
+            # the round-9 digests-first order: the replay must recompute
+            # its novel set from the digests txn's change feed, because
+            # the live anti-join would now see the batch's own digests
+            # and silently drop the bloom-false-positive row
             raise RuntimeError("simulated crash")
-        return real_append(spark_, df, table, txn_id=txn_id)
+        return real_append(spark_, df, table, txn_id=txn_id, **kw)
 
     monkeypatch.setattr(ns, "append", crashing_append)
     batch1 = spark.createDataFrame([(2, fp_text)], schema)

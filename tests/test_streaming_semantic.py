@@ -172,11 +172,12 @@ def test_streaming_semantic_compaction_bounds_parts(spark, tmp_path):
 def test_streaming_semantic_crash_between_appends_replays_clean(
     spark, tmp_path, monkeypatch
 ):
-    """Crash after the labels append but before the members append: the
-    replay recomputes the identical fresh set (members unchanged, mark
-    unchanged), the labels append skips via its txn id, and the members
-    append lands its original rows — no duplicate labelings, no lost
-    members."""
+    """Crash after the members fold but before the labels append (the
+    round-9 members-first CAS order): the replay finds its members txn
+    already committed and must recompute the labeling against the
+    PRE-FOLD members snapshot (time travel) — the live table now holds
+    the batch's own members, and labeling against it would let batch
+    rows claim each other as committed neighbors."""
     from airflow_crypto_btc_spark.streaming import semantic_stream as sms
 
     df = _vectors(spark)
@@ -189,11 +190,13 @@ def test_streaming_semantic_crash_between_appends_replays_clean(
     real_append = sms.append
     calls = {"n": 0}
 
-    def crashing_append(spark_, d, table, txn_id=None, meta=None):
+    def crashing_append(spark_, d, table, txn_id=None, meta=None, **kw):
         calls["n"] += 1
-        if calls["n"] == 2:  # after labels, before members
+        if calls["n"] == 2:  # after members (the fold), before labels
             raise RuntimeError("simulated crash")
-        return real_append(spark_, d, table, txn_id=txn_id, meta=meta)
+        return real_append(
+            spark_, d, table, txn_id=txn_id, meta=meta, **kw
+        )
 
     monkeypatch.setattr(sms, "append", crashing_append)
     batch1 = df.filter("vec_id >= 50")

@@ -231,3 +231,217 @@ def release_pipeline(
         text_col=text_col,
         expect_source=expect_source,
     )
+
+
+# ------------------------------------------------------------------ BPE
+# Byte-pair encoding (Sennrich, Haddow & Birch, ACL 2016): the trained
+# subword tokenizer, as opposed to the frequency-ranked word vocab above.
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ONE corpus scan BPE needs: whitespace words with counts.
+    Everything after (the merge loop, the census, the argmax) operates
+    on this Zipf-bounded frame — vocabulary-sized, never corpus-sized —
+    which is exactly how production BPE trainers scale."""
+    return (
+        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+#: end-of-word marker (the classic formulation): merges learned at word
+#: ends stay distinct from word-internal merges
+_BPE_EOW = "</w>"
+
+
+def _bpe_seq_expr(word_col: str) -> F.Column:
+    """Initial symbol sequence of a word as a SPACED string with sentinel
+    spaces — ``' h i </w> '`` — so a merge is one literal ``replace`` of
+    ``' l r '`` with ``' lr '`` at any position.  Characters come from
+    ``substr`` over ``sequence(1, length)``, an idiom Spark and DuckDB
+    evaluate identically (no engine-specific empty-split semantics)."""
+    return F.expr(
+        f"concat(' ', concat_ws(' ', transform(sequence(1, "
+        f"length({word_col})), i -> substr({word_col}, i, 1))), "
+        f"' {_BPE_EOW} ')"
+    )
+
+
+#: adjacent symbol pairs of a spaced sequence; the size guard matters —
+#: a fully-merged word has ONE symbol and Spark's sequence(0, -1)
+#: counts DOWN (same trap shingles_expr documents)
+_BPE_PAIRS_EXPR = (
+    "CASE WHEN size(split(btrim(seq), ' ')) >= 2 THEN "
+    "transform(sequence(0, size(split(btrim(seq), ' ')) - 2), "
+    "i -> struct(split(btrim(seq), ' ')[i] AS l, "
+    "split(btrim(seq), ' ')[i + 1] AS r)) "
+    "ELSE array() END"
+)
+
+
+def bpe_train(
+    docs: DataFrame,
+    merges: int = 8,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Train a BPE merge list: ``merges`` greedy iterations of
+    count-adjacent-pairs → merge the most frequent pair everywhere
+    (count desc, then (left, right) text asc — a deterministic total
+    order, so training is replayable in plain SQL).
+
+    Scale shape: each iteration is one pair census over the WORD table
+    (vocabulary-sized — the corpus is never rescanned), one distributed
+    argmax (``orderBy().limit(1)`` → TakeOrderedAndProject), and one
+    literal-``replace`` projection applying the merge.  The only driver
+    traffic is ONE (pair, count) row per iteration — the merge result
+    itself, which IS the model (contrast: the probe/k-means trainers
+    chain lazily with no per-iteration collect because their iteration
+    results are corpus-sided frames; BPE's is a scalar decision the
+    next iteration's plan must embed as a literal).
+
+    Returns the ordered merge list [(step, left, right, pair_count)]."""
+    seqs = (
+        bpe_word_counts(docs, text_col)
+        .withColumn("seq", _bpe_seq_expr("word"))
+        .select("cnt", "seq")
+        .localCheckpoint(eager=False)
+    )
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, merges + 1):
+        best = (
+            seqs.select("cnt", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # no adjacent pairs left (degenerate corpus)
+        l, r, pc = best[0]["l"], best[0]["r"], best[0]["pc"]
+        out.append((step, l, r, int(pc)))
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ),
+        ).localCheckpoint(eager=False)
+    return out
+
+
+def bpe_merges_df(spark: SparkSession, merges) -> DataFrame:
+    """The trained merge list as a frame — (step, lhs, rhs, pair_count),
+    the persistable tokenizer artifact (``lhs``/``rhs`` because
+    left/right are SQL keywords on both engines)."""
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, pair_count long"
+    )
+
+
+def build_bpe_table(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    merges: int = 6,
+    source_version: str = "v0",
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Train and PERSIST the BPE merge list as a version-pinned snapshot
+    table — the frozen-tokenizer doctrine: subword boundaries are only
+    meaningful against one merge generation, so the commit meta pins
+    (source_version, merges) and :func:`encode_from_bpe` refuses a
+    mismatched generation before touching a row."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    trained = bpe_train(docs, merges=merges, text_col=text_col)
+    overwrite(
+        spark,
+        bpe_merges_df(spark, trained),
+        table,
+        meta={"source_version": source_version, "merges": merges},
+    )
+    return trained
+
+
+def load_bpe_merges(spark: SparkSession, table: str, expect_source=None):
+    """Load a persisted merge list in TRAINING ORDER, version-checked."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+
+    meta = current_snapshot(table).meta
+    if (
+        expect_source is not None
+        and meta.get("source_version") != expect_source
+    ):
+        raise ValueError(
+            f"stale BPE merges: trained on "
+            f"{meta.get('source_version')!r}, caller expects "
+            f"{expect_source!r} — retrain before encoding"
+        )
+    rows = read_snapshot(spark, table).orderBy("step").collect()
+    return [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows
+    ]
+
+
+def encode_from_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    merges_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expect_source=None,
+) -> DataFrame:
+    """Frozen-tokenizer encode: load the persisted merge list (a few
+    rows — the model is kilobytes) and apply it to every document in
+    one scan projection.  Serving never retrains; a merge-table rebuild
+    under a caller expecting the old generation is refused by
+    metadata."""
+    return bpe_encode_counts(
+        docs,
+        load_bpe_merges(spark, merges_table, expect_source),
+        id_col,
+        text_col,
+    )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document with a trained merge list and report
+    (id, n_words, n_bpe_tokens) — the sequence-length accounting a
+    training-batch planner reads (subword counts, not whitespace
+    counts, decide packing budgets).
+
+    One pure per-row projection: each word becomes its spaced symbol
+    string, the merges apply as a chain of literal ``replace`` calls IN
+    TRAINING ORDER (BPE's apply rule), and the token count is the sum
+    of the words' post-merge symbol counts.  No shuffle, no UDF — the
+    merge chain compiles into the scan projection, so encoding 100 TB
+    is exactly one pass."""
+    word_tok = (
+        f"concat(' ', concat_ws(' ', transform(sequence(1, length(w)), "
+        f"i -> substr(w, i, 1))), ' {_BPE_EOW} ')"
+    )
+    expr = word_tok
+    for _, left, right, _pc in merges:
+        # literal (non-regex) replace; merge order is the apply order
+        sl = left.replace("\\", "\\\\").replace("'", "\\'")
+        sr = right.replace("\\", "\\\\").replace("'", "\\'")
+        expr = f"replace({expr}, ' {sl} {sr} ', ' {sl}{sr} ')"
+    per_word = f"size(split(btrim({expr}), ' '))"
+    toks_sql = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate(transform({toks_sql}, w -> {per_word}), "
+            f"cast(0 as bigint), (acc, x) -> acc + cast(x as bigint))"
+        ).cast("long").alias("n_bpe_tokens"),
+    )

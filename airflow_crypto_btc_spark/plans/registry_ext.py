@@ -1379,6 +1379,165 @@ EXT_REGISTRY["text_encode_from_vocab"] = QuerySpec(
 )
 
 
+# ------------------------------------------------------------------- BPE
+_BPE_MERGES = 6
+
+
+def _bpe_train_ctes(merges: int = _BPE_MERGES) -> str:
+    """DuckDB CTE chain replaying BPE training (Sennrich et al. 2016,
+    the operators/vocab.bpe_train semantics): word counts (the one
+    corpus scan), spaced char sequences with the ``</w>`` marker, then
+    per merge step a pair census, a (count desc, lhs asc, rhs asc)
+    argmax, and a literal-``replace`` merge — both engines' replace()
+    scans left-to-right non-overlapping, so the greedy application is
+    identical by construction."""
+    parts = [
+        f"""bwords AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(tokens) AS word FROM ({_D_TOKENS}))
+      GROUP BY word
+    ),
+    seqs0 AS MATERIALIZED (
+      SELECT cnt,
+        ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+          i -> substr(word, i, 1)), ' ') || ' </w> ' AS seq
+      FROM bwords
+    )"""
+    ]
+    for k in range(merges):
+        parts.append(f""",
+    census{k} AS MATERIALIZED (
+      SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(syms)),
+          i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
+        FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms
+              FROM seqs{k}))
+      GROUP BY 1, 2
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT l, r, pc FROM census{k} ORDER BY pc DESC, l, r LIMIT 1
+    ),
+    seqs{k + 1} AS MATERIALIZED (
+      SELECT cnt, replace(seq,
+        ' ' || (SELECT l FROM best{k}) || ' '
+            || (SELECT r FROM best{k}) || ' ',
+        ' ' || (SELECT l FROM best{k})
+            || (SELECT r FROM best{k}) || ' ') AS seq
+      FROM seqs{k}
+    )""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(merges: int = _BPE_MERGES) -> str:
+    steps = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS step, l AS lhs, r AS rhs, "
+        f"pc AS pair_count FROM best{k}"
+        for k in range(merges)
+    )
+    return f"WITH {_bpe_train_ctes(merges)} SELECT * FROM ({steps})"
+
+
+def _bpe_encode_sql(merges: int = _BPE_MERGES) -> str:
+    cuts = ", ".join(
+        f"(SELECT l FROM best{k}) AS l{k}, (SELECT r FROM best{k}) AS r{k}"
+        for k in range(merges)
+    )
+    seq0 = (
+        "' ' || array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, i, 1)), ' ') || ' </w> '"
+    )
+    chain = seq0
+    for k in range(merges):
+        chain = (
+            f"replace({chain}, ' ' || l{k} || ' ' || r{k} || ' ', "
+            f"' ' || l{k} || r{k} || ' ')"
+        )
+    return f"""
+    WITH {_bpe_train_ctes(merges)},
+    cuts AS (SELECT {cuts}),
+    t AS ({_D_TOKENS})
+    SELECT t.doc_id,
+      CAST(len(tokens) AS BIGINT) AS n_words,
+      CAST(coalesce(list_sum(list_transform(tokens,
+        w -> len(string_split(trim({chain}), ' ')))), 0) AS BIGINT)
+        AS n_bpe_tokens
+    FROM t, cuts
+"""
+
+
+def q_text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (operators/vocab.bpe_train): six greedy
+    merge steps over the word-count table — the trained subword model,
+    as opposed to the frequency-ranked word vocab.  Fully oracle-backed:
+    DuckDB replays the whole training (census → argmax → merge per
+    step), so the engine's distributed argmax and its literal-replace
+    application are value-checked end to end.  A deliberate train line:
+    one corpus scan + six vocabulary-sized iterations."""
+    from airflow_crypto_btc_spark.operators.vocab import (
+        bpe_merges_df,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges_df(
+        spark, bpe_train(docs, merges=_BPE_MERGES)
+    )
+
+
+def _bpe_zone(spark, sf_dir):
+    """Landing-zone build of the persisted BPE merges — one train per
+    fixture version; returns (zone_path, source_version)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.vocab import build_bpe_table
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_bpe_table(
+            spark, docs, os.path.join(staging, "bpe"),
+            merges=_BPE_MERGES, source_version=source_version,
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "bpe", _land),
+        source_version,
+    )
+
+
+def q_text_bpe_encode_from_model(spark, sf_dir):
+    """Frozen-tokenizer encode (operators/vocab.encode_from_bpe): the
+    persisted merge list — kilobytes, version-pinned — applies to every
+    document as a chain of literal replaces compiled INTO the scan
+    projection, reporting (doc_id, n_words, n_bpe_tokens): the subword
+    sequence lengths a packing planner actually budgets with.  No
+    shuffle, no UDF, no retrain at serve time; same oracle doctrine as
+    the other from-model entries (serving the model's own corpus must
+    equal the inline train+encode replay)."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.vocab import encode_from_bpe
+
+    zone, source_version = _bpe_zone(spark, sf_dir)
+    return encode_from_bpe(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "bpe"),
+        expect_source=source_version,
+    )
+
+
+EXT_REGISTRY["text_bpe_merges"] = QuerySpec(
+    q_text_bpe_merges, _bpe_merges_sql()
+)
+EXT_REGISTRY["text_bpe_encode_from_model"] = QuerySpec(
+    q_text_bpe_encode_from_model, _bpe_encode_sql()
+)
+
+
 def q_curate_pack_bins(spark, sf_dir):
     """Frozen-vocab-encoded documents packed into 512-token bins, each
     bin one concatenated id sequence — the training-batch artifact a

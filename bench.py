@@ -163,6 +163,11 @@ HEADLINE = [
     # tokenizer-sharding step (broadcast map, zero doc-row shuffles)
     "text_vocab_build",
     "text_encode_from_vocab",
+    # round-9: the TRAINED subword tokenizer — BPE merges (a deliberate
+    # train line: one corpus scan + six vocab-bounded iterations) and
+    # the frozen-merge encode (scan-compiled replace chain)
+    "text_bpe_merges",
+    "text_bpe_encode_from_model",
     # round-8: the training-batch artifact — encoded ids packed into
     # fixed-budget bins in one lineage
     "curate_pack_bins",

@@ -50,6 +50,7 @@ SMOKE_TESTS = {
     "test_dynamic_overwrite_touches_only_its_partition",  # write paths
     "test_ivfpq_with_big_shortlist_equals_ivf_exact",  # IVF-PQ index
     "test_perplexity_buckets_equal_global_ntile",  # CCNet ppl split
+    "test_bpe_train_textbook_merges_and_encode",  # BPE tokenizer
 }
 
 

@@ -163,3 +163,80 @@ def test_release_pipeline_gates_dedups_and_packs(spark, tmp_path):
     # every id is from the frozen vocab or the OOV sentinel
     for r in bins:
         assert set(r["bin_ids"].split()) <= {str(i) for i in range(1, 11)} | {"-1"}
+
+
+@pytest.mark.smoke
+def test_bpe_train_textbook_merges_and_encode(spark):
+    """Sennrich et al.'s classic low/lower corpus shape: the merge order
+    is hand-checkable ((w,</w>) first at count 7, then (l,o), (n,e),
+    (lo,w</w>) — 'low' fully merged — ...), and the encode counts follow
+    from applying those merges in training order."""
+    from airflow_crypto_btc_spark.operators.vocab import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new"),
+         (3, "low new")],
+        "doc_id long, text string",
+    )
+    m = bpe_train(docs, merges=6)
+    assert [(s, l, r) for s, l, r, _ in m] == [
+        (1, "w", "</w>"), (2, "l", "o"), (3, "n", "e"),
+        (4, "lo", "w</w>"), (5, "w", "e"), (6, "ne", "w</w>"),
+    ]
+    assert m[0][3] == 7  # 'w </w>' occurs in all 7 w-final words? no:
+    # low(3) + new(2) + 'low new' doc: low, new -> 7 total w-final words
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(docs, m).collect()
+    }
+    # doc 3 "low new": both words fully merged -> 1 BPE token each
+    assert got[3] == (2, 2)
+    assert got[1][0] == 5 and got[2][0] == 4
+    # subword counts strictly exceed word counts for partially-merged
+    # docs, never fall below them... per-word tokens >= 1
+    assert got[1][1] >= got[1][0] and got[2][1] >= got[2][0]
+
+
+def test_bpe_merge_is_greedy_left_to_right_nonoverlapping(spark):
+    """'aaa' under merge (a,a) must become (aa, a) — the first
+    occurrence wins and the shared middle symbol is consumed, the
+    classic non-overlapping rule both engines' replace() implements."""
+    from airflow_crypto_btc_spark.operators.vocab import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa")], "doc_id long, text string"
+    )
+    m = bpe_train(docs, merges=1)
+    assert (m[0][1], m[0][2]) == ("a", "a")
+    got = bpe_encode_counts(docs, m).collect()[0]
+    # per word: aa, a, </w> -> 3 tokens; 2 words -> 6
+    assert (got["n_words"], got["n_bpe_tokens"]) == (2, 6)
+
+
+def test_bpe_frozen_model_refusal_and_serve_parity(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.vocab import (
+        bpe_encode_counts,
+        bpe_train,
+        build_bpe_table,
+        encode_from_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "bc abc ab")], "doc_id long, text string"
+    )
+    t = str(tmp_path / "bpe")
+    trained = build_bpe_table(spark, docs, t, merges=4, source_version="v1")
+    with pytest.raises(ValueError, match="stale BPE merges"):
+        encode_from_bpe(spark, docs, t, expect_source="v2")
+    served = sorted(
+        map(tuple, encode_from_bpe(spark, docs, t, expect_source="v1").collect())
+    )
+    inline = sorted(map(tuple, bpe_encode_counts(docs, trained).collect()))
+    assert served == inline

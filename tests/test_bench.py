@@ -1,10 +1,13 @@
-"""The bench chunk emitter: every per-query median must survive the
-driver's fixed-size tail capture (BENCH_r07 parsed null, BENCH_r08 lost
-28/93 medians — both from one monolithic per-query line losing its head).
+"""The bench emitters: every per-query median must survive the driver's
+fixed-size tail capture (BENCH_r07 parsed null, BENCH_r08 lost 28/93
+medians, BENCH_r09 lost 36/99 — the capture keeps only the LAST 2000
+characters of stdout, measured from the artifacts themselves).
 
-The contract tested here: chunk lines are bounded (<~1.3 KB serialized),
-self-identifying (chunk i of n), and their union reconstructs the full
-medians map byte-for-byte, in catalog order.
+The round-10 contract tested here: the FINAL block (one compressed
+medians_z line + the summary line) fits bench.TAIL_BUDGET ≤ 1900 bytes
+and round-trips the complete 2-decimal medians map; the human-readable
+chunk lines that precede it keep their old shape but nothing depends on
+them surviving.
 """
 
 from __future__ import annotations
@@ -96,3 +99,73 @@ def test_chunking_handles_tiny_and_empty_maps() -> None:
     assert bench.chunk_timings({}) == []
     one = {"flagship_daily_indicators": 1.2345}
     assert bench.chunk_timings(one) == [one]
+
+
+@pytest.mark.smoke
+def test_final_block_fits_the_2000_char_tail_and_roundtrips() -> None:
+    # THE round-10 contract: medians_z line + summary line + newlines
+    # must fit the driver's measured 2000-char tail with margin, and the
+    # complete map must decode from the line alone.
+    timings = _fake_timings()
+    summary = bench.summary_line(
+        round(sum(timings.values()), 4), 0.1, len(timings)
+    )
+    zline = bench.medians_z_line(
+        timings, 0.1, 3, budget=bench.TAIL_BUDGET - len(summary) - 2
+    )
+    assert len(zline) + len(summary) + 2 <= bench.TAIL_BUDGET
+    assert bench.TAIL_BUDGET <= 1900  # driver window is 2000; keep margin
+    decoded = bench.decode_medians_z(zline)
+    assert decoded == {k: round(v, 2) for k, v in timings.items()}
+    # the envelope self-identifies the codec and the decimals used
+    env = json.loads(zline)
+    assert env["enc"] == "zlib+b64"
+    assert env["decimals"] == 2  # 1-decimal fallback must stay unreachable
+
+    # ...including on a realistic-but-fully-distinct map (every median
+    # unique, bench-typical 0.05-9.5 s range): 2 decimals must still fit
+    import random
+
+    rng = random.Random(3)
+    distinct = {
+        name: round(rng.uniform(0.05, 9.5), 4) for name in bench.HEADLINE
+    }
+    s2 = bench.summary_line(round(sum(distinct.values()), 4), 0.1, 99)
+    z2 = bench.medians_z_line(
+        distinct, 0.1, 3, budget=bench.TAIL_BUDGET - len(s2) - 2
+    )
+    assert json.loads(z2)["decimals"] == 2
+    assert len(z2) + len(s2) + 2 <= bench.TAIL_BUDGET
+
+
+@pytest.mark.smoke
+def test_final_block_fits_even_with_adversarial_values() -> None:
+    # Worst realistic case: every median distinct, max digits at 2
+    # decimals (e.g. 17.93) — poor compressibility; must still fit.
+    import random
+
+    rng = random.Random(7)
+    timings = {
+        name: round(rng.uniform(0.01, 59.99), 4)
+        for name in bench.HEADLINE
+    }
+    summary = bench.summary_line(
+        round(sum(timings.values()), 4), 0.1, len(timings)
+    )
+    zline = bench.medians_z_line(
+        timings, 0.1, 3, budget=bench.TAIL_BUDGET - len(summary) - 2
+    )
+    assert len(zline) + len(summary) + 2 <= bench.TAIL_BUDGET
+    # this shape trips the 1-decimal fallback — the envelope must say so
+    # and the decode must match at the advertised precision
+    nd = json.loads(zline)["decimals"]
+    assert bench.decode_medians_z(zline) == {
+        k: round(v, nd) for k, v in timings.items()
+    }
+
+
+def test_decode_medians_z_raises_on_truncation() -> None:
+    timings = _fake_timings()
+    zline = bench.medians_z_line(timings, 0.1, 3, budget=10_000)
+    with pytest.raises(Exception):
+        bench.decode_medians_z(zline[: len(zline) // 2])

@@ -254,28 +254,48 @@ def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: ends stay distinct from word-internal merges
 _BPE_EOW = "</w>"
 
+#: symbol-end marker (ASCII unit separator): every symbol in a spaced
+#: sequence ends with exactly one marker — ``' h\x1f i\x1f </w>\x1f'`` —
+#: so a merge is the literal replace of ``' l\x1f r\x1f'`` with
+#: ``' lr\x1f'``.  The marker is the boundary AFTER ``r``, so the match
+#: consumes nothing of the NEXT symbol's leading space: a run of equal
+#: symbols merges left-to-right canonically (``b b b b`` → ``bb bb``),
+#: where a space-bounded pattern ``' l r '`` eats the following
+#: separator and merges runs only alternately (the round-9 ADVICE bug).
+_BPE_MARK = "\x1f"
+
+#: chars scrubbed from input words: the marker itself plus the record
+#: separator the oracle uses as its empty-census sentinel (chr 30) —
+#: both are non-whitespace control chars no real tokenizer input carries
+_BPE_SCRUB = "\x1f\x1e"
+
 
 def _bpe_seq_expr(word_col: str) -> F.Column:
-    """Initial symbol sequence of a word as a SPACED string with sentinel
-    spaces — ``' h i </w> '`` — so a merge is one literal ``replace`` of
-    ``' l r '`` with ``' lr '`` at any position.  Characters come from
+    """Initial symbol sequence of a word as a SPACED, MARKER-TERMINATED
+    string — ``' h\\x1f i\\x1f </w>\\x1f'`` (leading space before every
+    symbol, ``\\x1f`` after every symbol).  Characters come from
     ``substr`` over ``sequence(1, length)``, an idiom Spark and DuckDB
-    evaluate identically (no engine-specific empty-split semantics)."""
+    evaluate identically (no engine-specific empty-split semantics);
+    control chars that collide with the encoding are scrubbed first."""
+    w = f"translate({word_col}, '{_BPE_SCRUB}', '')"
     return F.expr(
         f"concat(' ', concat_ws(' ', transform(sequence(1, "
-        f"length({word_col})), i -> substr({word_col}, i, 1))), "
-        f"' {_BPE_EOW} ')"
+        f"length({w})), i -> concat(substr({w}, i, 1), '{_BPE_MARK}'))), "
+        f"' {_BPE_EOW}{_BPE_MARK}')"
     )
 
 
-#: adjacent symbol pairs of a spaced sequence; the size guard matters —
+#: adjacent symbol pairs of a spaced sequence, markers stripped (every
+#: symbol carries exactly one trailing marker and none inside, so one
+#: global replace un-marks the whole sequence); the size guard matters —
 #: a fully-merged word has ONE symbol and Spark's sequence(0, -1)
 #: counts DOWN (same trap shingles_expr documents)
+_BPE_SYMS = f"split(replace(btrim(seq), '{_BPE_MARK}', ''), ' ')"
 _BPE_PAIRS_EXPR = (
-    "CASE WHEN size(split(btrim(seq), ' ')) >= 2 THEN "
-    "transform(sequence(0, size(split(btrim(seq), ' ')) - 2), "
-    "i -> struct(split(btrim(seq), ' ')[i] AS l, "
-    "split(btrim(seq), ' ')[i + 1] AS r)) "
+    f"CASE WHEN size({_BPE_SYMS}) >= 2 THEN "
+    f"transform(sequence(0, size({_BPE_SYMS}) - 2), "
+    f"i -> struct({_BPE_SYMS}[i] AS l, "
+    f"{_BPE_SYMS}[i + 1] AS r)) "
     "ELSE array() END"
 )
 
@@ -284,25 +304,38 @@ def bpe_train(
     docs: DataFrame,
     merges: int = 8,
     text_col: str = "text",
+    driver_rows_cap: int = 1_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """Train a BPE merge list: ``merges`` greedy iterations of
     count-adjacent-pairs → merge the most frequent pair everywhere
     (count desc, then (left, right) text asc — a deterministic total
     order, so training is replayable in plain SQL).
 
-    Scale shape: each iteration is one pair census over the WORD table
-    (vocabulary-sized — the corpus is never rescanned), one distributed
-    argmax (``orderBy().limit(1)`` → TakeOrderedAndProject), and one
-    literal-``replace`` projection applying the merge.  The only driver
-    traffic is ONE (pair, count) row per iteration — the merge result
-    itself, which IS the model (contrast: the probe/k-means trainers
-    chain lazily with no per-iteration collect because their iteration
-    results are corpus-sided frames; BPE's is a scalar decision the
-    next iteration's plan must embed as a literal).
+    Scale shape (round-10): ONE distributed corpus scan builds the word
+    table (vocabulary-sized, Zipf-bounded — the corpus is never
+    rescanned), and when that table fits ``driver_rows_cap`` rows it is
+    collected ONCE and the whole greedy loop runs driver-side over the
+    collected (word, count) dict — the standard tokenizer-trainer shape
+    (Sennrich et al. 2016 reference implementation; HF tokenizers), so a
+    32k-merge vocabulary costs one Spark job + an in-memory loop instead
+    of 32k sequential cluster round-trips.  Corpora whose word table
+    exceeds the cap (the probe is ``limit(cap + 1).collect()``, bounded
+    by construction) fall back to the fully distributed loop: per step
+    one pair census over the word table, one ``orderBy().limit(1)``
+    argmax (TakeOrderedAndProject), one literal-replace projection.
+    Both paths apply merges CANONICALLY (non-consuming symbol-end
+    markers / list scan) and share the same tie-break, so they produce
+    bit-identical merge lists — property-tested.
 
     Returns the ordered merge list [(step, left, right, pair_count)]."""
+    words = bpe_word_counts(docs, text_col)
+    probe = words.limit(driver_rows_cap + 1).collect()
+    if len(probe) <= driver_rows_cap:
+        return _bpe_train_local(
+            [(r["word"], r["cnt"]) for r in probe], merges
+        )
     seqs = (
-        bpe_word_counts(docs, text_col)
+        words
         .withColumn("seq", _bpe_seq_expr("word"))
         .select("cnt", "seq")
         .localCheckpoint(eager=False)
@@ -324,9 +357,96 @@ def bpe_train(
         seqs = seqs.withColumn(
             "seq",
             F.replace(
-                F.col("seq"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+                F.col("seq"),
+                F.lit(f" {l}{_BPE_MARK} {r}{_BPE_MARK}"),
+                F.lit(f" {l}{r}{_BPE_MARK}"),
             ),
         ).localCheckpoint(eager=False)
+    return out
+
+
+def _bpe_apply_merge(syms: list[str], l: str, r: str) -> list[str]:
+    """Canonical greedy left-to-right merge of one pair in a symbol
+    list: each match consumes both symbols (the merged token never
+    re-pairs within the same step) — exactly the semantics of the
+    marker-encoded string replace both engines run."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_local(
+    words: list[tuple[str, int]], merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side greedy BPE over a collected (word, count) table —
+    the fast path of :func:`bpe_train`.  Incremental pair-stat
+    maintenance: a merge re-censuses ONLY the words that contain the
+    merged pair (tracked by an inverted index), the trick that makes
+    vocab-scale training (tens of thousands of merges) linear-ish
+    instead of quadratic.  Tie-break mirrors the SQL argmax exactly:
+    count desc, then (l, r) ascending — Python's code-point string
+    order equals both engines' binary UTF-8 collation.  The argmax is a
+    lazy-deletion heap keyed (-count, (l, r)) — heap order IS the SQL
+    ``ORDER BY pc DESC, l, r`` — revalidated against live stats at pop,
+    so each merge costs O(touched pairs · log), not O(|pair table|);
+    that is what keeps a 32k-merge training in seconds."""
+    import heapq
+    from collections import defaultdict
+
+    scrub = str.maketrans("", "", _BPE_SCRUB)
+    vocab: list[tuple[list[str], int]] = [
+        (list(w.translate(scrub)) + [_BPE_EOW], int(c)) for w, c in words
+    ]
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, c) in enumerate(vocab):
+        for pair in zip(syms, syms[1:]):
+            stats[pair] += c
+            index[pair].add(wi)
+    heap = [(-c, p) for p, c in stats.items() if c > 0]
+    heapq.heapify(heap)
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, merges + 1):
+        # pop stale entries until the top reflects live stats
+        while heap and not (
+            -heap[0][0] > 0 and stats.get(heap[0][1], 0) == -heap[0][0]
+        ):
+            heapq.heappop(heap)
+        if not heap:
+            break  # no adjacent pairs left (degenerate corpus)
+        negc, (l, r) = heapq.heappop(heap)
+        pc = -negc
+        out.append((step, l, r, int(pc)))
+        # re-census exactly the words holding the pair; stale index
+        # entries (word no longer has the pair) cancel out: their old
+        # contributions are subtracted and identically re-added
+        touched: set[tuple[str, str]] = set()
+        for wi in index.pop((l, r), set()):
+            syms, c = vocab[wi]
+            for pair in zip(syms, syms[1:]):
+                stats[pair] -= c
+                touched.add(pair)
+            merged = _bpe_apply_merge(syms, l, r)
+            vocab[wi] = (merged, c)
+            for pair in zip(merged, merged[1:]):
+                stats[pair] += c
+                index[pair].add(wi)
+                touched.add(pair)
+        # the merged pair is fully consumed (canonical apply leaves no
+        # (l, r) adjacency); a later re-formed composite re-accumulates
+        # from zero through the defaultdict + heap pushes below
+        stats.pop((l, r), None)
+        touched.discard((l, r))
+        for pair in touched:
+            if stats.get(pair, 0) > 0:
+                heapq.heappush(heap, (-stats[pair], pair))
     return out
 
 
@@ -419,22 +539,30 @@ def bpe_encode_counts(
     training-batch planner reads (subword counts, not whitespace
     counts, decide packing budgets).
 
-    One pure per-row projection: each word becomes its spaced symbol
-    string, the merges apply as a chain of literal ``replace`` calls IN
-    TRAINING ORDER (BPE's apply rule), and the token count is the sum
-    of the words' post-merge symbol counts.  No shuffle, no UDF — the
-    merge chain compiles into the scan projection, so encoding 100 TB
-    is exactly one pass."""
+    One pure per-row projection: each word becomes its spaced,
+    marker-terminated symbol string (see ``_BPE_MARK`` — the marker is
+    the non-consuming right boundary that makes repeated-symbol runs
+    merge canonically), the merges apply as a chain of literal
+    ``replace`` calls IN TRAINING ORDER (BPE's apply rule), and the
+    token count is the sum of the words' post-merge symbol counts.  No
+    shuffle, no UDF — the merge chain compiles into the scan
+    projection, so encoding 100 TB is exactly one pass."""
+    cw = f"translate(w, '{_BPE_SCRUB}', '')"
     word_tok = (
-        f"concat(' ', concat_ws(' ', transform(sequence(1, length(w)), "
-        f"i -> substr(w, i, 1))), ' {_BPE_EOW} ')"
+        f"concat(' ', concat_ws(' ', "
+        f"transform(sequence(1, length({cw})), "
+        f"i -> concat(substr({cw}, i, 1), '{_BPE_MARK}'))), "
+        f"' {_BPE_EOW}{_BPE_MARK}')"
     )
     expr = word_tok
     for _, left, right, _pc in merges:
         # literal (non-regex) replace; merge order is the apply order
         sl = left.replace("\\", "\\\\").replace("'", "\\'")
         sr = right.replace("\\", "\\\\").replace("'", "\\'")
-        expr = f"replace({expr}, ' {sl} {sr} ', ' {sl}{sr} ')"
+        expr = (
+            f"replace({expr}, ' {sl}{_BPE_MARK} {sr}{_BPE_MARK}', "
+            f"' {sl}{sr}{_BPE_MARK}')"
+        )
     per_word = f"size(split(btrim({expr}), ' '))"
     toks_sql = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     return docs.select(

@@ -1386,21 +1386,30 @@ _BPE_MERGES = 6
 def _bpe_train_ctes(merges: int = _BPE_MERGES) -> str:
     """DuckDB CTE chain replaying BPE training (Sennrich et al. 2016,
     the operators/vocab.bpe_train semantics): word counts (the one
-    corpus scan), spaced char sequences with the ``</w>`` marker, then
-    per merge step a pair census, a (count desc, lhs asc, rhs asc)
-    argmax, and a literal-``replace`` merge — both engines' replace()
-    scans left-to-right non-overlapping, so the greedy application is
-    identical by construction."""
+    corpus scan), spaced MARKER-TERMINATED char sequences — every
+    symbol ends with chr(31), so a merge's literal ``replace`` of
+    ``' l␟ r␟'`` with ``' lr␟'`` consumes nothing of the next symbol's
+    leading space and repeated-symbol runs merge canonically
+    left-to-right (``b b b b`` → ``bb bb``), in lockstep with the
+    engine — then per merge step a pair census (markers stripped), a
+    (count desc, lhs asc, rhs asc) argmax, and the marker-bounded
+    replace.  An EXHAUSTED census (corpus runs out of pairs before the
+    fixed step count) is a no-op, not a NULL bomb: the best{k} scalar
+    subqueries are coalesced to chr(30), a char scrubbed from every
+    word, so the replace pattern can never match — mirroring
+    bpe_train's early break."""
     parts = [
         f"""bwords AS MATERIALIZED (
-      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT replace(replace(word, chr(31), ''), chr(30), '') AS word,
+             CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(tokens) AS word FROM ({_D_TOKENS}))
-      GROUP BY word
+      GROUP BY 1
     ),
     seqs0 AS MATERIALIZED (
       SELECT cnt,
         ' ' || array_to_string(list_transform(range(1, length(word) + 1),
-          i -> substr(word, i, 1)), ' ') || ' </w> ' AS seq
+          i -> substr(word, i, 1) || chr(31)), ' ')
+            || ' </w>' || chr(31) AS seq
       FROM bwords
     )"""
     ]
@@ -1410,7 +1419,8 @@ def _bpe_train_ctes(merges: int = _BPE_MERGES) -> str:
       SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
         SELECT cnt, unnest(list_transform(range(1, len(syms)),
           i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
-        FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms
+        FROM (SELECT cnt,
+                string_split(replace(trim(seq), chr(31), ''), ' ') AS syms
               FROM seqs{k}))
       GROUP BY 1, 2
     ),
@@ -1419,10 +1429,10 @@ def _bpe_train_ctes(merges: int = _BPE_MERGES) -> str:
     ),
     seqs{k + 1} AS MATERIALIZED (
       SELECT cnt, replace(seq,
-        ' ' || (SELECT l FROM best{k}) || ' '
-            || (SELECT r FROM best{k}) || ' ',
-        ' ' || (SELECT l FROM best{k})
-            || (SELECT r FROM best{k}) || ' ') AS seq
+        ' ' || coalesce((SELECT l FROM best{k}), chr(30)) || chr(31)
+            || ' ' || coalesce((SELECT r FROM best{k}), chr(30)) || chr(31),
+        ' ' || coalesce((SELECT l FROM best{k}), chr(30))
+            || coalesce((SELECT r FROM best{k}), chr(30)) || chr(31)) AS seq
       FROM seqs{k}
     )""")
     return "".join(parts)
@@ -1438,19 +1448,26 @@ def _bpe_merges_sql(merges: int = _BPE_MERGES) -> str:
 
 
 def _bpe_encode_sql(merges: int = _BPE_MERGES) -> str:
+    # the chr(30) sentinel makes an exhausted merge step a no-op replace
+    # (chr 30/31 are scrubbed from every word, so the pattern can never
+    # match) instead of NULL-propagating the whole chain — lockstep with
+    # bpe_encode_counts applying only the merges bpe_train returned
     cuts = ", ".join(
-        f"(SELECT l FROM best{k}) AS l{k}, (SELECT r FROM best{k}) AS r{k}"
+        f"coalesce((SELECT l FROM best{k}), chr(30)) AS l{k}, "
+        f"coalesce((SELECT r FROM best{k}), chr(30)) AS r{k}"
         for k in range(merges)
     )
+    cw = "replace(replace(w, chr(31), ''), chr(30), '')"
     seq0 = (
-        "' ' || array_to_string(list_transform(range(1, length(w) + 1), "
-        "i -> substr(w, i, 1)), ' ') || ' </w> '"
+        f"' ' || array_to_string(list_transform(range(1, length({cw}) + 1), "
+        f"i -> substr({cw}, i, 1) || chr(31)), ' ') || ' </w>' || chr(31)"
     )
     chain = seq0
     for k in range(merges):
         chain = (
-            f"replace({chain}, ' ' || l{k} || ' ' || r{k} || ' ', "
-            f"' ' || l{k} || r{k} || ' ')"
+            f"replace({chain}, "
+            f"' ' || l{k} || chr(31) || ' ' || r{k} || chr(31), "
+            f"' ' || l{k} || r{k} || chr(31))"
         )
     return f"""
     WITH {_bpe_train_ctes(merges)},
@@ -1469,10 +1486,15 @@ def q_text_bpe_merges(spark, sf_dir):
     """BPE tokenizer TRAINING (operators/vocab.bpe_train): six greedy
     merge steps over the word-count table — the trained subword model,
     as opposed to the frequency-ranked word vocab.  Fully oracle-backed:
-    DuckDB replays the whole training (census → argmax → merge per
-    step), so the engine's distributed argmax and its literal-replace
-    application are value-checked end to end.  A deliberate train line:
-    one corpus scan + six vocabulary-sized iterations."""
+    DuckDB replays the whole training (census → argmax → canonical
+    marker-bounded merge per step), value-checking the trainer end to
+    end.  Round-10 shape: ONE corpus scan builds the word table, which
+    is collected once (vocabulary-sized, cap-guarded) and the greedy
+    loop runs driver-side with incremental pair stats + a lazy heap —
+    so the train line costs one Spark job regardless of merge count,
+    and merges=1000 at sf0.1 closes in seconds (SCALING.md); corpora
+    whose word table exceeds the cap use the distributed per-step loop,
+    bit-identical by property test."""
     from airflow_crypto_btc_spark.operators.vocab import (
         bpe_merges_df,
         bpe_train,

@@ -220,6 +220,112 @@ def test_bpe_merge_is_greedy_left_to_right_nonoverlapping(spark):
     assert (got["n_words"], got["n_bpe_tokens"]) == (2, 6)
 
 
+def test_bpe_repeated_symbol_runs_merge_canonically(spark):
+    """Round-10 ADVICE fix: a run of 4+ identical symbols must merge
+    left-to-right canonically (Sennrich apply) — ``b b b b`` → ``bb bb``
+    — not alternately (``bb b b``, the space-consuming replace bug).
+    The marker encoding makes both engines' literal replace canonical;
+    checked through BOTH the encode count and the step-2 census (which
+    sees the merged sequences and diverges if step 1 was applied
+    alternately)."""
+    from airflow_crypto_btc_spark.operators.vocab import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "bbbb")], "doc_id long, text string"
+    )
+    m = bpe_train(docs, merges=2)
+    assert (m[0][1], m[0][2], m[0][3]) == ("b", "b", 3)
+    # after a CANONICAL step 1 the word is (bb, bb, </w>): step 2's
+    # census is {(bb,bb):1, (bb,</w>):1} and the tie-break (l asc, then
+    # r asc: '<' sorts before 'b') picks (bb, </w>).  The alternate-
+    # merge bug would leave (bb, b, b, </w>) and pick (b, </w>) instead.
+    assert (m[1][1], m[1][2]) == ("bb", "</w>")
+    got = bpe_encode_counts(docs, m[:1]).collect()[0]
+    # canonical: bb bb </w> -> 3 subword tokens (alternate bug: 4)
+    assert got["n_bpe_tokens"] == 3
+    # odd run: bb bb b </w> -> 4
+    docs5 = spark.createDataFrame(
+        [(1, "bbbbb")], "doc_id long, text string"
+    )
+    got5 = bpe_encode_counts(docs5, m[:1]).collect()[0]
+    assert got5["n_bpe_tokens"] == 4
+
+
+def test_bpe_local_and_distributed_training_identical(spark):
+    """bpe_train's driver-batched fast path (collect the word table
+    once, greedy loop in memory) and the distributed per-step loop must
+    produce bit-identical merge lists — counts, order, tie-breaks —
+    including on repeated-symbol runs and across an exhausted census."""
+    from airflow_crypto_btc_spark.operators.vocab import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "aaaa aaa bbbb bbbb"),
+            (4, "ab ab abc bc"),
+        ],
+        "doc_id long, text string",
+    )
+    local = bpe_train(docs, merges=10)
+    distributed = bpe_train(docs, merges=10, driver_rows_cap=0)
+    assert local == distributed
+    # degenerate corpus: census exhausts before the requested steps on
+    # both paths, at the same step, with the same prefix
+    tiny = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    lt = bpe_train(tiny, merges=8)
+    dt = bpe_train(tiny, merges=8, driver_rows_cap=0)
+    assert lt == dt
+    assert len(lt) < 8  # it DID exhaust
+
+
+def test_bpe_oracle_replays_training_in_lockstep_on_edge_corpora(spark):
+    """The DuckDB training-replay CTE chain (registry_ext._bpe_merges_sql
+    / _bpe_encode_sql) against the engine on corpora the fixtures don't
+    exercise: repeated-symbol runs (canonical apply) and a census that
+    exhausts before the fixed 6 steps (the coalesce-sentinel fix — an
+    empty best{k} must become a no-op, not a NULL bomb that zeroes
+    n_bpe_tokens)."""
+    import duckdb
+
+    from airflow_crypto_btc_spark.operators.vocab import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _bpe_encode_sql,
+        _bpe_merges_sql,
+    )
+
+    corpora = {
+        "runs": [(1, "bbbb bbbb aaa"), (2, "bbbbb ab")],
+        "exhausts": [(1, "a b a"), (2, "b a")],
+    }
+    for name, rows in corpora.items():
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        m = bpe_train(docs, merges=6)
+        enc = {
+            (r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_encode_counts(docs, m).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, '{t}')" for i, t in rows)
+            + ") t(doc_id, text)"
+        )
+        om = [tuple(r) for r in con.execute(
+            _bpe_merges_sql() + " ORDER BY step"
+        ).fetchall()]
+        assert om == m, f"{name}: merge lists diverge"
+        oenc = {tuple(r) for r in con.execute(_bpe_encode_sql()).fetchall()}
+        assert oenc == enc, f"{name}: encode counts diverge"
+        con.close()
+
+
 def test_bpe_frozen_model_refusal_and_serve_parity(spark, tmp_path):
     from airflow_crypto_btc_spark.operators.vocab import (
         bpe_encode_counts,

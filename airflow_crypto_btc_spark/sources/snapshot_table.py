@@ -105,6 +105,24 @@ def current_snapshot(table: str, version: int | None = None) -> Snapshot:
     )
 
 
+def _txn_entry(table: str, txn_id: str) -> tuple[int, dict] | None:
+    """(version, log entry) of the commit that carried ``txn_id``.
+    Scans NEWEST-FIRST with early exit: callers are replay branches of
+    streaming maintainers probing for their OWN batch's txn, which —
+    when present at all — sits in the most recent commits, so the
+    common per-micro-batch probe opens O(1) log files instead of
+    O(#commits) (round-9 ADVICE: the oldest-first scan made a
+    long-running stream's cumulative replay cost quadratic).  A miss
+    (fresh txn) still reads the whole log once — same cost as the
+    ``current_snapshot`` replay every commit already pays."""
+    for v in reversed(_list_versions(table)):
+        with open(_log_path(table, v)) as fh:
+            entry = json.load(fh)
+        if entry.get("txn_id") == txn_id:
+            return v, entry
+    return None
+
+
 def txn_version(table: str, txn_id: str) -> int | None:
     """Version of the commit that carried ``txn_id`` (``None`` if no
     commit did).  With :func:`snapshot_changes` this lets a replayed
@@ -112,13 +130,11 @@ def txn_version(table: str, txn_id: str) -> int | None:
     commit folded (the rows of that version's added files) and derive
     its remaining commits from that record — the second half of the
     deterministic-replay pattern (:func:`txn_meta` covers pinned scalar
-    inputs; this covers pinned row sets)."""
-    for v in _list_versions(table):
-        with open(_log_path(table, v)) as fh:
-            entry = json.load(fh)
-        if entry.get("txn_id") == txn_id:
-            return v
-    return None
+    inputs; this covers pinned row sets).  Newest-first early-exit scan
+    (txn ids are unique in the log: idempotent retries skip instead of
+    re-committing, and the put-if-absent file is the arbiter)."""
+    hit = _txn_entry(table, txn_id)
+    return hit[0] if hit else None
 
 
 def txn_meta(table: str, txn_id: str) -> dict | None:
@@ -128,13 +144,10 @@ def txn_meta(table: str, txn_id: str) -> dict | None:
     exact inputs its fold was computed from — e.g. the quota sink's
     per-domain prior counts — and a replayed batch recomputes its
     follow-up commits from that pinned record instead of from live state
-    that has already moved past the fold."""
-    for v in _list_versions(table):
-        with open(_log_path(table, v)) as fh:
-            entry = json.load(fh)
-        if entry.get("txn_id") == txn_id:
-            return entry.get("meta") or {}
-    return None
+    that has already moved past the fold.  Newest-first early-exit scan
+    (see :func:`_txn_entry`)."""
+    hit = _txn_entry(table, txn_id)
+    return (hit[1].get("meta") or {}) if hit else None
 
 
 def _json_safe(v):

@@ -27,6 +27,20 @@ own rows; each append then skips (txn already logged) or lands its
 original content.  An at-least-once source re-delivering a document in
 a later batch finds it already indexed and contributes nothing.
 
+**Mid-crash invariants for independent consumers** (the round-9
+bands-first commit order traded one invariant for the CAS fold):
+
+- ``pairs`` ⊆ ``sets`` ALWAYS: pairs commit after sets, so a pair row
+  never durably references an id the sets table lacks.
+- ``bands`` rows MAY transiently reference ids absent from ``sets``:
+  inside a crash window between the bands commit (the CAS-serialized
+  fold) and the sets commit, the bands table runs ahead.  The replay
+  closes the gap on restart, but a consumer that joins bands rows to
+  shingle sets DURING such a window must semi-join ``sets`` first (or
+  tolerate dangling ids) — exactly what this module's own probe path
+  does by construction (it reads both tables at one point in time and
+  unions the in-flight batch on the sets side).
+
 Scale shape per batch: one Arrow scan of the batch, an append of
 |batch|·bands index rows, and a bucket join sized by the batch's bucket
 mates — never a corpus re-pair.  The reference has no streaming surface;
@@ -235,7 +249,12 @@ def near_dup_index_sink(
         # append is the CAS-serialized fold — a racing second writer
         # loses the put-if-absent arbitration with ZERO side effects —
         # and pairs still commit after sets, so they never durably
-        # reference an id absent from the sets table.  Crash anywhere:
+        # reference an id absent from the sets table.  (The flip DOES
+        # weaken the bands-side invariant: between the bands and sets
+        # commits a crash window exists where bands rows reference ids
+        # the sets table lacks — consumer contract in the module
+        # docstring: semi-join sets before trusting bands rows.)
+        # Crash anywhere:
         # the replay branch above reads the pre-fold snapshots, so every
         # downstream frame recomputes identically and each append skips
         # or lands exactly once via its txn id.

@@ -39,12 +39,87 @@ _MERGED: dict[str, QuerySpec] = {
     **PROBE_REGISTRY,
 }
 
-# Oracle-backed entries first, rows-only (sql=None) sketches last: the
-# driver's hard correctness gate checks the FIRST 50 entries, and a slot
-# spent on an entry it can only mark `no_oracle` is a wasted slot — every
-# windowed entry should be value-checkable.  Relative order is preserved
-# within each group, so the window stays stable round-to-round.
+# The driver's hard correctness gate checks the FIRST 50 entries, so the
+# catalog's dict order IS the driver-visible sample.  Three tiers:
+#
+# 1. _WINDOW_PRIORITY — the explicit first-50 curation (round-10
+#    rotation: CORRECTNESS_r05-r09 all sampled the same registration-
+#    order window, leaving the newest families driver-unchecked).  The
+#    list keeps the reference-parity core (flagship, OHLC, windows,
+#    sinks, TPC-H heads) and rotates in one oracle-backed entry per
+#    newest family: BPE training + frozen encode, IVF-PQ fused + fully
+#    persisted serve, perplexity buckets + frozen gate, RRF fusion +
+#    measured recall, block-hash near-dup (now seeded non-vacuous),
+#    release pipeline/pack-bins/vocab lifecycle, CMS serve +
+#    measured-error, data cards/corpus diff/training order/token
+#    budget, and the PQ/IVF persisted-index serves.
+# 2. every other oracle-backed entry, registration order preserved
+#    (the beyond-window rotation sweep covers these every round).
+# 3. rows-only (sql=None) sketches last — a window slot spent on an
+#    entry the driver can only mark `no_oracle` is a wasted slot.
+_WINDOW_PRIORITY = [
+    "flagship_daily_indicators",
+    "agg_ohlc_daily",
+    "win_pct_change",
+    "win_ma7",
+    "win_ma30",
+    "win_vol30",
+    "win_vol10",
+    "filter_between_ts",
+    "project_filter_literal",
+    "filter_point_lookup",
+    "filter_trailing_window",
+    "dedup_keep_first",
+    "agg_count_filtered",
+    "agg_count_total",
+    "agg_extrema",
+    "first_last_by_order",
+    "sink_table_append_ignore",
+    "sink_table_upsert",
+    "join_broadcast_region_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "text_bpe_merges",
+    "text_bpe_encode_from_model",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_from_index",
+    "curate_ppl_buckets",
+    "curate_ppl_gate_from_model",
+    "sim_rrf_topk",
+    "sim_rrf_recall",
+    "mm_block_hash",
+    "mm_block_hash_near_dup",
+    "curate_release_pipeline",
+    "curate_pack_bins",
+    "text_vocab_build",
+    "text_encode_from_vocab",
+    "text_cms_from_sketch",
+    "text_cms_heavy_hitters",
+    "curate_data_card",
+    "curate_data_card_from_facts",
+    "curate_corpus_diff",
+    "curate_training_order",
+    "curate_token_budget_head",
+    "sim_pq_topk_from_codes",
+    "sim_ivf_topk_from_index",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_near_clusters",
+    "sim_cosine_topk",
+    "text_token_stats",
+]
+
 ALL_QUERIES: dict[str, QuerySpec] = {
-    k: v for k, v in _MERGED.items() if v.sql is not None
+    k: _MERGED[k]
+    for k in _WINDOW_PRIORITY
+    if k in _MERGED and _MERGED[k].sql is not None
 }
+ALL_QUERIES.update(
+    {
+        k: v
+        for k, v in _MERGED.items()
+        if k not in ALL_QUERIES and v.sql is not None
+    }
+)
 ALL_QUERIES.update({k: v for k, v in _MERGED.items() if v.sql is None})

@@ -24,6 +24,12 @@ SF_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
+# decade-up probe (round 10): SPARK_GRAFT_PROBE_DIRS=<dir>,<dir>
+# overrides the ladder — e.g. sf0.1 vs the generated .scale/sf1 slice
+# (tools/gen_sf1.py), a 10x step the fixture ladder can't reach
+if os.environ.get("SPARK_GRAFT_PROBE_DIRS"):
+    SF_DIRS = os.environ["SPARK_GRAFT_PROBE_DIRS"].split(",")
+
 DEFAULT = [
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -71,9 +77,14 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             per_sf[sf] = round(time.perf_counter() - t0, 4)
-        per_sf["x100_data_runtime_ratio"] = round(
-            per_sf["0.1"] / per_sf["0.001"], 2
+        first = SF_DIRS[0].rsplit("sf", 1)[-1]
+        last = SF_DIRS[-1].rsplit("sf", 1)[-1]
+        ratio_key = (
+            "x100_data_runtime_ratio"
+            if (first, last) == ("0.001", "0.1")
+            else f"sf{first}_to_sf{last}_runtime_ratio"
         )
+        per_sf[ratio_key] = round(per_sf[last] / per_sf[first], 2)
         results[name] = per_sf
         print(json.dumps({name: per_sf}))
 

@@ -370,16 +370,52 @@ def _bpe_apply_merge(syms: list[str], l: str, r: str) -> list[str]:
     list: each match consumes both symbols (the merged token never
     re-pairs within the same step) — exactly the semantics of the
     marker-encoded string replace both engines run."""
+    return _bpe_merge_deltas(syms, l, r)[0]
+
+
+def _bpe_merge_deltas(
+    syms: list[str], l: str, r: str
+) -> tuple[list[str], dict[tuple[str, str], int]]:
+    """Canonical merge of one pair PLUS the pair-census delta it causes,
+    computed from the match neighborhoods only (the Sennrich-trainer
+    delta update): a match at position i removes the old pairs at
+    offsets (i-1, i, i+1) and the merged token adds its two new
+    adjacencies — every pair outside those windows is untouched, so the
+    delta costs O(matches), not O(word length) dict traffic.  Returns
+    ``(merged_symbols, {pair: census_change})``; an empty delta means
+    the pair does not occur (stale index probe)."""
     out: list[str] = []
+    match_new_idx: list[int] = []
+    removed_j: set[int] = set()
     i, n = 0, len(syms)
     while i < n:
         if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+            for j in (i - 1, i, i + 1):
+                if 0 <= j <= n - 2:
+                    removed_j.add(j)
             out.append(l + r)
+            match_new_idx.append(len(out) - 1)
             i += 2
         else:
             out.append(syms[i])
             i += 1
-    return out
+    if not match_new_idx:
+        return out, {}
+    delta: dict[tuple[str, str], int] = {}
+    for j in removed_j:
+        p = (syms[j], syms[j + 1])
+        delta[p] = delta.get(p, 0) - 1
+    added_k: set[int] = set()
+    m = len(out)
+    for k in match_new_idx:
+        if k - 1 >= 0:
+            added_k.add(k - 1)
+        if k + 1 <= m - 1:
+            added_k.add(k)
+    for k in added_k:
+        p = (out[k], out[k + 1])
+        delta[p] = delta.get(p, 0) + 1
+    return out, {p: d for p, d in delta.items() if d != 0}
 
 
 def _bpe_train_local(
@@ -424,21 +460,25 @@ def _bpe_train_local(
         negc, (l, r) = heapq.heappop(heap)
         pc = -negc
         out.append((step, l, r, int(pc)))
-        # re-census exactly the words holding the pair; stale index
-        # entries (word no longer has the pair) cancel out: their old
-        # contributions are subtracted and identically re-added
+        # delta-update exactly the words holding the pair: only the
+        # pairs in the match neighborhoods change (O(matches) dict
+        # traffic per word, the Sennrich-trainer update); a stale index
+        # entry (word no longer has the pair) costs one scan, zero
+        # dict ops.  Positive-delta pairs are (re-)indexed; a pair
+        # present with net-zero delta was present before the merge and
+        # is already indexed (superset induction).
         touched: set[tuple[str, str]] = set()
         for wi in index.pop((l, r), set()):
             syms, c = vocab[wi]
-            for pair in zip(syms, syms[1:]):
-                stats[pair] -= c
-                touched.add(pair)
-            merged = _bpe_apply_merge(syms, l, r)
+            merged, delta = _bpe_merge_deltas(syms, l, r)
+            if not delta:
+                continue
             vocab[wi] = (merged, c)
-            for pair in zip(merged, merged[1:]):
-                stats[pair] += c
-                index[pair].add(wi)
+            for pair, dc in delta.items():
+                stats[pair] += dc * c
                 touched.add(pair)
+                if dc > 0:
+                    index[pair].add(wi)
         # the merged pair is fully consumed (canonical apply leaves no
         # (l, r) adjacency); a later re-formed composite re-accumulates
         # from zero through the defaultdict + heap pushes below

@@ -282,6 +282,41 @@ def test_bpe_local_and_distributed_training_identical(spark):
     assert len(lt) < 8  # it DID exhaust
 
 
+def test_bpe_merge_delta_equals_full_recensus_property():
+    """The trainer's O(matches) boundary-delta update must equal the
+    full before/after pair-census diff on ANY symbol sequence —
+    including overlapping runs, matches at either end, and stale
+    probes (no match → empty delta, sequence unchanged)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from airflow_crypto_btc_spark.operators.vocab import (
+        _bpe_merge_deltas,
+    )
+
+    sym = st.sampled_from(["a", "b", "c", "ab", "bb", "</w>"])
+    seqs = st.lists(sym, min_size=1, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(seqs, sym, sym)
+    def check(syms, l, r):
+        merged, delta = _bpe_merge_deltas(syms, l, r)
+        before = Counter(zip(syms, syms[1:]))
+        after = Counter(zip(merged, merged[1:]))
+        want = {
+            p: after[p] - before[p]
+            for p in set(before) | set(after)
+            if after[p] != before[p]
+        }
+        assert delta == want
+        if not delta:
+            assert merged == syms
+
+    check()
+
+
 def test_bpe_oracle_replays_training_in_lockstep_on_edge_corpora(spark):
     """The DuckDB training-replay CTE chain (registry_ext._bpe_merges_sql
     / _bpe_encode_sql) against the engine on corpora the fixtures don't

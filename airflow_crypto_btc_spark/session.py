@@ -37,9 +37,21 @@ def get_spark(
             or os.environ.get("SPARK_GRAFT_CPUS", "32")
         )
 
+    # local[32] in Spark's DEFAULT 1g heap is a misconfiguration on this
+    # 128 GiB box: 32 executor threads share one driver JVM, and the
+    # round-10 sf1 decade probe OOM'd a shuffle stage while the machine
+    # sat 123 GiB free (GC-locker thrash well before that).  Sized so a
+    # per-thread sort/hash working set is ~300 MB — still a tiny
+    # fraction of the box; on a real cluster executor memory is its own
+    # knob and this setting is inert.  Only effective when the JVM
+    # starts with this session (true for bench/tools/tests — each
+    # process builds its own); a pre-existing JVM keeps its heap.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # UTC discipline — SURVEY.md §4.2 item 6.
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: coalesce shuffle partitions, pick broadcast

@@ -587,11 +587,13 @@ def bpe_encode_counts(
     token count is the sum of the words' post-merge symbol counts.  No
     shuffle, no UDF — the merge chain compiles into the scan
     projection, so encoding 100 TB is exactly one pass."""
-    cw = f"translate(w, '{_BPE_SCRUB}', '')"
+    # the control-char scrub is hoisted into the token list (ONE
+    # translate per word) — inlining it as `substr(translate(w,..),i,1)`
+    # would re-evaluate the translate per CHARACTER inside the lambda
     word_tok = (
         f"concat(' ', concat_ws(' ', "
-        f"transform(sequence(1, length({cw})), "
-        f"i -> concat(substr({cw}, i, 1), '{_BPE_MARK}'))), "
+        f"transform(sequence(1, length(w)), "
+        f"i -> concat(substr(w, i, 1), '{_BPE_MARK}'))), "
         f"' {_BPE_EOW}{_BPE_MARK}')"
     )
     expr = word_tok
@@ -604,7 +606,10 @@ def bpe_encode_counts(
             f"' {sl}{sr}{_BPE_MARK}')"
         )
     per_word = f"size(split(btrim({expr}), ' '))"
-    toks_sql = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    toks_sql = (
+        f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''), "
+        f"t -> translate(t, '{_BPE_SCRUB}', ''))"
+    )
     return docs.select(
         F.col(id_col),
         F.size(tokens_expr(text_col)).cast("long").alias("n_words"),

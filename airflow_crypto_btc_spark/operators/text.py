@@ -311,6 +311,95 @@ def dup_ngram_coverage(
     )
 
 
+def dup_span_scrub(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Cross-document exact-substring SCRUB — the curation ACTION whose
+    accounting half is :func:`dup_ngram_coverage` (Lee et al. 2022,
+    arXiv:2107.06499): every token covered by a k-gram occurring in ≥2
+    DISTINCT documents is removed from EVERY document, the semantics of
+    the released ``deduplicate-text-datasets`` tool (ExactSubstr cuts
+    all copies of a duplicated span, not all-but-one — keep-one would
+    need a global owner election per overlapping span cluster, which
+    the paper notes does not measurably matter).  Returns
+    (doc_id, n_tokens, n_scrubbed, clean_text); ``clean_text`` is
+    token-normalized (single-space joined) for scrubbed and untouched
+    documents alike, so the output column is uniformly canonical.
+
+    Scale shape: one tokenize scan feeds the gram census (md5 keys —
+    32-byte shuffle rows, map-side deduped per doc) exactly as the
+    coverage operator; the scrub itself splits the corpus into the
+    UNTOUCHED majority — which never leaves a pure projection (no
+    token ever exploded or shuffled) — and the AFFECTED minority,
+    whose duplicated gram starts explode into covered positions
+    (O(dup positions × k) narrow rows), anti-join the posexploded
+    tokens, and reassemble per doc.  Work is O(total tokens) worst
+    case and O(affected tokens) typical; nothing quadratic, no UDF.
+    A fully-duplicated document still emits its row (clean_text '')
+    via the affected-spine left join."""
+    from airflow_crypto_btc_spark.functions.hashing import shingles_expr
+
+    tok = with_tokens(df, text_col).select("doc_id", "tokens")
+    g = (
+        tok.select(
+            "doc_id",
+            F.posexplode(shingles_expr("tokens", k)).alias(
+                "gpos", "gram"
+            ),
+        )
+        .select("doc_id", "gpos", F.md5("gram").alias("h"))
+        .localCheckpoint(eager=False)
+    )  # one scan feeds census AND position join
+    dfreq = (
+        g.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    covered = (
+        g.join(dfreq.filter("df >= 2"), "h")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(gpos, gpos + {k - 1})")).alias(
+                "pos"
+            ),
+        )
+        .dropDuplicates(["doc_id", "pos"])
+    )
+    affected_ids = covered.select("doc_id").distinct()
+    kept = (
+        tok.join(affected_ids, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("tokens").alias("pos", "tk"))
+        .join(covered, ["doc_id", "pos"], "left_anti")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort("
+            "collect_list(struct(pos, tk))), x -> x.tk))"
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    affected_out = (
+        tok.join(affected_ids, "doc_id", "left_semi")
+        .select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_scrubbed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+    untouched = tok.join(affected_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_scrubbed"),
+        F.expr("concat_ws(' ', tokens)").alias("clean_text"),
+    )
+    return affected_out.unionByName(untouched)
+
+
 def build_gram_index(
     spark,
     docs: DataFrame,

@@ -107,7 +107,7 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",
     "sim_cosine_topk",
-    "text_token_stats",
+    "text_dup_span_scrub",
 ]
 
 ALL_QUERIES: dict[str, QuerySpec] = {

@@ -290,6 +290,44 @@ _SQL_TEXT_DUP_NGRAM_COVERAGE = f"""
 """
 
 
+def q_text_dup_span_scrub(spark, sf_dir):
+    """Cross-document exact-substring SCRUB (Lee et al. 2022) — the
+    curation action whose accounting half is text_dup_ngram_coverage:
+    tokens covered by any k-gram occurring in ≥2 distinct documents are
+    removed from every document (the released deduplicate-text-datasets
+    semantics: all copies cut).  Untouched docs never leave a pure
+    projection; affected docs pay posexplode → anti-join → reassembly;
+    see operators/text.dup_span_scrub."""
+    from airflow_crypto_btc_spark.operators.text import dup_span_scrub
+
+    return dup_span_scrub(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_DUP_SPAN_SCRUB = f"""
+    WITH tok AS (SELECT doc_id, tokens FROM ({_D_TOKENS})),
+    g0 AS (SELECT doc_id, unnest(CASE WHEN len(tokens) >= 8 THEN
+        list_transform(range(1, len(tokens)-6),
+          i -> struct_pack(gpos := i, gram := {_GRAM8}))
+      ELSE [] END) AS s FROM tok),
+    g AS (SELECT doc_id, s.gpos AS gpos, md5(s.gram) AS h FROM g0),
+    dfreq AS (SELECT h, count(*) AS df FROM (
+      SELECT DISTINCT doc_id, h FROM g) GROUP BY h),
+    cov AS (SELECT DISTINCT doc_id, p FROM (
+      SELECT doc_id, unnest(range(gpos, gpos + 8)) AS p
+      FROM g JOIN dfreq USING (h) WHERE df >= 2)),
+    covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+      CAST(len(tokens) AS BIGINT) AS n_tokens,
+      CAST(coalesce(len(ps), 0) AS BIGINT) AS n_scrubbed,
+      CASE WHEN ps IS NULL THEN array_to_string(tokens, ' ')
+           ELSE coalesce(array_to_string(list_transform(
+             list_filter(range(1, len(tokens) + 1),
+               p -> NOT list_contains(ps, p)),
+             p -> tokens[p]), ' '), '') END AS clean_text
+    FROM tok t LEFT JOIN covl USING (doc_id)
+"""
+
+
 def q_text_dup_coverage_from_index(spark, sf_dir):
     """The SERVING shape of duplicated-span accounting: the gram-
     frequency index lives in a snapshot table built once per corpus
@@ -483,6 +521,9 @@ _SQL_TEXT_BIGRAM_PMI = f"""
 CURATION_REGISTRY: dict[str, QuerySpec] = {
     "text_dup_ngram_coverage": QuerySpec(
         q_text_dup_ngram_coverage, _SQL_TEXT_DUP_NGRAM_COVERAGE
+    ),
+    "text_dup_span_scrub": QuerySpec(
+        q_text_dup_span_scrub, _SQL_TEXT_DUP_SPAN_SCRUB
     ),
     "text_dup_coverage_from_index": QuerySpec(
         q_text_dup_coverage_from_index, _SQL_TEXT_DUP_FROM_INDEX

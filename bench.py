@@ -112,6 +112,9 @@ HEADLINE = [
     "text_bigram_pmi",
     # round-8: cross-document duplicated-span accounting (Lee et al.)
     "text_dup_ngram_coverage",
+    # round-10: its ACTION half — the ExactSubstr scrub (all copies of
+    # a cross-doc duplicated span cut; untouched docs stay projection)
+    "text_dup_span_scrub",
     "sim_quantized_topk",
     # round-6: serving-shape PQ (trains once per fixture version into a
     # landing-zone snapshot table; pass 1 of a fresh environment pays

@@ -51,6 +51,7 @@ SMOKE_TESTS = {
     "test_ivfpq_with_big_shortlist_equals_ivf_exact",  # IVF-PQ index
     "test_perplexity_buckets_equal_global_ntile",  # CCNet ppl split
     "test_bpe_train_textbook_merges_and_encode",  # BPE tokenizer
+    "test_dup_span_scrub_removes_cross_doc_spans_only",  # ExactSubstr scrub
 }
 
 

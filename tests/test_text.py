@@ -201,6 +201,35 @@ def test_scrub_pii_masks_and_counts(spark):
     )
 
 
+def test_dup_span_scrub_removes_cross_doc_spans_only(spark):
+    """Lee-et-al ExactSubstr semantics: tokens covered by a k-gram in
+    ≥2 distinct docs vanish from EVERY doc; within-doc repetition and
+    unique text survive; a fully-duplicated doc emits an empty
+    clean_text row; untouched docs come back token-normalized."""
+    from airflow_crypto_btc_spark.operators.text import dup_span_scrub
+
+    shared = "one two three four five six seven eight"  # exactly k=8
+    rows = [
+        (1, f"alpha {shared} beta"),
+        (2, f"{shared} gamma delta"),
+        (3, shared),                       # fully duplicated
+        (4, "totally unique text with  extra   spaces here"),
+        (5, "rep rep rep rep rep rep rep rep rep"),  # within-doc only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_scrubbed"], r["clean_text"])
+        for r in dup_span_scrub(docs).collect()
+    }
+    assert got[1] == (10, 8, "alpha beta")
+    assert got[2] == (10, 8, "gamma delta")
+    assert got[3] == (8, 8, "")
+    # untouched: normalized whitespace, zero scrubbed
+    assert got[4] == (7, 0, "totally unique text with extra spaces here")
+    # within-doc 8-gram repetition is NOT cross-doc: survives intact
+    assert got[5] == (9, 0, "rep rep rep rep rep rep rep rep rep")
+
+
 def test_scrub_pii_matches_duckdb_on_real_matches(spark):
     """The fixture corpus has no PII, so the catalog oracle exercises
     the no-op path; THIS test replays the same rule chain in DuckDB on

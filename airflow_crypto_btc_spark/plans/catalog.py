@@ -106,7 +106,7 @@ _WINDOW_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",
-    "sim_cosine_topk",
+    "text_wordpiece_encode",
     "text_dup_span_scrub",
 ]
 

@@ -2109,3 +2109,202 @@ EXT_REGISTRY["text_cms_heavy_hitters"] = QuerySpec(
 EXT_REGISTRY["approx_hll_quality"] = QuerySpec(
     q_approx_hll_quality, _SQL_APPROX_HLL_QUALITY
 )
+
+
+# -------------------------------------------------------------- WordPiece
+# greedy longest-match-first subword encode (Wu et al. 2016; Song et
+# al. 2021 LinMaxMatch); see operators/wordpiece.py for the scale
+# design.  The oracle replays the ENTIRE lifecycle — two-tier vocab
+# build, the greedy walk (a recursive CTE following pos → pos + jump),
+# and the doc-level map projection — so engine/oracle agreement proves
+# the segmentation itself, not just row counts.
+_WP_SIZE = 64
+_WP_MAXL = 3
+_WP_PERMILLE = 10
+
+#: shared CTE chain: word census → piece census (raw-char tagged) →
+#: pooled char mass → two-tier top-size vocab
+_WP_VOCAB_CTES = f"""
+wpt AS ({_D_TOKENS}),
+wp_words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(tokens) AS word FROM wpt) GROUP BY 1),
+wp_sub AS MATERIALIZED (
+  SELECT w.word, gs.p, gl.l,
+    CASE WHEN gs.p = 1 THEN substr(w.word, gs.p, gl.l)
+         ELSE '##' || substr(w.word, gs.p, gl.l) END AS piece,
+    w.cnt
+  FROM wp_words w,
+       LATERAL (SELECT unnest(generate_series(1, len(w.word))) AS p) gs,
+       LATERAL (SELECT unnest(generate_series(1,
+         least({_WP_MAXL}, len(w.word) - gs.p + 1))) AS l) gl),
+wp_census AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt,
+    CASE WHEN len(piece) = 1 THEN piece
+         WHEN len(piece) = 3 AND substr(piece, 1, 2) = '##'
+           THEN substr(piece, 3, 1)
+    END AS raw_char
+  FROM wp_sub GROUP BY 1),
+wp_chars AS (
+  SELECT raw_char, CAST(SUM(cnt) AS BIGINT) AS ccnt
+  FROM wp_census WHERE raw_char IS NOT NULL GROUP BY 1),
+wp_tot AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS tot_chars FROM wp_chars),
+wp_vocab AS MATERIALIZED (
+  SELECT piece,
+    CAST(row_number() OVER (ORDER BY tier, cnt DESC, piece)
+      AS BIGINT) AS piece_id,
+    cnt
+  FROM (
+    SELECT c.piece, c.cnt,
+      CASE WHEN c.raw_char IS NOT NULL
+            AND h.ccnt * 1000 >= t.tot_chars * {_WP_PERMILLE}
+           THEN 0 ELSE 1 END AS tier
+    FROM wp_census c
+    LEFT JOIN wp_chars h ON h.raw_char = c.raw_char
+    CROSS JOIN wp_tot t)
+  ORDER BY tier, cnt DESC, piece LIMIT {_WP_SIZE})
+"""
+
+#: greedy-walk CTEs: per-(word, pos) longest match, then the walk —
+#: each recursion step advances pos by jump or fails the word (a
+#: failed row stops recursing via the ok guard, so every word yields
+#: exactly ONE terminal row: pos past the end, or not-ok)
+_WP_SEG_CTES = """
+wp_jump AS MATERIALIZED (
+  SELECT s.word, s.p, MAX(s.l) AS jump
+  FROM wp_sub s JOIN wp_vocab v USING (piece)
+  GROUP BY s.word, s.p),
+wp_walk AS (
+  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS pieces,
+         0 AS n, true AS ok
+  FROM wp_words
+  UNION ALL
+  SELECT k.word,
+    CASE WHEN j.jump IS NULL THEN len(k.word) + 1
+         ELSE k.pos + j.jump END,
+    CASE WHEN j.jump IS NULL THEN k.pieces
+         WHEN k.pos = 1 THEN substr(k.word, k.pos, j.jump)
+         ELSE k.pieces || ' ##' || substr(k.word, k.pos, j.jump) END,
+    k.n + CASE WHEN j.jump IS NULL THEN 0 ELSE 1 END,
+    j.jump IS NOT NULL
+  FROM wp_walk k
+  LEFT JOIN wp_jump j ON j.word = k.word AND j.p = k.pos
+  WHERE k.pos <= len(k.word) AND k.ok),
+wp_seg AS (
+  SELECT word,
+    CASE WHEN ok THEN pieces ELSE '[UNK]' END AS pieces_str,
+    CAST(CASE WHEN ok THEN n ELSE 1 END AS BIGINT) AS n_pieces,
+    NOT ok AS is_unk
+  FROM wp_walk WHERE pos > len(word) OR NOT ok)
+"""
+
+_SQL_TEXT_WORDPIECE_VOCAB = f"""
+    WITH {_WP_VOCAB_CTES}
+    SELECT piece, piece_id, cnt FROM wp_vocab
+"""
+
+_SQL_TEXT_WORDPIECE_ENCODE = f"""
+    WITH RECURSIVE {_WP_VOCAB_CTES}, {_WP_SEG_CTES},
+    wp_map AS (
+      SELECT MAP(list(word),
+                 list({{'ps': pieces_str, 'n': n_pieces,
+                       'unk': is_unk}})) AS sm
+      FROM wp_seg)
+    SELECT doc_id,
+      array_to_string(list_transform(tokens,
+        tk -> map_extract(sm, tk)[1].ps), ' ') AS wp_str,
+      CAST(COALESCE(list_sum(list_transform(tokens,
+        tk -> map_extract(sm, tk)[1].n)), 0) AS BIGINT) AS n_pieces,
+      CAST(len(list_filter(tokens,
+        tk -> map_extract(sm, tk)[1].unk)) AS BIGINT) AS n_unk_words
+    FROM wpt, wp_map
+"""
+
+
+def q_text_wordpiece_vocab(spark, sf_dir):
+    """Two-tier WordPiece piece vocabulary (qualified alphabet first,
+    then by frequency — the BERT shape); top-64 cut over len≤3 pieces,
+    non-vacuous at every SF: the fixture's rarest chars (q, j) miss
+    the 1% char-mass bar, so [UNK] downstream is honestly exercised;
+    see operators/wordpiece.wordpiece_vocab_build."""
+    from airflow_crypto_btc_spark.operators.wordpiece import (
+        wordpiece_vocab_build,
+    )
+
+    return wordpiece_vocab_build(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_wordpiece_encode(spark, sf_dir):
+    """Greedy MaxMatch subword encode, vocab built in-line: distinct
+    words segment row-locally against the broadcast piece map (a
+    jumps array + one aggregate walk — no UDF, no driver pacing),
+    documents take a single broadcast-map projection; see
+    operators/wordpiece.wordpiece_encode."""
+    from airflow_crypto_btc_spark.operators.wordpiece import (
+        wordpiece_encode,
+    )
+
+    return wordpiece_encode(load_table(spark, sf_dir, "documents"))
+
+
+def _wordpiece_zone(spark, sf_dir):
+    import os
+
+    from airflow_crypto_btc_spark.operators.wordpiece import (
+        build_wordpiece_table,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import (
+        _landing_zone,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_wordpiece_table(
+            spark,
+            docs,
+            os.path.join(staging, "wp_vocab"),
+            source_version=source_version,
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "wp_vocab", _land),
+        source_version,
+    )
+
+
+def q_text_wordpiece_from_model(spark, sf_dir):
+    """The FROZEN-vocab serve path: encode against the persisted
+    version-pinned piece table.  Nothing but the piece vocab is
+    needed at serve time — unseen words segment with the same
+    row-local walk, which is what makes this the ingest-gate shape
+    (the jumps probe reads max_piece_len from commit meta, so a
+    mismatched-width serve cannot exist); identical answer to the
+    in-line build on the same corpus, which the shared oracle
+    asserts; see operators/wordpiece.wordpiece_encode_from_model."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.wordpiece import (
+        wordpiece_encode_from_model,
+    )
+
+    zone, source_version = _wordpiece_zone(spark, sf_dir)
+    return wordpiece_encode_from_model(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "wp_vocab"),
+        expect_source=source_version,
+    )
+
+
+EXT_REGISTRY["text_wordpiece_vocab"] = QuerySpec(
+    q_text_wordpiece_vocab, _SQL_TEXT_WORDPIECE_VOCAB
+)
+EXT_REGISTRY["text_wordpiece_encode"] = QuerySpec(
+    q_text_wordpiece_encode, _SQL_TEXT_WORDPIECE_ENCODE
+)
+EXT_REGISTRY["text_wordpiece_from_model"] = QuerySpec(
+    q_text_wordpiece_from_model, _SQL_TEXT_WORDPIECE_ENCODE
+)

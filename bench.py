@@ -7,13 +7,14 @@ local[$SPARK_GRAFT_CPUS] and prints JSON lines ending with the summary:
 
 preceded by the COMPLETE per-query medians map in ONE compressed,
 self-identifying line ({"metric": "headline_queries_medians_z",
-"enc": "zlib+b64", "n": N, "q": "<base64(zlib(minified JSON map))>"})
+"enc": "zlib+b85", "n": N, "decimals": D,
+"q": "<base85(zlib({'k': 'name,name,…', 'c': [fixed-point ints]}))>"})
 sized so that medians line + summary line together fit inside the
 driver's 2000-byte stdout tail capture with margin — measured from
 BENCH_r08/r09: the artifact's "tail" field is the LAST 2000 characters
 of stdout, so everything that must survive goes at the very end.
-Decode: ``json.loads(zlib.decompress(base64.b64decode(q)))`` and check
-``len == n`` (a truncated line fails json.loads loudly).  Values are
+Decode with :func:`decode_medians_z` (names zip with values/10**D; a
+truncated line fails json.loads/b85decode loudly).  Values are
 2-decimal medians (1-decimal fallback if the line ever outgrows the
 budget); plain-JSON chunk lines still precede the block for human
 readers, but nothing depends on them surviving the capture (rounds 7-9
@@ -181,6 +182,11 @@ HEADLINE = [
     # the frozen-merge encode (scan-compiled replace chain)
     "text_bpe_merges",
     "text_bpe_encode_from_model",
+    # round-10: WordPiece greedy MaxMatch — vocab+encode in one
+    # lineage, and the frozen-vocab serve (row-local walk over the
+    # broadcast piece map; unseen words segment with no word table)
+    "text_wordpiece_encode",
+    "text_wordpiece_from_model",
     # round-8: the training-batch artifact — encoded ids packed into
     # fixed-budget bins in one lineage
     "curate_pack_bins",
@@ -229,22 +235,36 @@ def medians_z_line(
     timings: dict[str, float], sf_val, reps: int, budget: int
 ) -> str:
     """The COMPLETE per-query medians map as one compressed line that
-    fits ``budget`` bytes: minified JSON map → zlib → base64, wrapped in
-    a self-identifying envelope (``enc`` names the codec, ``n`` and
-    ``decimals`` let a reader validate the decode).  2-decimal medians
-    by default; steps down to 1 decimal only if the 2-decimal line ever
-    outgrows the budget (99 names at 2 decimals measure ~1.77 KB)."""
+    fits ``budget`` bytes, wrapped in a self-identifying envelope
+    (``enc`` names the codec, ``n`` and ``decimals`` validate the
+    decode).  Codec (round-10 revision, after query 101-102 pushed the
+    plain-map-b64 form past the tail window): names SORTED and
+    comma-joined under ``k``, medians as fixed-point ints
+    (10^decimals units) under ``c``, minified JSON → zlib →
+    **base85** (no quote/backslash in its alphabet, so JSON-string
+    safe; ~6% denser than base64) — 102 names at 2 decimals measure
+    ~1.71 KB vs ~1.91 KB for the old form.  2-decimal medians by
+    default; steps down to 1 decimal only if the line ever outgrows
+    the budget."""
     line = ""
+    names = sorted(timings)
     for nd in (2, 1):
+        scale = 10**nd
         flat = json.dumps(
-            {k: round(v, nd) for k, v in timings.items()},
+            {
+                "k": ",".join(names),
+                "c": [
+                    int(round(round(timings[k], nd) * scale))
+                    for k in names
+                ],
+            },
             separators=(",", ":"),
         )
-        q = base64.b64encode(zlib.compress(flat.encode(), 9)).decode()
+        q = base64.b85encode(zlib.compress(flat.encode(), 9)).decode()
         line = json.dumps(
             {
                 "metric": "headline_queries_medians_z",
-                "enc": "zlib+b64",
+                "enc": "zlib+b85",
                 "n": len(timings),
                 "sf": sf_val,
                 "reps": reps,
@@ -261,11 +281,26 @@ def medians_z_line(
 def decode_medians_z(line: str) -> dict[str, float]:
     """Inverse of :func:`medians_z_line` — the reconstruction a
     BENCH_r{N}.json audit runs against the tail.  Raises on truncation
-    (invalid JSON / bad base64) or an entry-count mismatch."""
+    (invalid JSON / bad base85) or an entry-count mismatch.  Also
+    decodes the round-9 ``zlib+b64`` plain-map form, so historical
+    BENCH_r09 tails stay auditable with current tooling."""
     env = json.loads(line)
-    out = json.loads(
-        zlib.decompress(base64.b64decode(env["q"])).decode()
-    )
+    if env.get("enc") == "zlib+b64":  # round-9 form
+        out = json.loads(
+            zlib.decompress(base64.b64decode(env["q"])).decode()
+        )
+    else:
+        obj = json.loads(
+            zlib.decompress(base64.b85decode(env["q"])).decode()
+        )
+        names = obj["k"].split(",") if obj["k"] else []
+        if len(names) != len(obj["c"]):
+            raise ValueError(
+                f"medians_z carries {len(names)} names but "
+                f"{len(obj['c'])} values — truncated capture"
+            )
+        scale = 10 ** env["decimals"]
+        out = {k: c / scale for k, c in zip(names, obj["c"])}
     if len(out) != env["n"]:
         raise ValueError(
             f"medians_z carries {len(out)} entries, envelope says "

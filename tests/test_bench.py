@@ -119,7 +119,7 @@ def test_final_block_fits_the_2000_char_tail_and_roundtrips() -> None:
     assert decoded == {k: round(v, 2) for k, v in timings.items()}
     # the envelope self-identifies the codec and the decimals used
     env = json.loads(zline)
-    assert env["enc"] == "zlib+b64"
+    assert env["enc"] == "zlib+b85"
     assert env["decimals"] == 2  # 1-decimal fallback must stay unreachable
 
     # ...including on a realistic-but-fully-distinct map (every median

@@ -1563,3 +1563,178 @@ INCREMENTAL_REGISTRY.update(
         ),
     }
 )
+
+
+# ------------------------------------------------------------ Z-order layout
+# Morton-curve clustering for multi-dimension file skipping (the
+# OPTIMIZE ZORDER shape); see operators/zorder.py.  Dimensions:
+# events (user_id, epoch-µs ts) — the classic entity×time pair.  All
+# integer arithmetic, so the oracle replays codes, envelopes, and the
+# pruning report exactly.
+
+#: normalized 16-bit coordinates + 32-bit Morton code, DuckDB side
+_SQL_ZORDER_CODED = """
+zc AS (
+  SELECT event_id, user_id AS xv, epoch_us(ts) AS yv
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+zb AS (
+  SELECT MIN(xv) AS x_mn, MAX(xv) AS x_mx,
+         MIN(yv) AS y_mn, MAX(yv) AS y_mx
+  FROM zc),
+zu AS (
+  SELECT event_id,
+    CAST(CASE WHEN x_mx > x_mn
+         THEN ((xv - x_mn) * 65535) // (x_mx - x_mn) ELSE 0 END
+      AS INT) AS x_u16,
+    CAST(CASE WHEN y_mx > y_mn
+         THEN ((yv - y_mn) * 65535) // (y_mx - y_mn) ELSE 0 END
+      AS INT) AS y_u16
+  FROM zc, zb),
+zcoded AS (
+  SELECT event_id, x_u16, y_u16,
+    CAST(list_sum(list_transform(generate_series(0, 15), i ->
+      (((x_u16 >> i) & 1)::BIGINT << (2 * i))
+      + (((y_u16 >> i) & 1)::BIGINT << (2 * i + 1)))) AS BIGINT)
+      AS zcode
+  FROM zu)
+"""
+
+#: per-bucket two-dimension envelopes for a given code; span 2^32 for
+#: the Morton code, 2^16 for the x-only strawman layout
+def _sql_zorder_buckets(code: str, span: int, n_buckets: int = 64) -> str:
+    return f"""
+  SELECT CAST(({code} * {n_buckets}) // {span} AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(x_u16) AS x_min, MAX(x_u16) AS x_max,
+         MIN(y_u16) AS y_min, MAX(y_u16) AS y_max
+  FROM zcoded GROUP BY 1
+"""
+
+
+def q_phys_zorder_code(spark, sf_dir):
+    """Morton codes for events over (user_id, epoch-µs ts): integer
+    grid normalization from a one-row broadcast bounds aggregate, then
+    a row-local 16-step bit-interleave fold — zero UDFs, zero extra
+    shuffles beyond the bounds scalar; see operators/zorder.zorder_code."""
+    from airflow_crypto_btc_spark.operators.zorder import zorder_code
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    return zorder_code(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "unix_micros(cast(ts as timestamp))",
+    )
+
+
+_SQL_PHYS_ZORDER_CODE = f"""
+    WITH {_SQL_ZORDER_CODED}
+    SELECT event_id, x_u16, y_u16, zcode FROM zcoded
+"""
+
+
+def q_phys_zorder_layout_stats(spark, sf_dir):
+    """The written layout modeled as 64 fixed-width code ranges (the
+    files a range-partitioned write produces), each reporting its
+    min/max envelope in BOTH dimensions — the column statistics a scan
+    planner prunes with.  Fixed-width buckets, not ntile: rank-based
+    splits are a global sort through one partition; see
+    operators/zorder.bucket_stats."""
+    from airflow_crypto_btc_spark.operators.zorder import (
+        bucket_stats,
+        zorder_code,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    return bucket_stats(
+        zorder_code(
+            load_table(spark, sf_dir, "events"),
+            "user_id",
+            "unix_micros(cast(ts as timestamp))",
+        )
+    )
+
+
+_SQL_PHYS_ZORDER_LAYOUT_STATS = f"""
+    WITH {_SQL_ZORDER_CODED}
+    {_sql_zorder_buckets('zcode', 1 << 32)}
+"""
+
+
+def q_phys_zorder_prune_report(spark, sf_dir):
+    """Skip quality MEASURED for one 2-D box (lower-quarter users ×
+    middle-quarter time): files touched and rows scanned under the
+    z-order layout vs an x-sorted layout of the same file count —
+    the number an operator reads before paying the layout shuffle at
+    100 TB; see operators/zorder.prune_report."""
+    from airflow_crypto_btc_spark.operators.zorder import (
+        prune_report,
+        zorder_code,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+
+    return prune_report(
+        zorder_code(
+            load_table(spark, sf_dir, "events"),
+            "user_id",
+            "unix_micros(cast(ts as timestamp))",
+        ),
+        x_lo=0,
+        x_hi=16383,
+        y_lo=24576,
+        y_hi=40959,
+    )
+
+
+_SQL_PHYS_ZORDER_PRUNE_REPORT = f"""
+    WITH {_SQL_ZORDER_CODED},
+    zstats AS ({_sql_zorder_buckets('zcode', 1 << 32)}),
+    xstats AS ({_sql_zorder_buckets('x_u16::BIGINT', 1 << 16)}),
+    zl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS z_files,
+        CAST(SUM(CASE WHEN NOT (x_max < 0 OR x_min > 16383
+          OR y_max < 24576 OR y_min > 40959) THEN 1 ELSE 0 END)
+          AS BIGINT) AS z_files_touched,
+        CAST(SUM(CASE WHEN NOT (x_max < 0 OR x_min > 16383
+          OR y_max < 24576 OR y_min > 40959) THEN n_rows ELSE 0 END)
+          AS BIGINT) AS z_rows_scanned
+      FROM zstats),
+    xl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS x_files,
+        CAST(SUM(CASE WHEN NOT (x_max < 0 OR x_min > 16383
+          OR y_max < 24576 OR y_min > 40959) THEN 1 ELSE 0 END)
+          AS BIGINT) AS x_files_touched,
+        CAST(SUM(CASE WHEN NOT (x_max < 0 OR x_min > 16383
+          OR y_max < 24576 OR y_min > 40959) THEN n_rows ELSE 0 END)
+          AS BIGINT) AS x_rows_scanned
+      FROM xstats),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+        CAST(SUM(CASE WHEN x_u16 BETWEEN 0 AND 16383
+          AND y_u16 BETWEEN 24576 AND 40959 THEN 1 ELSE 0 END)
+          AS BIGINT) AS rows_match
+      FROM zcoded)
+    SELECT rows_total, rows_match,
+      z_files, z_files_touched, z_rows_scanned,
+      x_files, x_files_touched, x_rows_scanned,
+      ((rows_total - z_rows_scanned) * 1000000) // rows_total
+        AS z_skip_micro,
+      ((rows_total - x_rows_scanned) * 1000000) // rows_total
+        AS x_skip_micro
+    FROM tot, zl, xl
+"""
+
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "phys_zorder_code": QuerySpec(
+            q_phys_zorder_code, _SQL_PHYS_ZORDER_CODE
+        ),
+        "phys_zorder_layout_stats": QuerySpec(
+            q_phys_zorder_layout_stats, _SQL_PHYS_ZORDER_LAYOUT_STATS
+        ),
+        "phys_zorder_prune_report": QuerySpec(
+            q_phys_zorder_prune_report, _SQL_PHYS_ZORDER_PRUNE_REPORT
+        ),
+    }
+)

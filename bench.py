@@ -201,6 +201,10 @@ HEADLINE = [
     # ...and its fully persisted serve path (books+codes+centroids+
     # lists): no re-assignment, no re-encode at query time
     "sim_ivfpq_from_index",
+    # round-10: Morton-curve layout — code assignment and the measured
+    # 2-D pruning report (z-layout vs single-dimension clustering)
+    "phys_zorder_code",
+    "phys_zorder_prune_report",
     # round-8: portable HLL — the cardinality sibling of the CM sketch
     "approx_hll_doc_estimate",
     # round-8: sketch error measured, not asserted

@@ -24,6 +24,7 @@ SMOKE_TESTS = {
     "test_payload_schema_and_checksum",       # multimodal
     "test_ohlc_values",                       # A1 OHLC
     "test_salted_aggregate_equals_plain_groupby",  # physical
+    "test_prune_report_z_beats_single_dimension_layout",  # z-order
     "test_rerun_day_is_idempotent",           # pipeline orchestration
     "test_q5_broadcasts_every_dimension",     # plan shape
     "test_probe_learns_separable_target",     # trained probe

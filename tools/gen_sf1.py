@@ -2,12 +2,13 @@
 
 The 100 TB design claims in SCALING.md rested on 100x extrapolation
 from 17 MB (sf0.001 -> sf0.1); this generates a 10x-beyond-sf0.1 slice
-of the two heavy-family tables — ``documents`` (50k rows) and
-``embeddings`` (20k rows) — matched to the driver fixtures'
-distributions (same 31-word vocabulary, length/lang/source mix, exact-
-and near-dup seeding; 64-dim unit-norm vectors in 10 label clusters),
-plus symlinks to the sf0.1 copies of every other table so any catalog
-entry runs unmodified.
+of the three heavy-family tables — ``documents`` (50k rows),
+``embeddings`` (20k rows), and ``events`` (1M rows, ns-timestamps) —
+matched to the driver fixtures' distributions (same 31-word
+vocabulary, length/lang/source mix, exact- and near-dup seeding;
+64-dim unit-norm vectors in 10 label clusters; uniform users/types
+over the same 30-day window), plus symlinks to the sf0.1 copies of
+every other table so any catalog entry runs unmodified.
 
 Deterministic (seed 42), writes ONLY under <repo>/.scale/sf1 (the
 testdata tree is read-only), gitignored — an artifact, not a fixture.
@@ -111,21 +112,62 @@ def gen_embeddings(rng: np.random.Generator) -> pa.Table:
     )
 
 
+N_EVENTS = 1_000_000
+N_USERS = 15_000  # the fixture ladder scales users ∝ rows (15/150/1500)
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+#: the fixture's 30-day window (same at every SF — density scales)
+_TS_LO_NS = 1_704_067_200_000_000_000  # 2024-01-01 00:00:00 UTC
+_TS_HI_NS = 1_706_659_200_000_000_000  # 2024-01-31 00:00:00 UTC
+
+
+def gen_events(rng: np.random.Generator) -> pa.Table:
+    """10× events matched to the fixture shape: uniform users, uniform
+    5-way event types, value ~ U(0,100), props a one-key JSON int —
+    and ts written as NANOSECOND parquet timestamps so the probe
+    exercises the same nanosAsLong read path as the driver fixture."""
+    ts = np.sort(
+        rng.integers(_TS_LO_NS, _TS_HI_NS, size=N_EVENTS, dtype=np.int64)
+    )
+    return pa.table(
+        {
+            "event_id": np.arange(N_EVENTS, dtype=np.int64),
+            "ts": pa.array(ts, type=pa.timestamp("ns")),
+            "user_id": rng.integers(0, N_USERS, size=N_EVENTS),
+            "event_type": pa.array(
+                np.array(_EVENT_TYPES)[
+                    rng.integers(0, len(_EVENT_TYPES), size=N_EVENTS)
+                ]
+            ),
+            "value": rng.uniform(0, 100, size=N_EVENTS),
+            "props": pa.array(
+                [
+                    '{"k": %d}' % k
+                    for k in rng.integers(0, 100, size=N_EVENTS)
+                ]
+            ),
+        }
+    )
+
+
+_GENERATED = ("documents.parquet", "embeddings.parquet", "events.parquet")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(42)
     pq.write_table(gen_documents(rng), os.path.join(OUT, "documents.parquet"))
     pq.write_table(gen_embeddings(rng), os.path.join(OUT, "embeddings.parquet"))
+    ev_path = os.path.join(OUT, "events.parquet")
+    if os.path.islink(ev_path):  # pre-round-10-second-wave slice
+        os.unlink(ev_path)
+    pq.write_table(gen_events(rng), ev_path)
     for name in os.listdir(SRC):
-        if name.endswith(".parquet") and name not in (
-            "documents.parquet", "embeddings.parquet"
-        ):
+        if name.endswith(".parquet") and name not in _GENERATED:
             dst = os.path.join(OUT, name)
             if not os.path.exists(dst):
                 os.symlink(os.path.join(SRC, name), dst)
     sizes = {
-        n: os.path.getsize(os.path.join(OUT, n))
-        for n in ("documents.parquet", "embeddings.parquet")
+        n: os.path.getsize(os.path.join(OUT, n)) for n in _GENERATED
     }
     print(f"wrote {OUT}: {sizes}")
 

@@ -2614,3 +2614,110 @@ def rrf_topk(
         agg.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------- binary quantization
+
+
+def binary_quantize(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit (1-bit) quantization: each vector collapses to
+    ``ceil(dim/32)`` BIGINT words — bit j of word w set iff component
+    ``w·32+j`` is strictly positive (ties to 0: a deterministic rule
+    both engines share).  32-bit words, not 64: bit 63 would flip the
+    BIGINT sign, and positive words keep every engine's shift/compare
+    semantics trivially identical.
+
+    This is the memory floor of the quantization ladder (float32 →
+    int8 ``int8_quantize`` → 1-bit here, a 32× compression): the
+    modern "binary embedding" serving shape where Hamming distance —
+    xor + popcount, pure ALU — approximates angular distance
+    (Charikar 2002's hyperplane argument applied to the coordinate
+    basis).  Returns (id, bits array<bigint>); the row is ~8 bytes per
+    32 dims, so a billion-vector corpus fits in ~8 GB per 32 dims and
+    candidate generation never touches a float."""
+    word = (
+        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + "
+        "CASE WHEN try_element_at({v}, "
+        "cast(w * 32 + j + 1 as int)) > "
+        "cast(0 as double) THEN shiftleft(1L, j) ELSE 0L END)"
+    )
+    return vectors.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(0, (size({vec_col}) + 31) div 32 - 1),"
+            f" w -> {word.format(v=vec_col)})"
+        ).alias("bits"),
+    )
+
+
+def hamming_expr(a: str, b: str) -> F.Column:
+    """Hamming distance between two equal-length bit-word arrays:
+    per-word xor + popcount, summed — one row-local fold."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, h) -> acc + h)"
+    ).cast("int")
+
+
+def binary_topk(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 20",
+    k: int = 10,
+    oversample: int = 4,
+) -> DataFrame:
+    """Two-stage binary-quantized ANN: a Hamming shortlist of
+    ``k·oversample`` candidates per query over the 1-bit codes, then
+    an EXACT float cosine rerank of only the shortlist — the standard
+    binary-embedding serve (shortlist cheap and dense-scan-shaped,
+    quality restored by reranking a bounded set).
+
+    Plan shape: codes stream (never shuffle) against the broadcast
+    query codes; the shortlist window is the only exchange and carries
+    |queries|·k·oversample rows; the rerank joins the BROADCAST
+    shortlist back to the float vectors (a second corpus scan, no
+    corpus shuffle) with the broadcast query vectors.  Ties break
+    (hamming asc, nid asc) and (cosine desc, nid asc) — deterministic
+    total orders, oracle-replayable end-to-end.  Returns
+    (qid, nid, cosine, hamming, rnk 1..k)."""
+    bq = binary_quantize(vectors, id_col, vec_col)
+    qb = bq.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col("bits").alias("qbits")
+    )
+    shortlist_w = Window.partitionBy("qid").orderBy(
+        F.asc("hamming"), F.asc("nid")
+    )
+    cand = (
+        bq.select(F.col(id_col).alias("nid"), "bits")
+        .join(F.broadcast(qb), F.col("nid") != F.col("qid"))
+        .withColumn("hamming", hamming_expr("qbits", "bits"))
+        .withColumn("srnk", F.row_number().over(shortlist_w))
+        .filter(F.col("srnk") <= k * oversample)
+        .select("qid", "nid", "hamming")
+    )
+    dot, nrm2, _ = _vector_kernels(vectors, vec_col)
+    qv = vectors.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    ).withColumn("qn", F.sqrt(nrm2("qe")))
+    # shortlist is |queries|·k·oversample rows — broadcast it onto the
+    # vector scan so candidate floats are FETCHED, not shuffled
+    fetched = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("ve")
+    ).join(F.broadcast(cand), "nid")
+    cos = F.when(
+        F.col("qn") * F.sqrt(nrm2("ve")) != 0,
+        F.round(dot("qe", "ve") / (F.col("qn") * F.sqrt(nrm2("ve"))), 6),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        fetched.join(F.broadcast(qv), "qid")
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "hamming", "rnk")
+    )

@@ -932,3 +932,131 @@ ML_REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_simhash_fast": QuerySpec(q_dedup_simhash_fast, _SQL_SIMHASH),
 }
+
+
+# ------------------------------------------------- binary quantization
+# sign-bit codes, Hamming shortlist, exact rerank — the 32× memory
+# floor of the quantization ladder; see operators/similarity.py
+# (binary_quantize / binary_topk).  Everything before the rerank is
+# integer (xor + popcount), so the oracle replays both stages.
+
+_SQL_BQ_CODES = """
+bqc AS (
+  SELECT vec_id,
+    list_transform(generate_series(0, (len(embedding) + 31) // 32 - 1),
+      w -> CAST(list_sum(list_transform(generate_series(0, 31), j ->
+        CASE WHEN embedding[w * 32 + j + 1] > 0
+             THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)) AS bits
+  FROM embeddings)
+"""
+
+
+def q_sim_bq_codes(spark, sf_dir):
+    """The 1-bit codes themselves (bit j of word w = sign of component
+    w·32+j): the stored column a production corpus quantizes once at
+    ingest; space-joined for stable cross-engine comparison (the
+    signature-array precedent)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        binary_quantize,
+    )
+
+    return binary_quantize(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            "array_join(transform(bits, b -> cast(b as string)), ' ')"
+        ).alias("bits_str"),
+    )
+
+
+_SQL_SIM_BQ_CODES = f"""
+    WITH {_SQL_BQ_CODES}
+    SELECT vec_id,
+      array_to_string(list_transform(bits, b -> CAST(b AS VARCHAR)), ' ')
+        AS bits_str
+    FROM bqc
+"""
+
+
+def q_sim_bq_topk(spark, sf_dir):
+    """Two-stage binary-quantized ANN: Hamming shortlist (k·4 per
+    query, xor+popcount over one BIGINT word per 32 dims) then exact
+    cosine rerank of the bounded shortlist — codes stream against
+    broadcast query codes, the rerank FETCHES candidate floats via a
+    broadcast join (no corpus shuffle at any stage)."""
+    from airflow_crypto_btc_spark.operators.similarity import binary_topk
+
+    return binary_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_SQL_SIM_BQ_TOPK = f"""
+    WITH {_SQL_BQ_CODES},
+    qb AS (SELECT vec_id AS qid, bits AS qbits FROM bqc
+           WHERE vec_id < 20),
+    ham AS (
+      SELECT qb.qid, c.vec_id AS nid,
+        CAST(list_sum(list_transform(generate_series(1, len(qbits)),
+          i -> bit_count(xor(qbits[i], c.bits[i])))) AS INT) AS hamming
+      FROM bqc c, qb WHERE c.vec_id <> qb.qid),
+    cand AS (
+      SELECT qid, nid, hamming FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY hamming, nid) AS srnk
+        FROM ham)
+      WHERE srnk <= 40),
+    rr AS (
+      SELECT cand.qid, cand.nid, cand.hamming,
+        round(
+          list_sum(list_transform(range(1, len(q.embedding) + 1), i ->
+            CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(v.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) AS cosine
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.qid
+      JOIN embeddings v ON v.vec_id = cand.nid)
+    SELECT qid, nid, cosine, hamming, rnk FROM (
+      SELECT qid, nid, cosine, hamming,
+        CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk
+      FROM rr)
+    WHERE rnk <= 10
+"""
+
+
+def q_sim_bq_recall(spark, sf_dir):
+    """recall@10 of the Hamming-shortlist-then-rerank search vs exact
+    cosine top-k on the same queries — the 1-bit compression's quality
+    cost, measured like every other index family."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        binary_topk,
+        cosine_topk,
+    )
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _ann_recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
+        "qid", "nid"
+    )
+    approx = binary_topk(emb).select("qid", "nid")
+    return _ann_recall_report(exact, approx)
+
+
+def _bq_recall_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _ann_recall_sql,
+    )
+
+    return _ann_recall_sql(_SQL_SIM_BQ_TOPK)
+
+
+ML_REGISTRY.update(
+    {
+        "sim_bq_codes": QuerySpec(q_sim_bq_codes, _SQL_SIM_BQ_CODES),
+        "sim_bq_topk": QuerySpec(q_sim_bq_topk, _SQL_SIM_BQ_TOPK),
+        "sim_bq_recall": QuerySpec(q_sim_bq_recall, _bq_recall_sql()),
+    }
+)

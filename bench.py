@@ -201,6 +201,9 @@ HEADLINE = [
     # ...and its fully persisted serve path (books+codes+centroids+
     # lists): no re-assignment, no re-encode at query time
     "sim_ivfpq_from_index",
+    # round-10: 1-bit binary quantization — Hamming shortlist over
+    # sign codes (xor+popcount), exact rerank of the bounded shortlist
+    "sim_bq_topk",
     # round-10: Morton-curve layout — code assignment and the measured
     # 2-D pruning report (z-layout vs single-dimension clustering)
     "phys_zorder_code",

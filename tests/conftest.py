@@ -30,6 +30,7 @@ SMOKE_TESTS = {
     "test_probe_learns_separable_target",     # trained probe
     "test_artifact_nonempty",                 # data quality
     "test_cosine_topk_matches_numpy",         # similarity
+    "test_topk_finds_planted_twin_and_excludes_self",  # binary quant
     "test_cms_overestimates_never_under",     # sketches
     "test_stream_tails_appends_exactly_once",  # snapshot change feed
     "test_append_read_roundtrip_and_versioning",  # snapshot table

@@ -23,7 +23,7 @@ stopword-budget decisions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_crypto_btc_spark.functions.hashing import (
@@ -218,4 +218,111 @@ def hll_from_table(
         read_snapshot(spark, registers_table)
         .groupBy("bucket")
         .agg(F.max("register").cast("long").alias("register"))
+    )
+
+
+# ------------------------------------- bounded-domain quantile registers
+
+
+#: fixed grid for the events.value metric: [0, 1024) in 512 buckets of
+#: exactly 2.0 (2_000_000 micro-units) — fixed and DATA-INDEPENDENT,
+#: which is what makes the registers mergeable (cell-wise sum) across
+#: partitions, batches, and days; out-of-range values clamp to the edge
+#: buckets (documented bounded-domain trade — the Prometheus histogram
+#: contract, where bucket bounds are configuration, not statistics)
+QHIST_LO_MICRO = 0
+QHIST_HI_MICRO = 1_024_000_000
+QHIST_BUCKETS = 512
+
+
+def qhist_registers(
+    df: DataFrame,
+    value_col: str = "value",
+    lo_micro: int = QHIST_LO_MICRO,
+    hi_micro: int = QHIST_HI_MICRO,
+    n_buckets: int = QHIST_BUCKETS,
+) -> DataFrame:
+    """Quantile-sketch registers: per-bucket counts over the FIXED
+    integer grid — the third register sketch beside CM (counts) and HLL
+    (cardinality), completing the triad a 100 TB metrics pipeline
+    maintains.  One map-side-combinable aggregation over ≤n_buckets
+    keys; values go through the decimal(38,6) cast (the deterministic
+    double→6-dp rounding both engines share) so bucket assignment can
+    never split at a float boundary.  Returns (bucket, cnt)."""
+    width = (hi_micro - lo_micro) // n_buckets
+    if width * n_buckets != hi_micro - lo_micro:
+        raise ValueError("grid must divide evenly into buckets")
+    v = (
+        f"cast(cast({value_col} as decimal(38,6)) * 1000000 as bigint)"
+    )
+    bucket = (
+        f"least({n_buckets - 1}L, greatest(0L, "
+        f"({v} - {lo_micro}) div {width}))"
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def qhist_quantile(
+    registers: DataFrame,
+    probs_micro: tuple[int, ...] = (500_000, 900_000, 990_000),
+    lo_micro: int = QHIST_LO_MICRO,
+    hi_micro: int = QHIST_HI_MICRO,
+    n_buckets: int = QHIST_BUCKETS,
+) -> DataFrame:
+    """Serve quantile estimates from the registers — the
+    ``histogram_quantile`` evaluation: cumulative counts over the
+    bucket order (a ≤n_buckets-row frame — bounded single partition,
+    the vocab-cut precedent), pick the first bucket whose cumulative
+    count reaches ``ceil(p·total)``, and linearly interpolate WITHIN
+    the bucket by rank — all in exact integer micro-units, no float an
+    engine could round differently.  Returns (p_micro, est_micro,
+    n_total)."""
+    width = (hi_micro - lo_micro) // n_buckets
+    spark = registers.sparkSession
+    # cum over the bounded register frame (≤n_buckets rows)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = registers.select(
+        "bucket", "cnt", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    total = registers.agg(F.sum("cnt").cast("long").alias("n_total"))
+    probs = spark.createDataFrame(
+        [(int(p),) for p in probs_micro], "p_micro long"
+    )
+    need = "cast((p_micro * n_total + 999999) div 1000000 as bigint)"
+    return (
+        cum.crossJoin(F.broadcast(probs.crossJoin(total)))
+        .filter(
+            F.expr(f"cum >= {need} AND cum - cnt < {need}")
+        )
+        .select(
+            "p_micro",
+            F.expr(
+                f"{lo_micro} + bucket * {width} + "
+                f"(({need} - (cum - cnt)) * {width}) div cnt"
+            ).alias("est_micro"),
+            "n_total",
+        )
+    )
+
+
+def qhist_from_table(
+    spark: SparkSession, registers_table: str
+) -> DataFrame:
+    """Fold the per-batch register history into the merged sketch —
+    cell-wise sum, the additivity the streaming maintainer relies on."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    return (
+        read_snapshot(spark, registers_table)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )

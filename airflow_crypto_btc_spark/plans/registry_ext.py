@@ -2308,3 +2308,146 @@ EXT_REGISTRY["text_wordpiece_encode"] = QuerySpec(
 EXT_REGISTRY["text_wordpiece_from_model"] = QuerySpec(
     q_text_wordpiece_from_model, _SQL_TEXT_WORDPIECE_ENCODE
 )
+
+
+# ------------------------------------------- quantile registers (events)
+# the third register sketch beside CM (counts) and HLL (cardinality):
+# fixed-grid bucket counts over events.value, quantiles served by
+# rank interpolation — the Prometheus histogram_quantile contract;
+# see operators/sketch.py (qhist_*).  Grid [0, 1024) × 512 buckets of
+# exactly 2.0; everything integer micro-units.
+
+_SQL_QHIST_REGS = """
+qregs AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT least(511, greatest(0,
+      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+        // 2000000)) AS bucket
+    FROM events WHERE value IS NOT NULL)
+  GROUP BY 1)
+"""
+
+_SQL_QHIST_EST = f"""
+    WITH {_SQL_QHIST_REGS},
+    qcum AS (
+      SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket)
+        AS BIGINT) AS cum
+      FROM qregs),
+    qtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM qregs),
+    qprobs(p_micro) AS (VALUES (CAST(500000 AS BIGINT)),
+                               (CAST(900000 AS BIGINT)),
+                               (CAST(990000 AS BIGINT)))
+    SELECT p_micro,
+      CAST(bucket * 2000000
+        + (((p_micro * n_total + 999999) // 1000000 - (cum - cnt))
+           * 2000000) // cnt AS BIGINT) AS est_micro,
+      n_total
+    FROM qcum, qprobs, qtot
+    WHERE cum >= (p_micro * n_total + 999999) // 1000000
+      AND cum - cnt < (p_micro * n_total + 999999) // 1000000
+"""
+
+
+def q_approx_qhist_registers(spark, sf_dir):
+    """Fixed-grid quantile registers over events.value: one
+    map-side-combinable count per bucket, ≤512 keys regardless of
+    corpus size — and because the grid is data-INDEPENDENT the
+    registers merge cell-wise across partitions, batches, and days
+    (the property the streaming maintainer's append-only fold relies
+    on); see operators/sketch.qhist_registers."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        qhist_registers,
+    )
+
+    return qhist_registers(load_table(spark, sf_dir, "events"))
+
+
+def q_approx_qhist_quantiles(spark, sf_dir):
+    """p50/p90/p99 served from the registers by rank interpolation
+    within the landing bucket — exact integer micro-units end-to-end
+    (cumulative walk over the ≤512-row register frame: bounded single
+    partition, the vocab-cut precedent); see
+    operators/sketch.qhist_quantile."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        qhist_quantile,
+        qhist_registers,
+    )
+
+    return qhist_quantile(
+        qhist_registers(load_table(spark, sf_dir, "events"))
+    )
+
+
+def q_approx_qhist_quality(spark, sf_dir):
+    """The sketch's error MEASURED: register-served p50/p90/p99 vs the
+    exact interpolated percentile, absolute relative error in
+    micro-units — the number that says whether 512 buckets of width
+    2.0 are enough BEFORE a 100 TB operator trusts the maintained
+    registers (same doctrine as cms/hll quality)."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        qhist_quantile,
+        qhist_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = qhist_quantile(qhist_registers(ev))
+    exact = ev.agg(
+        F.expr(
+            "cast(round(percentile(value, 0.5) * 1000000) as bigint)"
+        ).alias("x50"),
+        F.expr(
+            "cast(round(percentile(value, 0.9) * 1000000) as bigint)"
+        ).alias("x90"),
+        F.expr(
+            "cast(round(percentile(value, 0.99) * 1000000) as bigint)"
+        ).alias("x99"),
+    ).selectExpr(
+        "stack(3, 500000L, x50, 900000L, x90, 990000L, x99)"
+        " as (p_micro, exact_micro)"
+    )
+    return (
+        est.join(F.broadcast(exact), "p_micro")
+        .select(
+            "p_micro",
+            "est_micro",
+            "exact_micro",
+            F.expr(
+                "cast((2 * abs(est_micro - exact_micro) * 1000000"
+                " + exact_micro) div (2 * exact_micro) as bigint)"
+            ).alias("rel_err_micro"),
+        )
+    )
+
+
+_SQL_APPROX_QHIST_QUALITY = f"""
+    WITH est AS ({_SQL_QHIST_EST}),
+    ex(p_micro, exact_micro) AS (
+      SELECT 500000,
+        CAST(round(quantile_cont(value, 0.5) * 1000000) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 900000,
+        CAST(round(quantile_cont(value, 0.9) * 1000000) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 990000,
+        CAST(round(quantile_cont(value, 0.99) * 1000000) AS BIGINT)
+      FROM events)
+    SELECT est.p_micro, est_micro, exact_micro,
+      CAST((2 * abs(est_micro - exact_micro) * 1000000 + exact_micro)
+        // (2 * exact_micro) AS BIGINT) AS rel_err_micro
+    FROM est JOIN ex ON ex.p_micro = est.p_micro
+"""
+
+
+EXT_REGISTRY["approx_qhist_registers"] = QuerySpec(
+    q_approx_qhist_registers,
+    f"WITH {_SQL_QHIST_REGS} SELECT bucket, cnt FROM qregs",
+)
+EXT_REGISTRY["approx_qhist_quantiles"] = QuerySpec(
+    q_approx_qhist_quantiles, _SQL_QHIST_EST
+)
+EXT_REGISTRY["approx_qhist_quality"] = QuerySpec(
+    q_approx_qhist_quality, _SQL_APPROX_QHIST_QUALITY
+)

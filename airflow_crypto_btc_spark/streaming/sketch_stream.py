@@ -112,3 +112,37 @@ def hll_sink(
             vacuum(registers_table)
 
     return _fold
+
+
+def qhist_sink(
+    registers_table: str,
+    query_name: str,
+    value_col: str = "value",
+    merge_every: int | None = None,
+):
+    """``foreachBatch`` callback folding each batch's partial quantile
+    registers into the table — the CM-sketch shape exactly (counts are
+    additive under union, the grid is fixed so batch registers always
+    align cell-for-cell): one bounded append of ≤n_buckets skinny rows
+    per batch, txn-id idempotent, no read-modify-write on the hot
+    path; serving folds history with ``sketch.qhist_from_table``."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        qhist_from_table,
+        qhist_registers,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = qhist_registers(batch_df, value_col=value_col)
+        committed = append(
+            spark, part, registers_table,
+            txn_id=f"{query_name}:{batch_id}",
+        )
+        if committed == -1:
+            return  # replay: no append, no maintenance (see cms_sink)
+        if merge_every and (batch_id + 1) % merge_every == 0:
+            merged = qhist_from_table(spark, registers_table)
+            overwrite(spark, merged, registers_table)
+            vacuum(registers_table)
+
+    return _fold

@@ -213,6 +213,9 @@ HEADLINE = [
     # round-8: sketch error measured, not asserted
     "text_cms_heavy_hitters",
     "approx_hll_quality",
+    # round-10: the third register sketch — fixed-grid quantile
+    # registers served by rank interpolation, error measured vs exact
+    "approx_qhist_quality",
 ]
 
 

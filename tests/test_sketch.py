@@ -148,3 +148,94 @@ def test_hll_streaming_merge_by_max_and_replay(spark, tmp_path):
     )
     # max-merge makes the overlap harmless: merged == one-shot over union
     assert merged == oneshot
+
+
+# ----------------------------------------- quantile registers (qhist)
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "event_id long, value double",
+    )
+
+
+def test_qhist_registers_fixed_grid_and_clamping(spark):
+    from airflow_crypto_btc_spark.operators.sketch import qhist_registers
+
+    # width 2.0: 0.0→b0, 1.99→b0, 2.0→b1, 1023.9→b511, 5000→clamp b511
+    regs = {
+        r["bucket"]: r["cnt"]
+        for r in qhist_registers(
+            _vals(spark, [0.0, 1.99, 2.0, 1023.9, 5000.0, -3.0])
+        ).collect()
+    }
+    assert regs[0] == 3  # 0.0, 1.99, and -3.0 clamped up
+    assert regs[1] == 1
+    assert regs[511] == 2  # top edge + overflow clamp
+
+
+def test_qhist_quantile_interpolates_by_rank(spark):
+    from airflow_crypto_btc_spark.operators.sketch import (
+        qhist_quantile,
+        qhist_registers,
+    )
+
+    # 100 values uniform over [0, 2): all in bucket 0 → p50 needs rank
+    # 50 of 100 → est = 0 + (50 * 2_000_000) // 100 = 1_000_000
+    est = {
+        r["p_micro"]: r["est_micro"]
+        for r in qhist_quantile(
+            qhist_registers(_vals(spark, [i * 0.02 for i in range(100)])),
+            probs_micro=(500_000,),
+        ).collect()
+    }
+    assert est[500_000] == 1_000_000
+
+
+def test_qhist_estimate_within_bucket_width_of_exact(spark):
+    from airflow_crypto_btc_spark.operators.sketch import (
+        qhist_quantile,
+        qhist_registers,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.uniform(0, 400) for _ in range(5000)]
+    est = {
+        r["p_micro"]: r["est_micro"]
+        for r in qhist_quantile(qhist_registers(_vals(spark, vals))).collect()
+    }
+    sv = sorted(vals)
+    for p, e in est.items():
+        exact = sv[int(len(sv) * p / 1_000_000)]
+        # a rank-interpolated fixed-grid estimate is within one bucket
+        # width (2.0 = 2_000_000 micro) of the exact quantile
+        assert abs(e - exact * 1_000_000) <= 2_000_000
+
+
+def test_qhist_streaming_additive_exactly_once_and_merge(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.sketch import (
+        qhist_from_table,
+        qhist_registers,
+    )
+    from airflow_crypto_btc_spark.streaming.sketch_stream import qhist_sink
+
+    t = str(tmp_path / "qhist")
+    sink = qhist_sink(t, query_name="qh")
+    b0 = [3.0, 5.5, 900.0]
+    b1 = [3.1, 77.0, 77.2, 1.0]
+    sink(_vals(spark, b0), 0)
+    sink(_vals(spark, b1), 1)
+    v = current_snapshot(t).version
+    sink(_vals(spark, b1), 1)  # crash-replay: no double count
+    assert current_snapshot(t).version == v
+    merged = {
+        r["bucket"]: r["cnt"] for r in qhist_from_table(spark, t).collect()
+    }
+    oneshot = {
+        r["bucket"]: r["cnt"]
+        for r in qhist_registers(_vals(spark, b0 + b1)).collect()
+    }
+    assert merged == oneshot

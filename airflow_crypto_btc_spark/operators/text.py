@@ -978,3 +978,259 @@ def unigram_logprob_from_model(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "mean_logprob",
     )
+
+
+# ------------------------------------------------------ bigram LM scoring
+
+
+def _bigram_pairs(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, prev, tok) adjacent-token pairs, built row-locally from
+    the token array (no per-doc window, no shuffle); the size guard
+    matters — Spark ``sequence(1, 0)`` counts DOWN (the shingles trap).
+
+    Shape matters here: the generator explodes the INDEX sequence and
+    the pair fields project AFTERWARDS via ``element_at`` — exploding a
+    pre-built ``array<struct>`` instead measured **11 s vs 0.15 s** at
+    sf0.1 (Generate's per-element struct materialization; recorded in
+    SCALING.md beside the other generator traps)."""
+    return (
+        df.select("doc_id", tokens_expr(text_col).alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "sequence(1, size(toks) - 1) ELSE array() END"
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(toks, i)").alias("prev"),
+            F.expr("element_at(toks, i + 1)").alias("tok"),
+        )
+    )
+
+
+def _micro_mean(grouped_lp: DataFrame, n_col: str, round_dp: int) -> DataFrame:
+    """Exact integer micro-unit mean of 6-dp-rounded log terms — the
+    unigram_logprob_score tie-break argument applies verbatim."""
+    return grouped_lp.select(
+        "doc_id",
+        n_col,
+        (
+            F.when(
+                F.col("__s") < 0,
+                -F.expr(f"(2 * (-__s) + {n_col}) div (2 * {n_col})"),
+            ).otherwise(
+                F.expr(f"(2 * __s + {n_col}) div (2 * {n_col})")
+            )
+            / float(10**round_dp)
+        ).alias("mean_logprob"),
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame, text_col: str = "text", round_dp: int = 6
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the n-gram upgrade of
+    ``unigram_logprob_score`` (one step toward the 5-gram KenLM the
+    CCNet pipeline actually gates with): each adjacent pair scores
+    ``ln(λ·P(tok|prev) + (1−λ)·P(tok))`` with λ=0.5, add-one smoothing
+    on both components, and the per-doc mean taken in exact integer
+    micro-units.  Word order now matters — scrambled fluent vocabulary
+    scores LOW where the unigram model cannot tell — which is the
+    failure mode that motivates n-gram gates.
+
+    Shape at scale: pairs build row-locally from the token array (no
+    per-doc window); the bigram table is key-distributed (it can be
+    100M+ rows at corpus scale — never broadcast), while the unigram
+    table and totals ride broadcasts (Zipf-bounded).  Returns
+    (doc_id, n_bigrams, mean_logprob); docs under 2 tokens score null.
+    """
+    # Materialization barrier (the int8-quantization precedent): the
+    # downstream join keys' IsNotNull constraints otherwise push BELOW
+    # the Generate and re-derive the whole pair-array expression as a
+    # per-row filter on raw text (measured 14.8 s for the bare pair
+    # count at sf0.1, 0.9 s with the barrier); the barrier also lets
+    # the census and the scoring side share ONE materialization.
+    pairs = _bigram_pairs(df, text_col).localCheckpoint(eager=False)
+    bi = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c_uv"))
+    toks = df.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("token")
+    )
+    # same barrier: uni feeds three consumers (c_u side, c_v side,
+    # totals) — without it each one re-scans and re-tokenizes the corpus
+    uni = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("n_vocab")
+    )
+    scored = (
+        pairs.join(bi, ["prev", "tok"])
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("prev"),
+                                   F.col("c").alias("c_u"))),
+            "prev",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("tok"),
+                                   F.col("c").alias("c_v"))),
+            "tok",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(0.5)
+                    * (
+                        (F.col("c_uv") + 1).cast("double")
+                        / (F.col("c_u") + F.col("n_vocab")).cast("double")
+                    )
+                    + F.lit(0.5)
+                    * (
+                        (F.col("c_v") + 1).cast("double")
+                        / (F.col("n_total") + F.col("n_vocab")).cast(
+                            "double"
+                        )
+                    )
+                ),
+                round_dp,
+            ).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.round(F.col("lp") * float(10**round_dp)).cast("long")
+            ).alias("__s"),
+        )
+    )
+    out = _micro_mean(scored, "n_bigrams", round_dp)
+    return df.select("doc_id").join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "mean_logprob",
+    )
+
+
+def build_bigram_lm(
+    spark,
+    docs: DataFrame,
+    bigram_table: str,
+    unigram_table: str,
+    source_version: str,
+    text_col: str = "text",
+) -> None:
+    """Persist the bigram LM — (prev, tok, c_uv) plus its own
+    (token, c) unigram stats — version-pinned with the normalization
+    constants (n_total, n_vocab) in commit metadata, the
+    build_text_models freshness contract.  A 100 TB deployment fits
+    the LM once on the reference corpus; ingest gates score arrivals
+    against the FROZEN counts (unseen pairs take the add-one floor —
+    the score of a document never drifts as unrelated text arrives)."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import overwrite
+
+    pairs = _bigram_pairs(docs, text_col)
+    bi = pairs.groupBy("prev", "tok").agg(
+        F.count("*").cast("long").alias("c_uv")
+    )
+    uni = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = uni.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_total"),
+        F.count("*").alias("n_vocab"),
+    ).collect()[0]
+    meta = {
+        "source_version": source_version,
+        "n_total": int(totals["n_total"]),
+        "n_vocab": int(totals["n_vocab"]),
+    }
+    overwrite(spark, bi, bigram_table, meta=meta)
+    overwrite(spark, uni, unigram_table, meta=meta)
+
+
+def bigram_logprob_from_model(
+    spark,
+    docs: DataFrame,
+    bigram_table: str,
+    unigram_table: str,
+    text_col: str = "text",
+    round_dp: int = 6,
+    expect_source: str | None = None,
+) -> DataFrame:
+    """Interpolated bigram scoring against the FROZEN persisted LM —
+    same output contract as ``bigram_logprob_score`` and identical
+    values on the model's own corpus.  Unseen pairs/tokens coalesce to
+    count 0 and take the add-one smoothed floor (a pair over an unseen
+    context u scores ``ln(0.5/|V| + 0.5·(c_v+1)/(N+|V|))``), so novel
+    text scores low instead of erroring — the ingest-gate behavior."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    meta = _text_model_meta(bigram_table, expect_source)
+    _text_model_meta(unigram_table, expect_source)
+    n_total, n_vocab = int(meta["n_total"]), int(meta["n_vocab"])
+    # barrier: see bigram_logprob_score — without it the join-key null
+    # constraints re-derive the pair build below the Generate
+    pairs = _bigram_pairs(docs, text_col).localCheckpoint(eager=False)
+    bi = read_snapshot(spark, bigram_table)
+    uni = read_snapshot(spark, unigram_table)
+    scored = (
+        pairs.join(bi, ["prev", "tok"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("prev"),
+                                   F.col("c").alias("c_u"))),
+            "prev",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("tok"),
+                                   F.col("c").alias("c_v"))),
+            "tok",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(0.5)
+                    * (
+                        (F.coalesce("c_uv", F.lit(0)) + 1).cast("double")
+                        / (
+                            F.coalesce("c_u", F.lit(0)) + F.lit(n_vocab)
+                        ).cast("double")
+                    )
+                    + F.lit(0.5)
+                    * (
+                        (F.coalesce("c_v", F.lit(0)) + 1).cast("double")
+                        / F.lit(float(n_total + n_vocab))
+                    )
+                ),
+                round_dp,
+            ).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.round(F.col("lp") * float(10**round_dp)).cast("long")
+            ).alias("__s"),
+        )
+    )
+    out = _micro_mean(scored, "n_bigrams", round_dp)
+    return docs.select("doc_id").join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "mean_logprob",
+    )

@@ -1738,3 +1738,133 @@ INCREMENTAL_REGISTRY.update(
         ),
     }
 )
+
+
+# ------------------------------------------------------- bigram LM scoring
+# interpolated bigram quality gate — the n-gram upgrade of the unigram
+# perplexity proxy (one step toward CCNet's 5-gram KenLM gate); see
+# operators/text.bigram_logprob_score.  λ=0.5, add-one smoothing on
+# both components; the oracle replays pair building, both count
+# tables, the interpolated log, and the micro-unit mean exactly.
+
+_SQL_TEXT_BIGRAM_LOGPROB = r"""
+    WITH btoks AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                    t -> t <> '') AS tokens
+      FROM documents
+    ),
+    bpairs AS (
+      SELECT doc_id, tokens[i] AS prev, tokens[i + 1] AS tok
+      FROM btoks,
+           LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1))
+                    AS i) g
+    ),
+    bbi AS (SELECT prev, tok, count(*) AS c_uv FROM bpairs GROUP BY 1, 2),
+    buni AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest(tokens) AS token FROM btoks) GROUP BY 1
+    ),
+    btot AS (SELECT sum(c) AS n_total, count(*) AS n_vocab FROM buni),
+    bscored AS (
+      SELECT p.doc_id,
+        round(ln(
+          0.5 * (CAST(b.c_uv + 1 AS DOUBLE)
+                 / CAST(u.c + tt.n_vocab AS DOUBLE))
+          + 0.5 * (CAST(v.c + 1 AS DOUBLE)
+                   / CAST(tt.n_total + tt.n_vocab AS DOUBLE))), 6) AS lp
+      FROM bpairs p
+      JOIN bbi b ON b.prev = p.prev AND b.tok = p.tok
+      JOIN buni u ON u.token = p.prev
+      JOIN buni v ON v.token = p.tok
+      CROSS JOIN btot tt
+    ),
+    bsums AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        SUM(CAST(round(lp * 1000000) AS BIGINT)) AS s6,
+        count(*) AS n
+      FROM bscored GROUP BY doc_id
+    ),
+    bagg AS (
+      SELECT doc_id, n_bigrams,
+        (CASE WHEN s6 < 0 THEN -((2 * (-s6) + n) // (2 * n))
+              ELSE (2 * s6 + n) // (2 * n) END) / 1000000.0
+          AS mean_logprob
+      FROM bsums
+    )
+    SELECT d.doc_id,
+      coalesce(a.n_bigrams, 0) AS n_bigrams,
+      a.mean_logprob
+    FROM documents d LEFT JOIN bagg a USING (doc_id)
+"""
+
+
+def q_text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM score per document (word order now
+    matters — scrambled fluent vocabulary scores low where the unigram
+    proxy cannot tell); pairs build row-locally, the bigram table is
+    key-distributed, unigram/totals broadcast; see
+    operators/text.bigram_logprob_score."""
+    from airflow_crypto_btc_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    return bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+def _bigram_lm_zone(spark, sf_dir):
+    import os
+
+    from airflow_crypto_btc_spark.operators.text import build_bigram_lm
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_bigram_lm(
+            spark,
+            docs,
+            os.path.join(staging, "bigram"),
+            os.path.join(staging, "unigram"),
+            source_version=source_version,
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "bigram_lm", _land),
+        source_version,
+    )
+
+
+def q_text_bigram_from_model(spark, sf_dir):
+    """Bigram scoring served from the FROZEN persisted LM (same oracle:
+    scoring the model's own corpus must equal the inline
+    self-estimate); unseen pairs coalesce to the add-one floor, and a
+    stale source_version is refused from metadata alone."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.text import (
+        bigram_logprob_from_model,
+    )
+
+    zone, source_version = _bigram_lm_zone(spark, sf_dir)
+    return bigram_logprob_from_model(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "bigram"),
+        os.path.join(zone, "unigram"),
+        expect_source=source_version,
+    )
+
+
+INCREMENTAL_REGISTRY.update(
+    {
+        "text_bigram_logprob": QuerySpec(
+            q_text_bigram_logprob, _SQL_TEXT_BIGRAM_LOGPROB
+        ),
+        "text_bigram_from_model": QuerySpec(
+            q_text_bigram_from_model, _SQL_TEXT_BIGRAM_LOGPROB
+        ),
+    }
+)

@@ -128,6 +128,10 @@ HEADLINE = [
     "sim_pq_topk_from_codes",
     "sim_ivf_topk_from_index",
     "text_logprob_from_model",
+    # round-10: the interpolated bigram LM gate (word order matters)
+    # and its frozen-model serve
+    "text_bigram_logprob",
+    "text_bigram_from_model",
     # round-8: trainable quality probe — the inline entry is a deliberate
     # train line (6 full-batch GD iterations); from_model is the serving
     # scan a 100 TB ingest gate actually pays

@@ -599,3 +599,73 @@ def test_gram_index_serves_exact_delta_and_refuses_stale(spark, tmp_path):
     assert by_id[12][2] >= 1 and by_id[13][2] >= 1  # delta-internal dup
     with _pytest.raises(ValueError, match="stale gram index"):
         dup_coverage_from_index(spark, delta, t, expect_source="v2")
+
+
+# -------------------------------------------------------- bigram LM
+
+
+def test_bigram_scores_word_order(spark):
+    from airflow_crypto_btc_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    # "a b" is the dominant pattern; doc 3 uses the same vocabulary in
+    # reversed order — the unigram proxy cannot tell, the bigram must
+    rows = [(i, "a b a b a b") for i in range(3)] + [(3, "b a b a b a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {
+        x["doc_id"]: x for x in bigram_logprob_score(docs).collect()
+    }
+    assert r[0]["n_bigrams"] == 5
+    assert r[3]["mean_logprob"] < r[0]["mean_logprob"]
+
+
+def test_bigram_short_docs_score_null(spark):
+    from airflow_crypto_btc_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "one two three"), (1, "solo"), (2, " ")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in bigram_logprob_score(docs).collect()}
+    assert r[0]["n_bigrams"] == 2
+    assert r[1]["n_bigrams"] == 0 and r[1]["mean_logprob"] is None
+    assert r[2]["n_bigrams"] == 0 and r[2]["mean_logprob"] is None
+
+
+def test_bigram_from_model_floor_and_stale_refusal(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.text import (
+        bigram_logprob_from_model,
+        bigram_logprob_score,
+        build_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    bt, ut = str(tmp_path / "bi"), str(tmp_path / "uni")
+    build_bigram_lm(spark, train, bt, ut, source_version="v1")
+    # own corpus: serve == inline (the catalog-oracle identity)
+    served = bigram_logprob_from_model(
+        spark, train, bt, ut, expect_source="v1"
+    )
+    inline = bigram_logprob_score(train)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # novel text: unseen pairs take the smoothed floor, score lower
+    novel = spark.createDataFrame(
+        [(9, "zephyr quartz blimp the cat")], "doc_id long, text string"
+    )
+    nv = bigram_logprob_from_model(spark, novel, bt, ut).collect()[0]
+    base = served.collect()[0]
+    assert nv["mean_logprob"] < base["mean_logprob"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale text model"):
+        bigram_logprob_from_model(
+            spark, train, bt, ut, expect_source="v2"
+        )

@@ -989,10 +989,13 @@ def _bigram_pairs(df: DataFrame, text_col: str) -> DataFrame:
     matters — Spark ``sequence(1, 0)`` counts DOWN (the shingles trap).
 
     Shape matters here: the generator explodes the INDEX sequence and
-    the pair fields project AFTERWARDS via ``element_at`` — exploding a
-    pre-built ``array<struct>`` instead measured **11 s vs 0.15 s** at
-    sf0.1 (Generate's per-element struct materialization; recorded in
-    SCALING.md beside the other generator traps)."""
+    the pair fields project AFTERWARDS via ``element_at``.  Exploding
+    a NAMED pre-built pair array instead measured **23.7 s vs 1.16 s**
+    at sf0.1: InferFiltersFromGenerate adds size/not-null filters on
+    the named array and pushdown substitutes the whole build into
+    them, re-deriving the tokenize per element — O(L²) regex work per
+    row (mechanism pinned by plan diff; recorded in SCALING.md beside
+    the other generator traps)."""
     return (
         df.select("doc_id", tokens_expr(text_col).alias("toks"))
         .select(
@@ -1050,11 +1053,9 @@ def bigram_logprob_score(
     (doc_id, n_bigrams, mean_logprob); docs under 2 tokens score null.
     """
     # Materialization barrier (the int8-quantization precedent): the
-    # downstream join keys' IsNotNull constraints otherwise push BELOW
-    # the Generate and re-derive the whole pair-array expression as a
-    # per-row filter on raw text (measured 14.8 s for the bare pair
-    # count at sf0.1, 0.9 s with the barrier); the barrier also lets
-    # the census and the scoring side share ONE materialization.
+    # census and the scoring side both consume pairs — the barrier
+    # computes the tokenize+explode ONCE and shields the Generate from
+    # any downstream constraint pushdown (see _bigram_pairs).
     pairs = _bigram_pairs(df, text_col).localCheckpoint(eager=False)
     bi = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c_uv"))
     toks = df.select(

@@ -1,0 +1,221 @@
+"""Property battery for the round-10 second-wave families: each
+operator's exact-semantics claim holds on arbitrary inputs, checked
+against an independent pure-Python reference (same doctrine as
+test_properties.py; small examples — one Spark job each)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+_piece_pool = st.lists(
+    st.tuples(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        st.booleans(),  # continuation form?
+    ),
+    min_size=1,
+    max_size=14,
+    unique=True,
+)
+
+
+def _py_greedy(word: str, vocab: set[str], maxl: int):
+    """Reference WordPiece MaxMatch: longest piece at each position,
+    ## continuation namespace, whole-word UNK on any miss."""
+    pos, pieces = 0, []
+    while pos < len(word):
+        for ln in range(min(maxl, len(word) - pos), 0, -1):
+            cand = word[pos : pos + ln]
+            key = cand if pos == 0 else "##" + cand
+            if key in vocab:
+                pieces.append(key)
+                pos += ln
+                break
+        else:
+            return ["[UNK]"], True
+    return pieces, False
+
+
+@given(words=_words, pool=_piece_pool)
+@settings(**SETTINGS)
+def test_wordpiece_segment_matches_python_greedy(spark, words, pool):
+    from airflow_crypto_btc_spark.operators.wordpiece import (
+        wordpiece_segment,
+    )
+
+    vocab = {("##" + p if cont else p) for p, cont in pool}
+    vdf = spark.createDataFrame(
+        [(p, i + 1) for i, p in enumerate(sorted(vocab))],
+        "piece string, piece_id long",
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["pieces_str"], r["is_unk"])
+        for r in wordpiece_segment(wdf, vdf, max_piece_len=3).collect()
+    }
+    for w in words:
+        pieces, unk = _py_greedy(w, vocab, 3)
+        assert got[w] == (" ".join(pieces), unk), w
+
+
+_coords = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=65535),
+        st.integers(min_value=0, max_value=65535),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(coords=_coords)
+@settings(**SETTINGS)
+def test_morton_matches_python_interleave(spark, coords):
+    from airflow_crypto_btc_spark.operators.zorder import morton_expr
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(coords)],
+        "id long, x int, y int",
+    )
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", morton_expr("x", "y").alias("z")).collect()
+    }
+    for i, (x, y) in enumerate(coords):
+        want = sum(
+            (((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1))
+            for b in range(16)
+        )
+        assert got[i] == want
+
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4, max_value=4,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=70,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(vecs=_vecs)
+@settings(**SETTINGS)
+def test_binary_quantize_matches_python_sign_packing(spark, vecs):
+    from airflow_crypto_btc_spark.operators.similarity import (
+        binary_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["bits"] for r in binary_quantize(df).collect()}
+    for i, v in enumerate(vecs):
+        n_words = (len(v) + 31) // 32
+        want = [
+            sum(
+                1 << j
+                for j in range(32)
+                if w * 32 + j < len(v) and v[w * 32 + j] > 0
+            )
+            for w in range(n_words)
+        ]
+        assert got[i] == want
+
+
+_vals = st.lists(
+    st.floats(
+        min_value=0.0, max_value=1023.0,
+        allow_nan=False, allow_infinity=False,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(vals=_vals, p=st.integers(min_value=1, max_value=999_999))
+@settings(**SETTINGS)
+def test_qhist_quantile_matches_python_replay(spark, vals, p):
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from airflow_crypto_btc_spark.operators.sketch import (
+        QHIST_BUCKETS,
+        QHIST_HI_MICRO,
+        QHIST_LO_MICRO,
+        qhist_quantile,
+        qhist_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "event_id long, value double",
+    )
+    got = {
+        r["p_micro"]: r["est_micro"]
+        for r in qhist_quantile(
+            qhist_registers(df), probs_micro=(p,)
+        ).collect()
+    }
+    width = (QHIST_HI_MICRO - QHIST_LO_MICRO) // QHIST_BUCKETS
+    regs: dict[int, int] = {}
+    for v in vals:
+        # decimal(38,6) cast = half-up 6-dp rounding of the double
+        vm = int(
+            (Decimal(repr(v)) * 1_000_000).to_integral_value(ROUND_HALF_UP)
+        )
+        b = min(QHIST_BUCKETS - 1, max(0, (vm - QHIST_LO_MICRO) // width))
+        regs[b] = regs.get(b, 0) + 1
+    total = len(vals)
+    need = (p * total + 999_999) // 1_000_000
+    cum = 0
+    for b in sorted(regs):
+        if cum + regs[b] >= need:
+            want = (
+                QHIST_LO_MICRO
+                + b * width
+                + ((need - cum) * width) // regs[b]
+            )
+            break
+        cum += regs[b]
+    assert got[p] == want
+
+
+_texts2 = st.lists(
+    st.text(alphabet="ab \t", min_size=0, max_size=30),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_texts2)
+@settings(**SETTINGS)
+def test_bigram_pairs_match_python_zip(spark, texts):
+    from airflow_crypto_btc_spark.operators.text import _bigram_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, list] = {i: [] for i in range(len(texts))}
+    for r in _bigram_pairs(df, "text").collect():
+        got[r["doc_id"]].append((r["prev"], r["tok"]))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        want = list(zip(toks, toks[1:]))
+        assert sorted(got[i]) == sorted(want), t

@@ -274,3 +274,101 @@ def gram_index_sink(
             vacuum(gram_table)  # upserts are rewrites: drop old gens
 
     return _fold
+
+
+def bigram_scores_sink(
+    bigram_table: str,
+    unigram_table: str,
+    scores_table: str,
+    query_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_logprob: float | None = None,
+    expect_source: str | None = None,
+    compact_every: int | None = None,
+    compact_target_parts: int = 4,
+):
+    """``quality_scores_sink``'s bigram twin: arriving documents score
+    against the FROZEN interpolated bigram LM
+    (``operators/text.build_bigram_lm``) — word order now matters at
+    the gate, so shuffled-vocabulary spam that passes the unigram gate
+    is caught here.  BOTH model tables (pair counts + unigram counts)
+    are version-pinned at construction and asserted every batch: a
+    retrain of either under a running stream stops the sink rather
+    than silently mixing scoring regimes.  Decisions land with
+    evidence — (doc_id, n_bigrams, mean_logprob[, passed]) — via one
+    txn-idempotent CAS append."""
+
+    bi_snap = current_snapshot(bigram_table)
+    uni_snap = current_snapshot(unigram_table)
+    if expect_source is not None:
+        for snap, what in ((bi_snap, "bigram"), (uni_snap, "unigram")):
+            if snap.meta.get("source_version") != expect_source:
+                raise ValueError(
+                    f"stale {what} LM: built from "
+                    f"{snap.meta.get('source_version')!r}, sink expects "
+                    f"{expect_source!r} — rebuild before streaming"
+                )
+
+    def _fold(batch_df, batch_id: int) -> None:
+        from airflow_crypto_btc_spark.operators.text import (
+            bigram_logprob_from_model,
+        )
+
+        spark = batch_df.sparkSession
+        if (
+            current_snapshot(bigram_table).version != bi_snap.version
+            or current_snapshot(unigram_table).version != uni_snap.version
+        ):
+            raise ValueError(
+                "bigram LM changed under a running scoring stream — "
+                "restart the sink against the new generation (scores "
+                "from different model generations are not comparable)"
+            )
+        scores_v = current_snapshot(scores_table).version
+        w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)))
+        fresh = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        committed = read_snapshot_or_none(spark, scores_table)
+        if committed is not None:
+            fresh = fresh.join(
+                committed.select(F.col(id_col).alias("_seen")),
+                fresh[id_col] == F.col("_seen"),
+                "left_anti",
+            )
+        scores = bigram_logprob_from_model(
+            spark,
+            fresh.select(F.col(id_col).alias("doc_id"), text_col),
+            bigram_table,
+            unigram_table,
+            text_col,
+        ).withColumnRenamed("doc_id", id_col)
+        if min_logprob is not None:
+            scores = scores.withColumn(
+                "passed",
+                F.coalesce(
+                    F.col("mean_logprob") >= min_logprob, F.lit(False)
+                ),
+            )
+        try:
+            append(
+                spark, scores, scores_table,
+                txn_id=f"{query_name}:{batch_id}",
+                expect_version=scores_v,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            try:
+                compact(
+                    spark, scores_table,
+                    target_parts=compact_target_parts,
+                )
+            except ValueError:
+                return
+            vacuum(scores_table)
+
+    return _fold

@@ -153,3 +153,90 @@ def test_streaming_gram_index_scores_and_grows(spark, tmp_path):
     df_row = [r for r in read_snapshot(spark, gt).collect()
               if r["h"] == h]
     assert df_row and df_row[0]["df"] == 2
+
+
+# ---------------------------------------------------- bigram LM gate
+
+
+def _bigram_fixtures(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.text import build_bigram_lm
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bt, ut = str(tmp_path / "bi"), str(tmp_path / "uni")
+    build_bigram_lm(spark, corpus, bt, ut, source_version="v1")
+    arrivals = spark.createDataFrame(
+        [
+            (100, "the cat sat on"),   # in-distribution order
+            (101, "mat the on sat"),   # same vocabulary, scrambled
+            (102, "solo"),             # no bigrams → null, gate fails
+        ],
+        "doc_id long, text string",
+    )
+    return bt, ut, arrivals
+
+
+def test_streaming_bigram_gate_matches_batch_and_orders(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.text import (
+        bigram_logprob_from_model,
+    )
+    from airflow_crypto_btc_spark.streaming.text_stream import (
+        bigram_scores_sink,
+    )
+
+    bt, ut, arrivals = _bigram_fixtures(spark, tmp_path)
+    st = str(tmp_path / "scores")
+    sink = bigram_scores_sink(
+        bt, ut, st, query_name="bg", min_logprob=-1.5, expect_source="v1"
+    )
+    sink(arrivals.filter("doc_id < 102"), 0)
+    sink(arrivals.filter("doc_id >= 102"), 1)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"], r["passed"])
+        for r in read_snapshot(spark, st).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in bigram_logprob_from_model(
+            spark, arrivals, bt, ut
+        ).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == want
+    # the gate's reason to exist: scrambled order fails where the
+    # unigram gate could not tell; bigram-less docs fail explicitly
+    assert got[100][2]
+    assert got[101][1] < got[100][1] and not got[101][2]
+    assert not got[102][2] and got[102][1] is None
+    # replay + re-delivery fold nothing
+    v = current_snapshot(st).version
+    sink(arrivals.filter("doc_id >= 102"), 1)
+    assert current_snapshot(st).version == v
+    sink(arrivals.filter("doc_id = 100"), 2)
+    assert len(read_snapshot(spark, st).collect()) == 3
+
+
+def test_streaming_bigram_gate_frozen_model_refusals(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.text import build_bigram_lm
+    from airflow_crypto_btc_spark.streaming.text_stream import (
+        bigram_scores_sink,
+    )
+
+    bt, ut, arrivals = _bigram_fixtures(spark, tmp_path)
+    st = str(tmp_path / "scores")
+    with pytest.raises(ValueError, match="stale bigram LM"):
+        bigram_scores_sink(bt, ut, st, query_name="g", expect_source="v2")
+    sink = bigram_scores_sink(bt, ut, st, query_name="g",
+                              expect_source="v1")
+    sink(arrivals.filter("doc_id < 102"), 0)
+    # either table rebuilt under the running stream → refuse
+    corpus2 = spark.createDataFrame(
+        [(0, "entirely different corpus text")],
+        "doc_id long, text string",
+    )
+    build_bigram_lm(
+        spark, corpus2, bt, str(tmp_path / "uni2"), source_version="v1"
+    )
+    with pytest.raises(ValueError, match="changed under a running"):
+        sink(arrivals.filter("doc_id >= 102"), 1)

@@ -1071,3 +1071,89 @@ def ppl_gate_from_cutoffs(
         .cast("long")
         .alias("bucket"),
     )
+
+
+def temperature_mixture_plan(
+    docs: DataFrame,
+    budget: int = 100,
+    alpha_pct: int = 30,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Derive a training-mixture plan by TEMPERATURE sampling (the
+    mT5 / XLM-R α-schedule, α = ``alpha_pct``/100, default 0.3):
+    per-language sampling weight ∝ (token share)^α, so low-resource
+    languages are up-sampled relative to their raw share and the
+    head language stops dominating — the step that PRODUCES the
+    quota table ``mixture`` entries consume as a fixed dimension.
+
+    Exactness discipline: token shares are exact micro-units; the one
+    float hop (``power(share, α)``) is 6-dp rounded like every ln()
+    in the engine; quotas then apportion the integer ``budget`` by
+    Hamilton's largest-remainder method — floor quotas plus one unit
+    to the largest remainders (ties by lang asc) — all plain integer
+    arithmetic, so Σquota == budget exactly and no engine can split a
+    boundary.  Everything after the one corpus scan operates on the
+    alphabet-bounded language rollup (≤ #langs rows; the bounded
+    single-partition windows are the vocab-cut precedent).
+
+    Returns (lang, n_docs, n_tokens, share_micro, weight_micro,
+    quota)."""
+    from airflow_crypto_btc_spark.functions.hashing import tokens_expr
+
+    per_lang = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.size(tokens_expr(text_col)).cast("long").alias("n_toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("long").alias("t_total"))
+    alpha = alpha_pct / 100.0
+    weighted = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "cast((2 * n_tokens * 1000000 + t_total)"
+            " div (2 * t_total) as bigint)"
+        ).alias("share_micro"),
+        F.expr(
+            f"cast(round(power(cast(n_tokens as double)"
+            f" / cast(t_total as double), {alpha!r}) * 1000000)"
+            " as bigint)"
+        ).alias("weight_micro"),
+    )
+    wtot = weighted.agg(
+        F.sum("weight_micro").cast("long").alias("w_total")
+    )
+    base = weighted.crossJoin(F.broadcast(wtot)).select(
+        "*",
+        F.expr(f"({budget} * weight_micro) div w_total").alias("q_floor"),
+        F.expr(f"({budget} * weight_micro) % w_total").alias("q_rem"),
+    )
+    # largest-remainder top-up over the ≤#langs-row frame (bounded
+    # single partition — the vocab-cut precedent)
+    w = Window.orderBy(F.desc("q_rem"), F.asc("lang"))
+    spill = base.agg(
+        (F.lit(budget) - F.sum("q_floor")).cast("long").alias("n_spill")
+    )
+    return (
+        base.withColumn("rem_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(spill))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "share_micro",
+            "weight_micro",
+            F.expr(
+                "cast(q_floor + CASE WHEN rem_rank <= n_spill"
+                " THEN 1 ELSE 0 END as bigint)"
+            ).alias("quota"),
+        )
+    )

@@ -1097,3 +1097,53 @@ CURATION_REGISTRY["curate_training_order"] = QuerySpec(
 CURATION_REGISTRY["curate_token_budget_head"] = QuerySpec(
     q_curate_token_budget_head, _SQL_CURATE_TOKEN_BUDGET_HEAD
 )
+
+
+# ------------------------------------------------ temperature mixture
+def q_curate_temperature_mixture(spark, sf_dir):
+    """Derive the mixture plan by α-temperature sampling (mT5/XLM-R,
+    α=0.3): per-language quota ∝ (token share)^0.3 over a 100-doc
+    budget, apportioned by Hamilton largest remainder — Σquota == 100
+    exactly; see operators/curation.temperature_mixture_plan."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        temperature_mixture_plan,
+    )
+
+    return temperature_mixture_plan(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_CURATE_TEMPERATURE_MIXTURE = r"""
+    WITH tl AS (
+      SELECT lang,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(list_filter(
+          regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+          t -> t <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM tl),
+    wd AS (
+      SELECT lang, n_docs, n_tokens,
+        CAST((2 * n_tokens * 1000000 + t_total)
+          // (2 * t_total) AS BIGINT) AS share_micro,
+        CAST(round(pow(CAST(n_tokens AS DOUBLE)
+          / CAST(t_total AS DOUBLE), 0.3) * 1000000) AS BIGINT)
+          AS weight_micro
+      FROM tl, tt),
+    wt AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_total FROM wd),
+    fl AS (
+      SELECT wd.*,
+        (100 * weight_micro) // w_total AS q_floor,
+        (100 * weight_micro) % w_total AS q_rem
+      FROM wd, wt),
+    sp AS (SELECT CAST(100 - SUM(q_floor) AS BIGINT) AS n_spill FROM fl)
+    SELECT lang, n_docs, n_tokens, share_micro, weight_micro,
+      CAST(q_floor + CASE WHEN row_number() OVER
+        (ORDER BY q_rem DESC, lang) <= n_spill
+        THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM fl, sp
+"""
+
+
+CURATION_REGISTRY["curate_temperature_mixture"] = QuerySpec(
+    q_curate_temperature_mixture, _SQL_CURATE_TEMPERATURE_MIXTURE
+)

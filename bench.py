@@ -191,6 +191,9 @@ HEADLINE = [
     # broadcast piece map; unseen words segment with no word table)
     "text_wordpiece_encode",
     "text_wordpiece_from_model",
+    # round-10: α-temperature mixture derivation (mT5 schedule) —
+    # the step that produces the quota table mixture entries consume
+    "curate_temperature_mixture",
     # round-8: the training-batch artifact — encoded ids packed into
     # fixed-budget bins in one lineage
     "curate_pack_bins",

@@ -751,3 +751,39 @@ def test_ppl_gate_thresholds_and_tie_asymmetry(spark):
     assert ppl_gate_from_cutoffs(
         unigram_logprob_score(empty), cuts["cut_head"], cuts["cut_middle"]
     ).count() == 0
+
+
+# ------------------------------------------------ temperature mixture
+
+
+def test_temperature_mixture_apportions_exactly_and_upsamples(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        temperature_mixture_plan,
+    )
+
+    rows = (
+        [(i, "en", "w " * 20) for i in range(80)]
+        + [(100 + i, "fr", "w " * 20) for i in range(15)]
+        + [(200 + i, "de", "w " * 20) for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        [(i, lang, t.strip()) for i, lang, t in rows],
+        "doc_id long, lang string, text string",
+    )
+    plan = {
+        r["lang"]: r
+        for r in temperature_mixture_plan(docs, budget=100).collect()
+    }
+    assert sum(r["quota"] for r in plan.values()) == 100
+    # α<1 compresses the head and lifts the tail: quota share sits
+    # strictly between raw share and uniform
+    assert plan["en"]["quota"] < 80 and plan["en"]["quota"] > 100 // 3
+    assert plan["de"]["quota"] > 5
+    # α=1 degenerates to proportional (largest-remainder of raw shares)
+    prop = {
+        r["lang"]: r["quota"]
+        for r in temperature_mixture_plan(
+            docs, budget=100, alpha_pct=100
+        ).collect()
+    }
+    assert prop == {"en": 80, "fr": 15, "de": 5}

@@ -50,9 +50,13 @@ _MERGED: dict[str, QuerySpec] = {
 #    newest family: BPE training + frozen encode, IVF-PQ fused + fully
 #    persisted serve, perplexity buckets + frozen gate, RRF fusion +
 #    measured recall, block-hash near-dup (now seeded non-vacuous),
-#    release pipeline/pack-bins/vocab lifecycle, CMS serve +
-#    measured-error, data cards/corpus diff/training order/token
-#    budget, and the PQ/IVF persisted-index serves.
+#    release pipeline/pack-bins/vocab lifecycle, CMS serve, data
+#    card/training order/token budget — plus one slot per round-10
+#    second-wave family: WordPiece encode, binary quantization,
+#    Z-order prune report, quantile-register quality, bigram LM,
+#    temperature mixture.  (PQ/IVF persisted serves, corpus diff,
+#    card-from-facts, CMS heavy hitters rotated back to the
+#    beyond-window sweep, which covers them every round.)
 # 2. every other oracle-backed entry, registration order preserved
 #    (the beyond-window rotation sweep covers these every round).
 # 3. rows-only (sql=None) sketches last — a window slot spent on an
@@ -95,14 +99,14 @@ _WINDOW_PRIORITY = [
     "text_vocab_build",
     "text_encode_from_vocab",
     "text_cms_from_sketch",
-    "text_cms_heavy_hitters",
+    "approx_qhist_quality",
     "curate_data_card",
-    "curate_data_card_from_facts",
-    "curate_corpus_diff",
+    "text_bigram_logprob",
+    "curate_temperature_mixture",
     "curate_training_order",
     "curate_token_budget_head",
-    "sim_pq_topk_from_codes",
-    "sim_ivf_topk_from_index",
+    "sim_bq_topk",
+    "phys_zorder_prune_report",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_near_clusters",

@@ -21,9 +21,20 @@ interleave via higher-order ``aggregate`` (JVM-side, zero UDFs), and
 the pruning REPORT measures skip quality in exact micro-units, so the
 whole family is value-replayable by the DuckDB oracle.
 
+Relationship to ``sources/snapshot_table._zorder_column``: the
+snapshot store's OPTIMIZE path already z-orders rewrites (N-dim,
+float-scaled — ordering is all a write needs, and a maintenance
+command may collect bounds driver-side).  THIS module is the
+measurement/serving side of the same idea: integer-exact codes the
+DuckDB oracle replays value-for-value, per-file envelope statistics,
+and the prune report that justifies paying the layout shuffle at all
+— plus a standalone range-partitioned writer for plain parquet
+outputs that never pass through the snapshot store.
+
 No counterpart in the reference (``dags/dag_btc_daily.py`` writes
 unclustered day CSVs); extends the SURVEY §2.11 physical-layout
-family (salting, bucketing) with the multi-dimensional case.
+family (salting, bucketing, clustered compaction) with the measured
+multi-dimensional case.
 """
 
 from __future__ import annotations

@@ -407,7 +407,10 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 16):
     ``bits``-bit integer, then interleave the bits so that files sorted by
     the result are locality-clustered in EVERY clustered dimension at
     once.  Stats come from one driver-side aggregate over the snapshot —
-    compaction is a maintenance command, the action is intended."""
+    compaction is a maintenance command, the action is intended.
+    (Float scaling is fine HERE because only the ordering matters; the
+    oracle-exact integer twin with measured pruning reports lives in
+    ``operators/zorder.py`` — the analysis side of the same idea.)"""
     from pyspark.sql import functions as F
 
     aggs = []

@@ -1157,3 +1157,53 @@ def temperature_mixture_plan(
             ).alias("quota"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Group-aware train/test assignment: every member of a near-dup
+    cluster splits by its cluster REPRESENTATIVE's hash, so
+    near-duplicates can never straddle the boundary — the eval-set
+    contamination channel document-level hashing leaves open (Lee et
+    al. 2022 measure exactly this leak: test examples with near-dup
+    twins in train overstate model quality).  ``text.train_test_split``
+    stays the per-document rule; this is the rule a pipeline that ALSO
+    runs near-dup detection should use, and it degenerates to the
+    per-document rule on singleton clusters (test-pinned), so adopting
+    it never reshuffles unclustered history.
+
+    ``clusters`` is (doc_id, cluster_id) COMPLETE over the corpus
+    (``dedup.near_dup_clusters`` emits singletons as their own id) and
+    broadcast-joins onto the corpus — cluster rows are bounded by the
+    corpus, and at 100 TB the join is key-distributed by the same id
+    both sides carry.  Returns (doc_id, cluster_id, split, moved):
+    ``moved`` marks documents whose side DIFFERS from the naive
+    per-document hash — the audit column that quantifies how much the
+    naive rule was leaking."""
+    def bucket(col: str) -> str:
+        return (
+            f"cast(conv(substr(md5(cast({col} as string)), 1, 8), 16, 10)"
+            f" as bigint) % {buckets}"
+        )
+
+    return (
+        docs.select(id_col)
+        .join(clusters, id_col)
+        .select(
+            id_col,
+            "cluster_id",
+            F.expr(
+                f"CASE WHEN {bucket('cluster_id')} < {test_pct} "
+                "THEN 'test' ELSE 'train' END"
+            ).alias("split"),
+            F.expr(
+                f"({bucket('cluster_id')} < {test_pct}) != "
+                f"({bucket(id_col)} < {test_pct})"
+            ).alias("moved"),
+        )
+    )

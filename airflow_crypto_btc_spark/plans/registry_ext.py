@@ -2451,3 +2451,58 @@ EXT_REGISTRY["approx_qhist_quantiles"] = QuerySpec(
 EXT_REGISTRY["approx_qhist_quality"] = QuerySpec(
     q_approx_qhist_quality, _SQL_APPROX_QHIST_QUALITY
 )
+
+
+# --------------------------------------------- leakage-safe split
+def q_curate_leakage_safe_split(spark, sf_dir):
+    """Group-aware train/test split: near-dup cluster members split by
+    their cluster REPRESENTATIVE's hash, closing the eval-contamination
+    channel the per-document rule leaves open (Lee et al. 2022); the
+    ``moved`` column audits exactly how much the naive rule was
+    leaking; see operators/curation.leakage_safe_split."""
+    from airflow_crypto_btc_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    return leakage_safe_split(docs, near_dup_clusters(docs, pairs))
+
+
+_SQL_CURATE_LEAKAGE_SAFE_SPLIT = f"""
+    WITH RECURSIVE lpairs AS ({_SQL_DEDUP_MINHASH_LSH_PAIRS}),
+    ledges AS (
+      SELECT id_a AS src, id_b AS dst FROM lpairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM lpairs
+    ),
+    lreach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM lreach r JOIN ledges e ON e.src = r.id
+    ),
+    lclusters AS (
+      SELECT id AS doc_id, min(label) AS cluster_id
+      FROM lreach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+      CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                 1, 8))::BIGINT % 100 < 10
+           THEN 'test' ELSE 'train' END AS split,
+      (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+         1, 8))::BIGINT % 100 < 10)
+      != (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+           1, 8))::BIGINT % 100 < 10) AS moved
+    FROM lclusters
+"""
+
+
+EXT_REGISTRY["curate_leakage_safe_split"] = QuerySpec(
+    q_curate_leakage_safe_split, _SQL_CURATE_LEAKAGE_SAFE_SPLIT
+)

@@ -191,6 +191,9 @@ HEADLINE = [
     # broadcast piece map; unseen words segment with no word table)
     "text_wordpiece_encode",
     "text_wordpiece_from_model",
+    # round-10: group-aware split — near-dup clusters never straddle
+    # the train/test boundary; `moved` audits the naive rule's leak
+    "curate_leakage_safe_split",
     # round-10: α-temperature mixture derivation (mT5 schedule) —
     # the step that produces the quota table mixture entries consume
     "curate_temperature_mixture",

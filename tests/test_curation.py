@@ -787,3 +787,38 @@ def test_temperature_mixture_apportions_exactly_and_upsamples(spark):
         ).collect()
     }
     assert prop == {"en": 80, "fr": 15, "de": 5}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from airflow_crypto_btc_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from airflow_crypto_btc_spark.operators.text import train_test_split
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(60)], "doc_id long, text string"
+    )
+    # clusters: {0..9} one big near-dup cluster, rest singletons
+    clusters = spark.createDataFrame(
+        [(i, 0 if i < 10 else i) for i in range(60)],
+        "doc_id long, cluster_id long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_split(docs, clusters).collect()
+    }
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs).collect()
+    }
+    # every cluster member lands on ONE side — no straddling possible
+    sides = {out[i]["split"] for i in range(10)}
+    assert len(sides) == 1
+    # the naive rule DID straddle this cluster (why this operator exists),
+    # and `moved` audits exactly the members whose naive side differed
+    assert len({naive[i] for i in range(10)}) == 2
+    for i in range(10):
+        assert out[i]["moved"] == (naive[i] != out[i]["split"])
+    # singletons degrade to the per-document rule: nothing moves
+    for i in range(10, 60):
+        assert out[i]["split"] == naive[i] and not out[i]["moved"]

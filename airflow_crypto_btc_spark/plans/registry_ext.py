@@ -2506,3 +2506,68 @@ _SQL_CURATE_LEAKAGE_SAFE_SPLIT = f"""
 EXT_REGISTRY["curate_leakage_safe_split"] = QuerySpec(
     q_curate_leakage_safe_split, _SQL_CURATE_LEAKAGE_SAFE_SPLIT
 )
+
+
+# --------------------------------------------- vocab coverage report
+def q_text_vocab_coverage(spark, sf_dir):
+    """Tokenizer-coverage report: per-language OOV rate under the
+    FROZEN persisted vocab — the number an operator reads before
+    committing a tokenizer generation to a 100 TB corpus (a vocab
+    built on the head language quietly starves the tail; this report
+    is where that shows up as a micro-unit rate, per language, before
+    any GPU time is spent).  Composes the persisted-vocab encode with
+    a language rollup — the corpus is scanned once, the rollup is
+    alphabet-bounded."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.vocab import (
+        encode_from_vocab,
+    )
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+
+    zone, source_version = _vocab_zone(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    enc = encode_from_vocab(
+        spark, docs, os.path.join(zone, "vocab"),
+        expect_source=source_version,
+    )
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_oov").cast("long").alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_oov",
+            F.when(
+                F.col("n_tokens") > 0,
+                ratio_micro("n_oov", "n_tokens"),
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_SQL_TEXT_VOCAB_COVERAGE = f"""
+    WITH enc AS ({_SQL_TEXT_ENCODE_FROM_VOCAB})
+    SELECT d.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(e.n_oov) AS BIGINT) AS n_oov,
+      CASE WHEN SUM(e.n_tokens) > 0 THEN
+        ((2 * CAST(SUM(e.n_oov) AS BIGINT) * 1000000
+          + CAST(SUM(e.n_tokens) AS BIGINT))
+         // (2 * CAST(SUM(e.n_tokens) AS BIGINT)) / 1000000.0)
+      END AS oov_rate
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+"""
+
+
+EXT_REGISTRY["text_vocab_coverage"] = QuerySpec(
+    q_text_vocab_coverage, _SQL_TEXT_VOCAB_COVERAGE
+)

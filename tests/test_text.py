@@ -669,3 +669,38 @@ def test_bigram_from_model_floor_and_stale_refusal(spark, tmp_path):
         bigram_logprob_from_model(
             spark, train, bt, ut, expect_source="v2"
         )
+
+
+def test_vocab_coverage_surfaces_starved_language(spark, tmp_path):
+    from airflow_crypto_btc_spark.operators.vocab import (
+        build_vocab_table,
+        encode_from_vocab,
+    )
+    from pyspark.sql import functions as F
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+
+    # head language dominates the corpus → a small frequency-cut vocab
+    # is all-English and the tail language's OOV rate exposes it
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma delta") for i in range(20)]
+        + [(100 + i, "xx", "zorp quux blivet frob") for i in range(2)],
+        "doc_id long, lang string, text string",
+    )
+    vt = str(tmp_path / "vocab")
+    build_vocab_table(spark, docs, vt, size=4, source_version="v1")
+    enc = encode_from_vocab(spark, docs, vt, expect_source="v1")
+    cov = {
+        r["lang"]: r
+        for r in enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_oov").alias("n_oov"),
+        )
+        .select(
+            "lang", ratio_micro("n_oov", "n_tokens").alias("oov_rate")
+        )
+        .collect()
+    }
+    assert cov["en"]["oov_rate"] == 0.0
+    assert cov["xx"]["oov_rate"] == 1.0

@@ -317,11 +317,19 @@ def dup_span_scrub(
     """Cross-document exact-substring SCRUB — the curation ACTION whose
     accounting half is :func:`dup_ngram_coverage` (Lee et al. 2022,
     arXiv:2107.06499): every token covered by a k-gram occurring in ≥2
-    DISTINCT documents is removed from EVERY document, the semantics of
-    the released ``deduplicate-text-datasets`` tool (ExactSubstr cuts
-    all copies of a duplicated span, not all-but-one — keep-one would
-    need a global owner election per overlapping span cluster, which
-    the paper notes does not measurably matter).  Returns
+    DISTINCT documents is removed from EVERY document.  Like the
+    released ``deduplicate-text-datasets`` tool, ExactSubstr cuts all
+    copies of a duplicated span, not all-but-one (keep-one would need a
+    global owner election per overlapping span cluster, which the paper
+    notes does not measurably matter).  DELIBERATE DEVIATION from that
+    tool: the census here counts distinct DOCUMENTS per gram, so a
+    k-gram repeated only WITHIN one document is never scrubbed — the
+    released tool counts total corpus-wide occurrences and would cut
+    intra-document repeats too.  Cross-document-only is the curation
+    semantics this engine wants (intra-doc repetition is a QUALITY
+    signal, handled by ``text_repetition_score``, not contamination),
+    and it is what the per-doc-deduped census makes one exchange
+    cheaper; the restriction is mirrored exactly by the oracle.  Returns
     (doc_id, n_tokens, n_scrubbed, clean_text); ``clean_text`` is
     token-normalized (single-space joined) for scrubbed and untouched
     documents alike, so the output column is uniformly canonical.

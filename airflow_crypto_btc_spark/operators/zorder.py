@@ -87,9 +87,19 @@ def zorder_code(
 
     def u16(v: str, mn: str, mx: str) -> str:
         # (v-mn)*GRID_MAX spans ≤ range*65535: safe in BIGINT for any
-        # dimension range below 2^47 (epoch-micros ranges included)
+        # dimension range below 2^47 (epoch-micros ranges included).
+        # The bound is ENFORCED, not just commented: a wider range
+        # would overflow the multiply silently and emit wrong Morton
+        # codes, so the grid projection raises instead (the guard
+        # compares two broadcast scalars per row — negligible next to
+        # the 16-step interleave fold).
         return (
-            f"cast(CASE WHEN {mx} > {mn} THEN "
+            f"cast(CASE WHEN {mx} - {mn} >= {1 << 47} THEN "
+            f"raise_error(concat('zorder_code: dimension range ', "
+            f"cast({mx} - {mn} as string), ' >= 2^47 would overflow "
+            f"the 16-bit grid normalization — pre-divide the "
+            f"dimension (e.g. micros -> seconds) before coding')) "
+            f"WHEN {mx} > {mn} THEN "
             f"(({v} - {mn}) * {GRID_MAX}) div ({mx} - {mn}) "
             "ELSE 0 END as int)"
         )
@@ -240,9 +250,19 @@ def zorder_repartition(
     carry ~equal row counts even on skewed curves) and sort within
     each partition, so every written file gets the tight two-dimension
     min/max envelope the report measures.  Join back to the full rows
-    by id so callers lay out ANY schema, not just the coded columns."""
+    by id so callers lay out ANY schema, not just the coded columns.
+
+    Null-dimension rows are RETAINED: ``zorder_code`` gives a null no
+    position on the curve, so the join back is a LEFT join and a null
+    code coalesces to −1 — below every real 32-bit code, so such rows
+    range-partition into the curve's leading file(s) instead of
+    silently vanishing from the written output (Delta's ``OPTIMIZE
+    ZORDER BY`` likewise keeps null rows; losing them from a write
+    path would be data loss)."""
     coded = zorder_code(df, x_expr, y_expr, id_cols=id_cols)
-    keyed = df.join(coded.select(*id_cols, "zcode"), list(id_cols))
+    keyed = df.join(
+        coded.select(*id_cols, "zcode"), list(id_cols), "left"
+    ).withColumn("zcode", F.expr("coalesce(zcode, -1L)"))
     return keyed.repartitionByRange(num_files, "zcode").sortWithinPartitions(
         "zcode"
     )

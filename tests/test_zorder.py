@@ -57,6 +57,39 @@ def test_nulls_have_no_curve_position(spark):
     assert zorder_code(df, "a", "b", id_cols=("id",)).count() == 1
 
 
+def test_wide_range_raises_instead_of_overflowing(spark):
+    # a dimension range >= 2^47 would overflow (v-mn)*65535 in BIGINT
+    # and emit wrong codes silently — the grid projection must raise
+    df = spark.createDataFrame(
+        [(0, 0, 1), (1, 1 << 47, 2)], "id long, a long, b long"
+    )
+    with pytest.raises(Exception, match="2\\^47"):
+        zorder_code(df, "a", "b", id_cols=("id",)).collect()
+    # just under the bound still codes exactly
+    ok = spark.createDataFrame(
+        [(0, 0, 1), (1, (1 << 47) - 1, 2)], "id long, a long, b long"
+    )
+    r = {
+        x["id"]: x["x_u16"]
+        for x in zorder_code(ok, "a", "b", id_cols=("id",)).collect()
+    }
+    assert r[0] == 0 and r[1] == 65535
+
+
+def test_repartition_retains_null_dimension_rows(spark):
+    # the write path must not lose rows: null-dim rows coalesce to
+    # zcode -1 (below every real code) instead of dropping out
+    df = spark.createDataFrame(
+        [(0, 1, 1), (1, None, 2), (2, 3, None), (3, 4, 4)],
+        "id long, a long, b long",
+    )
+    out = zorder_repartition(df, "a", "b", num_files=2, id_cols=("id",))
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[1]["zcode"] == -1 and rows[2]["zcode"] == -1
+    assert rows[0]["zcode"] >= 0 and rows[3]["zcode"] >= 0
+
+
 def test_prune_report_z_beats_single_dimension_layout(grid):
     coded = zorder_code(grid, "a", "b", id_cols=("id",))
     rep = prune_report(

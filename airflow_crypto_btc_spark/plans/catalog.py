@@ -20,6 +20,7 @@ from airflow_crypto_btc_spark.plans.registry_stream import STREAM_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_ta import TA_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch2 import TPCH2_REGISTRY
 from airflow_crypto_btc_spark.plans.registry_tpch3 import TPCH3_REGISTRY
+from airflow_crypto_btc_spark.plans.registry_unigram import UNIGRAM_REGISTRY
 
 _MERGED: dict[str, QuerySpec] = {
     **REGISTRY,
@@ -34,6 +35,7 @@ _MERGED: dict[str, QuerySpec] = {
     **TA_REGISTRY,
     **ANALYTICS_REGISTRY,
     **SQL_REGISTRY,
+    **UNIGRAM_REGISTRY,
     # appended last: keeps the driver's first-50 correctness window stable
     **INCREMENTAL_REGISTRY,
     **PROBE_REGISTRY,

@@ -50,6 +50,7 @@ SMOKE_TESTS = {
     "test_token_stats",                       # text analysis
     "test_vocab_build_rank_order_and_boundary_ties",  # vocab lifecycle
     "test_greedy_longest_match_first",        # WordPiece MaxMatch
+    "test_viterbi_picks_max_likelihood_segmentation",  # unigram LM
     "test_dynamic_overwrite_touches_only_its_partition",  # write paths
     "test_ivfpq_with_big_shortlist_equals_ivf_exact",  # IVF-PQ index
     "test_perplexity_buckets_equal_global_ntile",  # CCNet ppl split

@@ -219,3 +219,155 @@ def test_bigram_pairs_match_python_zip(spark, texts):
         toks = t.split()
         want = list(zip(toks, toks[1:]))
         assert sorted(got[i]) == sorted(want), t
+
+
+# ------------------------------------------------------- unigram LM (r11)
+
+def _py_half_away(x: float) -> int:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _py_viterbi(word: str, scores: dict[str, int], maxl: int):
+    """Reference Viterbi DP with the engines' (score, l, seg)
+    tie-break; None = no segmentation."""
+    dp = [None] * (len(word) + 1)
+    dp[0] = (0, 0, "")
+    for i in range(1, len(word) + 1):
+        cands = []
+        for ln in range(1, min(maxl, i) + 1):
+            prev = dp[i - ln]
+            piece = word[i - ln : i]
+            if prev is not None and piece in scores:
+                seg = piece if i == ln else prev[2] + " " + piece
+                cands.append((prev[0] + scores[piece], ln, seg))
+        dp[i] = max(cands) if cands else None
+    return dp[len(word)]
+
+
+def _py_unigram_train(
+    word_counts: dict[str, int],
+    size: int,
+    seed_size: int,
+    maxl: int,
+    em_rounds: int,
+    permille: int,
+):
+    """Reference hard-EM unigram trainer (census → tiered seed → EM →
+    two-tier cut → micro scores), mirroring operators/unigram.py."""
+    import math
+
+    census: dict[str, int] = {}
+    for w, c in word_counts.items():
+        for p in range(len(w)):
+            for ln in range(1, min(maxl, len(w) - p) + 1):
+                piece = w[p : p + ln]
+                census[piece] = census.get(piece, 0) + c
+    chars = {p: c for p, c in census.items() if len(p) == 1}
+    tot_chars = sum(chars.values())
+
+    def tier(p: str) -> int:
+        return (
+            0
+            if len(p) == 1 and chars[p] * 1000 >= tot_chars * permille
+            else 1
+        )
+
+    ordered = sorted(
+        census.items(), key=lambda kv: (tier(kv[0]), -kv[1], kv[0])
+    )
+    universe = [(p, c, tier(p)) for p, c in ordered[:seed_size]]
+    for _ in range(em_rounds):
+        tot = sum(c for _, c, _ in universe)
+        scores = {
+            p: _py_half_away(math.log(c / tot) * 1e6)
+            for p, c, _ in universe
+        }
+        vcnt: dict[str, int] = {}
+        for w, c in word_counts.items():
+            t = _py_viterbi(w, scores, maxl)
+            if t is None:
+                continue
+            for piece in t[2].split(" "):
+                vcnt[piece] = vcnt.get(piece, 0) + c
+        universe = [
+            (p, max(vcnt.get(p, 0), 1) if tr == 0 else vcnt.get(p, 0), tr)
+            for p, _, tr in universe
+            if tr == 0 or vcnt.get(p, 0) > 0
+        ]
+    cut = sorted(universe, key=lambda x: (x[2], -x[1], x[0]))[:size]
+    tot = sum(c for _, c, _ in cut)
+    return {
+        p: (i + 1, c, _py_half_away(math.log(c / tot) * 1e6))
+        for i, (p, c, _tr) in enumerate(cut)
+    }
+
+
+_uni_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=7),
+    min_size=1,
+    max_size=10,
+    unique=True,
+)
+_uni_pool = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    st.integers(min_value=-9_000_000, max_value=-100_000),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(words=_uni_words, pool=_uni_pool)
+@settings(**SETTINGS)
+def test_unigram_viterbi_matches_python_dp(spark, words, pool):
+    from airflow_crypto_btc_spark.operators.unigram import viterbi_segment
+
+    sdf = spark.createDataFrame(
+        [(p, lp) for p, lp in pool.items()], "piece string, lp long"
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["seg"], r["lp"])
+        for r in viterbi_segment(wdf, sdf, max_piece_len=3).collect()
+    }
+    for w in words:
+        t = _py_viterbi(w, pool, 3)
+        want = (None, None) if t is None else (t[2], t[0])
+        assert got[w] == want, w
+
+
+_uni_texts = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=_uni_texts)
+@settings(**SETTINGS)
+def test_unigram_train_matches_python_em(spark, texts):
+    from airflow_crypto_btc_spark.operators.unigram import unigram_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]: (r["piece_id"], r["cnt"], r["logp_micro"])
+        for r in unigram_train(
+            df, size=12, seed_size=24, em_rounds=2,
+            alphabet_min_permille=10,
+        ).collect()
+    }
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _py_unigram_train(
+        wc, size=12, seed_size=24, maxl=3, em_rounds=2, permille=10
+    )
+    assert got == want

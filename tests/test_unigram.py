@@ -1,0 +1,189 @@
+"""Unigram-LM Viterbi semantics and hard-EM training
+(operators/unigram.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_crypto_btc_spark.operators.unigram import (
+    UNK,
+    UNK_LOGP_MICRO,
+    build_unigram_table,
+    unigram_encode,
+    unigram_encode_from_model,
+    unigram_train,
+    viterbi_segment,
+)
+
+
+def _seg(spark, words, scores, maxl=3):
+    sdf = spark.createDataFrame(
+        [(p, lp) for p, lp in scores.items()], "piece string, lp long"
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    out = viterbi_segment(wdf, sdf, max_piece_len=maxl)
+    return {r["word"]: r for r in out.collect()}
+
+
+def test_viterbi_picks_max_likelihood_segmentation(spark):
+    # 'he llo' (-4M + -6M) beats 'h e l l o' (sum -13.8M) and any mix
+    scores = {
+        "h": -3_000_000,
+        "e": -2_000_000,
+        "l": -2_500_000,
+        "o": -2_800_000,
+        "he": -4_000_000,
+        "ll": -4_200_000,
+        "llo": -6_000_000,
+    }
+    r = _seg(spark, ["hello", "he", "lle"], scores)
+    assert r["hello"]["seg"] == "he llo"
+    assert r["hello"]["lp"] == -10_000_000
+    assert r["he"]["seg"] == "he"
+    # 'll e' (-6.2M) beats 'l le?'—le missing—and 'l l e' (-7M)
+    assert r["lle"]["seg"] == "ll e"
+
+
+def test_viterbi_tie_prefers_longer_final_piece(spark):
+    # 'ab' via piece 'ab' vs 'a b': equal score → larger final l wins
+    scores = {"a": -2_000_000, "b": -2_000_000, "ab": -4_000_000}
+    r = _seg(spark, ["ab"], scores)
+    assert r["ab"]["seg"] == "ab"
+
+
+def test_unreachable_word_has_null_segmentation(spark):
+    r = _seg(spark, ["xyz", "ax"], {"a": -1_000_000})
+    assert r["xyz"]["seg"] is None and r["xyz"]["lp"] is None
+    assert r["ax"]["seg"] is None  # one bad char fails the word
+
+
+def test_max_piece_len_bounds_the_match(spark):
+    # 'abcd' scored best but maxl=3 means it can never match
+    scores = {
+        "abcd": -1_000_000,
+        "abc": -3_000_000,
+        "d": -2_000_000,
+        "a": -5_000_000,
+        "b": -5_000_000,
+        "c": -5_000_000,
+    }
+    r = _seg(spark, ["abcd"], scores, maxl=3)
+    assert r["abcd"]["seg"] == "abc d"
+
+
+def test_train_alphabet_floor_and_two_tier_cut(spark):
+    # 'a'/'b' dominate; every char of the corpus is qualified at
+    # permille=0 and survives the cut ranked before multi-char pieces
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa bbbb aaab")], "doc_id long, text string"
+    )
+    m = {
+        r["piece"]: r
+        for r in unigram_train(
+            docs, size=8, seed_size=32, alphabet_min_permille=0
+        ).collect()
+    }
+    assert {"a", "b"} <= set(m)
+    chars = [p for p in m if len(p) == 1]
+    multi = [p for p in m if len(p) > 1]
+    assert multi, "multi-char pieces should fill remaining slots"
+    assert max(m[p]["piece_id"] for p in chars) < min(
+        m[p]["piece_id"] for p in multi
+    )
+    # a char no one-best path uses still survives with the count floor
+    assert all(m[p]["cnt"] >= 1 for p in chars)
+    # scores are negative micro-unit log probabilities
+    assert all(r["logp_micro"] < 0 for r in m.values())
+
+
+def test_rare_char_falls_out_and_word_unks(spark):
+    # 'q' appears once among many chars → below the 500-permille bar,
+    # and with the vocab cut tight its pieces drop: 'quab' → [UNK]
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa aaaa bbbb bbbb quab")],
+        "doc_id long, text string",
+    )
+    enc = unigram_encode(
+        docs, size=4, seed_size=4, alphabet_min_permille=100
+    ).collect()[0]
+    assert UNK in enc["up_str"]
+    assert enc["n_unk_words"] >= 1
+
+
+def test_encode_counts_likelihood_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab ba"), (1, "  ")], "doc_id long, text string"
+    )
+    enc = {
+        r["doc_id"]: r
+        for r in unigram_encode(
+            docs, size=8, alphabet_min_permille=0
+        ).collect()
+    }
+    assert enc[0]["n_pieces"] >= 3
+    assert enc[0]["logp_micro"] < 0
+    assert enc[0]["n_unk_words"] == 0
+    assert enc[1]["up_str"] == ""
+    assert enc[1]["n_pieces"] == 0
+    assert enc[1]["logp_micro"] == 0
+    assert enc[1]["n_unk_words"] == 0
+
+
+def test_unk_word_charges_the_fixed_penalty(spark):
+    # train on a/b text, then serve a doc holding one unseen-char word
+    train = spark.createDataFrame(
+        [(0, "ab ab ba ab")], "doc_id long, text string"
+    )
+    serve = spark.createDataFrame(
+        [(9, "ab xq")], "doc_id long, text string"
+    )
+    m = unigram_train(train, size=8, alphabet_min_permille=0)
+    from airflow_crypto_btc_spark.operators.unigram import _encode_against
+
+    r = _encode_against(serve, m, 3, "doc_id", "text").collect()[0]
+    assert r["n_unk_words"] == 1
+    ab_lp = {
+        x["piece"]: x["logp_micro"] for x in m.collect()
+    }["ab"]
+    assert r["logp_micro"] == ab_lp + UNK_LOGP_MICRO
+
+
+def test_from_model_matches_inline_and_refuses_stale(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "scan the scan"), (1, "stream big table")],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "unigram_model")
+    build_unigram_table(
+        spark, docs, table, size=24, source_version="v1"
+    )
+    served = unigram_encode_from_model(
+        spark, docs, table, expect_source="v1"
+    )
+    inline = unigram_encode(docs, size=24)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    with pytest.raises(ValueError, match="stale unigram model"):
+        unigram_encode_from_model(spark, docs, table, expect_source="v2")
+
+
+def test_serve_segments_unseen_words(spark, tmp_path):
+    # the frozen-model DP needs no word table: a word never seen at
+    # build time still segments (or honestly UNKs) at serve time
+    train = spark.createDataFrame(
+        [(0, "ab ab ab ba ba")], "doc_id long, text string"
+    )
+    table = str(tmp_path / "unigram_model")
+    build_unigram_table(
+        spark, train, table, size=8, source_version="v1",
+        alphabet_min_permille=0,
+    )
+    serve = spark.createDataFrame(
+        [(9, "abba baab xq")], "doc_id long, text string"
+    )
+    r = unigram_encode_from_model(spark, serve, table).collect()[0]
+    assert r["n_unk_words"] == 1  # 'xq': x,q never seen at build
+    parts = r["up_str"].split(" ")
+    assert parts.count(UNK) == 1
+    assert all(p == UNK or set(p) <= {"a", "b"} for p in parts)

@@ -2721,3 +2721,156 @@ def binary_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cosine", "hamming", "rnk")
     )
+
+
+def _asym_score_expr(bits: str, qe: str) -> F.Column:
+    """Asymmetric binary distance (the ADC idea applied to sign codes):
+    the FLOAT query against the corpus's 1-bit codes — ``sum_i (bit_i ?
+    +q_i : -q_i)`` = ``dot(q, sign(v))`` — a strictly better shortlist
+    ranker than symmetric Hamming at identical corpus memory, because
+    the query side keeps its magnitudes (Jégou et al. 2011's
+    asymmetric-distance argument).  One row-local fold; 6-dp rounded
+    so the shortlist boundary is engine-exact."""
+    return F.round(
+        F.expr(
+            f"aggregate(sequence(1, size({qe})), cast(0 as double), "
+            f"(acc, i) -> acc + CASE WHEN (shiftright(element_at({bits}, "
+            f"cast((i - 1) div 32 + 1 as int)), (i - 1) % 32) & 1) = 1 "
+            f"THEN cast(element_at({qe}, i) as double) "
+            f"ELSE -cast(element_at({qe}, i) as double) END)"
+        ),
+        6,
+    )
+
+
+def binary_topk_sweep(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 20",
+    k: int = 10,
+    oversamples: tuple[int, ...] = (2, 4, 8, 16),
+) -> DataFrame:
+    """The binary-quantization quality/cost CURVE, measured in one
+    plan: recall@k of the shortlist-then-exact-rerank serve for every
+    (shortlist scorer, oversample) configuration — scorer ∈ symmetric
+    Hamming (:func:`binary_topk`'s stage 1) and asymmetric
+    float-query-vs-sign-codes (:func:`_asym_score_expr`) — against
+    exact cosine top-k on the same queries.  This is the number that
+    picks a production operating point: at the 64-dim sign-code floor
+    Hamming@4 is thin (~0.54 recall) but asym@8 and Hamming@16 clear
+    0.9 (measured at sf0.01), all at identical corpus memory.
+
+    Cost model the caller reads off the curve: shortlist work per
+    query is corpus-linear ALU either way (xor+popcount vs ±add);
+    rerank work is ``k·oversample`` float fetches — so oversample IS
+    the cost axis, and ``shortlist`` is emitted per row.
+
+    Shared-work shape: codes build once; each scorer ranks ONCE at the
+    LARGEST oversample (corpus streams against broadcast queries —
+    never shuffles); the per-config subsets are srnk prefixes, so the
+    sweep re-ranks bounded shortlists instead of re-scanning; exact
+    cosines are computed once per DISTINCT candidate pair and joined
+    back (all broadcast-sized frames).  Returns one row per
+    (method, oversample): (method, oversample, shortlist, n_both,
+    n_exact, recall_ann)."""
+    from airflow_crypto_btc_spark.functions.hashing import ratio_micro
+
+    spark = vectors.sparkSession
+    max_os = max(oversamples)
+    bq = binary_quantize(vectors, id_col, vec_col)
+    qb = bq.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col("bits").alias("qbits")
+    )
+    dot, nrm2, _ = _vector_kernels(vectors, vec_col)
+    qv = (
+        vectors.filter(query_filter)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+        .withColumn("qn", F.sqrt(nrm2("qe")))
+    )
+    ham_w = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("nid"))
+    ham = (
+        bq.select(F.col(id_col).alias("nid"), "bits")
+        .join(F.broadcast(qb), F.col("nid") != F.col("qid"))
+        .withColumn("hamming", hamming_expr("qbits", "bits"))
+        .withColumn("srnk", F.row_number().over(ham_w))
+        .filter(F.col("srnk") <= k * max_os)
+        .select(F.lit("hamming").alias("method"), "qid", "nid", "srnk")
+    )
+    asym_w = Window.partitionBy("qid").orderBy(
+        F.desc("ascore"), F.asc("nid")
+    )
+    asym = (
+        bq.select(F.col(id_col).alias("nid"), "bits")
+        .join(
+            F.broadcast(qv.select("qid", "qe")),
+            F.col("nid") != F.col("qid"),
+        )
+        .withColumn("ascore", _asym_score_expr("bits", "qe"))
+        .withColumn("srnk", F.row_number().over(asym_w))
+        .filter(F.col("srnk") <= k * max_os)
+        .select(F.lit("asym").alias("method"), "qid", "nid", "srnk")
+    )
+    cands = ham.unionByName(asym)
+    # exact cosine once per DISTINCT shortlisted pair, fetched (not
+    # shuffled) off the vector scan via the broadcast pair set
+    pairs = cands.select("qid", "nid").distinct()
+    cos = F.when(
+        F.col("qn") * F.sqrt(nrm2("ve")) != 0,
+        F.round(dot("qe", "ve") / (F.col("qn") * F.sqrt(nrm2("ve"))), 6),
+    )
+    cos_df = (
+        vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("ve"))
+        .join(F.broadcast(pairs), "nid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "nid", cos.alias("cosine"))
+    )
+    os_df = spark.createDataFrame(
+        [(int(o),) for o in oversamples], "oversample long"
+    )
+    rank_w = Window.partitionBy("method", "oversample", "qid").orderBy(
+        F.desc("cosine"), F.asc("nid")
+    )
+    approx = (
+        cands.crossJoin(F.broadcast(os_df))
+        .filter(F.col("srnk") <= F.col("oversample") * k)
+        .join(F.broadcast(cos_df), ["qid", "nid"])
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select("method", "oversample", "qid", "nid")
+    )
+    exact = cosine_topk(
+        vectors, id_col=id_col, vec_col=vec_col,
+        query_filter=query_filter, k=k,
+    ).select("qid", "nid")
+    hits = (
+        approx.join(F.broadcast(exact), ["qid", "nid"], "left_semi")
+        .groupBy("method", "oversample")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    grid = spark.createDataFrame(
+        [(m, int(o)) for m in ("asym", "hamming") for o in oversamples],
+        "method string, oversample long",
+    )
+    return (
+        grid.join(F.broadcast(hits), ["method", "oversample"], "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "method",
+            "oversample",
+            (F.col("oversample") * k).cast("long").alias("shortlist"),
+            F.coalesce("n_both", F.lit(0).cast("long")).alias("n_both"),
+            "n_exact",
+        )
+        .select(
+            "method",
+            "oversample",
+            "shortlist",
+            "n_both",
+            "n_exact",
+            F.when(
+                F.col("n_exact") > 0, ratio_micro("n_both", "n_exact")
+            ).alias("recall_ann"),
+        )
+    )

@@ -1060,3 +1060,114 @@ ML_REGISTRY.update(
         "sim_bq_recall": QuerySpec(q_sim_bq_recall, _bq_recall_sql()),
     }
 )
+
+
+# ----------------------------------------- BQ recall/cost sweep (r11)
+# the operating-point curve the single-config sim_bq_recall can't give:
+# recall@10 for every (shortlist scorer, oversample) configuration —
+# symmetric Hamming vs asymmetric float-query-vs-sign-codes (Jégou et
+# al. 2011's ADC idea on 1-bit codes), oversample 2→16.  Measured at
+# sf0.01: hamming 0.40/0.585/0.78/0.94, asym 0.59/0.785/0.915/0.98 —
+# two configurations clear the 0.9 bar at identical corpus memory.
+
+
+def q_sim_bq_recall_sweep(spark, sf_dir):
+    """recall@10 per (method, oversample) of binary-quantized search
+    vs exact cosine on the same queries: one codes build, each scorer
+    ranks once at the largest oversample, per-config subsets are rank
+    prefixes, exact cosines computed once per distinct candidate pair
+    — see operators/similarity.binary_topk_sweep."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        binary_topk_sweep,
+    )
+
+    return binary_topk_sweep(load_table(spark, sf_dir, "embeddings"))
+
+
+def _bq_sweep_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _SQL_SIM_COSINE_TOPK,
+    )
+
+    return f"""
+    WITH {_SQL_BQ_CODES},
+    qb AS (SELECT vec_id AS qid, bits AS qbits FROM bqc
+           WHERE vec_id < 20),
+    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 20),
+    bqs_ham AS MATERIALIZED (
+      SELECT qb.qid, c.vec_id AS nid,
+        CAST(list_sum(list_transform(generate_series(1, len(qbits)),
+          i -> bit_count(xor(qbits[i], c.bits[i])))) AS INT) AS hamming
+      FROM bqc c, qb WHERE c.vec_id <> qb.qid),
+    bqs_asc AS MATERIALIZED (
+      SELECT qv.qid, c.vec_id AS nid,
+        round(list_sum(list_transform(generate_series(1, len(qe)), i ->
+          CASE WHEN (c.bits[(i - 1) // 32 + 1] >> ((i - 1) % 32)) & 1 = 1
+               THEN CAST(qe[i] AS DOUBLE)
+               ELSE -CAST(qe[i] AS DOUBLE) END)), 6) AS ascore
+      FROM bqc c, qv WHERE c.vec_id <> qv.qid),
+    bqs_cand AS MATERIALIZED (
+      SELECT 'hamming' AS method, qid, nid, srnk FROM (
+        SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY hamming, nid) AS srnk
+        FROM bqs_ham) WHERE srnk <= 160
+      UNION ALL
+      SELECT 'asym' AS method, qid, nid, srnk FROM (
+        SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY ascore DESC, nid) AS srnk
+        FROM bqs_asc) WHERE srnk <= 160),
+    bqs_cos AS MATERIALIZED (
+      SELECT p.qid, p.nid,
+        round(
+          list_sum(list_transform(range(1, len(q.embedding) + 1), i ->
+            CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(v.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6) AS cosine
+      FROM (SELECT DISTINCT qid, nid FROM bqs_cand) p
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings v ON v.vec_id = p.nid),
+    bqs_os(oversample) AS (VALUES (CAST(2 AS BIGINT)), (4), (8), (16)),
+    bqs_approx AS MATERIALIZED (
+      SELECT method, oversample, qid, nid FROM (
+        SELECT c.method, o.oversample, c.qid, c.nid,
+          row_number() OVER (PARTITION BY c.method, o.oversample, c.qid
+                             ORDER BY x.cosine DESC, c.nid) AS rnk
+        FROM bqs_cand c
+        JOIN bqs_os o ON c.srnk <= o.oversample * 10
+        JOIN bqs_cos x ON x.qid = c.qid AND x.nid = c.nid)
+      WHERE rnk <= 10),
+    bqs_exact AS MATERIALIZED ({_SQL_SIM_COSINE_TOPK}),
+    bqs_hits AS (
+      SELECT method, oversample, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM bqs_approx a
+      WHERE EXISTS (SELECT 1 FROM bqs_exact e
+                    WHERE e.qid = a.qid AND e.nid = a.nid)
+      GROUP BY 1, 2),
+    bqs_grid AS (
+      SELECT m.method, o.oversample
+      FROM (VALUES ('asym'), ('hamming')) m(method), bqs_os o),
+    bqs_ne AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM bqs_exact)
+    SELECT g.method, g.oversample,
+      CAST(g.oversample * 10 AS BIGINT) AS shortlist,
+      CAST(COALESCE(h.n_both, 0) AS BIGINT) AS n_both,
+      n_exact,
+      CASE WHEN n_exact > 0 THEN
+        ((2 * CAST(COALESCE(h.n_both, 0) AS BIGINT) * 1000000 + n_exact)
+         // (2 * n_exact) / 1000000.0) END AS recall_ann
+    FROM bqs_grid g
+    LEFT JOIN bqs_hits h USING (method, oversample), bqs_ne
+"""
+
+
+ML_REGISTRY.update(
+    {
+        "sim_bq_recall_sweep": QuerySpec(
+            q_sim_bq_recall_sweep, _bq_sweep_sql()
+        ),
+    }
+)

@@ -75,3 +75,41 @@ def test_rerank_orders_by_exact_cosine_within_shortlist(spark):
         rs.sort(key=lambda r: r["rnk"])
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_sweep_recall_monotone_and_asym_dominates(spark):
+    # recall is monotone in oversample by construction: an exact-top-k
+    # member in the shortlist always survives the cosine rerank (only
+    # globally-higher cosines can displace it, and there are at most
+    # k-1 of those), so hits = |exact ∩ shortlist| grows with the
+    # shortlist.  The asymmetric scorer keeps the query's float
+    # magnitudes, so at any oversample it should not trail Hamming on
+    # a random corpus.
+    import random
+
+    from airflow_crypto_btc_spark.operators.similarity import (
+        binary_topk_sweep,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r["method"], r["oversample"]): r
+        for r in binary_topk_sweep(
+            df, query_filter="vec_id < 8", k=5, oversamples=(2, 4, 8)
+        ).collect()
+    }
+    assert set(out) == {(m, o) for m in ("asym", "hamming") for o in (2, 4, 8)}
+    for m in ("asym", "hamming"):
+        rs = [out[(m, o)]["recall_ann"] for o in (2, 4, 8)]
+        assert rs == sorted(rs), (m, rs)
+        assert all(out[(m, o)]["shortlist"] == 5 * o for o in (2, 4, 8))
+        assert all(
+            out[(m, o)]["n_both"] <= out[(m, o)]["n_exact"] for o in (2, 4, 8)
+        )
+    assert (
+        out[("asym", 8)]["recall_ann"] >= out[("hamming", 8)]["recall_ann"]
+    )

@@ -44,21 +44,21 @@ _MERGED: dict[str, QuerySpec] = {
 # The driver's hard correctness gate checks the FIRST 50 entries, so the
 # catalog's dict order IS the driver-visible sample.  Three tiers:
 #
-# 1. _WINDOW_PRIORITY — the explicit first-50 curation (round-10
-#    rotation: CORRECTNESS_r05-r09 all sampled the same registration-
-#    order window, leaving the newest families driver-unchecked).  The
-#    list keeps the reference-parity core (flagship, OHLC, windows,
-#    sinks, TPC-H heads) and rotates in one oracle-backed entry per
-#    newest family: BPE training + frozen encode, IVF-PQ fused + fully
-#    persisted serve, perplexity buckets + frozen gate, RRF fusion +
-#    measured recall, block-hash near-dup (now seeded non-vacuous),
-#    release pipeline/pack-bins/vocab lifecycle, CMS serve, data
-#    card/training order/token budget — plus one slot per round-10
-#    second-wave family: WordPiece encode, binary quantization,
-#    Z-order prune report, quantile-register quality, bigram LM,
-#    temperature mixture.  (PQ/IVF persisted serves, corpus diff,
-#    card-from-facts, CMS heavy hitters rotated back to the
-#    beyond-window sweep, which covers them every round.)
+# 1. _WINDOW_PRIORITY — the explicit first-50 curation (introduced in
+#    round 10 after CORRECTNESS_r05-r09 all sampled the same
+#    registration-order window, leaving the newest families
+#    driver-unchecked).  The list keeps the reference-parity core
+#    (flagship, OHLC, windows, sinks, TPC-H heads) and rotates >=10
+#    slots per round so every family head passes through the driver's
+#    own gate within ~2 rounds (pinned by tests/test_catalog_window.py).
+#    Round-11 rotation (13 slots): IN — the unigram-LM tokenizer trio,
+#    the BQ recall pair (floor + oversample/ADC sweep), Z-order code +
+#    layout stats, WordPiece frozen serve, leakage-safe split, the
+#    quantile-register pair, bigram frozen serve, vocab coverage.
+#    OUT — the mature second-of-pair twins (ma30/vol10/count_total/
+#    point_lookup, q3, BPE+RRF+IVF-PQ+ppl frozen twins, mm_block_hash,
+#    encode_from_vocab, pack_bins, token_budget_head), all still
+#    covered every round by the beyond-window full-catalog sweep.
 # 2. every other oracle-backed entry, registration order preserved
 #    (the beyond-window rotation sweep covers these every round).
 # 3. rows-only (sql=None) sketches last — a window slot spent on an
@@ -68,45 +68,32 @@ _WINDOW_PRIORITY = [
     "agg_ohlc_daily",
     "win_pct_change",
     "win_ma7",
-    "win_ma30",
     "win_vol30",
-    "win_vol10",
     "filter_between_ts",
     "project_filter_literal",
-    "filter_point_lookup",
     "filter_trailing_window",
     "dedup_keep_first",
     "agg_count_filtered",
-    "agg_count_total",
     "agg_extrema",
     "first_last_by_order",
     "sink_table_append_ignore",
     "sink_table_upsert",
     "join_broadcast_region_revenue",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_nation_revenue",
     "text_bpe_merges",
-    "text_bpe_encode_from_model",
     "sim_ivfpq_topk",
-    "sim_ivfpq_from_index",
     "curate_ppl_buckets",
-    "curate_ppl_gate_from_model",
     "sim_rrf_topk",
-    "sim_rrf_recall",
-    "mm_block_hash",
     "mm_block_hash_near_dup",
     "curate_release_pipeline",
-    "curate_pack_bins",
     "text_vocab_build",
-    "text_encode_from_vocab",
     "text_cms_from_sketch",
     "approx_qhist_quality",
     "curate_data_card",
     "text_bigram_logprob",
     "curate_temperature_mixture",
     "curate_training_order",
-    "curate_token_budget_head",
     "sim_bq_topk",
     "phys_zorder_prune_report",
     "dedup_exact",
@@ -114,6 +101,19 @@ _WINDOW_PRIORITY = [
     "dedup_near_clusters",
     "text_wordpiece_encode",
     "text_dup_span_scrub",
+    "text_unigram_vocab",
+    "text_unigram_encode",
+    "text_unigram_from_model",
+    "sim_bq_recall",
+    "sim_bq_recall_sweep",
+    "phys_zorder_code",
+    "phys_zorder_layout_stats",
+    "text_wordpiece_from_model",
+    "curate_leakage_safe_split",
+    "approx_qhist_registers",
+    "approx_qhist_quantiles",
+    "text_bigram_from_model",
+    "text_vocab_coverage",
 ]
 
 ALL_QUERIES: dict[str, QuerySpec] = {

@@ -19,9 +19,9 @@ from airflow_crypto_btc_spark.plans.catalog import (
     _WINDOW_PRIORITY,
 )
 
-_R09_WINDOW_FILE = os.path.join(
+_PREV_WINDOW_FILE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 )
 
 
@@ -40,12 +40,12 @@ def test_every_windowed_entry_is_oracle_backed() -> None:
         assert spec.sql is not None, f"{name} is rows-only: wasted slot"
 
 
-def test_window_rotated_at_least_ten_entries_vs_round_9() -> None:
-    if not os.path.exists(_R09_WINDOW_FILE):
-        pytest.skip("CORRECTNESS_r09.json not present")
-    with open(_R09_WINDOW_FILE) as fh:
-        r09 = set(json.load(fh))
-    fresh = [n for n in _WINDOW_PRIORITY if n not in r09]
+def test_window_rotated_at_least_ten_entries_vs_previous_round() -> None:
+    if not os.path.exists(_PREV_WINDOW_FILE):
+        pytest.skip("previous-round CORRECTNESS file not present")
+    with open(_PREV_WINDOW_FILE) as fh:
+        prev = set(json.load(fh))
+    fresh = [n for n in _WINDOW_PRIORITY if n not in prev]
     assert len(fresh) >= 10, f"only {len(fresh)} new-to-window entries"
 
 

@@ -295,16 +295,33 @@ def _write_parts(df: DataFrame, table: str) -> tuple[list[str], dict]:
 
 
 def _try_commit(table: str, version: int, entry: dict) -> bool:
-    """put-if-absent of the next log file — the atomic commit point."""
-    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    """put-if-absent of the next log file — the atomic commit point.
+
+    Write-temp-then-hardlink, NOT create-then-write: an O_CREAT|O_EXCL
+    create followed by the JSON write has a window where a concurrent
+    reader's ``current_snapshot`` opens the already-visible name and
+    json-loads an empty file (found by the round-11 multi-process race
+    test — in-process racers never hit it).  ``os.link`` publishes the
+    fully-written, fsynced content under the version name atomically and
+    raises FileExistsError for the race loser, so readers can never
+    observe a partial commit and writers keep exclusive-create semantics.
+    (On an object store the equivalent is a single put-if-absent, which
+    is content-atomic by construction.)"""
+    log_dir = os.path.join(table, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
     path = _log_path(table, version)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        json.dump(entry, fh)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 class CommitConflictError(RuntimeError):
@@ -638,8 +655,17 @@ def snapshot_changes(
             "span contains a rewrite commit; key_cols required for a "
             "row-level diff"
         )
-    old = read_snapshot(spark, table, from_version)
     new = read_snapshot(spark, table, snap_to.version)
+    # a from_version before the first commit (or one whose snapshot holds
+    # no files) means the old side is EMPTY, not an error: the full-history
+    # feed of a rewrite-containing span is every current row as an insert
+    if from_version < 0 or not current_snapshot(table, from_version).files:
+        # a fresh frame, not new.filter(false): the diff below joins old
+        # against new, and two lineages of one plan trip the ambiguous-
+        # self-join analyzer
+        old = spark.createDataFrame([], new.schema)
+    else:
+        old = read_snapshot(spark, table, from_version)
     # Multiset diff via per-row-identity counts: group each side by the
     # FULL row (map-side combined — one shuffle of distinct rows per
     # side), full-outer join the count tables null-safely, and re-emit

@@ -26,6 +26,7 @@ from airflow_crypto_btc_spark.operators.incremental import (
 )
 from airflow_crypto_btc_spark.plans.registry import QuerySpec, _SQL_DAILY
 from airflow_crypto_btc_spark.plans.registry_ext import (
+    _SQL_CURATE_LEAKAGE_SAFE_SPLIT,
     _SQL_DEDUP_MINHASH_LSH_PAIRS,
     _SQL_DEDUP_NEAR_CLUSTERS,
     _SQL_DEDUP_SEMANTIC_PURGE,
@@ -1867,4 +1868,70 @@ INCREMENTAL_REGISTRY.update(
             q_text_bigram_from_model, _SQL_TEXT_BIGRAM_LOGPROB
         ),
     }
+)
+
+
+# --------------------------------------------- streamed leakage-safe split
+def _split_state_zone(spark, sf_dir):
+    """Landing-zone build of the streaming-maintained split state: the
+    LSH pair table grows in three appends interleaved with three
+    document folds — each pair lands in the batch of its LATER-arriving
+    endpoint (arrival batch of doc d is d % 3), so the middle folds
+    exercise real cluster merges, changed-row-only appends, and the
+    moved-docs audit feed, not just a replayed one-shot."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.dedup import minhash_lsh_pairs
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+    from airflow_crypto_btc_spark.streaming.split_stream import (
+        leakage_split_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        pairs_tbl = os.path.join(staging, "pairs")
+        sink = leakage_split_sink(
+            pairs_tbl,
+            os.path.join(staging, "splits"),
+            os.path.join(staging, "moves"),
+            query_name="split-zone",
+        )
+        all_pairs = minhash_lsh_pairs(
+            docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+        ).localCheckpoint()  # one LSH run feeds all three arrival slices
+        for b in range(3):
+            arriving = all_pairs.filter(
+                F.greatest(F.col("id_a") % 3, F.col("id_b") % 3) == b
+            )
+            if arriving.limit(1).count():
+                append(spark, arriving, pairs_tbl)
+            sink(docs.filter(f"doc_id % 3 = {b}"), b)
+
+    return _landing_zone(sf_dir, "documents", "split_state", _land)
+
+
+def q_curate_split_from_state(spark, sf_dir):
+    """The SERVING shape of the leakage-safe split: assignments come
+    from the changelog the streaming maintainer
+    (streaming/split_stream.leakage_split_sink) folded batch-by-batch —
+    documents arrived in three micro-batches, near-dup edges in the
+    batch of their later endpoint, so mid-stream cluster merges and the
+    moved-docs audit all happened on the way here.  The oracle is the
+    ONE-SHOT batch split SQL: passing proves the incremental min-label
+    folds converge to exactly the full-graph components and the
+    latest-wins view serves them bit-compatibly."""
+    import os
+
+    from airflow_crypto_btc_spark.streaming.split_stream import (
+        split_assignments,
+    )
+
+    zone = _split_state_zone(spark, sf_dir)
+    return split_assignments(spark, os.path.join(zone, "splits"))
+
+
+INCREMENTAL_REGISTRY["curate_split_from_state"] = QuerySpec(
+    q_curate_split_from_state, _SQL_CURATE_LEAKAGE_SAFE_SPLIT
 )

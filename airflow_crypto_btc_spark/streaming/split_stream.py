@@ -1,0 +1,286 @@
+"""Streaming maintenance of the leakage-safe train/test split.
+
+``operators/curation.leakage_safe_split`` assigns every document to
+train or test by its near-dup cluster REPRESENTATIVE's hash, so
+near-duplicates never straddle the boundary.  That split is static; the
+cluster graph is not — a newly discovered near-dup edge can merge two
+clusters and silently move documents across the boundary between full
+rebuilds (the round-10 verdict's standing gap).  This sink maintains the
+assignment ON the document stream:
+
+1. each micro-batch of documents seeds the affected set with its ids
+   plus the endpoints of every near-dup pair appended to ``pairs_table``
+   since the last fold (the span is read through
+   ``snapshot_table.snapshot_changes`` — the append-only fast path reads
+   only the new files; a compaction span diffs to empty);
+2. the affected set closes over the documents' CURRENT clusters (two
+   bounded key-joins against the assignment changelog — the untouched
+   corpus majority never enters the fold);
+3. connected components run over the SUBGRAPH of new edges plus one
+   star edge per prior member (doc_id -> cluster_id; the cluster id IS
+   its min member id, so prior clusters re-enter as already-collapsed
+   stars and the iteration cost is bounded by the batch's blast radius,
+   never the corpus);
+4. assignments that CHANGED (new docs, or members of a merged cluster
+   whose min label moved) append to the changelog ``splits_table``; a
+   ``moved_docs`` audit row lands in ``moves_table`` for every document
+   whose SIDE actually flipped — the leak the static split could not
+   see.
+
+Exactly-once discipline mirrors ``dedup_stream.near_dup_index_sink``:
+the splits append is a compare-and-swap anchored on the changelog
+version the fold read, txn-id keyed by batch; the fold's pairs span
+(``pairs_from``/``pairs_to``) is pinned in the commit meta, so a crash
+replay recomputes the moves audit from the PRE-FOLD changelog and the
+pinned span — identical rows, then skip-or-land by txn id.  Cluster ids
+only ever DECREASE (min-label over a growing edge set), so replayed
+folds are monotone and the changelog's latest-wins view is
+order-independent.
+
+Scale shape per batch: one bounded subgraph component run + two
+key-joins sized by the affected clusters; assignment appends are
+O(changed docs).  The serving view (:func:`split_assignments`) is one
+latest-wins window over the changelog — the same shape Delta's MERGE
+readers pay — and compaction bounds the changelog's part count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.operators.dedup import near_dup_clusters
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
+    append,
+    compact,
+    current_snapshot,
+    read_snapshot,
+    read_snapshot_or_none,
+    snapshot_changes,
+    txn_meta,
+    txn_version,
+    vacuum,
+)
+
+
+def _bucket_expr(col: str, buckets: int) -> str:
+    """The same md5-prefix bucket the batch operator uses
+    (operators/curation.leakage_safe_split), so streamed assignments are
+    bit-compatible with a full rebuild."""
+    return (
+        f"cast(conv(substr(md5(cast({col} as string)), 1, 8), 16, 10)"
+        f" as bigint) % {buckets}"
+    )
+
+
+def split_assignments(spark: SparkSession, splits_table: str) -> DataFrame:
+    """Latest-wins view over the assignment changelog: one window per
+    doc ordered by fold batch — the serving read of the maintained
+    split."""
+    log = read_snapshot(spark, splits_table)
+    w = Window.partitionBy("doc_id").orderBy(F.col("as_of_batch").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("doc_id", "cluster_id", "split", "moved")
+    )
+
+
+def leakage_split_sink(
+    pairs_table: str,
+    splits_table: str,
+    moves_table: str,
+    query_name: str,
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    buckets: int = 100,
+    compact_every: int | None = None,
+    compact_target_parts: int = 4,
+):
+    """``foreachBatch`` callback maintaining the leakage-safe split
+    against an evolving near-dup pair table.  See the module docstring
+    for the fold semantics and crash contract."""
+
+    def _fold(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        splits_txn = f"{query_name}:{batch_id}:splits"
+        folded_v = txn_version(splits_table, splits_txn)
+        if folded_v is not None:
+            # replay: pre-fold state + the pinned pairs span make every
+            # downstream frame recompute identically
+            state = (
+                read_snapshot(spark, splits_table, version=folded_v - 1)
+                if folded_v > 0
+                else None
+            )
+            pinned = txn_meta(splits_table, splits_txn) or {}
+            pairs_from = int(pinned.get("pairs_from", -1))
+            pairs_to = int(pinned.get("pairs_to", -1))
+        else:
+            snap = current_snapshot(splits_table)
+            state = read_snapshot_or_none(spark, splits_table)
+            pairs_from = int(snap.meta.get("pairs_to", -1))
+            pairs_to = current_snapshot(pairs_table).version
+        cas_v = current_snapshot(splits_table).version
+
+        # --- pairs delta since the last fold (append-only fast path;
+        # a compaction in the span diffs to empty through the key-cols
+        # multiset fallback; near-dup edges never retract, so deletes
+        # in the feed would be a maintainer bug, not input)
+        if pairs_to > pairs_from:
+            feed = snapshot_changes(
+                spark,
+                pairs_table,
+                from_version=pairs_from,
+                to_version=pairs_to,
+                key_cols=["id_a", "id_b"],
+            )
+            new_pairs = feed.filter("_change_type = 'insert'").select(
+                "id_a", "id_b"
+            )
+        else:
+            new_pairs = spark.createDataFrame(
+                [], "id_a bigint, id_b bigint"
+            )
+
+        # --- affected closure: batch ids + delta endpoints, then every
+        # doc currently assigned to one of their clusters
+        seeds = (
+            batch_df.select(F.col(id_col).cast("bigint").alias("doc_id"))
+            .unionByName(new_pairs.select(F.col("id_a").alias("doc_id")))
+            .unionByName(new_pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        if state is not None:
+            latest = Window.partitionBy("doc_id").orderBy(
+                F.col("as_of_batch").desc()
+            )
+            seed_latest = (
+                state.join(seeds, "doc_id")
+                .withColumn("_rn", F.row_number().over(latest))
+                .filter("_rn = 1")
+            )
+            affected_clusters = seed_latest.select(
+                "cluster_id"
+            ).distinct()
+            # every CURRENT member of an affected cluster has a
+            # changelog row carrying that cluster id (appended when it
+            # joined), so one join finds the candidate ids...
+            cand_ids = (
+                state.join(
+                    affected_clusters.withColumnRenamed(
+                        "cluster_id", "_ac"
+                    ),
+                    state["cluster_id"] == F.col("_ac"),
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            # ...and a second latest-wins pass keeps only those whose
+            # CURRENT cluster is affected (an old row may name a cluster
+            # the doc has since merged out of)
+            prior = (
+                state.join(cand_ids, "doc_id")
+                .withColumn("_rn", F.row_number().over(latest))
+                .filter("_rn = 1")
+                .join(affected_clusters, "cluster_id")
+                .select("doc_id", "cluster_id", "split")
+                .localCheckpoint(eager=False)
+            )
+        else:
+            prior = spark.createDataFrame(
+                [], "doc_id bigint, cluster_id bigint, split string"
+            )
+
+        # --- components over the bounded subgraph: prior clusters
+        # re-enter as star edges (cluster_id is the min member id, a
+        # real node), new edges stitch them together
+        star_edges = prior.filter("doc_id != cluster_id").select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+        sub_edges = new_pairs.select("id_a", "id_b").unionByName(star_edges)
+        nodes = (
+            seeds.unionByName(prior.select("doc_id"))
+            .distinct()
+            .withColumnRenamed("doc_id", id_col)
+        )
+        comps = near_dup_clusters(nodes, sub_edges, id_col=id_col).select(
+            F.col(id_col).alias("doc_id"), "cluster_id"
+        )
+
+        bucket_c = _bucket_expr("cluster_id", buckets)
+        bucket_d = _bucket_expr("doc_id", buckets)
+        assigned = comps.select(
+            "doc_id",
+            "cluster_id",
+            F.expr(
+                f"CASE WHEN {bucket_c} < {test_pct} "
+                "THEN 'test' ELSE 'train' END"
+            ).alias("split"),
+            F.expr(
+                f"({bucket_c} < {test_pct}) != ({bucket_d} < {test_pct})"
+            ).alias("moved"),
+        ).localCheckpoint(eager=False)
+
+        old = prior.select(
+            "doc_id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            F.col("split").alias("old_split"),
+        )
+        with_old = assigned.join(old, "doc_id", "left")
+        changed = with_old.filter(
+            F.col("old_cluster_id").isNull()
+            | (F.col("cluster_id") != F.col("old_cluster_id"))
+        )
+        new_rows = changed.select(
+            "doc_id", "cluster_id", "split", "moved"
+        ).withColumn("as_of_batch", F.lit(batch_id))
+        moves = (
+            changed.filter(
+                F.col("old_split").isNotNull()
+                & (F.col("split") != F.col("old_split"))
+            )
+            .select(
+                "doc_id",
+                "old_cluster_id",
+                "cluster_id",
+                "old_split",
+                F.col("split").alias("new_split"),
+            )
+            .withColumn("as_of_batch", F.lit(batch_id))
+        )
+
+        # --- commit: splits first (the CAS-serialized fold, meta pins
+        # the pairs span for replays), then the audit feed
+        try:
+            if folded_v is None:
+                append(
+                    spark,
+                    new_rows,
+                    splits_table,
+                    txn_id=splits_txn,
+                    expect_version=cas_v,
+                    meta={"pairs_from": pairs_from, "pairs_to": pairs_to},
+                )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
+        append(
+            spark,
+            moves,
+            moves_table,
+            txn_id=f"{query_name}:{batch_id}:moves",
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for table in (splits_table, moves_table):
+                if read_snapshot_or_none(spark, table) is not None:
+                    compact(
+                        spark, table, target_parts=compact_target_parts
+                    )
+                    vacuum(table)
+
+    return _fold

@@ -263,6 +263,11 @@ HEADLINE = [
     # round-11: rule-2 completion — registry_sql had zero timed lines;
     # grouping-sets is its most plan-interesting head (Expand operator)
     "sql_grouping_sets",
+    # round-11: the streamed leakage-safe split served from the
+    # changelog the maintainer folded batch-by-batch (cluster merges +
+    # moved-docs audit included) — the serve twin of
+    # curate_leakage_safe_split
+    "curate_split_from_state",
 ]
 
 

@@ -1935,3 +1935,54 @@ def q_curate_split_from_state(spark, sf_dir):
 INCREMENTAL_REGISTRY["curate_split_from_state"] = QuerySpec(
     q_curate_split_from_state, _SQL_CURATE_LEAKAGE_SAFE_SPLIT
 )
+
+
+# ------------------------------------------------------------- BM25 serving
+def q_search_bm25_from_index(spark, sf_dir):
+    """BM25 served from the PERSISTED inverted index: postings and
+    document lengths live in two snapshot tables built once per corpus
+    version (landing-zone keyed by the fixture fingerprint, commit meta
+    pins the source fingerprint and the serve path refuses a stale
+    generation) — the scan a 100 TB retrieval-based curation query
+    actually pays: no re-tokenization, postings pruned to the queried
+    vocabulary at the join.  Same oracle as the inline entry: passing
+    proves the index round-trips through the commit log exactly."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.search import (
+        build_bm25_index,
+        bm25_topk_from_index,
+        default_queries,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    source_version = f"documents@{stat.st_size}_{stat.st_mtime_ns}"
+
+    def _land(staging: str) -> None:
+        build_bm25_index(
+            spark,
+            docs,
+            os.path.join(staging, "postings"),
+            os.path.join(staging, "doclen"),
+            source_version=source_version,
+        )
+
+    zone = _landing_zone(sf_dir, "documents", "bm25_index", _land)
+    return bm25_topk_from_index(
+        spark,
+        os.path.join(zone, "postings"),
+        os.path.join(zone, "doclen"),
+        default_queries(docs),
+        expect_source=source_version,
+    )
+
+
+from airflow_crypto_btc_spark.plans.registry_ml import (  # noqa: E402
+    _SQL_SEARCH_BM25_TOPK,
+)
+
+INCREMENTAL_REGISTRY["search_bm25_from_index"] = QuerySpec(
+    q_search_bm25_from_index, _SQL_SEARCH_BM25_TOPK
+)

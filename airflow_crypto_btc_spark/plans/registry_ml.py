@@ -1171,3 +1171,142 @@ ML_REGISTRY.update(
         ),
     }
 )
+
+
+# ------------------------------------------------------------ BM25 retrieval
+def q_search_bm25_topk(spark, sf_dir):
+    """Lexical full-text retrieval: Okapi BM25 (Robertson & Zaragoza
+    2009, Lucene non-negative idf) of 20 deterministic prefix queries
+    against the corpus — the lexical sibling of the vector sim_* family
+    and the engine retrieval-based curation runs on.  Postings are
+    key-distributed by token and pruned to the queried vocabulary
+    before any scoring; per-term partials sum in integer micro-units so
+    the per-document score is shuffle-order-proof."""
+    from airflow_crypto_btc_spark.operators.search import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+# NOTE cross-engine constants: the k1/b factors appear as the SAME
+# arithmetic expressions (1.2 + 1.0, 1.2*(1.0-0.75), 1.2*0.75) in both
+# engines — pre-folding e.g. 1.2*0.75 to the literal 0.9 parses to a
+# DIFFERENT double than the computed product and splits last-ulp scores.
+_SQL_SEARCH_BM25_TOPK = """
+    WITH btoks AS MATERIALIZED (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                    t -> t <> '') AS tokens
+      FROM documents),
+    bpost AS MATERIALIZED (
+      SELECT doc_id, u.token AS token, CAST(count(*) AS BIGINT) AS tf
+      FROM btoks, unnest(tokens) AS u(token)
+      GROUP BY doc_id, u.token),
+    bdlen AS MATERIALIZED (
+      SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl FROM btoks),
+    bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM bdlen),
+    bqtok AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS query_id, u.token AS token
+      FROM (SELECT doc_id, tokens[1:5] AS qt FROM btoks WHERE doc_id < 20),
+           unnest(qt) AS u(token)),
+    bqpost AS MATERIALIZED (
+      SELECT * FROM bpost
+      WHERE token IN (SELECT DISTINCT token FROM bqtok)),
+    bdfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+               FROM bqpost GROUP BY token),
+    bterms AS (
+      SELECT q.query_id, p.doc_id,
+        CAST(round(round(
+          round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)), 6)
+          * (p.tf * (1.2 + 1.0))
+          / (p.tf + 1.2*(1.0-0.75)
+             + 1.2*0.75 * CAST(d.dl * s.n_docs AS DOUBLE) / s.sum_dl)
+        , 6) * 1000000.0) AS BIGINT) AS term_micro
+      FROM bqpost p
+      JOIN bqtok q USING (token)
+      JOIN bdfreq f USING (token)
+      JOIN bdlen d ON d.doc_id = p.doc_id
+      CROSS JOIN bstats s),
+    bscores AS (
+      SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(term_micro) AS BIGINT) AS score_micro
+      FROM bterms GROUP BY query_id, doc_id)
+    SELECT query_id, rnk, doc_id, n_terms, score FROM (
+      SELECT query_id, doc_id, n_terms,
+        score_micro / 1000000.0 AS score,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM bscores)
+    WHERE rnk <= 10
+"""
+
+
+def q_search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (each query document's 5-token prefix) with the exact
+    cosine vector ranking of the SAME query ids — the standard
+    lexical+vector combiner (Cormack et al. 2009) a curation pipeline
+    uses when neither channel alone recalls enough.  Reciprocals are
+    exact micro-units (ratio_micro tie discipline), so fusion is
+    order-free in both engines."""
+    from airflow_crypto_btc_spark.operators.search import (
+        bm25_topk,
+        hybrid_rrf_topk,
+    )
+    from airflow_crypto_btc_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_topk(docs)
+    vec = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_filter="vec_id < 20",
+        k=10,
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("nid").alias("doc_id"),
+    )
+    return hybrid_rrf_topk(lex, vec)
+
+
+def _hybrid_rrf_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _SQL_SIM_COSINE_TOPK,
+    )
+
+    return f"""
+    WITH hlex AS MATERIALIZED ({_SQL_SEARCH_BM25_TOPK}),
+    hvec AS MATERIALIZED (
+      SELECT qid AS query_id, rnk, nid AS doc_id
+      FROM ({_SQL_SIM_COSINE_TOPK})),
+    hl AS (SELECT query_id, doc_id,
+             (2 * 1000000 + (60 + rnk)) // (2 * (60 + rnk)) AS c_lex
+           FROM hlex),
+    hv AS (SELECT query_id, doc_id,
+             (2 * 1000000 + (60 + rnk)) // (2 * (60 + rnk)) AS c_vec
+           FROM hvec),
+    hf AS (
+      SELECT COALESCE(hl.query_id, hv.query_id) AS query_id,
+             COALESCE(hl.doc_id, hv.doc_id) AS doc_id,
+             COALESCE(c_lex, 0) + COALESCE(c_vec, 0) AS rrf_micro
+      FROM hl FULL OUTER JOIN hv
+        ON hl.query_id = hv.query_id AND hl.doc_id = hv.doc_id)
+    SELECT query_id, rnk, doc_id, rrf_score FROM (
+      SELECT query_id, doc_id, rrf_micro / 1000000.0 AS rrf_score,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rnk
+      FROM hf)
+    WHERE rnk <= 10
+"""
+
+
+ML_REGISTRY.update(
+    {
+        "search_bm25_topk": QuerySpec(
+            q_search_bm25_topk, _SQL_SEARCH_BM25_TOPK
+        ),
+        "search_hybrid_rrf": QuerySpec(
+            q_search_hybrid_rrf, _hybrid_rrf_sql()
+        ),
+    }
+)

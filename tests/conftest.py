@@ -57,6 +57,7 @@ SMOKE_TESTS = {
     "test_bpe_train_textbook_merges_and_encode",  # BPE tokenizer
     "test_dup_span_scrub_removes_cross_doc_spans_only",  # ExactSubstr scrub
     "test_streaming_split_merge_emits_moves_and_bounds_writes",  # split maintainer
+    "test_bm25_matches_pure_python_reference",  # BM25 retrieval
 }
 
 

@@ -303,3 +303,107 @@ UNIGRAM_REGISTRY: dict[str, QuerySpec] = {
         q_text_unigram_from_model, _SQL_TEXT_UNIGRAM_ENCODE
     ),
 }
+
+
+# ------------------------------------------------- tokenizer comparison
+def q_text_tokenizer_report(spark, sf_dir):
+    """The tokenizer-family capstone: BPE, WordPiece, and unigram-LM
+    (the HF ``tokenizers`` trio) encode the SAME corpus from their
+    persisted frozen models, and one report row per tokenizer states
+    the numbers a vocabulary decision is made on — total pieces,
+    fertility (pieces per whitespace word, exact micro-units), and the
+    UNK word rate (BPE is open-vocabulary by construction: a word
+    segments to characters at worst, so its UNK count is structurally
+    zero).  All three serves are broadcast-map projections over one
+    corpus scan each; the aggregate is alphabet-small."""
+    from airflow_crypto_btc_spark.functions.hashing import (
+        ratio_micro,
+        tokens_expr,
+    )
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        q_text_bpe_encode_from_model,
+        q_text_wordpiece_from_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_expr("text"))).cast("long").alias("n_words"),
+    )
+
+    def row(name, df, pieces_col, unk_col):
+        agg = df.agg(
+            F.sum(pieces_col).cast("long").alias("n_pieces"),
+            (
+                F.sum(unk_col).cast("long")
+                if unk_col
+                else F.lit(0).cast("long")
+            ).alias("n_unk_words"),
+        )
+        return agg.select(F.lit(name).alias("tokenizer"), "*")
+
+    report = (
+        row("bpe", q_text_bpe_encode_from_model(spark, sf_dir),
+            "n_bpe_tokens", None)
+        .unionByName(
+            row("unigram", q_text_unigram_from_model(spark, sf_dir),
+                "n_pieces", "n_unk_words")
+        )
+        .unionByName(
+            row("wordpiece", q_text_wordpiece_from_model(spark, sf_dir),
+                "n_pieces", "n_unk_words")
+        )
+    )
+    return report.crossJoin(F.broadcast(stats)).select(
+        "tokenizer",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_unk_words",
+        ratio_micro("n_pieces", "n_words").alias("fertility"),
+        ratio_micro("n_unk_words", "n_words").alias("unk_per_word"),
+    )
+
+
+def _tokenizer_report_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _SQL_TEXT_WORDPIECE_ENCODE,
+        _bpe_encode_sql,
+    )
+
+    ratio = (
+        "((2 * CAST({n} AS BIGINT) * 1000000 + CAST(n_words AS BIGINT))"
+        " // (2 * CAST(n_words AS BIGINT)) / 1000000.0)"
+    )
+    return f"""
+    WITH tr_stats AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(
+          regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+          t -> t <> ''))) AS BIGINT) AS n_words
+      FROM documents),
+    tr_rows AS (
+      SELECT 'bpe' AS tokenizer,
+        CAST(sum(n_bpe_tokens) AS BIGINT) AS n_pieces,
+        CAST(0 AS BIGINT) AS n_unk_words
+      FROM ({_bpe_encode_sql()})
+      UNION ALL
+      SELECT 'unigram',
+        CAST(sum(n_pieces) AS BIGINT),
+        CAST(sum(n_unk_words) AS BIGINT)
+      FROM ({_SQL_TEXT_UNIGRAM_ENCODE})
+      UNION ALL
+      SELECT 'wordpiece',
+        CAST(sum(n_pieces) AS BIGINT),
+        CAST(sum(n_unk_words) AS BIGINT)
+      FROM ({_SQL_TEXT_WORDPIECE_ENCODE}))
+    SELECT tokenizer, n_docs, n_words, n_pieces, n_unk_words,
+      {ratio.format(n='n_pieces')} AS fertility,
+      {ratio.format(n='n_unk_words')} AS unk_per_word
+    FROM tr_rows, tr_stats
+"""
+
+
+UNIGRAM_REGISTRY["text_tokenizer_report"] = QuerySpec(
+    q_text_tokenizer_report, _tokenizer_report_sql()
+)

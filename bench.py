@@ -274,6 +274,9 @@ HEADLINE = [
     "search_bm25_topk",
     "search_bm25_from_index",
     "search_hybrid_rrf",
+    # round-11: the tokenizer-family capstone — BPE/WordPiece/Unigram
+    # encode the same corpus from frozen models; fertility + UNK rates
+    "text_tokenizer_report",
 ]
 
 

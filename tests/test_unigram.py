@@ -187,3 +187,29 @@ def test_serve_segments_unseen_words(spark, tmp_path):
     parts = r["up_str"].split(" ")
     assert parts.count(UNK) == 1
     assert all(p == UNK or set(p) <= {"a", "b"} for p in parts)
+
+
+def test_tokenizer_report_invariants(spark, sf_dir):
+    """The family-comparison capstone: every tokenizer segments every
+    word into at least one piece (fertility >= 1), BPE is structurally
+    open-vocabulary (UNK = 0), the subword vocabularies' UNK counts are
+    word-bounded, and the unigram LM — trained to maximize corpus
+    likelihood — achieves the lowest fertility of the trio on its own
+    training corpus (Kudo 2018's motivating property)."""
+    from airflow_crypto_btc_spark.plans.catalog import ALL_QUERIES
+
+    rows = {
+        r["tokenizer"]: r
+        for r in ALL_QUERIES["text_tokenizer_report"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"bpe", "wordpiece", "unigram"}
+    n_words = {r["n_words"] for r in rows.values()}
+    assert len(n_words) == 1  # shared denominator
+    for r in rows.values():
+        assert r["fertility"] >= 1.0
+        assert 0 <= r["n_unk_words"] <= r["n_words"]
+    assert rows["bpe"]["n_unk_words"] == 0
+    assert rows["unigram"]["fertility"] <= rows["wordpiece"]["fertility"]
+    assert rows["unigram"]["fertility"] <= rows["bpe"]["fertility"]

@@ -327,11 +327,16 @@ def medians_z_line(
     **base85** (no quote/backslash in its alphabet, so JSON-string
     safe; ~6% denser than base64) — 102 names at 2 decimals measure
     ~1.71 KB vs ~1.91 KB for the old form.  2-decimal medians by
-    default; steps down to 1 decimal only if the line ever outgrows
-    the budget."""
+    default; steps down to 1 then 0 decimals only if the line outgrows
+    the budget (round-11: at 133 names the compressed NAME list alone
+    is ~1.43 KB, so a fully-distinct 2-decimal value map no longer
+    always fits — realistic maps still land at 2, a maximum-entropy
+    map lands at 1, and the 0-decimal floor keeps the never-truncate
+    guarantee even against adversarial values; the envelope advertises
+    whichever precision shipped)."""
     line = ""
     names = sorted(timings)
-    for nd in (2, 1):
+    for nd in (2, 1, 0):
         scale = 10**nd
         flat = json.dumps(
             {

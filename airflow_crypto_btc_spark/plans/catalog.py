@@ -51,14 +51,17 @@ _MERGED: dict[str, QuerySpec] = {
 #    (flagship, OHLC, windows, sinks, TPC-H heads) and rotates >=10
 #    slots per round so every family head passes through the driver's
 #    own gate within ~2 rounds (pinned by tests/test_catalog_window.py).
-#    Round-11 rotation (13 slots): IN — the unigram-LM tokenizer trio,
-#    the BQ recall pair (floor + oversample/ADC sweep), Z-order code +
-#    layout stats, WordPiece frozen serve, leakage-safe split, the
-#    quantile-register pair, bigram frozen serve, vocab coverage.
-#    OUT — the mature second-of-pair twins (ma30/vol10/count_total/
-#    point_lookup, q3, BPE+RRF+IVF-PQ+ppl frozen twins, mm_block_hash,
-#    encode_from_vocab, pack_bins, token_budget_head), all still
-#    covered every round by the beyond-window full-catalog sweep.
+#    Round-11 rotation (16 slots): IN — the unigram-LM tokenizer trio
+#    + the tokenizer comparison report, BM25 lexical retrieval, the
+#    streamed-split serve, the BQ recall pair (floor + oversample/ADC
+#    sweep), Z-order code + layout stats, WordPiece frozen serve,
+#    leakage-safe split, the quantile-register pair, bigram frozen
+#    serve, vocab coverage.  OUT — the mature second-of-pair twins
+#    (ma30/vol10/count_total/point_lookup, q3, BPE+RRF+IVF-PQ+ppl
+#    frozen twins, mm_block_hash(+near_dup), encode_from_vocab,
+#    pack_bins, token_budget_head, rrf_topk, release_pipeline), all
+#    still covered every round by the beyond-window full-catalog
+#    sweep.
 # 2. every other oracle-backed entry, registration order preserved
 #    (the beyond-window rotation sweep covers these every round).
 # 3. rows-only (sql=None) sketches last — a window slot spent on an
@@ -84,9 +87,6 @@ _WINDOW_PRIORITY = [
     "text_bpe_merges",
     "sim_ivfpq_topk",
     "curate_ppl_buckets",
-    "sim_rrf_topk",
-    "mm_block_hash_near_dup",
-    "curate_release_pipeline",
     "text_vocab_build",
     "text_cms_from_sketch",
     "approx_qhist_quality",
@@ -114,6 +114,9 @@ _WINDOW_PRIORITY = [
     "approx_qhist_quantiles",
     "text_bigram_from_model",
     "text_vocab_coverage",
+    "search_bm25_topk",
+    "curate_split_from_state",
+    "text_tokenizer_report",
 ]
 
 ALL_QUERIES: dict[str, QuerySpec] = {

@@ -540,8 +540,27 @@ def vacuum(table: str, keep_versions: int = 2) -> list[str]:
     ``keep_versions`` snapshots.  Time travel older than the horizon stops
     working (exactly Delta/Iceberg VACUUM semantics); parts never
     mentioned in the log are left alone — they may be another writer's
-    in-flight staging.  Returns the deleted part names."""
+    in-flight staging.  Returns the deleted part names.
+
+    Also reaps stale ``.tmp-*`` commit files from the log dir: a
+    committer that crashed between the temp write and the ``os.link``
+    publish leaks one, and they would otherwise accumulate forever.  A
+    LIVE committer's temp file exists only for the microseconds between
+    write and link, so the 60-second age floor cannot race one."""
     import shutil
+    import time as _time
+
+    log_dir = os.path.join(table, _LOG_DIR)
+    if os.path.isdir(log_dir):
+        cutoff = _time.time() - 60
+        for f in os.listdir(log_dir):
+            if f.startswith(".tmp-"):
+                p = os.path.join(log_dir, f)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.unlink(p)
+                except OSError:
+                    pass  # racing reaper/committer — someone handled it
 
     versions = _list_versions(table)
     if not versions:

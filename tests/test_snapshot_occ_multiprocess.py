@@ -289,3 +289,26 @@ def test_multiprocess_spark_appends_with_optimize_and_vacuum(
     assert st.read_snapshot(spark, table).count() == (
         n_workers * n_batches * rows
     )
+
+
+def test_vacuum_reaps_stale_commit_temp_files(spark, tmp_path) -> None:
+    """A committer that crashed between its temp write and the os.link
+    publish leaks a .tmp-* file; vacuum deletes stale ones (past the
+    60 s grace) and leaves fresh ones alone."""
+    import os
+    import time
+
+    table = str(tmp_path / "tmp_reap")
+    st.commit(table, add=["p0"], remove=[], operation="append")
+    log_dir = os.path.join(table, "_log")
+    stale = os.path.join(log_dir, ".tmp-deadbeef")
+    fresh = os.path.join(log_dir, ".tmp-cafef00d")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    os.utime(stale, (time.time() - 3600, time.time() - 3600))
+    st.vacuum(table, keep_versions=2)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # inside the grace window: untouched
+    # the live log is untouched
+    assert st.current_snapshot(table).files == ["p0"]

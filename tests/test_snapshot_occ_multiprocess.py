@@ -225,6 +225,28 @@ for b in range({n_batches}):
 spark.stop()
 """
 
+_VACUUM_WORKER = """
+import os
+import sys
+import time
+sys.path.insert(0, {repo!r})
+from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+table = {table!r}
+# Concurrent VACUUM racer: runs while the writers commit.  The retention
+# contract makes this safe — keep_versions is sized far above anything a
+# concurrent reader/compactor could be anchored on (the same assumption
+# Delta's retention-duration vacuum makes); the racer must never crash
+# and must never delete a part a kept snapshot references.
+deadline = time.time() + 120
+while time.time() < deadline:
+    if os.path.isdir(os.path.join(table, "_log")):
+        st.vacuum(table, keep_versions=50)
+        if len(st._list_versions(table)) >= {stop_at}:
+            break
+    time.sleep(0.2)
+"""
+
 
 @pytest.mark.slow
 def test_multiprocess_spark_appends_with_optimize_and_vacuum(
@@ -243,6 +265,13 @@ def test_multiprocess_spark_appends_with_optimize_and_vacuum(
                 compacting=(w == 0),
             )
             for w in range(n_workers)
+        ]
+        + [
+            _VACUUM_WORKER.format(
+                repo=_REPO,
+                table=table,
+                stop_at=n_workers * n_batches + 1,
+            )
         ],
         timeout=900,
     )

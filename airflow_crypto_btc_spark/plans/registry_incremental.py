@@ -1986,3 +1986,47 @@ from airflow_crypto_btc_spark.plans.registry_ml import (  # noqa: E402
 INCREMENTAL_REGISTRY["search_bm25_from_index"] = QuerySpec(
     q_search_bm25_from_index, _SQL_SEARCH_BM25_TOPK
 )
+
+
+def q_search_bm25_from_stream(spark, sf_dir):
+    """BM25 served from an index the STREAMING maintainer built: the
+    landing zone folds the corpus through ``bm25_index_sink`` in two
+    micro-batches (odd ids, then even — the freshness anti-join, the
+    doc-length CAS fold, and the postings append all run for real),
+    then serves with the same pruned-postings scan.  The oracle is the
+    ONE-SHOT BM25 SQL: passing proves the batch-by-batch index equals
+    the all-at-once build, commit-log round-trip included."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.search import (
+        bm25_topk_from_index,
+        default_queries,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.streaming.search_stream import (
+        bm25_index_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        sink = bm25_index_sink(
+            os.path.join(staging, "postings"),
+            os.path.join(staging, "doclen"),
+            query_name="bm25-zone",
+        )
+        sink(docs.filter("doc_id % 2 = 1"), 0)
+        sink(docs.filter("doc_id % 2 = 0"), 1)
+
+    zone = _landing_zone(sf_dir, "documents", "bm25_stream_index", _land)
+    return bm25_topk_from_index(
+        spark,
+        os.path.join(zone, "postings"),
+        os.path.join(zone, "doclen"),
+        default_queries(docs),
+    )
+
+
+INCREMENTAL_REGISTRY["search_bm25_from_stream"] = QuerySpec(
+    q_search_bm25_from_stream, _SQL_SEARCH_BM25_TOPK
+)

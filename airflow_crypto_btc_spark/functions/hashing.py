@@ -176,3 +176,17 @@ def ratio_micro(num: str, den: str) -> Column:
         )
         / 1000000.0
     )
+
+
+def md5_bucket_sql(col: str, buckets: int) -> str:
+    """The md5-prefix modulo bucket (SQL-expression string) shared by
+    the batch leakage-safe split (operators/curation.leakage_safe_split)
+    and its streaming maintainer (streaming/split_stream) — ONE
+    definition so streamed assignments stay bit-compatible with a full
+    rebuild by construction, not by parallel-edit discipline.  DuckDB
+    twin: ``('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))::BIGINT %
+    buckets``."""
+    return (
+        f"cast(conv(substr(md5(cast({col} as string)), 1, 8), 16, 10)"
+        f" as bigint) % {buckets}"
+    )

@@ -1186,10 +1186,11 @@ def leakage_safe_split(
     per-document hash — the audit column that quantifies how much the
     naive rule was leaking."""
     def bucket(col: str) -> str:
-        return (
-            f"cast(conv(substr(md5(cast({col} as string)), 1, 8), 16, 10)"
-            f" as bigint) % {buckets}"
+        from airflow_crypto_btc_spark.functions.hashing import (
+            md5_bucket_sql,
         )
+
+        return md5_bucket_sql(col, buckets)
 
     return (
         docs.select(id_col)

@@ -93,10 +93,16 @@ def zorder_code(
         # codes, so the grid projection raises instead (the guard
         # compares two broadcast scalars per row — negligible next to
         # the 16-step interleave fold).
+        # The guard itself must not wrap: a mixed-sign range (mx ~ 2^62,
+        # mn ~ -2^62) overflows mx - mn in BIGINT and a wrapped negative
+        # difference would sail past the >= 2^47 test — so the range is
+        # compared in DOUBLE, which cannot wrap (53-bit mantissa error
+        # at 2^64 is ~2^11, noise against the 2^47 threshold).
+        rng_d = f"(cast({mx} as double) - cast({mn} as double))"
         return (
-            f"cast(CASE WHEN {mx} - {mn} >= {1 << 47} THEN "
+            f"cast(CASE WHEN {rng_d} >= {float(1 << 47)!r} THEN "
             f"raise_error(concat('zorder_code: dimension range ', "
-            f"cast({mx} - {mn} as string), ' >= 2^47 would overflow "
+            f"cast({rng_d} as string), ' >= 2^47 would overflow "
             f"the 16-bit grid normalization — pre-divide the "
             f"dimension (e.g. micros -> seconds) before coding')) "
             f"WHEN {mx} > {mn} THEN "

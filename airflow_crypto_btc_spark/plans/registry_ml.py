@@ -1187,11 +1187,14 @@ def q_search_bm25_topk(spark, sf_dir):
     return bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
-# NOTE cross-engine constants: the k1/b factors appear as the SAME
-# arithmetic expressions (1.2 + 1.0, 1.2*(1.0-0.75), 1.2*0.75) in both
-# engines — pre-folding e.g. 1.2*0.75 to the literal 0.9 parses to a
-# DIFFERENT double than the computed product and splits last-ulp scores.
-_SQL_SEARCH_BM25_TOPK = """
+# NOTE cross-engine constants (round-11 self-review correction): DuckDB
+# folds literal arithmetic like 1.2*0.75 in exact DECIMAL (verified:
+# typeof = DECIMAL(5,3) → double 0.9), while the Spark side folds the
+# same factors in Python doubles (1.2*0.75 = 0.8999999999999999 ≠ 0.9),
+# so mirroring the EXPRESSIONS does not give identical doubles — the
+# SQL must carry the PYTHON-FOLDED repr literals, which DuckDB parses
+# to the bit-identical double the Spark plan embeds.
+_SQL_SEARCH_BM25_TOPK = f"""
     WITH btoks AS MATERIALIZED (
       SELECT doc_id,
         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
@@ -1218,9 +1221,10 @@ _SQL_SEARCH_BM25_TOPK = """
       SELECT q.query_id, p.doc_id,
         CAST(round(round(
           round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)), 6)
-          * (p.tf * (1.2 + 1.0))
-          / (p.tf + 1.2*(1.0-0.75)
-             + 1.2*0.75 * CAST(d.dl * s.n_docs AS DOUBLE) / s.sum_dl)
+          * (p.tf * {repr(1.2 + 1.0)})
+          / (p.tf + {repr(1.2 * (1.0 - 0.75))}
+             + {repr(1.2 * 0.75)}
+               * CAST(d.dl * s.n_docs AS DOUBLE) / s.sum_dl)
         , 6) * 1000000.0) AS BIGINT) AS term_micro
       FROM bqpost p
       JOIN bqtok q USING (token)

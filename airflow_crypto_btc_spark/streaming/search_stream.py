@@ -76,15 +76,22 @@ def bm25_index_sink(
         )
         dlen_txn = f"{query_name}:{batch_id}:doclen"
         folded_v = txn_version(doclen_table, dlen_txn)
+        # CAS anchor FIRST, then the registry read pinned AT the anchor
+        # version: reading live state and anchoring afterwards leaves a
+        # window where a racing writer's commit lands between the two —
+        # the anti-join misses its rows but the CAS still passes
+        # (round-11 self-review; dedup_stream reads in this order too)
+        cas_v = current_snapshot(doclen_table).version
         if folded_v is not None:
             registry = (
                 read_snapshot(spark, doclen_table, version=folded_v - 1)
                 if folded_v > 0
                 else None
             )
+        elif cas_v >= 0:
+            registry = read_snapshot(spark, doclen_table, version=cas_v)
         else:
-            registry = read_snapshot_or_none(spark, doclen_table)
-        cas_v = current_snapshot(doclen_table).version
+            registry = None
         if registry is not None:
             fresh = fresh.join(
                 registry.select(F.col("doc_id").alias("_indexed_id")),

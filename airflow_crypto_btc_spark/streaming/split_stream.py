@@ -68,13 +68,13 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
 
 
 def _bucket_expr(col: str, buckets: int) -> str:
-    """The same md5-prefix bucket the batch operator uses
-    (operators/curation.leakage_safe_split), so streamed assignments are
-    bit-compatible with a full rebuild."""
-    return (
-        f"cast(conv(substr(md5(cast({col} as string)), 1, 8), 16, 10)"
-        f" as bigint) % {buckets}"
-    )
+    """The same md5-prefix bucket the batch operator uses — ONE shared
+    definition (functions/hashing.md5_bucket_sql), so streamed
+    assignments are bit-compatible with a full rebuild by
+    construction."""
+    from airflow_crypto_btc_spark.functions.hashing import md5_bucket_sql
+
+    return md5_bucket_sql(col, buckets)
 
 
 def split_assignments(spark: SparkSession, splits_table: str) -> DataFrame:
@@ -82,7 +82,14 @@ def split_assignments(spark: SparkSession, splits_table: str) -> DataFrame:
     doc ordered by fold batch — the serving read of the maintained
     split."""
     log = read_snapshot(spark, splits_table)
-    w = Window.partitionBy("doc_id").orderBy(F.col("as_of_batch").desc())
+    # tiebreak on cluster_id ASC: batch ids restart at 0 when a stream
+    # is re-pointed at a fresh checkpoint/query_name, so two rows can
+    # share as_of_batch — and cluster ids only ever DECREASE (min-label
+    # over a growing edge set), so the smaller cluster is the newer
+    # assignment and the view stays deterministic across restarts
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("as_of_batch").desc(), F.col("cluster_id").asc()
+    )
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .filter("_rn = 1")
@@ -121,11 +128,24 @@ def leakage_split_sink(
             pairs_from = int(pinned.get("pairs_from", -1))
             pairs_to = int(pinned.get("pairs_to", -1))
         else:
+            # ONE snapshot read is both the CAS anchor and the state
+            # pin: reading live state and anchoring in a second call
+            # leaves a window where a racing writer's commit lands
+            # between the two — the diff would miss its rows but the
+            # CAS still pass (round-11 self-review)
             snap = current_snapshot(splits_table)
-            state = read_snapshot_or_none(spark, splits_table)
+            state = (
+                read_snapshot(spark, splits_table, version=snap.version)
+                if snap.version >= 0
+                else None
+            )
             pairs_from = int(snap.meta.get("pairs_to", -1))
             pairs_to = current_snapshot(pairs_table).version
-        cas_v = current_snapshot(splits_table).version
+        cas_v = (
+            snap.version
+            if folded_v is None
+            else current_snapshot(splits_table).version
+        )
 
         # --- pairs delta since the last fold (append-only fast path;
         # a compaction in the span diffs to empty through the key-cols

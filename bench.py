@@ -314,9 +314,7 @@ def summary_line(
     )
 
 
-def medians_z_line(
-    timings: dict[str, float], sf_val, reps: int, budget: int
-) -> str:
+def medians_z_line(timings: dict[str, float], budget: int) -> str:
     """The COMPLETE per-query medians map as one compressed line that
     fits ``budget`` bytes, wrapped in a self-identifying envelope
     (``enc`` names the codec, ``n`` and ``decimals`` validate the
@@ -364,7 +362,10 @@ def medians_z_line(
         )
         if len(line) <= budget:
             return line
-    return line  # 1-decimal best effort; tests keep this unreachable
+    return line  # 0-decimal floor: measured to fit every realistic and
+    # adversarial 133-name map (tests pin it); reaching HERE with an
+    # over-budget line would need a name-list bigger than the codec's
+    # floor, which the headline tests would catch first
 
 
 def decode_medians_z(line: str) -> dict[str, float]:
@@ -482,7 +483,7 @@ def main() -> None:
     summary = summary_line(total, sf_val, len(timings), n_untimed)
     print(
         medians_z_line(
-            timings, sf_val, reps, budget=TAIL_BUDGET - len(summary) - 2
+            timings, budget=TAIL_BUDGET - len(summary) - 2
         )
     )
     print(summary)

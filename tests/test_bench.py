@@ -111,7 +111,7 @@ def test_final_block_fits_the_2000_char_tail_and_roundtrips() -> None:
         round(sum(timings.values()), 4), 0.1, len(timings)
     )
     zline = bench.medians_z_line(
-        timings, 0.1, 3, budget=bench.TAIL_BUDGET - len(summary) - 2
+        timings, budget=bench.TAIL_BUDGET - len(summary) - 2
     )
     assert len(zline) + len(summary) + 2 <= bench.TAIL_BUDGET
     assert bench.TAIL_BUDGET <= 1990  # driver window is 2000; hard ceiling
@@ -137,7 +137,7 @@ def test_final_block_fits_the_2000_char_tail_and_roundtrips() -> None:
     }
     s2 = bench.summary_line(round(sum(distinct.values()), 4), 0.1, 99)
     z2 = bench.medians_z_line(
-        distinct, 0.1, 3, budget=bench.TAIL_BUDGET - len(s2) - 2
+        distinct, budget=bench.TAIL_BUDGET - len(s2) - 2
     )
     nd2 = json.loads(z2)["decimals"]
     assert nd2 in (2, 1)
@@ -162,7 +162,7 @@ def test_final_block_fits_even_with_adversarial_values() -> None:
         round(sum(timings.values()), 4), 0.1, len(timings)
     )
     zline = bench.medians_z_line(
-        timings, 0.1, 3, budget=bench.TAIL_BUDGET - len(summary) - 2
+        timings, budget=bench.TAIL_BUDGET - len(summary) - 2
     )
     assert len(zline) + len(summary) + 2 <= bench.TAIL_BUDGET
     # this shape trips the 1-decimal fallback — the envelope must say so
@@ -175,6 +175,6 @@ def test_final_block_fits_even_with_adversarial_values() -> None:
 
 def test_decode_medians_z_raises_on_truncation() -> None:
     timings = _fake_timings()
-    zline = bench.medians_z_line(timings, 0.1, 3, budget=10_000)
+    zline = bench.medians_z_line(timings, budget=10_000)
     with pytest.raises(Exception):
         bench.decode_medians_z(zline[: len(zline) // 2])

@@ -137,3 +137,14 @@ def test_zorder_repartition_tightens_file_envelopes(grid):
     # hash layout: every file spans ~the full grid; z layout: each
     # file covers a compact curve segment — well under half the area
     assert mean_envelope_area(z) < 0.5 * mean_envelope_area(hashed)
+
+
+def test_mixed_sign_wide_range_cannot_wrap_past_the_guard(spark):
+    # mx - mn on a mixed-sign range (here 2^63) wraps BIGINT to a
+    # NEGATIVE number, which would sail past a same-type >= 2^47 test;
+    # the guard compares the range in DOUBLE, which cannot wrap
+    df = spark.createDataFrame(
+        [(0, -(1 << 62), 1), (1, (1 << 62), 2)], "id long, a long, b long"
+    )
+    with pytest.raises(Exception, match="2\\^47"):
+        zorder_code(df, "a", "b", id_cols=("id",)).collect()

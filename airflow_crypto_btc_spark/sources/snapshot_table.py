@@ -28,6 +28,7 @@ copy-on-write MERGE: rewrite only with the merged result, never in place.
 
 from __future__ import annotations
 
+import contextlib
 import datetime as _dt
 import json
 import os
@@ -320,8 +321,18 @@ def _try_commit(table: str, version: int, entry: dict) -> bool:
         return True
     except FileExistsError:
         return False
+    except FileNotFoundError:
+        # a concurrent vacuum reaped the temp file: this committer
+        # stalled past the reaper's age floor between fsync and publish
+        # (GC pause, NFS stall).  Nothing was published under the
+        # version name, so the commit is simply RETRYABLE — the caller's
+        # loop stages a fresh temp file at the same (still-free) version
+        return False
     finally:
-        os.unlink(tmp)
+        # the winner's unlink can race a vacuum reaper that already
+        # removed the temp name — both outcomes leave the same state
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
 
 
 class CommitConflictError(RuntimeError):
@@ -546,13 +557,17 @@ def vacuum(table: str, keep_versions: int = 2) -> list[str]:
     committer that crashed between the temp write and the ``os.link``
     publish leaks one, and they would otherwise accumulate forever.  A
     LIVE committer's temp file exists only for the microseconds between
-    write and link, so the 60-second age floor cannot race one."""
+    write and link; the 10-minute age floor sits far above any plausible
+    GC pause or NFS stall, and a committer that IS stalled past it loses
+    only its temp file — ``_try_commit`` maps the resulting
+    ``os.link`` FileNotFoundError to a retryable miss, never a torn
+    commit."""
     import shutil
     import time as _time
 
     log_dir = os.path.join(table, _LOG_DIR)
     if os.path.isdir(log_dir):
-        cutoff = _time.time() - 60
+        cutoff = _time.time() - 600
         for f in os.listdir(log_dir):
             if f.startswith(".tmp-"):
                 p = os.path.join(log_dir, f)

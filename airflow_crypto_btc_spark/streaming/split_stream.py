@@ -77,23 +77,36 @@ def _bucket_expr(col: str, buckets: int) -> str:
     return md5_bucket_sql(col, buckets)
 
 
+def _latest_wins(log: DataFrame) -> DataFrame:
+    """THE latest-wins pass over assignment-changelog rows — one shared
+    definition so the serving view and the fold's prior-state read can
+    never diverge.
+
+    Ordered by ``cluster_id ASC``, not ``as_of_batch DESC``: batch ids
+    RESTART at 0 when a stream is re-pointed at a fresh checkpoint or
+    query name, so a post-restart fold can append a row whose
+    ``as_of_batch`` is SMALLER than the doc's pre-restart rows — a
+    batch-ordered window would then serve the stale pre-restart
+    assignment forever.  Cluster ids, by contrast, only ever DECREASE
+    for a given doc (min-label over a growing edge set: a merge can
+    only lower the component minimum), so the smallest cluster id IS
+    the current assignment regardless of how batch ids interleave.
+    ``as_of_batch DESC`` remains as a pure determinism tiebreak — rows
+    tied on (doc_id, cluster_id) are byte-identical in the served
+    columns (split and moved are functions of doc_id and cluster_id)."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cluster_id").asc(), F.col("as_of_batch").desc()
+    )
+    return log.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+
+
 def split_assignments(spark: SparkSession, splits_table: str) -> DataFrame:
     """Latest-wins view over the assignment changelog: one window per
-    doc ordered by fold batch — the serving read of the maintained
-    split."""
+    doc — the serving read of the maintained split (restart-proof, see
+    :func:`_latest_wins`)."""
     log = read_snapshot(spark, splits_table)
-    # tiebreak on cluster_id ASC: batch ids restart at 0 when a stream
-    # is re-pointed at a fresh checkpoint/query_name, so two rows can
-    # share as_of_batch — and cluster ids only ever DECREASE (min-label
-    # over a growing edge set), so the smaller cluster is the newer
-    # assignment and the view stays deterministic across restarts
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("as_of_batch").desc(), F.col("cluster_id").asc()
-    )
-    return (
-        log.withColumn("_rn", F.row_number().over(w))
-        .filter("_rn = 1")
-        .select("doc_id", "cluster_id", "split", "moved")
+    return _latest_wins(log).select(
+        "doc_id", "cluster_id", "split", "moved"
     )
 
 
@@ -177,14 +190,11 @@ def leakage_split_sink(
             .localCheckpoint(eager=False)
         )
         if state is not None:
-            latest = Window.partitionBy("doc_id").orderBy(
-                F.col("as_of_batch").desc()
-            )
-            seed_latest = (
-                state.join(seeds, "doc_id")
-                .withColumn("_rn", F.row_number().over(latest))
-                .filter("_rn = 1")
-            )
+            # SAME restart-proof latest-wins as the serving view — a
+            # batch-ordered window here would seed stale pre-restart
+            # clusters after a checkpoint re-point and break the
+            # monotone-decrease invariant the whole changelog relies on
+            seed_latest = _latest_wins(state.join(seeds, "doc_id"))
             affected_clusters = seed_latest.select(
                 "cluster_id"
             ).distinct()
@@ -205,9 +215,7 @@ def leakage_split_sink(
             # CURRENT cluster is affected (an old row may name a cluster
             # the doc has since merged out of)
             prior = (
-                state.join(cand_ids, "doc_id")
-                .withColumn("_rn", F.row_number().over(latest))
-                .filter("_rn = 1")
+                _latest_wins(state.join(cand_ids, "doc_id"))
                 .join(affected_clusters, "cluster_id")
                 .select("doc_id", "cluster_id", "split")
                 .localCheckpoint(eager=False)

@@ -323,7 +323,7 @@ def test_multiprocess_spark_appends_with_optimize_and_vacuum(
 def test_vacuum_reaps_stale_commit_temp_files(spark, tmp_path) -> None:
     """A committer that crashed between its temp write and the os.link
     publish leaks a .tmp-* file; vacuum deletes stale ones (past the
-    60 s grace) and leaves fresh ones alone."""
+    age floor) and leaves fresh ones alone."""
     import os
     import time
 
@@ -341,3 +341,35 @@ def test_vacuum_reaps_stale_commit_temp_files(spark, tmp_path) -> None:
     assert os.path.exists(fresh)  # inside the grace window: untouched
     # the live log is untouched
     assert st.current_snapshot(table).files == ["p0"]
+
+
+def test_reaped_temp_file_is_a_retryable_commit_miss(
+    spark, tmp_path, monkeypatch
+) -> None:
+    """A committer stalled between fsync and publish long enough for a
+    concurrent vacuum to reap its temp file must NOT crash with an
+    uncaught FileNotFoundError (the pre-round-12 behavior, where the
+    finally-unlink then raised a second one masking the first): the
+    miss is retryable and the commit's retry loop lands it with a fresh
+    temp file at the same version."""
+    import os
+
+    table = str(tmp_path / "reap_race")
+    st.commit(table, add=["p0"], remove=[], operation="append")
+
+    real_link = os.link
+    reaped = {"n": 0}
+
+    def reaping_link(src, dst, **kw):
+        # simulate the vacuum racing in between fsync and publish:
+        # the temp file vanishes before (and during) the link
+        if reaped["n"] == 0:
+            reaped["n"] += 1
+            os.unlink(src)
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", reaping_link)
+    v = st.commit(table, add=["p1"], remove=[], operation="append")
+    assert reaped["n"] == 1  # the race actually fired
+    assert v == 1  # retried at the SAME version, no gap in the log
+    assert st.current_snapshot(table).files == ["p0", "p1"]

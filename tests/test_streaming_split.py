@@ -208,3 +208,75 @@ def test_streaming_split_crash_between_commits_replays_clean(
     moves = read_snapshot(spark, moves_tbl)
     ids = [r["doc_id"] for r in moves.collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_split_survives_checkpoint_restart(spark, tmp_path):
+    """Batch ids RESTART at 0 when a stream is re-pointed at a fresh
+    checkpoint/query name.  A post-restart fold that merges clusters
+    then appends rows with a SMALLER as_of_batch than the docs'
+    pre-restart rows — a batch-ordered latest-wins window would serve
+    the stale pre-restart assignment forever (the round-11 advice
+    finding).  The shared cluster_id-ordered window must serve the
+    merged cluster, and the fold's own prior read must seed from it."""
+    pairs_tbl = str(tmp_path / "pairs")
+    splits_tbl = str(tmp_path / "splits")
+    moves_tbl = str(tmp_path / "moves")
+
+    # stream A: two folds build clusters {1,2} and {30,31}, then merge
+    # them to cluster 1 at as_of_batch=1
+    sink_a = ss.leakage_split_sink(
+        pairs_tbl, splits_tbl, moves_tbl, query_name="restart-a"
+    )
+    docs0 = spark.createDataFrame(
+        [(i,) for i in (1, 2, 30, 31)], "doc_id bigint"
+    )
+    append(
+        spark,
+        spark.createDataFrame(
+            [(1, 2), (30, 31)], "id_a bigint, id_b bigint"
+        ),
+        pairs_tbl,
+    )
+    sink_a(docs0, 0)
+    append(
+        spark,
+        spark.createDataFrame([(2, 30)], "id_a bigint, id_b bigint"),
+        pairs_tbl,
+    )
+    sink_a(spark.createDataFrame([], "doc_id bigint"), 1)
+
+    # restart: stream B starts over at batch_id=0 and folds a NEW doc 0
+    # with an edge (0, 1) — the whole component's min label drops to 0,
+    # so every member appends a row with as_of_batch=0, SMALLER than
+    # their live as_of_batch=1 rows from stream A
+    sink_b = ss.leakage_split_sink(
+        pairs_tbl, splits_tbl, moves_tbl, query_name="restart-b"
+    )
+    append(
+        spark,
+        spark.createDataFrame([(0, 1)], "id_a bigint, id_b bigint"),
+        pairs_tbl,
+    )
+    sink_b(spark.createDataFrame([(0,)], "doc_id bigint"), 0)
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 30, 31)], "doc_id bigint"
+    )
+    all_pairs = spark.createDataFrame(
+        [(1, 2), (30, 31), (2, 30), (0, 1)], "id_a bigint, id_b bigint"
+    )
+    want = _rows(
+        leakage_safe_split(docs, near_dup_clusters(docs, all_pairs))
+    )
+    got = _rows(ss.split_assignments(spark, splits_tbl))
+    assert got == want
+    assert {c for (_, c, _, _) in got} == {0}  # the merge actually served
+
+    # a FURTHER post-restart fold must seed its prior from the merged
+    # state (the fold-internal window had the same bug): a no-op batch
+    # appends ZERO rows because nothing changed (the commit itself still
+    # lands — empty folds version the changelog by design)
+    n = read_snapshot(spark, splits_tbl).count()
+    sink_b(spark.createDataFrame([], "doc_id bigint"), 1)
+    assert read_snapshot(spark, splits_tbl).count() == n
+    assert _rows(ss.split_assignments(spark, splits_tbl)) == want

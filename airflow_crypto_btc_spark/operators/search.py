@@ -92,13 +92,22 @@ def bm25_topk_from_parts(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Score a broadcastable query-term table against posting/doc-length
     tables (inline or snapshot-served — both front ends call this).
 
     Returns (query_id, rnk, doc_id, n_terms, score): rank by summed
     micro-unit BM25 descending, doc_id ascending on ties; ``n_terms``
-    counts the query terms the document matched."""
+    counts the query terms the document matched.
+
+    ``require_all_terms=True`` keeps only documents matching EVERY term
+    of the query (boolean-AND retrieval) — the exact-match mode
+    decontamination sweeps use: a benchmark prompt's terms must ALL be
+    present before a doc is flagged.  Implemented as a post-aggregation
+    filter ``n_terms = |query|`` — the per-term scan is identical, the
+    query-size table is a broadcast, so the AND costs nothing extra at
+    scale (it only SHRINKS the ranking window's input)."""
     stats = dlen.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -153,6 +162,15 @@ def bm25_topk_from_parts(
             F.sum("term_micro").alias("score_micro"),
         )
     )
+    if require_all_terms:
+        qsize = qtok.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("n_query_terms")
+        )
+        scored = (
+            scored.join(F.broadcast(qsize), "query_id")
+            .filter(F.col("n_terms") == F.col("n_query_terms"))
+            .drop("n_query_terms")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
@@ -177,6 +195,7 @@ def bm25_topk(
     b: float = B,
     id_col: str = "doc_id",
     text_col: str = "text",
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Inline BM25 top-k: postings, lengths, and scores in one lineage
     (Catalyst shares the tokenize scan across the three consumers)."""
@@ -189,6 +208,7 @@ def bm25_topk(
         k=k,
         k1=k1,
         b=b,
+        require_all_terms=require_all_terms,
     )
 
 
@@ -225,6 +245,7 @@ def bm25_topk_from_index(
     k1: float = K1,
     b: float = B,
     expect_source: str | None = None,
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """BM25 served from the persisted inverted index — the scan a
     100 TB curation query actually pays: no re-tokenization, postings
@@ -249,6 +270,7 @@ def bm25_topk_from_index(
         k=k,
         k1=k1,
         b=b,
+        require_all_terms=require_all_terms,
     )
 
 

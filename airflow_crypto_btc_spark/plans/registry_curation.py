@@ -303,15 +303,18 @@ def q_text_dup_span_scrub(spark, sf_dir):
     return dup_span_scrub(load_table(spark, sf_dir, "documents"))
 
 
-_SQL_TEXT_DUP_SPAN_SCRUB = f"""
+def _dup_span_scrub_sql(census: str) -> str:
+    """The scrub oracle, parameterized by the duplication census CTE —
+    documents mode dedups (doc_id, h) first, occurrences mode counts
+    raw gram rows (the cited tool's semantics)."""
+    return f"""
     WITH tok AS (SELECT doc_id, tokens FROM ({_D_TOKENS})),
     g0 AS (SELECT doc_id, unnest(CASE WHEN len(tokens) >= 8 THEN
         list_transform(range(1, len(tokens)-6),
           i -> struct_pack(gpos := i, gram := {_GRAM8}))
       ELSE [] END) AS s FROM tok),
     g AS (SELECT doc_id, s.gpos AS gpos, md5(s.gram) AS h FROM g0),
-    dfreq AS (SELECT h, count(*) AS df FROM (
-      SELECT DISTINCT doc_id, h FROM g) GROUP BY h),
+    dfreq AS ({census}),
     cov AS (SELECT DISTINCT doc_id, p FROM (
       SELECT doc_id, unnest(range(gpos, gpos + 8)) AS p
       FROM g JOIN dfreq USING (h) WHERE df >= 2)),
@@ -326,6 +329,32 @@ _SQL_TEXT_DUP_SPAN_SCRUB = f"""
              p -> tokens[p]), ' '), '') END AS clean_text
     FROM tok t LEFT JOIN covl USING (doc_id)
 """
+
+
+_SQL_TEXT_DUP_SPAN_SCRUB = _dup_span_scrub_sql(
+    "SELECT h, count(*) AS df FROM ("
+    "SELECT DISTINCT doc_id, h FROM g) GROUP BY h"
+)
+
+_SQL_TEXT_DUP_SPAN_SCRUB_OCC = _dup_span_scrub_sql(
+    "SELECT h, count(*) AS df FROM g GROUP BY h"
+)
+
+
+def q_text_dup_span_scrub_occ(spark, sf_dir):
+    """ExactSubstr scrub in OCCURRENCE-census mode — the cited tool's
+    exact semantics (Lee et al. 2022 released code counts total
+    corpus-wide occurrences): a k-gram repeated only WITHIN one
+    document is scrubbed too.  Same plan as text_dup_span_scrub minus
+    the census's per-doc dedup exchange; scrubs a superset of the
+    documents-mode tokens (the delta is the intra-doc repeats — equal
+    on this fixture corpus, which has none; the mode difference is
+    unit-test-pinned on planted repeats)."""
+    from airflow_crypto_btc_spark.operators.text import dup_span_scrub
+
+    return dup_span_scrub(
+        load_table(spark, sf_dir, "documents"), count_mode="occurrences"
+    )
 
 
 def q_text_dup_coverage_from_index(spark, sf_dir):
@@ -521,6 +550,9 @@ _SQL_TEXT_BIGRAM_PMI = f"""
 CURATION_REGISTRY: dict[str, QuerySpec] = {
     "text_dup_ngram_coverage": QuerySpec(
         q_text_dup_ngram_coverage, _SQL_TEXT_DUP_NGRAM_COVERAGE
+    ),
+    "text_dup_span_scrub_occ": QuerySpec(
+        q_text_dup_span_scrub_occ, _SQL_TEXT_DUP_SPAN_SCRUB_OCC
     ),
     "text_dup_span_scrub": QuerySpec(
         q_text_dup_span_scrub, _SQL_TEXT_DUP_SPAN_SCRUB

@@ -1194,8 +1194,10 @@ def q_search_bm25_topk(spark, sf_dir):
 # so mirroring the EXPRESSIONS does not give identical doubles — the
 # SQL must carry the PYTHON-FOLDED repr literals, which DuckDB parses
 # to the bit-identical double the Spark plan embeds.
-_SQL_SEARCH_BM25_TOPK = f"""
-    WITH btoks AS MATERIALIZED (
+# shared CTE block through per-(query, doc) scores — composed into the
+# plain top-k oracle and the require-all-terms (boolean-AND) variant
+_BM25_CTES = f"""
+    btoks AS MATERIALIZED (
       SELECT doc_id,
         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                     t -> t <> '') AS tokens
@@ -1234,7 +1236,10 @@ _SQL_SEARCH_BM25_TOPK = f"""
     bscores AS (
       SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
              CAST(sum(term_micro) AS BIGINT) AS score_micro
-      FROM bterms GROUP BY query_id, doc_id)
+      FROM bterms GROUP BY query_id, doc_id)"""
+
+_SQL_SEARCH_BM25_TOPK = f"""
+    WITH {_BM25_CTES}
     SELECT query_id, rnk, doc_id, n_terms, score FROM (
       SELECT query_id, doc_id, n_terms,
         score_micro / 1000000.0 AS score,
@@ -1243,6 +1248,36 @@ _SQL_SEARCH_BM25_TOPK = f"""
       FROM bscores)
     WHERE rnk <= 10
 """
+
+_SQL_SEARCH_BM25_ALL_TERMS = f"""
+    WITH {_BM25_CTES},
+    bqsize AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_query_terms
+               FROM bqtok GROUP BY query_id)
+    SELECT query_id, rnk, doc_id, n_terms, score FROM (
+      SELECT s.query_id, s.doc_id, s.n_terms,
+        s.score_micro / 1000000.0 AS score,
+        row_number() OVER (
+          PARTITION BY s.query_id
+          ORDER BY s.score_micro DESC, s.doc_id) AS rnk
+      FROM bscores s
+      JOIN bqsize z ON z.query_id = s.query_id
+      WHERE s.n_terms = z.n_query_terms)
+    WHERE rnk <= 10
+"""
+
+
+def q_search_bm25_all_terms(spark, sf_dir):
+    """BM25 with ``require_all_terms=True`` — boolean-AND retrieval,
+    the exact-match mode a decontamination sweep runs (a benchmark
+    prompt's terms must ALL appear before a document is flagged).  The
+    same pruned-postings scan as ``search_bm25_topk``; the AND is a
+    post-aggregation filter against a broadcast query-size table, so
+    it only SHRINKS the ranking window's input — zero extra shuffle."""
+    from airflow_crypto_btc_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), require_all_terms=True
+    )
 
 
 def q_search_hybrid_rrf(spark, sf_dir):
@@ -1308,6 +1343,9 @@ ML_REGISTRY.update(
     {
         "search_bm25_topk": QuerySpec(
             q_search_bm25_topk, _SQL_SEARCH_BM25_TOPK
+        ),
+        "search_bm25_all_terms": QuerySpec(
+            q_search_bm25_all_terms, _SQL_SEARCH_BM25_ALL_TERMS
         ),
         "search_hybrid_rrf": QuerySpec(
             q_search_hybrid_rrf, _hybrid_rrf_sql()

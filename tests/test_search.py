@@ -136,3 +136,54 @@ def test_bm25_planted_rare_term_wins_on_fixture_corpus(spark, sf_dir):
     out = S.bm25_topk(docs.unionByName(planted), q, k=10).collect()
     top = min(out, key=lambda r: r["rnk"])
     assert top["doc_id"] == 10_000_000 and top["n_terms"] == 2
+
+
+@pytest.mark.smoke
+def test_bm25_require_all_terms_is_boolean_and(spark):
+    """require_all_terms keeps exactly the docs matching EVERY query
+    term (the decontamination exact-match mode), ranks them by the
+    identical BM25 score, and is non-vacuous vs the plain top-k."""
+    docs = _docs(spark, [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),          # misses gamma
+        (2, "alpha gamma gamma"),   # misses beta
+        (3, "beta beta gamma alpha extra words"),
+        (4, "unrelated text"),
+    ])
+    q = _queries(
+        spark, [(7, "alpha"), (7, "beta"), (7, "gamma")]
+    )
+    plain = S.bm25_topk(docs, q, k=10).collect()
+    strict = S.bm25_topk(docs, q, k=10, require_all_terms=True).collect()
+    assert {r["doc_id"] for r in strict} == {0, 3}
+    assert all(r["n_terms"] == 3 for r in strict)
+    # partial matchers ARE in the plain ranking — the AND pruned them
+    assert {r["doc_id"] for r in plain} >= {0, 1, 2, 3}
+    # scores agree with the plain ranking for the surviving docs
+    plain_scores = {r["doc_id"]: r["score"] for r in plain}
+    for r in strict:
+        assert r["score"] == plain_scores[r["doc_id"]]
+    # ranks are re-densified within the survivors
+    assert sorted(r["rnk"] for r in strict) == [1, 2]
+
+
+def test_bm25_require_all_terms_from_index(spark, tmp_path):
+    """The persisted-index serve path threads the flag through."""
+    docs = _docs(spark, [(0, "x y"), (1, "x"), (2, "y x z")])
+    S.build_bm25_index(
+        spark,
+        docs,
+        str(tmp_path / "post"),
+        str(tmp_path / "dlen"),
+        source_version="v1",
+    )
+    q = _queries(spark, [(1, "x"), (1, "y")])
+    out = S.bm25_topk_from_index(
+        spark,
+        str(tmp_path / "post"),
+        str(tmp_path / "dlen"),
+        q,
+        require_all_terms=True,
+        expect_source="v1",
+    ).collect()
+    assert {r["doc_id"] for r in out} == {0, 2}

@@ -230,6 +230,40 @@ def test_dup_span_scrub_removes_cross_doc_spans_only(spark):
     assert got[5] == (9, 0, "rep rep rep rep rep rep rep rep rep")
 
 
+def test_dup_span_scrub_occurrence_mode_cuts_intra_doc_repeats(spark):
+    """count_mode='occurrences' is the cited tool's exact semantics:
+    a k-gram with >=2 total occurrences is duplicated even when both
+    copies live in ONE document — the fixture corpus has no intra-doc
+    8-gram repeats, so this planted case pins the mode difference."""
+    import pytest as _pytest
+
+    from airflow_crypto_btc_spark.operators.text import dup_span_scrub
+
+    shared = "one two three four five six seven eight"  # exactly k=8
+    rows = [
+        (1, f"alpha {shared} beta"),
+        (2, f"{shared} gamma delta"),
+        # 9x 'rep' = two+ overlapping identical 8-grams WITHIN one doc
+        (5, "rep rep rep rep rep rep rep rep rep"),
+        (6, "clean and fully unique words only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_scrubbed"], r["clean_text"])
+        for r in dup_span_scrub(
+            docs, count_mode="occurrences"
+        ).collect()
+    }
+    # cross-doc spans scrub exactly as in documents mode...
+    assert got[1] == (10, 8, "alpha beta")
+    assert got[2] == (10, 8, "gamma delta")
+    # ...AND the intra-doc repeat is now cut (documents mode keeps it)
+    assert got[5] == (9, 9, "")
+    assert got[6][1] == 0
+    with _pytest.raises(ValueError, match="count_mode"):
+        dup_span_scrub(docs, count_mode="bogus")
+
+
 def test_scrub_pii_matches_duckdb_on_real_matches(spark):
     """The fixture corpus has no PII, so the catalog oracle exercises
     the no-op path; THIS test replays the same rule chain in DuckDB on

@@ -77,6 +77,28 @@ UNK = "[UNK]"
 #: trainable corpus size, so UNK never outscores a real segmentation
 UNK_LOGP_MICRO = -25_000_000
 
+#: per-BYTE log probability charged under byte fallback (SentencePiece
+#: ``--byte_fallback``: every byte piece carries the same tiny score).
+#: ln(p) = -20 per byte — an accounting charge only: fallback fires
+#: exclusively when NO segmentation exists, so it never competes with
+#: a real Viterbi path
+BYTE_LOGP_MICRO = -20_000_000
+
+
+def byte_pieces_sql(word_col: str) -> str:
+    """The byte-fallback decomposition as ONE SQL expression: the
+    word's UTF-8 bytes as SentencePiece-style ``<0xNN>`` pieces,
+    space-joined (uppercase hex — Spark and DuckDB agree byte-for-byte,
+    verified both engines).  Production SentencePiece/GPT-2 never emit
+    UNK: an unencodable unit decomposes into byte pieces, exactly the
+    HF ``ByteFallback`` decorator semantics (applied at the word level,
+    the unit this family's ``[UNK]`` replaces)."""
+    return (
+        f"array_join(transform(sequence(1, octet_length({word_col})), "
+        f"i -> concat('<0x', substr(hex(encode({word_col}, 'UTF-8')), "
+        f"2*i - 1, 2), '>')), ' ')"
+    )
+
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """The ONE corpus scan: distinct words with counts (Zipf-bounded —
@@ -337,39 +359,58 @@ def _encode_against(
     id_col: str,
     text_col: str,
     words: DataFrame | None = None,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Shared encode core (the WordPiece doctrine): Viterbi-segment
     the docs' DISTINCT words once against the frozen model, fold
     word → (pieces, n, lp, unk) into one broadcast map, then a single
-    projection over document rows."""
+    projection over document rows.
+
+    ``byte_fallback=True`` is the production serve mode (SentencePiece
+    ``--byte_fallback``): a word with no segmentation decomposes into
+    its UTF-8 ``<0xNN>`` byte pieces instead of ``[UNK]`` — no input is
+    ever unencodable, so ``n_unk_words`` is structurally 0 and the
+    fallback count lands in ``n_fallback_words``.  Each byte piece
+    charges :data:`BYTE_LOGP_MICRO`; the fallback is evaluated inside
+    the same per-word map fold, so the plan shape (one distinct-word
+    segmentation, one broadcast, one corpus projection) is unchanged."""
     if words is None:
         words = docs.select(
             F.explode(tokens_expr(text_col)).alias("word")
         ).distinct()
     scored = model.select("piece", F.col("logp_micro").alias("lp"))
+    if byte_fallback:
+        fb_ps = byte_pieces_sql("word")
+        fb_n = "cast(octet_length(word) as bigint)"
+        fb_lp = f"cast(octet_length(word) as bigint) * {BYTE_LOGP_MICRO}L"
+    else:
+        fb_ps, fb_n, fb_lp = f"'{UNK}'", "1L", f"{UNK_LOGP_MICRO}L"
     seg = viterbi_segment(words, scored, max_piece_len).select(
         "word",
-        F.expr(f"coalesce(seg, '{UNK}')").alias("ps"),
+        F.expr(f"coalesce(seg, {fb_ps})").alias("ps"),
         F.expr(
-            "CASE WHEN seg IS NULL THEN 1L "
+            f"CASE WHEN seg IS NULL THEN {fb_n} "
             "ELSE cast(size(split(seg, ' ')) as bigint) END"
         ).alias("n"),
-        F.expr(
-            f"coalesce(lp, {UNK_LOGP_MICRO}L)"
-        ).alias("lp"),
-        F.expr("seg IS NULL").alias("unk"),
+        F.expr(f"coalesce(lp, {fb_lp})").alias("lp"),
+        F.expr("seg IS NULL").alias("fb"),
     )
     sm = seg.agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(
                     F.col("word"),
-                    F.struct("ps", "n", "lp", "unk"),
+                    F.struct("ps", "n", "lp", "fb"),
                 )
             )
         ).alias("sm")
     )
-    return (
+    fb_count = (
+        F.expr("size(filter(toks, t -> sm[t].fb))")
+        .cast("long")
+        .alias("n_fallback_words" if byte_fallback else "n_unk_words")
+    )
+    out = (
         docs.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
         .crossJoin(F.broadcast(sm))
         .select(
@@ -383,11 +424,14 @@ def _encode_against(
             F.expr("aggregate(toks, 0L, (s, t) -> s + sm[t].lp)").alias(
                 "logp_micro"
             ),
-            F.expr("size(filter(toks, t -> sm[t].unk))")
-            .cast("long")
-            .alias("n_unk_words"),
+            *(
+                [F.lit(0).cast("long").alias("n_unk_words"), fb_count]
+                if byte_fallback
+                else [fb_count]
+            ),
         )
     )
+    return out
 
 
 def unigram_encode(
@@ -474,12 +518,15 @@ def unigram_encode_from_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     expect_source: str | None = None,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Encode documents against the FROZEN persisted piece model.
     Serving needs no word table at all: unseen words segment at serve
     time with the row-local Viterbi DP over the broadcast model —
     max_piece_len rides the commit meta so a mismatched-width probe
-    cannot exist."""
+    cannot exist.  ``byte_fallback=True`` replaces the ``[UNK]`` word
+    path with UTF-8 ``<0xNN>`` byte pieces (see
+    :func:`_encode_against`) — the production serve mode."""
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         current_snapshot,
         read_snapshot,
@@ -498,5 +545,10 @@ def unigram_encode_from_model(
         )
     model = read_snapshot(spark, model_table)
     return _encode_against(
-        docs, model, int(meta["max_piece_len"]), id_col, text_col
+        docs,
+        model,
+        int(meta["max_piece_len"]),
+        id_col,
+        text_col,
+        byte_fallback=byte_fallback,
     )

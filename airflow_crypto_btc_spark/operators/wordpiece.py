@@ -238,17 +238,47 @@ def _encode_against(
     id_col: str,
     text_col: str,
     words: DataFrame | None = None,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Shared encode core: segment the docs' DISTINCT words once
     (vocabulary-sized work), fold word → (pieces, n, unk) into one
     broadcast map, then a single projection over document rows.  A
     caller that already censused the corpus passes ``words`` so the
-    scan isn't paid twice."""
+    scan isn't paid twice.
+
+    ``byte_fallback=True`` is the production serve mode (the HF
+    ``ByteFallback`` decorator over the word-level ``[UNK]`` unit): a
+    failed word decomposes into its UTF-8 ``<0xNN>`` byte pieces, so
+    no input is ever unencodable — ``n_unk_words`` is structurally 0
+    and the fallback count lands in ``n_fallback_words``.  Evaluated
+    inside the same per-word map fold; plan shape unchanged."""
+    from airflow_crypto_btc_spark.operators.unigram import (
+        byte_pieces_sql,
+    )
+
     if words is None:
         words = docs.select(
             F.explode(tokens_expr(text_col)).alias("word")
         ).distinct()
     seg = wordpiece_segment(words, vocab, max_piece_len=max_piece_len)
+    if byte_fallback:
+        seg = seg.select(
+            "word",
+            F.expr(
+                f"CASE WHEN is_unk THEN {byte_pieces_sql('word')} "
+                "ELSE pieces_str END"
+            ).alias("pieces_str"),
+            F.expr(
+                "CASE WHEN is_unk THEN cast(octet_length(word) as bigint) "
+                "ELSE n_pieces END"
+            ).alias("n_pieces"),
+            "is_unk",
+        )
+    fb_count = (
+        F.expr("size(filter(toks, t -> sm[t].unk))")
+        .cast("long")
+        .alias("n_fallback_words" if byte_fallback else "n_unk_words")
+    )
     sm = seg.agg(
         F.map_from_entries(
             F.collect_list(
@@ -274,9 +304,11 @@ def _encode_against(
             F.expr(
                 "aggregate(toks, 0L, (s, t) -> s + sm[t].n)"
             ).alias("n_pieces"),
-            F.expr("size(filter(toks, t -> sm[t].unk))")
-            .cast("long")
-            .alias("n_unk_words"),
+            *(
+                [F.lit(0).cast("long").alias("n_unk_words"), fb_count]
+                if byte_fallback
+                else [fb_count]
+            ),
         )
     )
 
@@ -353,12 +385,15 @@ def wordpiece_encode_from_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     expect_source: str | None = None,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Encode documents against the FROZEN persisted piece vocab.
     Unlike the word-map tokenizers, serving needs no word table at
     all: unseen words segment at serve time with the row-local walk
     over the broadcast vocab — max_piece_len rides the commit meta so
-    a mismatched-width probe cannot exist."""
+    a mismatched-width probe cannot exist.  ``byte_fallback=True``
+    replaces the ``[UNK]`` word path with UTF-8 ``<0xNN>`` byte
+    pieces (see :func:`_encode_against`)."""
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         current_snapshot,
         read_snapshot,
@@ -377,5 +412,10 @@ def wordpiece_encode_from_model(
         )
     vocab = read_snapshot(spark, vocab_table)
     return _encode_against(
-        docs, vocab, int(meta["max_piece_len"]), id_col, text_col
+        docs,
+        vocab,
+        int(meta["max_piece_len"]),
+        id_col,
+        text_col,
+        byte_fallback=byte_fallback,
     )

@@ -2220,6 +2220,39 @@ _SQL_TEXT_WORDPIECE_ENCODE = f"""
     FROM wpt, wp_map
 """
 
+#: byte-fallback serve: a failed word decomposes into its UTF-8
+#: <0xNN> byte pieces (the HF ByteFallback decorator over the
+#: word-level [UNK] unit) — mirror of the Spark mode in
+#: operators/wordpiece._encode_against; byte expression verified
+#: byte-identical across engines (operators/unigram.byte_pieces_sql)
+_WP_DUCK_BYTES = (
+    "array_to_string(list_transform("
+    "generate_series(1, octet_length(encode(word))), "
+    "i -> '<0x' || substr(hex(encode(word)), 2*i - 1, 2) || '>'), ' ')"
+)
+
+_SQL_TEXT_WORDPIECE_BYTE_FALLBACK = f"""
+    WITH RECURSIVE {_WP_VOCAB_CTES}, {_WP_SEG_CTES},
+    wp_map AS (
+      SELECT MAP(list(word),
+                 list({{'ps': CASE WHEN is_unk THEN {_WP_DUCK_BYTES}
+                              ELSE pieces_str END,
+                       'n': CAST(CASE WHEN is_unk
+                            THEN octet_length(encode(word))
+                            ELSE n_pieces END AS BIGINT),
+                       'unk': is_unk}})) AS sm
+      FROM wp_seg)
+    SELECT doc_id,
+      array_to_string(list_transform(tokens,
+        tk -> map_extract(sm, tk)[1].ps), ' ') AS wp_str,
+      CAST(COALESCE(list_sum(list_transform(tokens,
+        tk -> map_extract(sm, tk)[1].n)), 0) AS BIGINT) AS n_pieces,
+      CAST(0 AS BIGINT) AS n_unk_words,
+      CAST(len(list_filter(tokens,
+        tk -> map_extract(sm, tk)[1].unk)) AS BIGINT) AS n_fallback_words
+    FROM wpt, wp_map
+"""
+
 
 def q_text_wordpiece_vocab(spark, sf_dir):
     """Two-tier WordPiece piece vocabulary (qualified alphabet first,
@@ -2299,8 +2332,36 @@ def q_text_wordpiece_from_model(spark, sf_dir):
     )
 
 
+def q_text_wordpiece_byte_fallback(spark, sf_dir):
+    """The PRODUCTION WordPiece serve mode: frozen-vocab encode where
+    a failed word decomposes into UTF-8 ``<0xNN>`` byte pieces instead
+    of ``[UNK]`` (the HF ByteFallback decorator) — no input is ever
+    unencodable, n_unk_words is structurally 0, the fallback count is
+    audited in n_fallback_words (non-vacuous: the fixture's rare-char
+    words miss the alphabet bar at every SF).  Same one-broadcast plan
+    as text_wordpiece_from_model; see
+    operators/wordpiece._encode_against."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.wordpiece import (
+        wordpiece_encode_from_model,
+    )
+
+    zone, source_version = _wordpiece_zone(spark, sf_dir)
+    return wordpiece_encode_from_model(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "wp_vocab"),
+        expect_source=source_version,
+        byte_fallback=True,
+    )
+
+
 EXT_REGISTRY["text_wordpiece_vocab"] = QuerySpec(
     q_text_wordpiece_vocab, _SQL_TEXT_WORDPIECE_VOCAB
+)
+EXT_REGISTRY["text_wordpiece_byte_fallback"] = QuerySpec(
+    q_text_wordpiece_byte_fallback, _SQL_TEXT_WORDPIECE_BYTE_FALLBACK
 )
 EXT_REGISTRY["text_wordpiece_encode"] = QuerySpec(
     q_text_wordpiece_encode, _SQL_TEXT_WORDPIECE_ENCODE

@@ -173,18 +173,47 @@ _SQL_TEXT_UNIGRAM_VOCAB = f"""
     SELECT piece, piece_id, cnt, logp_micro FROM uni_final
 """
 
-_SQL_TEXT_UNIGRAM_ENCODE = f"""
+#: DuckDB mirror of operators/unigram.byte_pieces_sql — verified
+#: byte-identical to the Spark expression on multi-byte inputs
+_DUCK_BYTE_PIECES = (
+    "array_to_string(list_transform("
+    "generate_series(1, octet_length(encode(word))), "
+    "i -> '<0x' || substr(hex(encode(word)), 2*i - 1, 2) || '>'), ' ')"
+)
+
+_U_BYTE_LP = -20_000_000
+
+
+def _encode_sql(byte_fallback: bool = False) -> str:
+    """The encode oracle, parameterized by the UNK policy: plain mode
+    emits '[UNK]' (1 piece, UNK_LOGP_MICRO), byte-fallback mode the
+    SentencePiece ``<0xNN>`` decomposition (octet_length pieces,
+    BYTE_LOGP_MICRO each) plus the structural n_unk_words = 0 and the
+    n_fallback_words audit column."""
+    if byte_fallback:
+        fb_ps, fb_n = _DUCK_BYTE_PIECES, "octet_length(encode(word))"
+        fb_lp = f"octet_length(encode(word)) * {_U_BYTE_LP}"
+        extra = f""",
+      CAST(0 AS BIGINT) AS n_unk_words,
+      CAST(len(list_filter(tokens,
+        tk -> map_extract(sm, tk)[1].unk)) AS BIGINT) AS n_fallback_words"""
+    else:
+        fb_ps, fb_n, fb_lp = "'[UNK]'", "1", str(_U_UNK_LP)
+        extra = """,
+      CAST(len(list_filter(tokens,
+        tk -> map_extract(sm, tk)[1].unk)) AS BIGINT) AS n_unk_words"""
+    return f"""
     WITH RECURSIVE {_train_ctes()},
     uni_mapf AS MATERIALIZED (
       SELECT MAP(list(piece), list(logp_micro)) AS vm FROM uni_final),
     {_dp_ctes("f", "uni_mapf", keep_lp=True)},
     uni_emap AS MATERIALIZED (
       SELECT MAP(list(word),
-                 list({{'ps': CASE WHEN seg IS NULL THEN '[UNK]'
+                 list({{'ps': CASE WHEN seg IS NULL THEN {fb_ps}
                               ELSE seg END,
-                       'n': CAST(CASE WHEN seg IS NULL THEN 1
+                       'n': CAST(CASE WHEN seg IS NULL THEN {fb_n}
                             ELSE len(str_split(seg, ' ')) END AS BIGINT),
-                       'lp': CAST(COALESCE(lp, {_U_UNK_LP}) AS BIGINT),
+                       'lp': CAST(COALESCE(lp, {fb_lp}) AS BIGINT),
                        'unk': seg IS NULL}})) AS sm
       FROM uni_segf)
     SELECT doc_id,
@@ -193,11 +222,13 @@ _SQL_TEXT_UNIGRAM_ENCODE = f"""
       CAST(COALESCE(list_sum(list_transform(tokens,
         tk -> map_extract(sm, tk)[1].n)), 0) AS BIGINT) AS n_pieces,
       CAST(COALESCE(list_sum(list_transform(tokens,
-        tk -> map_extract(sm, tk)[1].lp)), 0) AS BIGINT) AS logp_micro,
-      CAST(len(list_filter(tokens,
-        tk -> map_extract(sm, tk)[1].unk)) AS BIGINT) AS n_unk_words
+        tk -> map_extract(sm, tk)[1].lp)), 0) AS BIGINT) AS logp_micro{extra}
     FROM ut, uni_emap
 """
+
+
+_SQL_TEXT_UNIGRAM_ENCODE = _encode_sql(byte_fallback=False)
+_SQL_TEXT_UNIGRAM_BYTE_FALLBACK = _encode_sql(byte_fallback=True)
 
 
 def q_text_unigram_vocab(spark, sf_dir):
@@ -292,6 +323,32 @@ def q_text_unigram_from_model(spark, sf_dir):
     )
 
 
+def q_text_unigram_byte_fallback(spark, sf_dir):
+    """The PRODUCTION serve mode: frozen-model encode with
+    SentencePiece ``--byte_fallback`` semantics — a word with no
+    segmentation decomposes into its UTF-8 ``<0xNN>`` byte pieces
+    instead of ``[UNK]``, so no input is ever unencodable
+    (n_unk_words is structurally 0; the fallback count is audited in
+    n_fallback_words, non-vacuous at every SF because the tight
+    40-piece cut drops the fixture's 'q' pieces).  Same one-broadcast
+    plan as text_unigram_from_model; see
+    operators/unigram._encode_against."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.unigram import (
+        unigram_encode_from_model,
+    )
+
+    zone, source_version = _unigram_zone(spark, sf_dir)
+    return unigram_encode_from_model(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(zone, "unigram_model"),
+        expect_source=source_version,
+        byte_fallback=True,
+    )
+
+
 UNIGRAM_REGISTRY: dict[str, QuerySpec] = {
     "text_unigram_vocab": QuerySpec(
         q_text_unigram_vocab, _SQL_TEXT_UNIGRAM_VOCAB
@@ -301,6 +358,9 @@ UNIGRAM_REGISTRY: dict[str, QuerySpec] = {
     ),
     "text_unigram_from_model": QuerySpec(
         q_text_unigram_from_model, _SQL_TEXT_UNIGRAM_ENCODE
+    ),
+    "text_unigram_byte_fallback": QuerySpec(
+        q_text_unigram_byte_fallback, _SQL_TEXT_UNIGRAM_BYTE_FALLBACK
     ),
 }
 
@@ -406,4 +466,103 @@ def _tokenizer_report_sql() -> str:
 
 UNIGRAM_REGISTRY["text_tokenizer_report"] = QuerySpec(
     q_text_tokenizer_report, _tokenizer_report_sql()
+)
+
+
+def q_text_tokenizer_report_fallback(spark, sf_dir):
+    """The byte-fallback companion of text_tokenizer_report: unigram
+    and WordPiece re-encode the corpus from the same frozen models in
+    production ``byte_fallback`` mode, and the report shows the
+    closed-vocabulary OOV gap ELIMINATED — oov_per_word is
+    structurally 0 for both (no [UNK] can be emitted), the price paid
+    is visible as fallback words and the fertility delta (each
+    fallback word costs octet_length pieces instead of 1).  BPE is
+    absent by design: it is open-vocabulary by construction and has
+    nothing to fall back from."""
+    from airflow_crypto_btc_spark.functions.hashing import (
+        ratio_micro,
+        tokens_expr,
+    )
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        q_text_wordpiece_byte_fallback,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_expr("text"))).cast("long").alias("n_words"),
+    )
+
+    def row(name, df):
+        agg = df.agg(
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_unk_words").cast("long").alias("n_unk_words"),
+            F.sum("n_fallback_words")
+            .cast("long")
+            .alias("n_fallback_words"),
+        )
+        return agg.select(F.lit(name).alias("tokenizer"), "*")
+
+    report = row(
+        "unigram_bytefb", q_text_unigram_byte_fallback(spark, sf_dir)
+    ).unionByName(
+        row(
+            "wordpiece_bytefb",
+            q_text_wordpiece_byte_fallback(spark, sf_dir),
+        )
+    )
+    return report.crossJoin(F.broadcast(stats)).select(
+        "tokenizer",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_unk_words",
+        "n_fallback_words",
+        ratio_micro("n_pieces", "n_words").alias("fertility"),
+        ratio_micro("n_unk_words", "n_words").alias("unk_per_word"),
+        ratio_micro("n_fallback_words", "n_words").alias(
+            "fallback_per_word"
+        ),
+    )
+
+
+def _tokenizer_report_fallback_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _SQL_TEXT_WORDPIECE_BYTE_FALLBACK,
+    )
+
+    ratio = (
+        "((2 * CAST({n} AS BIGINT) * 1000000 + CAST(n_words AS BIGINT))"
+        " // (2 * CAST(n_words AS BIGINT)) / 1000000.0)"
+    )
+    return f"""
+    WITH trf_stats AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(
+          regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+          t -> t <> ''))) AS BIGINT) AS n_words
+      FROM documents),
+    trf_rows AS (
+      SELECT 'unigram_bytefb' AS tokenizer,
+        CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        CAST(sum(n_unk_words) AS BIGINT) AS n_unk_words,
+        CAST(sum(n_fallback_words) AS BIGINT) AS n_fallback_words
+      FROM ({_SQL_TEXT_UNIGRAM_BYTE_FALLBACK})
+      UNION ALL
+      SELECT 'wordpiece_bytefb',
+        CAST(sum(n_pieces) AS BIGINT),
+        CAST(sum(n_unk_words) AS BIGINT),
+        CAST(sum(n_fallback_words) AS BIGINT)
+      FROM ({_SQL_TEXT_WORDPIECE_BYTE_FALLBACK}))
+    SELECT tokenizer, n_docs, n_words, n_pieces, n_unk_words,
+      n_fallback_words,
+      {ratio.format(n='n_pieces')} AS fertility,
+      {ratio.format(n='n_unk_words')} AS unk_per_word,
+      {ratio.format(n='n_fallback_words')} AS fallback_per_word
+    FROM trf_rows, trf_stats
+"""
+
+
+UNIGRAM_REGISTRY["text_tokenizer_report_fallback"] = QuerySpec(
+    q_text_tokenizer_report_fallback, _tokenizer_report_fallback_sql()
 )

@@ -139,3 +139,45 @@ def test_serve_segments_unseen_words(spark, tmp_path):
     parts = r["wp_str"].split(" ")
     assert parts[:2] == ["ab", "##b"] or parts[0] in {"ab", "a"}
     assert r["n_unk_words"] == 1  # 'xq': x,q never seen at build
+
+
+@pytest.mark.smoke
+def test_wordpiece_byte_fallback_zero_unk_and_roundtrip(spark, tmp_path):
+    """byte_fallback serve: a failed word decomposes into <0xNN> UTF-8
+    byte pieces instead of [UNK] — n_unk_words is structurally 0, the
+    fallback is audited, vocab words segment exactly as before, and
+    the byte pieces round-trip to the original word."""
+    train = spark.createDataFrame(
+        [(0, "abba baab abab bb aa")], "doc_id long, text string"
+    )
+    build_wordpiece_table(
+        spark, train, str(tmp_path / "v"), size=8, source_version="v1"
+    )
+    serve = spark.createDataFrame(
+        [(0, "abba"), (1, "Ωmega!"), (2, "bb Ωmega! abba")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in wordpiece_encode_from_model(
+            spark, serve, str(tmp_path / "v"),
+            expect_source="v1", byte_fallback=True,
+        ).collect()
+    }
+    assert all(r["n_unk_words"] == 0 for r in out.values())
+    assert "[UNK]" not in out[2]["wp_str"]
+    assert out[0]["n_fallback_words"] == 0
+    assert out[1]["n_fallback_words"] == 1
+    assert out[2]["n_fallback_words"] == 1
+    # 'Ωmega!' is 7 UTF-8 bytes (Ω = 2) -> 7 byte pieces
+    assert out[1]["n_pieces"] == 7
+    hexes = [p[3:5] for p in out[1]["wp_str"].split(" ")]
+    assert bytes.fromhex("".join(hexes)).decode("utf-8") == "Ωmega!"
+    # vocab words still segment identically to the plain serve
+    plain = {
+        r["doc_id"]: r
+        for r in wordpiece_encode_from_model(
+            spark, serve, str(tmp_path / "v"), expect_source="v1"
+        ).collect()
+    }
+    assert out[0]["wp_str"] == plain[0]["wp_str"]

@@ -1,0 +1,412 @@
+"""Cascading document deletion (takedown) across the persisted derived
+state.
+
+A curation platform deletes documents as surely as it ingests them —
+DMCA takedowns, discovered benchmark contamination, erasure requests —
+and the deletion must reach every artifact the document ever entered,
+not just the corpus table.  The engine maintains eight persisted
+artifacts incrementally (BM25 postings + doc lengths, LSH shingle
+sets + band keys, the leakage-split changelog, ANN/IVF member lists,
+plus the sketch registers); this module is the missing lifecycle verb:
+``cascade_takedown`` evicts a document set D from each of them, with
+the invariant that the post-takedown state EQUALS a from-scratch
+rebuild on (corpus − D) — the oracle every ``curate_takedown_*``
+catalog entry checks value-for-value.
+
+Per-artifact semantics:
+
+- **Row-keyed artifacts** (BM25 postings/doclen, LSH sets/bands, ANN
+  members): every row belongs to exactly one document, so eviction is
+  an anti-join rewrite — ``rows(corpus − D) = rows(corpus) − rows(D)``
+  holds exactly because these artifacts are per-document independent
+  (a posting's tf, a doc's shingle set, a vector's cell assignment
+  never read any OTHER document).  Serve-time statistics (BM25 df and
+  corpus stats, LSH bucket membership) are derived from the stored
+  rows at query time, so they follow automatically.
+- **The split changelog** is NOT row-independent: removing a document
+  removes its near-dup edges, which can SPLIT a cluster, and removing
+  the cluster's min-label member RAISES the remaining members' cluster
+  id — appending such rows would break the monotone-decrease invariant
+  the changelog's latest-wins view relies on.  Takedown therefore
+  REBASES the changelog (an overwrite commit, Delta-DELETE style): the
+  affected clusters' surviving members re-cluster over the surviving
+  edges (blast-radius-bounded — the untouched corpus majority is
+  carried over, never re-clustered), every doc gets one canonical row
+  at ``as_of_batch = 0``, and future stream folds append on top (ids
+  only decrease from the rebased values, so the invariant is restored
+  from the new base).  Members whose SIDE flipped land in the moves
+  audit — the post-removal leak a static split would serve silently.
+- **Sketch registers (CM-sketch, HLL, bloom)** are NON-DECREMENTABLE
+  by construction: a counter/bitmap cell is the sum/OR of many
+  documents' contributions, so a single document's share cannot be
+  subtracted (count-min has no inverse; HLL registers are maxima;
+  bloom bits are shared).  The cascade does not pretend otherwise —
+  it emits an explicit ``rebuild_required`` policy row per sketch
+  family, and the rebuild is the sketch maintainers' existing
+  from-scratch path on (corpus − D).  (A production alternative is a
+  tombstone side-set consulted at serve time; rebuild is the exact
+  option and the one this engine's oracles can verify.)
+- **Frozen models** (IVF centroids, PQ codebooks, tokenizer pieces)
+  are trained PARAMETERS, not retrievable content: takedown evicts the
+  deleted documents' CODES/members (they can no longer be returned or
+  scored) and leaves the model generation in place, exactly as
+  production ANN systems do; the model retrains on its own cadence.
+
+Exactly-once discipline (the streaming-sink doctrine): every commit is
+CAS-anchored on the snapshot version it read and txn-id keyed, each
+cascade step under its own derived txn id, so a crash mid-cascade
+replays to completion — completed steps skip by txn id, pending steps
+recompute from the SAME pinned inputs (the pre-takedown state is read
+at ``committed_version − 1`` on replay, the split_stream replay
+pattern) and land identical rows.  Eviction counts ride the commit
+meta so a replayed cascade reports the identical audit rows.
+
+Scale shape: each eviction is one anti-join against a broadcast D and
+a staged rewrite — copy-on-write, exactly Delta/Iceberg DELETE.  At
+100 TB the rewrite narrows to the files whose min/max id stats overlap
+D (the snapshot store's file-level pruning); artifacts keyed by
+something other than doc id (token-keyed postings) rewrite wider, which
+is why production token-keyed stores pair copy-on-write with
+merge-on-read deletion vectors — the exact-equality variant here is
+the verifiable one.  The split recompute touches only the affected
+clusters' members and edges (two key-joins + one bounded component
+run), never the corpus.
+
+No counterpart in the reference (``dags/dag_btc_daily.py`` never
+deletes); completes the SURVEY §2.9 persisted-artifact lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    append,
+    commit,
+    current_snapshot,
+    read_snapshot,
+    txn_meta,
+    txn_version,
+    _write_parts,
+)
+
+#: sketch families the cascade cannot decrement — policy rows only
+NON_DECREMENTABLE = ("cms_sketch", "hll_registers", "bloom_bitmap")
+
+
+def _ids_frame(doc_ids: DataFrame, id_col: str) -> DataFrame:
+    """Normalize the takedown set to one distinct ``__td_id`` column."""
+    src = doc_ids.columns[0]
+    return doc_ids.select(
+        F.col(src).cast("bigint").alias("__td_id")
+    ).distinct()
+
+
+def evict_rows(
+    spark: SparkSession,
+    table: str,
+    doc_ids: DataFrame,
+    id_col: str,
+    txn_id: str,
+) -> dict:
+    """Copy-on-write eviction of ``doc_ids``'s rows from one snapshot
+    table: read the pinned snapshot, anti-join the broadcast takedown
+    set on ``id_col``, commit the survivors as a CAS overwrite.  The
+    eviction count rides the commit meta, so a crash replay returns
+    the identical audit without recounting.  Returns
+    ``{"rows_removed": n, "replayed": bool}``."""
+    done = txn_version(table, txn_id)
+    if done is not None:
+        pinned = txn_meta(table, txn_id) or {}
+        return {
+            "rows_removed": int(pinned.get("rows_removed", 0)),
+            "replayed": True,
+        }
+    snap = current_snapshot(table)
+    state = read_snapshot(spark, table, version=snap.version)
+    ids = _ids_frame(doc_ids, id_col)
+    kept = state.join(
+        F.broadcast(ids),
+        state[id_col] == F.col("__td_id"),
+        "left_anti",
+    )
+    n_before = state.count()
+    parts, stats = _write_parts(kept, table)
+    n_removed = n_before - kept.count()
+    meta = dict(current_snapshot(table).meta)
+    meta.update({"rows_removed": n_removed, "takedown": txn_id})
+    commit(
+        table,
+        add=parts,
+        remove=snap.files,
+        operation="takedown",
+        txn_id=txn_id,
+        stats=stats,
+        meta=meta,
+        expect_version=snap.version,
+    )
+    return {"rows_removed": n_removed, "replayed": False}
+
+
+def takedown_bm25(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    postings_table: str,
+    doclen_table: str,
+    txn_id: str,
+) -> list[tuple]:
+    """Evict D from the BM25 inverted index: postings rows and doc
+    lengths are per-document, so two anti-join rewrites restore exact
+    rebuild-on-(corpus − D) semantics — df and corpus stats (N, Σdl)
+    are derived from the stored rows at serve time and follow for
+    free.  Cites the serve path: operators/search.bm25_topk_from_index."""
+    p = evict_rows(spark, postings_table, doc_ids, "doc_id",
+                   f"{txn_id}:bm25_postings")
+    d = evict_rows(spark, doclen_table, doc_ids, "doc_id",
+                   f"{txn_id}:bm25_doclen")
+    return [
+        ("bm25_postings", "evicted", p["rows_removed"]),
+        ("bm25_doclen", "evicted", d["rows_removed"]),
+    ]
+
+
+def takedown_lsh(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    sets_table: str,
+    bands_table: str,
+    txn_id: str,
+) -> list[tuple]:
+    """Evict D from the LSH index (shingle sets + band keys): both
+    tables key rows by the owning document, so eviction equals the
+    rebuild — a bucket simply stops containing the deleted doc, and
+    no surviving pair's candidacy or Jaccard changes (pairing is
+    pairwise: it reads only the two endpoint documents)."""
+    s = evict_rows(spark, sets_table, doc_ids, "id",
+                   f"{txn_id}:lsh_sets")
+    b = evict_rows(spark, bands_table, doc_ids, "id",
+                   f"{txn_id}:lsh_bands")
+    return [
+        ("lsh_sets", "evicted", s["rows_removed"]),
+        ("lsh_bands", "evicted", b["rows_removed"]),
+    ]
+
+
+def takedown_ann_members(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    members_table: str,
+    txn_id: str,
+) -> list[tuple]:
+    """Evict D's vectors from the IVF/semantic member lists: cell
+    assignment is per-vector against the FROZEN centroids, so eviction
+    equals re-coding (corpus − D) under the same model.  The centroid
+    table is model state (trained parameters, not retrievable
+    content) and is left in place — the production contract; a
+    takedown large enough to warrant retraining shows up in the
+    audit counts."""
+    m = evict_rows(spark, doc_ids=doc_ids, table=members_table,
+                   id_col="id", txn_id=f"{txn_id}:ann_members")
+    return [("ann_members", "evicted", m["rows_removed"])]
+
+
+def takedown_split(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    pairs_table: str,
+    splits_table: str,
+    moves_table: str,
+    txn_id: str,
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> list[tuple]:
+    """Evict D from the leakage-safe split: remove D's near-dup edges,
+    re-cluster ONLY the affected clusters' surviving members over the
+    surviving edges (a removal can SPLIT a cluster, and removing the
+    min-label member RAISES the survivors' cluster id), and REBASE the
+    changelog — an overwrite commit holding one canonical row per doc
+    at ``as_of_batch = 0``, so the monotone-decrease invariant the
+    latest-wins view needs is restored from the new base.  Members
+    whose SIDE flipped land in the moves audit (same schema as the
+    streaming sink's feed).
+
+    Crash contract: the splits overwrite pins the pairs version and
+    eviction counts in its commit meta; a replay reads the pre-takedown
+    changelog at ``committed_version − 1`` and recomputes the identical
+    moves rows (the split_stream replay pattern), then each commit
+    skips-or-lands by txn id."""
+    from airflow_crypto_btc_spark.operators.dedup import near_dup_clusters
+    from airflow_crypto_btc_spark.streaming.split_stream import (
+        _bucket_expr,
+        _latest_wins,
+    )
+
+    ids = _ids_frame(doc_ids, "doc_id").localCheckpoint(eager=False)
+    splits_txn = f"{txn_id}:splits_rebase"
+
+    folded_v = txn_version(splits_table, splits_txn)
+    if folded_v is not None:
+        # replay: pre-takedown changelog + pinned counts
+        state = read_snapshot(spark, splits_table, version=folded_v - 1)
+        pinned = txn_meta(splits_table, splits_txn) or {}
+        n_assign_removed = int(pinned.get("assign_removed", 0))
+    else:
+        snap = current_snapshot(splits_table)
+        state = read_snapshot(spark, splits_table, version=snap.version)
+        n_assign_removed = None  # computed below
+
+    cur = _latest_wins(state).select(
+        "doc_id", "cluster_id", "split"
+    ).localCheckpoint(eager=False)
+
+    # blast radius: clusters that contained a D member
+    affected = (
+        cur.join(F.broadcast(ids), cur.doc_id == F.col("__td_id"))
+        .select("cluster_id")
+        .distinct()
+    )
+    survivors = (
+        cur.join(affected, "cluster_id")
+        .join(F.broadcast(ids), cur.doc_id == F.col("__td_id"),
+              "left_anti")
+        .select("doc_id", "cluster_id", "split")
+        .localCheckpoint(eager=False)
+    )
+    if n_assign_removed is None:
+        n_assign_removed = (
+            cur.join(F.broadcast(ids), cur.doc_id == F.col("__td_id"))
+            .count()
+        )
+
+    # surviving edges among the affected members: neither endpoint in D,
+    # both endpoints survivors (an edge to an unaffected cluster cannot
+    # exist — it would have merged the clusters already)
+    pairs = read_snapshot(spark, pairs_table)
+    m_ids = survivors.select("doc_id")
+    edges = (
+        pairs.join(F.broadcast(ids), pairs.id_a == F.col("__td_id"),
+                   "left_anti")
+        .join(F.broadcast(ids), F.col("id_b") == F.col("__td_id"),
+              "left_anti")
+        .join(m_ids.withColumnRenamed("doc_id", "id_a"), "id_a",
+              "left_semi")
+        .join(m_ids.withColumnRenamed("doc_id", "id_b"), "id_b",
+              "left_semi")
+        .select("id_a", "id_b")
+    )
+    comps = near_dup_clusters(
+        survivors.select("doc_id"), edges, id_col="doc_id"
+    )
+
+    bucket_c = _bucket_expr("cluster_id", buckets)
+    bucket_d = _bucket_expr("doc_id", buckets)
+    reassigned = comps.select(
+        "doc_id",
+        "cluster_id",
+        F.expr(
+            f"CASE WHEN {bucket_c} < {test_pct} THEN 'test' "
+            "ELSE 'train' END"
+        ).alias("split"),
+        F.expr(
+            f"({bucket_c} < {test_pct}) != ({bucket_d} < {test_pct})"
+        ).alias("moved"),
+    )
+    untouched = (
+        cur.join(affected, "cluster_id", "left_anti")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "split",
+            F.expr(
+                f"({bucket_c} < {test_pct}) != ({bucket_d} < {test_pct})"
+            ).alias("moved"),
+        )
+    )
+    rebased = (
+        reassigned.unionByName(untouched)
+        .withColumn("as_of_batch", F.lit(0))  # INT, the sink's type
+        .localCheckpoint(eager=False)
+    )
+    moves = (
+        reassigned.join(
+            survivors.select(
+                "doc_id",
+                F.col("cluster_id").alias("old_cluster_id"),
+                F.col("split").alias("old_split"),
+            ),
+            "doc_id",
+        )
+        .filter(F.col("split") != F.col("old_split"))
+        .select(
+            "doc_id",
+            "old_cluster_id",
+            "cluster_id",
+            "old_split",
+            F.col("split").alias("new_split"),
+        )
+        .withColumn("as_of_batch", F.lit(0))  # INT, the sink's type
+    )
+
+    # commits: pairs eviction, splits rebase (CAS), moves append —
+    # each skip-or-land by txn id
+    pe = evict_rows(spark, pairs_table, doc_ids=ids, id_col="id_a",
+                    txn_id=f"{txn_id}:pairs_a")
+    pe2 = evict_rows(spark, pairs_table, doc_ids=ids, id_col="id_b",
+                     txn_id=f"{txn_id}:pairs_b")
+    if folded_v is None:
+        parts, stats = _write_parts(rebased, splits_table)
+        commit(
+            splits_table,
+            add=parts,
+            remove=current_snapshot(splits_table).files,
+            operation="takedown_rebase",
+            txn_id=splits_txn,
+            stats=stats,
+            meta={
+                "assign_removed": n_assign_removed,
+                "pairs_version": current_snapshot(pairs_table).version,
+            },
+            expect_version=snap.version,
+        )
+    append(spark, moves, moves_table, txn_id=f"{txn_id}:moves")
+    n_moves = moves.count()
+    return [
+        ("split_assignments", "rebased", n_assign_removed),
+        ("split_moves_audit", "appended", n_moves),
+        ("dedup_pairs", "evicted",
+         pe["rows_removed"] + pe2["rows_removed"]),
+    ]
+
+
+def cascade_takedown(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    txn_id: str,
+    bm25: tuple[str, str] | None = None,
+    lsh: tuple[str, str] | None = None,
+    ann_members: str | None = None,
+    split: tuple[str, str, str] | None = None,
+) -> DataFrame:
+    """Run the full takedown cascade and return the audit report —
+    one row (artifact, action, rows_removed) per artifact touched,
+    plus one ``rebuild_required`` policy row per non-decrementable
+    sketch family (see the module docstring for why CMS/HLL/bloom
+    cannot be decremented).  Every step is independently idempotent,
+    so re-invoking after a crash completes the cascade and reports
+    identical rows."""
+    rows: list[tuple] = []
+    if bm25 is not None:
+        rows += takedown_bm25(spark, doc_ids, bm25[0], bm25[1], txn_id)
+    if lsh is not None:
+        rows += takedown_lsh(spark, doc_ids, lsh[0], lsh[1], txn_id)
+    if ann_members is not None:
+        rows += takedown_ann_members(spark, doc_ids, ann_members, txn_id)
+    if split is not None:
+        rows += takedown_split(
+            spark, doc_ids, split[0], split[1], split[2], txn_id
+        )
+    rows += [(s, "rebuild_required", 0) for s in NON_DECREMENTABLE]
+    return spark.createDataFrame(
+        rows, "artifact string, action string, rows_removed bigint"
+    )

@@ -570,11 +570,17 @@ _D_COS = """round(
        * sqrt(list_sum(list_transform({b},
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
 
-_SQL_SIM_IVF_TOPK = f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+def ivf_topk_sql(source: str = "embeddings") -> str:
+    """The IVF top-k oracle over any embeddings relation — reused by
+    the takedown entry with a (corpus − D) subquery (the centroid
+    filter vec_id % 25 = 7 intersects vec_id % 10 = 3 nowhere — CRT:
+    5k ≡ 6 (mod 10) has no solution — so the frozen quantizer equals
+    the rebuilt one and a single filtered source is exact)."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM {source}
                   WHERE vec_id % 25 = 7),
-    v AS (SELECT vec_id AS nid, embedding AS ve FROM embeddings),
-    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    v AS (SELECT vec_id AS nid, embedding AS ve FROM {source}),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM {source}
           WHERE vec_id < 20),
     assigned AS (
       SELECT nid, ve, cid FROM (
@@ -603,6 +609,9 @@ _SQL_SIM_IVF_TOPK = f"""
       FROM scored)
     WHERE rnk <= 10
 """
+
+
+_SQL_SIM_IVF_TOPK = ivf_topk_sql()
 
 
 def _ann_recall_report(exact, approx):
@@ -2536,15 +2545,20 @@ def q_curate_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(docs, near_dup_clusters(docs, pairs))
 
 
-_SQL_CURATE_LEAKAGE_SAFE_SPLIT = f"""
-    WITH RECURSIVE lpairs AS ({_SQL_DEDUP_MINHASH_LSH_PAIRS}),
+def leakage_split_sql(source: str = "documents") -> str:
+    """The one-shot leakage-safe split oracle over any document
+    relation — reused by the takedown entry with a (corpus − D)
+    subquery (the rebuild both pairs and clusters on the filtered
+    corpus, which is exact because LSH pairing is pairwise)."""
+    return f"""
+    WITH RECURSIVE lpairs AS ({lsh_pairs_sql(source)}),
     ledges AS (
       SELECT id_a AS src, id_b AS dst FROM lpairs
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM lpairs
     ),
     lreach(id, label) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT doc_id, doc_id FROM {source}
       UNION
       SELECT e.dst, r.label FROM lreach r JOIN ledges e ON e.src = r.id
     ),
@@ -2562,6 +2576,9 @@ _SQL_CURATE_LEAKAGE_SAFE_SPLIT = f"""
            1, 8))::BIGINT % 100 < 10) AS moved
     FROM lclusters
 """
+
+
+_SQL_CURATE_LEAKAGE_SAFE_SPLIT = leakage_split_sql()
 
 
 EXT_REGISTRY["curate_leakage_safe_split"] = QuerySpec(

@@ -1195,13 +1195,15 @@ def q_search_bm25_topk(spark, sf_dir):
 # SQL must carry the PYTHON-FOLDED repr literals, which DuckDB parses
 # to the bit-identical double the Spark plan embeds.
 # shared CTE block through per-(query, doc) scores — composed into the
-# plain top-k oracle and the require-all-terms (boolean-AND) variant
-_BM25_CTES = f"""
+# plain top-k oracle, the require-all-terms (boolean-AND) variant, and
+# the takedown oracle (same pipeline over a filtered corpus relation)
+def _bm25_ctes(source: str = "documents") -> str:
+    return f"""
     btoks AS MATERIALIZED (
       SELECT doc_id,
         list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                     t -> t <> '') AS tokens
-      FROM documents),
+      FROM {source}),
     bpost AS MATERIALIZED (
       SELECT doc_id, u.token AS token, CAST(count(*) AS BIGINT) AS tf
       FROM btoks, unnest(tokens) AS u(token)
@@ -1238,8 +1240,12 @@ _BM25_CTES = f"""
              CAST(sum(term_micro) AS BIGINT) AS score_micro
       FROM bterms GROUP BY query_id, doc_id)"""
 
-_SQL_SEARCH_BM25_TOPK = f"""
-    WITH {_BM25_CTES}
+
+def bm25_topk_sql(source: str = "documents") -> str:
+    """The complete BM25 top-k oracle over any document relation —
+    reused by the takedown entry with a (corpus − D) subquery."""
+    return f"""
+    WITH {_bm25_ctes(source)}
     SELECT query_id, rnk, doc_id, n_terms, score FROM (
       SELECT query_id, doc_id, n_terms,
         score_micro / 1000000.0 AS score,
@@ -1249,8 +1255,11 @@ _SQL_SEARCH_BM25_TOPK = f"""
     WHERE rnk <= 10
 """
 
+
+_SQL_SEARCH_BM25_TOPK = bm25_topk_sql()
+
 _SQL_SEARCH_BM25_ALL_TERMS = f"""
-    WITH {_BM25_CTES},
+    WITH {_bm25_ctes()},
     bqsize AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_query_terms
                FROM bqtok GROUP BY query_id)
     SELECT query_id, rnk, doc_id, n_terms, score FROM (

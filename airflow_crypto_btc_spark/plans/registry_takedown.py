@@ -1,0 +1,422 @@
+"""Cascading-takedown catalog entries: every persisted artifact is
+built on the FULL fixture corpus, a takedown set D (``doc_id % 10 = 3``
+/ ``vec_id % 10 = 3``) is cascaded through it with
+``operators/takedown.py``, and the entry SERVES from the post-takedown
+state — while the DuckDB oracle rebuilds the answer FROM SCRATCH on
+(corpus − D).  Agreement proves the eviction is semantically exact,
+not merely row-complete: BM25's df/N/Σdl statistics shrink correctly,
+LSH buckets stop pairing the deleted docs, the split re-clusters (a
+removal can SPLIT a cluster and RAISE min labels — the rebase), and
+IVF lists stop returning the deleted vectors under the frozen
+quantizer.
+
+The takedown set intersects the query sets on purpose (doc 3 and 13 /
+vec 3 and 13 are inside the ``< 20`` probe prefix), so the entries also
+prove deleted documents stop being QUERIES, and it never intersects
+the IVF centroid filter (``vec_id % 25 = 7`` ∩ ``vec_id % 10 = 3`` = ∅
+by CRT), so the frozen quantizer equals the rebuilt one and the oracle
+can filter a single source relation.
+
+Landing zones follow the persisted-artifact convention (one build per
+fixture fingerprint, atomically renamed): each zone builds the
+artifact AND applies the cascade inside ``_land``, so warm serves read
+a deterministic post-takedown state.  The report zone also loads
+``embeddings`` under the documents fingerprint key — the fixture pair
+regenerates together (TESTDATA.md), noted here because a lone
+embeddings regeneration would not re-key it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_btc_spark.plans.registry import QuerySpec
+from airflow_crypto_btc_spark.plans.registry_ext import (
+    ivf_topk_sql,
+    leakage_split_sql,
+    lsh_pairs_sql,
+)
+from airflow_crypto_btc_spark.plans.registry_ml import bm25_topk_sql
+from airflow_crypto_btc_spark.sources.tables import load_table
+
+#: the takedown predicate — D and its complement, both engines
+_D_PRED = "doc_id % 10 = 3"
+_KEEP_PRED = "doc_id % 10 != 3"
+_DOCS_MINUS_D = f"(SELECT * FROM documents WHERE {_KEEP_PRED})"
+_EMB_MINUS_D = "(SELECT * FROM embeddings WHERE vec_id % 10 != 3)"
+
+
+def _fingerprint(sf_dir: str, table: str) -> str:
+    stat = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{table}@{stat.st_size}_{stat.st_mtime_ns}"
+
+
+def _takedown_ids(docs):
+    return docs.filter(_D_PRED).select("doc_id")
+
+
+# ------------------------------------------------------------------ BM25
+def _bm25_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.search import build_bm25_index
+    from airflow_crypto_btc_spark.operators.takedown import takedown_bm25
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    source_version = _fingerprint(sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        post = os.path.join(staging, "postings")
+        dlen = os.path.join(staging, "doclen")
+        build_bm25_index(
+            spark, docs, post, dlen, source_version=source_version
+        )
+        takedown_bm25(
+            spark, _takedown_ids(docs), post, dlen, txn_id="takedown"
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "takedown_bm25", _land),
+        source_version,
+    )
+
+
+def q_curate_takedown_bm25(spark, sf_dir):
+    """BM25 served from a TAKEN-DOWN inverted index: postings and doc
+    lengths were built on the full corpus, then D evicted via
+    operators/takedown.takedown_bm25 (CAS overwrite commits).  The
+    oracle rebuilds BM25 from scratch on (corpus − D) — passing proves
+    df, N, and Σdl all shrank exactly (they derive from the stored
+    rows at serve time), deleted docs neither score nor query, and
+    the commit-log round-trip changed nothing else."""
+    from airflow_crypto_btc_spark.operators.search import (
+        bm25_topk_from_index,
+        default_queries,
+    )
+
+    zone, source_version = _bm25_takedown_zone(spark, sf_dir)
+    remaining = load_table(spark, sf_dir, "documents").filter(_KEEP_PRED)
+    return bm25_topk_from_index(
+        spark,
+        os.path.join(zone, "postings"),
+        os.path.join(zone, "doclen"),
+        default_queries(remaining),
+        expect_source=source_version,
+    )
+
+
+# ------------------------------------------------------------------- LSH
+def _lsh_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from airflow_crypto_btc_spark.operators.takedown import takedown_lsh
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    source_version = _fingerprint(sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        sets_t = os.path.join(staging, "sets")
+        bands_t = os.path.join(staging, "bands")
+        build_minhash_index(
+            spark, docs, sets_t, bands_t, source_version=source_version
+        )
+        takedown_lsh(
+            spark, _takedown_ids(docs), sets_t, bands_t,
+            txn_id="takedown",
+        )
+
+    return (
+        _landing_zone(sf_dir, "documents", "takedown_lsh", _land),
+        source_version,
+    )
+
+
+def q_curate_takedown_lsh(spark, sf_dir):
+    """Near-dup pairs served from a TAKEN-DOWN LSH index (full pair
+    set: every surviving id probes).  Oracle = the one-shot LSH SQL on
+    (corpus − D): passing proves deleted docs left every bucket and no
+    surviving pair's candidacy or Jaccard moved (pairing is pairwise,
+    reading only the two endpoint documents)."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        minhash_lsh_pairs_from_index_tables,
+    )
+
+    zone, source_version = _lsh_takedown_zone(spark, sf_dir)
+    remaining = load_table(spark, sf_dir, "documents").filter(_KEEP_PRED)
+    return minhash_lsh_pairs_from_index_tables(
+        spark,
+        os.path.join(zone, "sets"),
+        os.path.join(zone, "bands"),
+        remaining.selectExpr("doc_id AS id"),
+        jaccard_threshold=0.5,
+        expect_source=source_version,
+    )
+
+
+# ------------------------------------------------------------------- IVF
+def _ann_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+    )
+    from airflow_crypto_btc_spark.operators.takedown import (
+        takedown_ann_members,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    source_version = _fingerprint(sf_dir, "embeddings")
+
+    def _land(staging: str) -> None:
+        cent = os.path.join(staging, "centroids")
+        memb = os.path.join(staging, "members")
+        build_semantic_index(
+            spark, emb, cent, memb,
+            source_version=source_version,
+            centroid_filter="vec_id % 25 = 7",
+        )
+        takedown_ann_members(
+            spark,
+            emb.filter("vec_id % 10 = 3").select("vec_id"),
+            memb,
+            txn_id="takedown",
+        )
+
+    return (
+        _landing_zone(sf_dir, "embeddings", "takedown_ann", _land),
+        source_version,
+    )
+
+
+def q_curate_takedown_ann(spark, sf_dir):
+    """IVF top-k served from TAKEN-DOWN member lists under the FROZEN
+    coarse quantizer: member rows (vector codes) of D evicted, the
+    centroid table untouched — the production ANN deletion contract
+    (codes are retrievable content, centroids are trained parameters).
+    Oracle = the IVF SQL on (corpus − D); exact because cell
+    assignment is per-vector and the centroid filter never intersects
+    D (CRT, see plans/registry_ext.ivf_topk_sql)."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        ivf_topk_from_tables,
+    )
+
+    zone, source_version = _ann_takedown_zone(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk_from_tables(
+        spark,
+        os.path.join(zone, "centroids"),
+        os.path.join(zone, "members"),
+        emb.filter("vec_id < 20 AND vec_id % 10 != 3"),
+        n_probe=4,
+        k=10,
+        expect_source=source_version,
+    )
+    return out.select(
+        "qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# ----------------------------------------------------------------- split
+def _split_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.dedup import minhash_lsh_pairs
+    from airflow_crypto_btc_spark.operators.takedown import takedown_split
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+    from airflow_crypto_btc_spark.streaming.split_stream import (
+        leakage_split_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        pairs_tbl = os.path.join(staging, "pairs")
+        splits_tbl = os.path.join(staging, "splits")
+        moves_tbl = os.path.join(staging, "moves")
+        # the streamed state first (3 arrival batches, real merges —
+        # the split_state recipe), then the cascade on top of it
+        sink = leakage_split_sink(
+            pairs_tbl, splits_tbl, moves_tbl, query_name="td-zone"
+        )
+        all_pairs = minhash_lsh_pairs(
+            docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+        ).localCheckpoint()
+        for b in range(3):
+            arriving = all_pairs.filter(
+                F.greatest(F.col("id_a") % 3, F.col("id_b") % 3) == b
+            )
+            if arriving.limit(1).count():
+                append(spark, arriving, pairs_tbl)
+            sink(docs.filter(f"doc_id % 3 = {b}"), b)
+        takedown_split(
+            spark,
+            _takedown_ids(docs),
+            pairs_tbl,
+            splits_tbl,
+            moves_tbl,
+            txn_id="takedown",
+        )
+
+    return _landing_zone(sf_dir, "documents", "takedown_split", _land)
+
+
+def q_curate_takedown_split(spark, sf_dir):
+    """The leakage-safe split served AFTER a takedown REBASE: the
+    streamed changelog (3 arrival batches with real mid-stream merges)
+    had D evicted via operators/takedown.takedown_split — affected
+    clusters re-clustered over the surviving edges (splits and
+    min-label raises included), changelog rebased to one canonical row
+    per doc, side flips audited.  Oracle = the one-shot split SQL on
+    (corpus − D): passing proves the blast-radius recompute equals the
+    full-graph rebuild."""
+    from airflow_crypto_btc_spark.streaming.split_stream import (
+        split_assignments,
+    )
+
+    zone = _split_takedown_zone(spark, sf_dir)
+    return split_assignments(spark, os.path.join(zone, "splits"))
+
+
+# ---------------------------------------------------------------- report
+def _report_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+    )
+    from airflow_crypto_btc_spark.operators.search import build_bm25_index
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+    )
+    from airflow_crypto_btc_spark.operators.takedown import (
+        cascade_takedown,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+    from airflow_crypto_btc_spark.streaming.split_stream import (
+        leakage_split_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    doc_v = _fingerprint(sf_dir, "documents")
+    emb_v = _fingerprint(sf_dir, "embeddings")
+
+    def _land(staging: str) -> None:
+        post = os.path.join(staging, "postings")
+        dlen = os.path.join(staging, "doclen")
+        sets_t = os.path.join(staging, "sets")
+        bands_t = os.path.join(staging, "bands")
+        cent = os.path.join(staging, "centroids")
+        memb = os.path.join(staging, "members")
+        pairs_tbl = os.path.join(staging, "pairs")
+        splits_tbl = os.path.join(staging, "splits")
+        moves_tbl = os.path.join(staging, "moves")
+        build_bm25_index(spark, docs, post, dlen, source_version=doc_v)
+        build_minhash_index(
+            spark, docs, sets_t, bands_t, source_version=doc_v
+        )
+        build_semantic_index(
+            spark, emb, cent, memb, source_version=emb_v,
+            centroid_filter="vec_id % 25 = 7",
+        )
+        append(
+            spark,
+            minhash_lsh_pairs(
+                docs, num_hashes=12, bands=4, jaccard_threshold=0.5
+            ),
+            pairs_tbl,
+        )
+        leakage_split_sink(
+            pairs_tbl, splits_tbl, moves_tbl, query_name="td-report"
+        )(docs, 0)
+        report = cascade_takedown(
+            spark,
+            _takedown_ids(docs),
+            txn_id="takedown",
+            bm25=(post, dlen),
+            lsh=(sets_t, bands_t),
+            ann_members=memb,
+            split=(pairs_tbl, splits_tbl, moves_tbl),
+        )
+        append(spark, report, os.path.join(staging, "report"))
+
+    return _landing_zone(sf_dir, "documents", "takedown_report", _land)
+
+
+def q_curate_takedown_report(spark, sf_dir):
+    """The full-cascade AUDIT: every persisted artifact family is
+    built on the fixture corpus, one ``cascade_takedown`` evicts D
+    from all of them, and this entry serves the audit rows — one
+    (artifact, action, rows_removed) per artifact plus one explicit
+    ``rebuild_required`` policy row per non-decrementable sketch
+    family.  Every count is independently derivable from the corpus,
+    which is exactly what the oracle does: posting rows of D, |D|,
+    band rows, member vectors, D-incident pairs, and the side-flip
+    count as the DIFFERENCE of the full and (corpus − D) one-shot
+    splits — so a wrong eviction anywhere in the cascade shows up as
+    a wrong number here."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    zone = _report_zone(spark, sf_dir)
+    return read_snapshot(spark, os.path.join(zone, "report"))
+
+
+_SQL_TAKEDOWN_REPORT = f"""
+    WITH RECURSIVE dd AS (SELECT * FROM documents WHERE {_D_PRED}),
+    dtoks AS (
+      SELECT doc_id,
+        unnest(list_filter(
+          regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+          t -> t <> '')) AS token
+      FROM dd),
+    n_post AS (SELECT CAST(count(*) AS BIGINT) AS c
+               FROM (SELECT DISTINCT doc_id, token FROM dtoks)),
+    n_d AS (SELECT CAST(count(*) AS BIGINT) AS c FROM dd),
+    n_vec AS (SELECT CAST(count(*) AS BIGINT) AS c
+              FROM embeddings WHERE vec_id % 10 = 3),
+    all_pairs AS ({lsh_pairs_sql()}),
+    n_pairs AS (SELECT CAST(count(*) AS BIGINT) AS c FROM all_pairs
+                WHERE id_a % 10 = 3 OR id_b % 10 = 3),
+    split_full AS ({leakage_split_sql()}),
+    split_minus AS ({leakage_split_sql(_DOCS_MINUS_D)}),
+    n_moves AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM split_full f JOIN split_minus m USING (doc_id)
+      WHERE f.split != m.split)
+    SELECT 'bm25_postings' AS artifact, 'evicted' AS action,
+           (SELECT c FROM n_post) AS rows_removed
+    UNION ALL SELECT 'bm25_doclen', 'evicted', (SELECT c FROM n_d)
+    UNION ALL SELECT 'lsh_sets', 'evicted', (SELECT c FROM n_d)
+    UNION ALL SELECT 'lsh_bands', 'evicted', 4 * (SELECT c FROM n_d)
+    UNION ALL SELECT 'ann_members', 'evicted', (SELECT c FROM n_vec)
+    UNION ALL SELECT 'split_assignments', 'rebased',
+                     (SELECT c FROM n_d)
+    UNION ALL SELECT 'split_moves_audit', 'appended',
+                     (SELECT c FROM n_moves)
+    UNION ALL SELECT 'dedup_pairs', 'evicted', (SELECT c FROM n_pairs)
+    UNION ALL SELECT 'cms_sketch', 'rebuild_required', 0
+    UNION ALL SELECT 'hll_registers', 'rebuild_required', 0
+    UNION ALL SELECT 'bloom_bitmap', 'rebuild_required', 0
+"""
+
+
+TAKEDOWN_REGISTRY: dict[str, QuerySpec] = {
+    "curate_takedown_bm25": QuerySpec(
+        q_curate_takedown_bm25, bm25_topk_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_lsh": QuerySpec(
+        q_curate_takedown_lsh, lsh_pairs_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_ann": QuerySpec(
+        q_curate_takedown_ann, ivf_topk_sql(_EMB_MINUS_D)
+    ),
+    "curate_takedown_split": QuerySpec(
+        q_curate_takedown_split, leakage_split_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_report": QuerySpec(
+        q_curate_takedown_report, _SQL_TAKEDOWN_REPORT
+    ),
+}

@@ -178,3 +178,29 @@ def test_decode_medians_z_raises_on_truncation() -> None:
     zline = bench.medians_z_line(timings, budget=10_000)
     with pytest.raises(Exception):
         bench.decode_medians_z(zline[: len(zline) // 2])
+
+
+def test_medians_z_headline_ref_refuses_drifted_list(monkeypatch) -> None:
+    """The @headline reference form must fail LOUDLY when decoded
+    against a tree whose HEADLINE differs from the recording tree —
+    silently misattributing 171 values would corrupt every
+    round-over-round comparison."""
+    import bench
+
+    timings = {name: 1.0 for name in bench.HEADLINE}
+    line = bench.medians_z_line(timings, budget=bench.TAIL_BUDGET)
+    assert "@headline:" in __import__("zlib").decompress(
+        __import__("base64").b85decode(
+            __import__("json").loads(line)["q"]
+        )
+    ).decode()
+    assert bench.decode_medians_z(line) == {
+        k: 1.0 for k in bench.HEADLINE
+    }
+    monkeypatch.setattr(
+        bench, "HEADLINE", bench.HEADLINE[:-1] + ["drifted_entry"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="drifted"):
+        bench.decode_medians_z(line)

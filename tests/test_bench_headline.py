@@ -36,6 +36,7 @@ _FAMILY_MODULES = {
     "registry_sql": cat.SQL_REGISTRY,
     "registry_unigram": cat.UNIGRAM_REGISTRY,
     "registry_incremental": cat.INCREMENTAL_REGISTRY,
+    "registry_takedown": cat.TAKEDOWN_REGISTRY,
     "registry_probe": cat.PROBE_REGISTRY,
 }
 

@@ -1,0 +1,282 @@
+"""Cascading takedown semantics (operators/takedown.py): eviction from
+every persisted artifact equals a from-scratch rebuild on (corpus − D),
+the split rebase handles cluster SPLITS and min-label raises, crashes
+replay to identical state, and the CAS refuses stale anchors."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_crypto_btc_spark.operators import takedown as td
+from airflow_crypto_btc_spark.operators.curation import leakage_safe_split
+from airflow_crypto_btc_spark.operators.dedup import (
+    build_minhash_index,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_from_index_tables,
+    near_dup_clusters,
+)
+from airflow_crypto_btc_spark.operators.search import (
+    bm25_topk,
+    bm25_topk_from_index,
+    build_bm25_index,
+    default_queries,
+)
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
+    append,
+    current_snapshot,
+    read_snapshot,
+)
+from airflow_crypto_btc_spark.sources.tables import load_table
+from airflow_crypto_btc_spark.streaming import split_stream as ss
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+
+@pytest.mark.smoke
+def test_takedown_bm25_equals_rebuild(spark, sf_dir, tmp_path):
+    """Post-takedown index serve == inline BM25 on (corpus − D):
+    postings/doclen eviction restores exact rebuild semantics because
+    df and corpus stats derive from the stored rows at serve time."""
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+
+    d = docs.filter("doc_id % 10 = 3").select("doc_id")
+    report = td.takedown_bm25(spark, d, post, dlen, txn_id="t1")
+    assert dict((r[0], r[1]) for r in report) == {
+        "bm25_postings": "evicted", "bm25_doclen": "evicted",
+    }
+    assert all(r[2] > 0 for r in report)
+
+    remaining = docs.filter("doc_id % 10 != 3")
+    queries = default_queries(remaining)
+    got = bm25_topk_from_index(spark, post, dlen, queries).collect()
+    want = bm25_topk(remaining, queries).collect()
+    key = lambda r: (r["query_id"], r["rnk"])  # noqa: E731
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, want), key=lambda t: (t[0], t[1])
+    )
+
+    # idempotent replay: same txn -> no new version, same counts
+    v = current_snapshot(post).version
+    again = td.takedown_bm25(spark, d, post, dlen, txn_id="t1")
+    assert current_snapshot(post).version == v
+    assert [r[2] for r in again] == [r[2] for r in report]
+
+
+def test_takedown_lsh_equals_rebuild(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    sets_t, bands_t = str(tmp_path / "sets"), str(tmp_path / "bands")
+    build_minhash_index(spark, docs, sets_t, bands_t,
+                        source_version="v1")
+    d = docs.filter("doc_id % 10 = 3").select("doc_id")
+    report = td.takedown_lsh(spark, d, sets_t, bands_t, txn_id="t1")
+    assert all(r[2] > 0 for r in report)
+
+    remaining = docs.filter("doc_id % 10 != 3")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_from_index_tables(
+            spark, sets_t, bands_t,
+            remaining.selectExpr("doc_id AS id"),
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            remaining, num_hashes=12, bands=4, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got == want
+
+
+def _split_state(spark, tmp_path, docs, pair_rows):
+    """Fold a split state through the streaming sink (one batch)."""
+    pairs_tbl = str(tmp_path / "pairs")
+    splits_tbl = str(tmp_path / "splits")
+    moves_tbl = str(tmp_path / "moves")
+    append(
+        spark,
+        spark.createDataFrame(pair_rows, "id_a bigint, id_b bigint"),
+        pairs_tbl,
+    )
+    ss.leakage_split_sink(
+        pairs_tbl, splits_tbl, moves_tbl, query_name="td-seed"
+    )(docs, 0)
+    return pairs_tbl, splits_tbl, moves_tbl
+
+
+def test_takedown_split_handles_cluster_split_and_label_raise(
+    spark, tmp_path
+):
+    """Removing a BRIDGE doc splits its cluster; removing the MIN
+    member raises the survivors' cluster id.  The rebase must serve
+    exactly the batch rebuild on (docs − D, pairs − incident(D)), emit
+    moves rows for side flips only, and keep unaffected clusters'
+    rows byte-identical."""
+    docs = _ids(spark, [1, 2, 3, 30, 31, 50, 51])
+    # one chain 1-2-3 (cluster 1; 2 is a bridge), one pair {30,31},
+    # singletons 50, 51
+    pairs = [(1, 2), (2, 3), (30, 31)]
+    pairs_tbl, splits_tbl, moves_tbl = _split_state(
+        spark, tmp_path, docs, pairs
+    )
+    before = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in ss.split_assignments(spark, splits_tbl).collect()
+    }
+    assert before[1][0] == before[2][0] == before[3][0] == 1
+
+    # D = {2 (bridge of 1-2-3), 30 (min of {30,31})}
+    d = _ids(spark, [2, 30])
+    report = td.takedown_split(
+        spark, d, pairs_tbl, splits_tbl, moves_tbl, txn_id="t1"
+    )
+    rep = {r[0]: (r[1], r[2]) for r in report}
+    assert rep["split_assignments"] == ("rebased", 2)  # 2 and 30 left
+    assert rep["dedup_pairs"][1] == 3  # all three edges touched D? no:
+    # (1,2),(2,3) touch 2; (30,31) touches 30 -> all 3 evicted
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["split"], r["moved"])
+        for r in ss.split_assignments(spark, splits_tbl).collect()
+    }
+    remaining = _ids(spark, [1, 3, 31, 50, 51])
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["split"], r["moved"])
+        for r in leakage_safe_split(
+            remaining,
+            near_dup_clusters(
+                remaining,
+                spark.createDataFrame([], "id_a bigint, id_b bigint"),
+            ),
+        ).collect()
+    }
+    assert got == want
+    # cluster split: 1 and 3 are singletons now; label raise: 31 owns
+    # its own (larger) cluster id
+    assert got[1][0] == 1 and got[3][0] == 3 and got[31][0] == 31
+    # moves audit: exactly the docs whose SIDE flipped
+    flipped = {
+        doc for doc, v in got.items()
+        if doc in before and before[doc][1] != v[1]
+    }
+    moves = read_snapshot(spark, moves_tbl)
+    audited = {
+        r["doc_id"]
+        for r in moves.filter("old_split != new_split").collect()
+        if r["as_of_batch"] == 0 and r["old_cluster_id"] is not None
+    }
+    # seed fold emitted no moves (batch 0 has no priors with splits),
+    # so every audited row is the takedown's
+    assert audited >= flipped
+    # pairs table no longer holds any D-incident edge
+    left = read_snapshot(spark, pairs_tbl).collect()
+    assert all(r["id_a"] not in (2, 30) and r["id_b"] not in (2, 30)
+               for r in left)
+
+
+def test_takedown_split_crash_replays_identically(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the splits rebase but before the moves append: the
+    replay recomputes from the pre-takedown changelog (pinned at
+    committed_version − 1) and lands the identical moves exactly
+    once."""
+    docs = _ids(spark, [1, 2, 3, 30, 31])
+    pairs_tbl, splits_tbl, moves_tbl = _split_state(
+        spark, tmp_path, docs, [(1, 2), (2, 3), (30, 31)]
+    )
+    real_append = td.append
+
+    def crashing_append(spark_, df, table, txn_id=None, **kw):
+        if table == moves_tbl and txn_id == "t1:moves":
+            raise RuntimeError("simulated crash")
+        return real_append(spark_, df, table, txn_id=txn_id, **kw)
+
+    monkeypatch.setattr(td, "append", crashing_append)
+    d = _ids(spark, [2])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        td.takedown_split(
+            spark, d, pairs_tbl, splits_tbl, moves_tbl, txn_id="t1"
+        )
+    monkeypatch.setattr(td, "append", real_append)
+
+    report = td.takedown_split(
+        spark, d, pairs_tbl, splits_tbl, moves_tbl, txn_id="t1"
+    )
+    assert {r[0] for r in report} == {
+        "split_assignments", "split_moves_audit", "dedup_pairs",
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in ss.split_assignments(spark, splits_tbl).collect()
+    }
+    remaining = _ids(spark, [1, 3, 30, 31])
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(
+            remaining,
+            near_dup_clusters(
+                remaining,
+                spark.createDataFrame(
+                    [(30, 31)], "id_a bigint, id_b bigint"
+                ),
+            ),
+        ).collect()
+    }
+    assert got == want
+    # replaying the whole cascade once more changes nothing
+    v_s = current_snapshot(splits_tbl).version
+    v_m = current_snapshot(moves_tbl).version
+    td.takedown_split(
+        spark, d, pairs_tbl, splits_tbl, moves_tbl, txn_id="t1"
+    )
+    assert current_snapshot(splits_tbl).version == v_s
+    assert current_snapshot(moves_tbl).version == v_m
+    ids = [r["doc_id"] for r in read_snapshot(spark, moves_tbl).collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_evict_rows_cas_refuses_stale_anchor(spark, tmp_path, monkeypatch):
+    """A writer landing between evict's read and its commit must
+    surface as CommitConflictError, never a silent lost update."""
+    table = str(tmp_path / "t")
+    append(spark, _ids(spark, [1, 2, 3]), table)
+
+    import airflow_crypto_btc_spark.operators.takedown as tdm
+    real_write = tdm._write_parts
+
+    def racing_write(df, tbl):
+        out = real_write(df, tbl)
+        # a racing writer commits AFTER evict pinned its snapshot
+        append(spark, _ids(spark, [99]), tbl)
+        return out
+
+    monkeypatch.setattr(tdm, "_write_parts", racing_write)
+    with pytest.raises(CommitConflictError):
+        td.evict_rows(spark, table, _ids(spark, [2]), "doc_id", "t1")
+    monkeypatch.setattr(tdm, "_write_parts", real_write)
+    # retry from a fresh read succeeds and keeps the racer's row
+    out = td.evict_rows(spark, table, _ids(spark, [2]), "doc_id", "t2")
+    assert out["rows_removed"] == 1
+    assert {r["doc_id"] for r in read_snapshot(spark, table).collect()} \
+        == {1, 3, 99}
+
+
+def test_cascade_report_includes_sketch_policy_rows(spark, tmp_path):
+    """CMS/HLL/bloom are non-decrementable: the cascade's report says
+    so explicitly instead of pretending to evict."""
+    report = td.cascade_takedown(
+        spark, _ids(spark, [1]), txn_id="t1"
+    ).collect()
+    got = {(r["artifact"], r["action"]) for r in report}
+    assert got == {
+        ("cms_sketch", "rebuild_required"),
+        ("hll_registers", "rebuild_required"),
+        ("bloom_bitmap", "rebuild_required"),
+    }

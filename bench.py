@@ -366,7 +366,11 @@ def _names_hash(names: list[str]) -> str:
     return hashlib.md5(",".join(names).encode()).hexdigest()[:8]
 
 
-def medians_z_line(timings: dict[str, float], budget: int) -> str:
+def medians_z_line(
+    timings: dict[str, float],
+    budget: int,
+    cold: list[str] | None = None,
+) -> str:
     """The COMPLETE per-query medians map as one compressed line that
     fits ``budget`` bytes, wrapped in a self-identifying envelope
     (``enc`` names the codec, ``n`` and ``decimals`` validate the
@@ -386,11 +390,22 @@ def medians_z_line(timings: dict[str, float], budget: int) -> str:
     CSV: the decoder resolves them from the repo's sorted HEADLINE and
     the hash REFUSES a decode against a drifted list (misattributing
     171 values silently would be worse than failing).  Arbitrary maps
-    (tests, ad-hoc chunks) still ship explicit names."""
+    (tests, ad-hoc chunks) still ship explicit names.
+
+    ``cold``: names whose FIRST rep built warm-serve state inside the
+    timed window (first-rep >= 2x the median — a landing-zone or model
+    build, not steady-state serve cost).  Round-12 addition after the
+    r10->r11 mover audit: two driver-artifact deltas up to 1.94x turned
+    out to be exactly this uncontrolled /tmp state (interleaved
+    worktree A/B measured the CODE at 0.89-0.97x), so the artifact now
+    self-describes which medians had a cold build in frame — shipped
+    as sorted-name indexes under ``f`` inside the compressed payload,
+    read back with :func:`decode_cold_z`."""
     line = ""
     names = sorted(timings)
     as_ref = names == sorted(HEADLINE)
     k = f"@headline:{_names_hash(names)}" if as_ref else ",".join(names)
+    fidx = sorted(names.index(c) for c in (cold or []) if c in names)
     for nd in (2, 1, 0):
         scale = 10**nd
         flat = json.dumps(
@@ -400,6 +415,7 @@ def medians_z_line(timings: dict[str, float], budget: int) -> str:
                     int(round(round(timings[k2], nd) * scale))
                     for k2 in names
                 ],
+                **({"f": fidx} if fidx else {}),
             },
             separators=(",", ":"),
         )
@@ -468,6 +484,27 @@ def decode_medians_z(line: str) -> dict[str, float]:
     return out
 
 
+def decode_cold_z(line: str) -> list[str]:
+    """Names flagged COLD in a medians_z line (first rep built
+    warm-serve state inside the timed window) — empty for lines
+    recorded before round 12 or with no cold build in frame.  Use to
+    exclude cold-build lines from round-over-round median comparisons
+    before blaming code for a delta."""
+    env = json.loads(line)
+    if env.get("enc") == "zlib+b64":
+        return []
+    obj = json.loads(
+        zlib.decompress(base64.b85decode(env["q"])).decode()
+    )
+    if "f" not in obj:
+        return []
+    if obj["k"].startswith("@headline:"):
+        names = sorted(HEADLINE)
+    else:
+        names = obj["k"].split(",") if obj["k"] else []
+    return [names[i] for i in obj["f"]]
+
+
 def chunk_timings(
     timings: dict[str, float], limit: int = 1100
 ) -> list[dict[str, float]]:
@@ -522,6 +559,19 @@ def main() -> None:
         name: round(statistics.median(ts), 4)
         for name, ts in samples.items()
     }
+    # cold-build detection (round 12, from the r10->r11 mover audit):
+    # a first rep >= 2x the median means warm-serve state (a landing
+    # zone, a frozen model) was BUILT inside the timed window — the
+    # median itself is warm, but the artifact should say which lines
+    # had a build in frame so comparisons don't blame code for /tmp
+    # state the run didn't control
+    cold = [
+        name
+        for name, ts in samples.items()
+        if len(ts) >= 2
+        and statistics.median(ts) > 0.05
+        and ts[0] >= 2 * statistics.median(ts)
+    ]
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Human-readable per-query chunk lines FIRST (full precision, may be
@@ -552,7 +602,7 @@ def main() -> None:
     summary = summary_line(total, sf_val, len(timings), n_untimed)
     print(
         medians_z_line(
-            timings, budget=TAIL_BUDGET - len(summary) - 2
+            timings, budget=TAIL_BUDGET - len(summary) - 2, cold=cold
         )
     )
     print(summary)

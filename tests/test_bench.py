@@ -204,3 +204,23 @@ def test_medians_z_headline_ref_refuses_drifted_list(monkeypatch) -> None:
 
     with _pytest.raises(ValueError, match="drifted"):
         bench.decode_medians_z(line)
+
+
+def test_medians_z_cold_flags_roundtrip() -> None:
+    """Cold-build flags ride the compressed payload as sorted-name
+    indexes and decode back to names; absent = empty (incl. historical
+    lines)."""
+    import bench
+
+    timings = {name: 1.0 for name in bench.HEADLINE}
+    cold = [bench.HEADLINE[3], bench.HEADLINE[0]]
+    line = bench.medians_z_line(
+        timings, budget=bench.TAIL_BUDGET, cold=cold
+    )
+    assert len(line) <= bench.TAIL_BUDGET
+    assert sorted(bench.decode_cold_z(line)) == sorted(cold)
+    assert bench.decode_medians_z(line) == {
+        k: 1.0 for k in bench.HEADLINE
+    }
+    plain = bench.medians_z_line(timings, budget=bench.TAIL_BUDGET)
+    assert bench.decode_cold_z(plain) == []

@@ -280,3 +280,99 @@ def test_cascade_report_includes_sketch_policy_rows(spark, tmp_path):
         ("hll_registers", "rebuild_required"),
         ("bloom_bitmap", "rebuild_required"),
     }
+
+
+def test_stream_folds_continue_after_takedown_rebase(spark, tmp_path):
+    """The maintainer keeps working on top of a rebased changelog: a
+    post-takedown fold that merges two surviving clusters must serve
+    the merged state (the rebase resets as_of_batch to 0, and the
+    latest-wins view orders by cluster_id, so post-rebase appends win
+    exactly when they lower the label)."""
+    docs = _ids(spark, [1, 2, 3, 30, 31])
+    pairs_tbl, splits_tbl, moves_tbl = _split_state(
+        spark, tmp_path, docs, [(1, 2), (2, 3), (30, 31)]
+    )
+    td.takedown_split(
+        spark, _ids(spark, [2]), pairs_tbl, splits_tbl, moves_tbl,
+        txn_id="t1",
+    )
+    # post-takedown: {1}, {3}, {30,31}; now a NEW edge 3-30 arrives and
+    # a new doc 60 lands, folded by the (restarted) stream at batch 0
+    append(
+        spark,
+        spark.createDataFrame([(3, 30)], "id_a bigint, id_b bigint"),
+        pairs_tbl,
+    )
+    ss.leakage_split_sink(
+        pairs_tbl, splits_tbl, moves_tbl, query_name="td-resume"
+    )(spark.createDataFrame([(60,)], "doc_id bigint"), 0)
+
+    remaining = _ids(spark, [1, 3, 30, 31, 60])
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in leakage_safe_split(
+            remaining,
+            near_dup_clusters(
+                remaining,
+                spark.createDataFrame(
+                    [(30, 31), (3, 30)], "id_a bigint, id_b bigint"
+                ),
+            ),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in ss.split_assignments(spark, splits_tbl).collect()
+    }
+    assert got == want
+    assert got[30][0] == 3 and got[31][0] == 3  # merged under min=3
+
+
+def test_takedown_racing_live_maintainer_serializes(
+    spark, tmp_path, monkeypatch
+):
+    """A stream fold committing between the takedown's read and its
+    rebase commit must surface as a CAS conflict (the takedown's
+    recompute is stale), never a silent lost fold."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        CommitConflictError,
+    )
+
+    docs = _ids(spark, [1, 2, 3, 30, 31])
+    pairs_tbl, splits_tbl, moves_tbl = _split_state(
+        spark, tmp_path, docs, [(1, 2), (2, 3), (30, 31)]
+    )
+    sink = ss.leakage_split_sink(
+        pairs_tbl, splits_tbl, moves_tbl, query_name="racer"
+    )
+
+    import airflow_crypto_btc_spark.operators.takedown as tdm
+    real_write = tdm._write_parts
+    fired = {"n": 0}
+
+    def racing_write(df, tbl):
+        out = real_write(df, tbl)
+        if tbl == splits_tbl and fired["n"] == 0:
+            fired["n"] = 1
+            # the maintainer folds a new doc AFTER the takedown pinned
+            # its snapshot but BEFORE its rebase commit
+            sink(spark.createDataFrame([(70,)], "doc_id bigint"), 0)
+        return out
+
+    monkeypatch.setattr(tdm, "_write_parts", racing_write)
+    with pytest.raises(CommitConflictError):
+        td.takedown_split(
+            spark, _ids(spark, [2]), pairs_tbl, splits_tbl, moves_tbl,
+            txn_id="t1",
+        )
+    monkeypatch.setattr(tdm, "_write_parts", real_write)
+    # retry FROM THE READ succeeds and keeps the racer's doc 70
+    td.takedown_split(
+        spark, _ids(spark, [2]), pairs_tbl, splits_tbl, moves_tbl,
+        txn_id="t2",
+    )
+    got = {
+        r["doc_id"]
+        for r in ss.split_assignments(spark, splits_tbl).collect()
+    }
+    assert got == {1, 3, 30, 31, 70}

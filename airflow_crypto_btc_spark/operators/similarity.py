@@ -2199,7 +2199,12 @@ def pq_topk_from_index(
     codes_t = os.path.join(index_root, "codes")
     b_meta = current_snapshot(books_t).meta
     c_meta = current_snapshot(codes_t).meta
-    if b_meta != c_meta:  # version OR m mismatch = partial rebuild
+    # compare the GENERATION keys only: maintenance commits (a takedown
+    # eviction annotating the codes table) add audit keys without
+    # changing the generation — a version OR m mismatch is still a
+    # partial rebuild and still refuses
+    gen = ("source_version", "m")
+    if {k: b_meta.get(k) for k in gen} != {k: c_meta.get(k) for k in gen}:
         raise ValueError(
             f"PQ index books/codes disagree ({b_meta!r} vs {c_meta!r}) "
             "— partial rebuild, rebuild both"

@@ -16,13 +16,21 @@ catalog entry checks value-for-value.
 Per-artifact semantics:
 
 - **Row-keyed artifacts** (BM25 postings/doclen, LSH sets/bands, ANN
-  members): every row belongs to exactly one document, so eviction is
-  an anti-join rewrite — ``rows(corpus − D) = rows(corpus) − rows(D)``
-  holds exactly because these artifacts are per-document independent
-  (a posting's tf, a doc's shingle set, a vector's cell assignment
-  never read any OTHER document).  Serve-time statistics (BM25 df and
-  corpus stats, LSH bucket membership) are derived from the stored
-  rows at query time, so they follow automatically.
+  members, PQ codes): every row belongs to exactly one document, so
+  eviction is an anti-join rewrite — ``rows(corpus − D) =
+  rows(corpus) − rows(D)`` holds exactly because these artifacts are
+  per-document independent (a posting's tf, a doc's shingle set, a
+  vector's cell assignment or PQ code never read any OTHER document).
+  Serve-time statistics (BM25 df and corpus stats, LSH bucket
+  membership) are derived from the stored rows at query time, so they
+  follow automatically.
+- **Decrementable aggregates** (the gram-frequency index): ``df``
+  counts DISTINCT documents per gram and documents contribute
+  independently, so the index DECREMENTS exactly — subtract D's
+  per-doc-deduped gram counts, delete rows that reach zero
+  (:func:`takedown_gram_index`).  The one derived counter in the
+  engine where subtraction is lossless, in contrast to the sketches
+  below.
 - **The split changelog** is NOT row-independent: removing a document
   removes its near-dup edges, which can SPLIT a cluster, and removing
   the cluster's min-label member RAISES the remaining members' cluster
@@ -211,6 +219,110 @@ def takedown_ann_members(
     return [("ann_members", "evicted", m["rows_removed"])]
 
 
+def takedown_pq_codes(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    codes_table: str,
+    txn_id: str,
+) -> list[tuple]:
+    """Evict D's vectors from the persisted PQ CODES table: coding is
+    per-vector against the FROZEN codebooks, so eviction equals
+    re-encoding (corpus − D) under the same model — the codebooks stay
+    (trained parameters, the same contract as the IVF centroids); a
+    deleted vector can no longer appear in any ADC shortlist."""
+    c = evict_rows(spark, codes_table, doc_ids, "nid",
+                   f"{txn_id}:pq_codes")
+    return [("pq_codes", "evicted", c["rows_removed"])]
+
+
+def takedown_gram_index(
+    spark: SparkSession,
+    removed_docs: DataFrame,
+    gram_table: str,
+    txn_id: str,
+    text_col: str = "text",
+) -> list[tuple]:
+    """DECREMENT the gram-frequency index for a removed document set —
+    the one derived aggregate in the engine that IS decrementable:
+    ``df`` counts DISTINCT documents per gram, documents contribute
+    independently (one per (doc, gram)), so subtracting D's per-doc-
+    deduped gram counts and dropping rows that reach zero equals a
+    from-scratch rebuild on (corpus − D) exactly.  Contrast the
+    non-decrementable sketches (CMS/HLL/bloom), whose cells mix many
+    documents' contributions irreversibly — see the module docstring.
+
+    Takes the removed documents WITH TEXT (the cascade runs at delete
+    time, while the rows being removed are still in hand — the same
+    reason Delta's DELETE can compute its deletion vectors).  One
+    bounded aggregation over D's grams, one key-join against the index
+    (|D's distinct grams| keys — never index-sized), one CAS overwrite.
+    ``k`` is pinned from the index commit meta, so a mismatched-width
+    decrement cannot exist."""
+    from airflow_crypto_btc_spark.functions.hashing import shingles_expr
+    from airflow_crypto_btc_spark.operators.text import with_tokens
+
+    done = txn_version(gram_table, f"{txn_id}:gram")
+    if done is not None:
+        pinned = txn_meta(gram_table, f"{txn_id}:gram") or {}
+        return [
+            ("gram_index", "decremented",
+             int(pinned.get("grams_touched", 0))),
+            ("gram_index_rows", "deleted",
+             int(pinned.get("grams_deleted", 0))),
+        ]
+    snap = current_snapshot(gram_table)
+    k = int(snap.meta.get("k", 8))
+    state = read_snapshot(spark, gram_table, version=snap.version)
+    tok = with_tokens(removed_docs, text_col)
+    d_cnt = (
+        tok.select(
+            "doc_id",
+            F.explode(shingles_expr("tokens", k)).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("d_cnt"))
+    )
+    merged = (
+        state.join(d_cnt, "h", "left")
+        .select(
+            "h",
+            (F.col("df") - F.coalesce("d_cnt", F.lit(0)))
+            .cast("long")
+            .alias("df"),
+            F.coalesce("d_cnt", F.lit(0)).alias("_d"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept = merged.filter("df > 0").select("h", "df")
+    grams_touched = merged.filter("_d > 0").count()
+    grams_deleted = merged.filter("_d > 0 AND df <= 0").count()
+    parts, stats = _write_parts(kept, gram_table)
+    meta = dict(snap.meta)
+    meta.update(
+        {
+            "grams_touched": grams_touched,
+            "grams_deleted": grams_deleted,
+            "takedown": txn_id,
+        }
+    )
+    commit(
+        gram_table,
+        add=parts,
+        remove=snap.files,
+        operation="takedown_decrement",
+        txn_id=f"{txn_id}:gram",
+        stats=stats,
+        meta=meta,
+        expect_version=snap.version,
+    )
+    return [
+        ("gram_index", "decremented", grams_touched),
+        ("gram_index_rows", "deleted", grams_deleted),
+    ]
+
+
 def takedown_split(
     spark: SparkSession,
     doc_ids: DataFrame,
@@ -387,14 +499,17 @@ def cascade_takedown(
     lsh: tuple[str, str] | None = None,
     ann_members: str | None = None,
     split: tuple[str, str, str] | None = None,
+    pq_codes: str | None = None,
+    gram: tuple[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full takedown cascade and return the audit report —
     one row (artifact, action, rows_removed) per artifact touched,
     plus one ``rebuild_required`` policy row per non-decrementable
     sketch family (see the module docstring for why CMS/HLL/bloom
-    cannot be decremented).  Every step is independently idempotent,
-    so re-invoking after a crash completes the cascade and reports
-    identical rows."""
+    cannot be decremented).  ``gram`` takes (gram_table, removed_docs
+    WITH TEXT) — the decrement needs the departing documents' grams.
+    Every step is independently idempotent, so re-invoking after a
+    crash completes the cascade and reports identical rows."""
     rows: list[tuple] = []
     if bm25 is not None:
         rows += takedown_bm25(spark, doc_ids, bm25[0], bm25[1], txn_id)
@@ -402,6 +517,10 @@ def cascade_takedown(
         rows += takedown_lsh(spark, doc_ids, lsh[0], lsh[1], txn_id)
     if ann_members is not None:
         rows += takedown_ann_members(spark, doc_ids, ann_members, txn_id)
+    if pq_codes is not None:
+        rows += takedown_pq_codes(spark, doc_ids, pq_codes, txn_id)
+    if gram is not None:
+        rows += takedown_gram_index(spark, gram[1], gram[0], txn_id)
     if split is not None:
         rows += takedown_split(
             spark, doc_ids, split[0], split[1], split[2], txn_id

@@ -78,10 +78,7 @@ _MERGED: dict[str, QuerySpec] = {
 _WINDOW_KEEP = [
     "flagship_daily_indicators",
     "agg_ohlc_daily",
-    "sink_table_upsert",
     "q1_pricing_summary",
-    "dedup_minhash_lsh_pairs",
-    "search_bm25_topk",
     "curate_split_from_state",
 ]
 
@@ -92,6 +89,9 @@ _WINDOW_ROTATED_IN = [
     "curate_takedown_ann",
     "curate_takedown_split",
     "curate_takedown_report",
+    "curate_takedown_pq",
+    "curate_takedown_gram",
+    "curate_takedown_from_stream",
     "text_unigram_byte_fallback",
     "text_wordpiece_byte_fallback",
     "text_tokenizer_report_fallback",

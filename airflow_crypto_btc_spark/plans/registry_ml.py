@@ -393,6 +393,8 @@ def _pq_topk_sql(
     shortlist: int = 150,
     k: int = 10,
     sample_cap: int = 50000,
+    corpus_source: str = "embeddings",
+    train_source: str | None = None,
 ) -> str:
     """Full DuckDB replay of ``pq_topk``: unit-normalize → deterministic
     training sample (``pmod(id, ceil(n/cap)) = 0``, the exact rule of
@@ -403,19 +405,33 @@ def _pq_topk_sql(
     values on both engines, so the candidate set — not just the rerank —
     matches bit-for-bit, including when the cap actually samples."""
     sub = dim // m
+    if train_source is None:
+        train_source = corpus_source
     subspaces = ",".join(_pq_subspace_ctes(s, sub) for s in range(m))
     adc_union = " UNION ALL ".join(
         f"SELECT * FROM adcp{s}" for s in range(m)
     )
+    norm = (
+        "SELECT vec_id AS nid, "
+        "list_transform(embedding, e -> CAST(e AS DOUBLE) / sqrt(n2)) "
+        "AS ue "
+        "FROM (SELECT vec_id, embedding, "
+        "list_sum(list_transform(embedding, "
+        "e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS n2 "
+        "FROM {src}) WHERE n2 > 0"
+    )
+    # the takedown variant trains on the FULL corpus (the frozen-model
+    # contract: codebooks are trained parameters and survive deletions)
+    # while encode/serve/rerank run on (corpus - D); with one source the
+    # text collapses to the historical single-u form
+    ut_src = (
+        "u"
+        if train_source == corpus_source
+        else f"(SELECT * FROM ({norm.format(src=train_source)}))"
+    )
     return f"""
     WITH u AS (
-      SELECT vec_id AS nid,
-        list_transform(embedding, e -> CAST(e AS DOUBLE) / sqrt(n2)) AS ue
-      FROM (SELECT vec_id, embedding,
-              list_sum(list_transform(embedding,
-                e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS n2
-            FROM embeddings)
-      WHERE n2 > 0
+      {norm.format(src=corpus_source)}
     ),
     sm AS (
       -- modulus over the RAW corpus row count (not post-normalization):
@@ -423,9 +439,9 @@ def _pq_topk_sql(
       -- a scan, and footers count every row incl. zero-norm vectors
       SELECT greatest(1, CAST(ceil(count(*) / {sample_cap}.0) AS BIGINT))
         AS v
-      FROM embeddings
+      FROM {train_source}
     ),
-    ut AS (SELECT * FROM u WHERE nid % (SELECT v FROM sm) = 0),
+    ut AS (SELECT * FROM {ut_src} t WHERE nid % (SELECT v FROM sm) = 0),
     {subspaces},
     adc AS (
       SELECT qid, nid, round(sum(d), 6) AS adc

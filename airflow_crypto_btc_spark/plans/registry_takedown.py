@@ -218,6 +218,121 @@ def q_curate_takedown_ann(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------------------- PQ
+def _pq_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_save_index,
+    )
+    from airflow_crypto_btc_spark.operators.takedown import (
+        takedown_pq_codes,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.tables import parquet_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    source_version = _fingerprint(sf_dir, "embeddings")
+
+    def _land(staging: str) -> None:
+        pq_save_index(
+            spark, emb, staging, source_version=source_version, m=8,
+            corpus_rows=parquet_row_count(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ),
+        )
+        takedown_pq_codes(
+            spark,
+            emb.filter("vec_id % 10 = 3").select("vec_id"),
+            os.path.join(staging, "codes"),
+            txn_id="takedown",
+        )
+
+    return (
+        _landing_zone(sf_dir, "embeddings", "takedown_pq", _land),
+        source_version,
+    )
+
+
+def q_curate_takedown_pq(spark, sf_dir):
+    """PQ-ADC top-k served from TAKEN-DOWN code rows under the FROZEN
+    codebooks: D's m-byte codes evicted, the codebooks (trained
+    parameters) untouched — coding is per-vector, so eviction equals
+    re-encoding (corpus − D) under the same model.  The oracle replays
+    the full PQ lifecycle with the TWO-SOURCE split this contract
+    implies: k-means training over the FULL corpus, encode/ADC/rerank
+    over (corpus − D) — see plans/registry_ml._pq_topk_sql."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_topk_from_index,
+    )
+
+    zone, source_version = _pq_takedown_zone(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk_from_index(
+        spark,
+        zone,
+        emb.filter("vec_id % 10 != 3"),
+        query_filter="vec_id < 20",
+        expect_source=source_version,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+# ------------------------------------------------------------ gram index
+def _gram_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.takedown import (
+        takedown_gram_index,
+    )
+    from airflow_crypto_btc_spark.operators.text import build_gram_index
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    source_version = _fingerprint(sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        gram_t = os.path.join(staging, "grams")
+        build_gram_index(
+            spark, docs, gram_t, source_version=source_version
+        )
+        takedown_gram_index(
+            spark, docs.filter(_D_PRED), gram_t, txn_id="takedown"
+        )
+
+    return _landing_zone(sf_dir, "documents", "takedown_gram", _land)
+
+
+def q_curate_takedown_gram(spark, sf_dir):
+    """The DECREMENTED gram-frequency index state itself: df counts
+    distinct documents per gram, documents contribute independently,
+    so subtracting D's per-doc-deduped gram counts (and deleting rows
+    that reach zero) equals a from-scratch rebuild on (corpus − D) —
+    which is exactly what the oracle computes.  The one derived
+    aggregate in the engine that IS decrementable, in contrast to the
+    CMS/HLL/bloom policy rows; see
+    operators/takedown.takedown_gram_index."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    zone = _gram_takedown_zone(spark, sf_dir)
+    return read_snapshot(spark, os.path.join(zone, "grams"))
+
+
+def _gram_takedown_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import tokens_sql
+
+    gram8 = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(8))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, tokens FROM ({tokens_sql(_DOCS_MINUS_D)})),
+    g AS (
+      SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+        SELECT doc_id, unnest(CASE WHEN len(tokens) >= 8 THEN
+            list_transform(range(1, len(tokens)-6), i -> {gram8})
+          ELSE [] END) AS gram
+        FROM tok))
+    SELECT h, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY h
+"""
+
+
 # ----------------------------------------------------------------- split
 def _split_takedown_zone(spark, sf_dir):
     from airflow_crypto_btc_spark.operators.dedup import minhash_lsh_pairs
@@ -278,6 +393,62 @@ def q_curate_takedown_split(spark, sf_dir):
     return split_assignments(spark, os.path.join(zone, "splits"))
 
 
+# ------------------------------------------------------------ queue serve
+def _stream_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.search import build_bm25_index
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.streaming.takedown_stream import (
+        takedown_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    source_version = _fingerprint(sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        post = os.path.join(staging, "postings")
+        dlen = os.path.join(staging, "doclen")
+        build_bm25_index(
+            spark, docs, post, dlen, source_version=source_version
+        )
+        # the erasure QUEUE: D arrives in two deletion batches
+        # (doc_id % 20 = 3, then % 20 = 13 — together exactly _D_PRED)
+        sink = takedown_sink(
+            query_name="td-queue",
+            bm25=(post, dlen),
+            report_table=os.path.join(staging, "audit"),
+        )
+        sink(docs.filter("doc_id % 20 = 3").select("doc_id"), 0)
+        sink(docs.filter("doc_id % 20 = 13").select("doc_id"), 1)
+
+    return (
+        _landing_zone(sf_dir, "documents", "takedown_stream", _land),
+        source_version,
+    )
+
+
+def q_curate_takedown_from_stream(spark, sf_dir):
+    """BM25 served after the STREAMING erasure queue drained: D arrived
+    as two deletion batches folded by streaming/takedown_stream
+    .takedown_sink (batch-txn-keyed cascades), proving takedowns
+    COMPOSE — applying D₁ then D₂ batchwise equals the one-shot rebuild
+    on corpus − (D₁ ∪ D₂), which is exactly the oracle (the same SQL as
+    curate_takedown_bm25)."""
+    from airflow_crypto_btc_spark.operators.search import (
+        bm25_topk_from_index,
+        default_queries,
+    )
+
+    zone, source_version = _stream_takedown_zone(spark, sf_dir)
+    remaining = load_table(spark, sf_dir, "documents").filter(_KEEP_PRED)
+    return bm25_topk_from_index(
+        spark,
+        os.path.join(zone, "postings"),
+        os.path.join(zone, "doclen"),
+        default_queries(remaining),
+        expect_source=source_version,
+    )
+
+
 # ---------------------------------------------------------------- report
 def _report_zone(spark, sf_dir):
     from airflow_crypto_btc_spark.operators.dedup import (
@@ -297,6 +468,12 @@ def _report_zone(spark, sf_dir):
         leakage_split_sink,
     )
 
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_save_index,
+    )
+    from airflow_crypto_btc_spark.operators.text import build_gram_index
+    from airflow_crypto_btc_spark.sources.tables import parquet_row_count
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     doc_v = _fingerprint(sf_dir, "documents")
@@ -312,6 +489,7 @@ def _report_zone(spark, sf_dir):
         pairs_tbl = os.path.join(staging, "pairs")
         splits_tbl = os.path.join(staging, "splits")
         moves_tbl = os.path.join(staging, "moves")
+        gram_t = os.path.join(staging, "grams")
         build_bm25_index(spark, docs, post, dlen, source_version=doc_v)
         build_minhash_index(
             spark, docs, sets_t, bands_t, source_version=doc_v
@@ -320,6 +498,14 @@ def _report_zone(spark, sf_dir):
             spark, emb, cent, memb, source_version=emb_v,
             centroid_filter="vec_id % 25 = 7",
         )
+        pq_save_index(
+            spark, emb, os.path.join(staging, "pq"),
+            source_version=emb_v, m=8,
+            corpus_rows=parquet_row_count(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ),
+        )
+        build_gram_index(spark, docs, gram_t, source_version=doc_v)
         append(
             spark,
             minhash_lsh_pairs(
@@ -338,6 +524,8 @@ def _report_zone(spark, sf_dir):
             lsh=(sets_t, bands_t),
             ann_members=memb,
             split=(pairs_tbl, splits_tbl, moves_tbl),
+            pq_codes=os.path.join(staging, "pq", "codes"),
+            gram=(gram_t, docs.filter(_D_PRED)),
         )
         append(spark, report, os.path.join(staging, "report"))
 
@@ -377,6 +565,35 @@ _SQL_TAKEDOWN_REPORT = f"""
     n_d AS (SELECT CAST(count(*) AS BIGINT) AS c FROM dd),
     n_vec AS (SELECT CAST(count(*) AS BIGINT) AS c
               FROM embeddings WHERE vec_id % 10 = 3),
+    d_grams AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS d_cnt FROM (
+        SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+          SELECT doc_id, unnest(CASE WHEN len(tokens) >= 8 THEN
+              list_transform(range(1, len(tokens)-6),
+                i -> {" || ' ' || ".join(f"tokens[i+{j}]" for j in range(8))})
+            ELSE [] END) AS gram
+          FROM (SELECT doc_id,
+                  list_filter(regexp_split_to_array(
+                    text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS tokens
+                FROM dd)))
+      GROUP BY h),
+    full_grams AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS df FROM (
+        SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+          SELECT doc_id, unnest(CASE WHEN len(tokens) >= 8 THEN
+              list_transform(range(1, len(tokens)-6),
+                i -> {" || ' ' || ".join(f"tokens[i+{j}]" for j in range(8))})
+            ELSE [] END) AS gram
+          FROM (SELECT doc_id,
+                  list_filter(regexp_split_to_array(
+                    text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS tokens
+                FROM documents)))
+      GROUP BY h),
+    n_gram_touch AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d_grams),
+    n_gram_del AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM d_grams d JOIN full_grams f USING (h)
+      WHERE f.df = d.d_cnt),
     all_pairs AS ({lsh_pairs_sql()}),
     n_pairs AS (SELECT CAST(count(*) AS BIGINT) AS c FROM all_pairs
                 WHERE id_a % 10 = 3 OR id_b % 10 = 3),
@@ -392,6 +609,11 @@ _SQL_TAKEDOWN_REPORT = f"""
     UNION ALL SELECT 'lsh_sets', 'evicted', (SELECT c FROM n_d)
     UNION ALL SELECT 'lsh_bands', 'evicted', 4 * (SELECT c FROM n_d)
     UNION ALL SELECT 'ann_members', 'evicted', (SELECT c FROM n_vec)
+    UNION ALL SELECT 'pq_codes', 'evicted', (SELECT c FROM n_vec)
+    UNION ALL SELECT 'gram_index', 'decremented',
+                     (SELECT c FROM n_gram_touch)
+    UNION ALL SELECT 'gram_index_rows', 'deleted',
+                     (SELECT c FROM n_gram_del)
     UNION ALL SELECT 'split_assignments', 'rebased',
                      (SELECT c FROM n_d)
     UNION ALL SELECT 'split_moves_audit', 'appended',
@@ -403,9 +625,23 @@ _SQL_TAKEDOWN_REPORT = f"""
 """
 
 
+def _pq_takedown_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ml import _pq_topk_sql
+
+    return _pq_topk_sql(
+        corpus_source=_EMB_MINUS_D, train_source="embeddings"
+    )
+
+
 TAKEDOWN_REGISTRY: dict[str, QuerySpec] = {
     "curate_takedown_bm25": QuerySpec(
         q_curate_takedown_bm25, bm25_topk_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_pq": QuerySpec(
+        q_curate_takedown_pq, _pq_takedown_sql()
+    ),
+    "curate_takedown_gram": QuerySpec(
+        q_curate_takedown_gram, _gram_takedown_sql()
     ),
     "curate_takedown_lsh": QuerySpec(
         q_curate_takedown_lsh, lsh_pairs_sql(_DOCS_MINUS_D)
@@ -418,5 +654,8 @@ TAKEDOWN_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_takedown_report": QuerySpec(
         q_curate_takedown_report, _SQL_TAKEDOWN_REPORT
+    ),
+    "curate_takedown_from_stream": QuerySpec(
+        q_curate_takedown_from_stream, bm25_topk_sql(_DOCS_MINUS_D)
     ),
 }

@@ -1,0 +1,88 @@
+"""Streaming takedown queue: deletion requests folded per micro-batch.
+
+Production erasure is a QUEUE, not a one-shot command — takedown
+notices, contamination discoveries, and user deletions arrive
+continuously, and each must cascade through every persisted artifact
+(operators/takedown.py) with the same exactly-once discipline the
+ingest maintainers have.  This sink is the consumption side: each
+micro-batch of deletion requests (rows carrying ``doc_id``; carrying
+``text`` too if the gram index should decrement — a CDC delete feed
+ships the full old row, which is exactly what the decrement needs)
+runs one ``cascade_takedown`` under batch-derived txn ids.
+
+Sequential batches compose exactly: every per-artifact eviction is
+idempotent set subtraction and the split rebase re-anchors on the
+current changelog, so applying D = D₁ ∪ D₂ ∪ … batch-by-batch ends in
+the same state as one shot — which is what the catalog entry's oracle
+(a from-scratch rebuild on corpus − D) checks end-to-end.
+
+Crash contract: the cascade's steps are individually txn-keyed
+(``{query_name}:{batch_id}:<artifact>``), so an engine replay of a
+half-applied batch completes the remaining artifacts and skips the
+landed ones; a racing ingest maintainer surfaces as
+``ConcurrentMaintenanceError`` (CAS loss), and Structured Streaming
+retries the batch from a fresh read.
+"""
+
+from __future__ import annotations
+
+from airflow_crypto_btc_spark.operators.incremental import (
+    ConcurrentMaintenanceError,
+)
+from airflow_crypto_btc_spark.operators.takedown import cascade_takedown
+from airflow_crypto_btc_spark.sources.snapshot_table import (
+    CommitConflictError,
+    append,
+)
+
+
+def takedown_sink(
+    query_name: str,
+    bm25: tuple[str, str] | None = None,
+    lsh: tuple[str, str] | None = None,
+    ann_members: str | None = None,
+    split: tuple[str, str, str] | None = None,
+    pq_codes: str | None = None,
+    gram_table: str | None = None,
+    report_table: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` callback cascading each batch of deletion
+    requests through the configured artifacts.  ``gram_table`` is only
+    honored when the batch carries ``text_col`` (the decrement needs
+    the departing documents' grams); ``report_table`` appends each
+    batch's audit rows (txn-keyed, so replays don't double-report)."""
+
+    def _fold(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        txn = f"{query_name}:{batch_id}"
+        ids = batch_df.select(id_col).distinct()
+        gram = None
+        if gram_table is not None and text_col in batch_df.columns:
+            gram = (gram_table, batch_df.select(id_col, text_col))
+        try:
+            report = cascade_takedown(
+                spark,
+                ids,
+                txn_id=txn,
+                bm25=bm25,
+                lsh=lsh,
+                ann_members=ann_members,
+                split=split,
+                pq_codes=pq_codes,
+                gram=gram,
+            )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
+        if report_table is not None:
+            from pyspark.sql import functions as F
+
+            append(
+                spark,
+                report.withColumn("batch_id", F.lit(batch_id)),
+                report_table,
+                txn_id=f"{txn}:report",
+            )
+
+    return _fold

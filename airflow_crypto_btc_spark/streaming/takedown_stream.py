@@ -56,6 +56,9 @@ def takedown_sink(
 
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.limit(1).count() == 0:
+            return  # idle tick: no evictions, no audit noise — and no
+            # full copy-on-write rewrite to delete nothing
         txn = f"{query_name}:{batch_id}"
         ids = batch_df.select(id_col).distinct()
         gram = None

@@ -577,3 +577,36 @@ def test_takedown_semantic_relabels_and_resurrects(spark, tmp_path):
     )
     assert current_snapshot(labels_t).version == v
     assert {r[0]: r[2] for r in again} == rep
+
+
+def test_empty_takedown_set_rewrites_nothing(spark, sf_dir, tmp_path):
+    """Post-chain self-review guard: an EMPTY deletion set (an idle
+    erasure-queue tick) must not pay a copy-on-write rewrite of every
+    artifact — the cascade short-circuits to the policy rows and no
+    table gains a version."""
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+    v_post = current_snapshot(post).version
+    v_dlen = current_snapshot(dlen).version
+
+    empty = spark.createDataFrame([], "doc_id bigint")
+    report = td.cascade_takedown(
+        spark, empty, txn_id="t-empty", bm25=(post, dlen)
+    ).collect()
+    assert {r["artifact"] for r in report} == set(td.NON_DECREMENTABLE)
+    assert current_snapshot(post).version == v_post
+    assert current_snapshot(dlen).version == v_dlen
+
+    # the streaming sink's idle tick is equally silent (no audit rows)
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot_or_none,
+    )
+    from airflow_crypto_btc_spark.streaming import takedown_stream as ts
+
+    audit = str(tmp_path / "audit")
+    ts.takedown_sink(
+        query_name="idle", bm25=(post, dlen), report_table=audit
+    )(empty, 0)
+    assert current_snapshot(post).version == v_post
+    assert read_snapshot_or_none(spark, audit) is None

@@ -139,9 +139,15 @@ def evict_rows(
         state[id_col] == F.col("__td_id"),
         "left_anti",
     )
-    n_before = state.count()
+    # one semi-join count sized by D's hits (file-prunable by id
+    # stats) instead of two full-table counts — the copy-on-write
+    # write below is the only full scan this eviction pays
+    n_removed = state.join(
+        F.broadcast(ids),
+        state[id_col] == F.col("__td_id"),
+        "left_semi",
+    ).count()
     parts, stats = _write_parts(kept, table)
-    n_removed = n_before - kept.count()
     meta = dict(current_snapshot(table).meta)
     meta.update({"rows_removed": n_removed, "takedown": txn_id})
     commit(
@@ -378,7 +384,17 @@ def takedown_semantic(
         "left_semi",
     ).localCheckpoint(eager=False)
 
-    members = read_snapshot(spark, members_table)  # post-eviction
+    # pin the members read to the exact version the member-eviction
+    # commit produced (txn-keyed, so a replay resolves the same
+    # version): a concurrent members commit between the two steps —
+    # or before a crash replay — must not change which member state
+    # the relabel reads, or the relabel would anchor on rows the
+    # eviction txn never saw
+    members = read_snapshot(
+        spark,
+        members_table,
+        version=txn_version(members_table, f"{txn_id}:sem_members"),
+    )
     dot, _nrm2, _dim = _vector_kernels(members, "e")
     a = affected.select(F.col(id_col).alias("id_dup")).join(
         members, F.col("id") == F.col("id_dup")
@@ -484,11 +500,14 @@ def takedown_split(
     splits_txn = f"{txn_id}:splits_rebase"
 
     folded_v = txn_version(splits_table, splits_txn)
+    pinned_pairs_v: int | None = None
     if folded_v is not None:
         # replay: pre-takedown changelog + pinned counts
         state = read_snapshot(spark, splits_table, version=folded_v - 1)
         pinned = txn_meta(splits_table, splits_txn) or {}
         n_assign_removed = int(pinned.get("assign_removed", 0))
+        if pinned.get("pairs_version") is not None:
+            pinned_pairs_v = int(pinned["pairs_version"])
     else:
         snap = current_snapshot(splits_table)
         state = read_snapshot(spark, splits_table, version=snap.version)
@@ -519,8 +538,14 @@ def takedown_split(
 
     # surviving edges among the affected members: neither endpoint in D,
     # both endpoints survivors (an edge to an unaffected cluster cannot
-    # exist — it would have merged the clusters already)
-    pairs = read_snapshot(spark, pairs_table)
+    # exist — it would have merged the clusters already).  On replay the
+    # pairs read is PINNED to the version the rebase commit recorded —
+    # a pairs append landing between crash and replay must not make the
+    # recomputed moves audit differ from the rows the first run landed
+    # (D's own rows are anti-joined out either way, so the pinned
+    # post-eviction version and the first run's pre-eviction read see
+    # the identical surviving edge set)
+    pairs = read_snapshot(spark, pairs_table, version=pinned_pairs_v)
     m_ids = survivors.select("doc_id")
     edges = (
         pairs.join(F.broadcast(ids), pairs.id_a == F.col("__td_id"),

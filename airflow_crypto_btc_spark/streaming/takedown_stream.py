@@ -78,6 +78,18 @@ def takedown_sink(
             )
         except CommitConflictError as exc:
             raise ConcurrentMaintenanceError(str(exc)) from exc
+        if gram_table is not None and gram is None:
+            # the decrement needs the departing documents' text; a
+            # batch without it must not LOOK decremented — surface an
+            # explicit audit row so the operator knows the gram index
+            # still carries the deleted docs' counts until a rebuild
+            # (or a re-fed batch with text) lands
+            report = report.unionByName(
+                spark.createDataFrame(
+                    [("gram_index", "skipped_no_text", 0)],
+                    "artifact string, action string, rows_removed bigint",
+                )
+            )
         if report_table is not None:
             from pyspark.sql import functions as F
 

@@ -610,3 +610,166 @@ def test_empty_takedown_set_rewrites_nothing(spark, sf_dir, tmp_path):
     )(empty, 0)
     assert current_snapshot(post).version == v_post
     assert read_snapshot_or_none(spark, audit) is None
+
+
+def test_takedown_split_replay_pins_pairs_version(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: a pairs append landing between a crash (after the
+    splits rebase, before the moves append) and the replay must not
+    change the replayed moves audit — the replay reads pairs at the
+    version pinned in the rebase commit meta.  Control run (no
+    interleaved append) and raced run must land identical moves rows;
+    unpinned, the raced replay would re-cluster the two survivors over
+    the NEW edge and audit an extra side flip (doc 9) the committed
+    rebase never produced."""
+
+    def run(subdir: str, interleave: bool):
+        base = tmp_path / subdir
+        base.mkdir()
+        # chain 9-2-3: cluster id = min = 2 (bucket 5 -> 'test' side)
+        docs = _ids(spark, [2, 3, 9])
+        pairs_tbl, splits_tbl, moves_tbl = _split_state(
+            spark, base, docs, [(2, 3), (2, 9)]
+        )
+        real_append = td.append
+
+        def crashing_append(spark_, df, table, txn_id=None, **kw):
+            if table == moves_tbl and txn_id == "t1:moves":
+                raise RuntimeError("simulated crash")
+            return real_append(spark_, df, table, txn_id=txn_id, **kw)
+
+        monkeypatch.setattr(td, "append", crashing_append)
+        d = _ids(spark, [2])
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            td.takedown_split(
+                spark, d, pairs_tbl, splits_tbl, moves_tbl, txn_id="t1"
+            )
+        monkeypatch.setattr(td, "append", real_append)
+        if interleave:
+            # racing maintainer joins the two survivors of the split
+            # cluster — invisible to a correctly pinned replay
+            append(
+                spark,
+                spark.createDataFrame(
+                    [(3, 9)], "id_a bigint, id_b bigint"
+                ),
+                pairs_tbl,
+            )
+        report = td.takedown_split(
+            spark, d, pairs_tbl, splits_tbl, moves_tbl, txn_id="t1"
+        )
+        moves = sorted(
+            tuple(r)
+            for r in read_snapshot(spark, moves_tbl)
+            .select(
+                "doc_id", "old_cluster_id", "cluster_id",
+                "old_split", "new_split",
+            )
+            .collect()
+        )
+        return sorted(tuple(r) for r in report), moves
+
+    control_rep, control_moves = run("control", interleave=False)
+    raced_rep, raced_moves = run("raced", interleave=True)
+    # doc 3 flips test->train when it loses bridge 2; doc 9 must NOT
+    # flip (it only would under the post-crash edge)
+    assert [m[0] for m in control_moves] == [3]
+    assert raced_moves == control_moves
+    assert raced_rep == control_rep
+
+
+def test_takedown_semantic_relabel_pins_member_eviction_version(
+    spark, tmp_path
+):
+    """ADVICE r12: a members append landing between the member
+    eviction and the (crash-replayed) label rewrite must not change
+    which member state the relabel reads — the read pins to the
+    version the eviction commit produced, so the relabel anchors on
+    exactly the rows the eviction txn saw."""
+    from airflow_crypto_btc_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_purge,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [1.0, 0.02, 0.0, 0.0]),
+        (3, [1.0, 0.03, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cent_t = str(tmp_path / "cent")
+    memb_t = str(tmp_path / "memb")
+    labels_t = str(tmp_path / "labels")
+    build_semantic_index(
+        spark, emb, cent_t, memb_t, source_version="v1",
+        centroid_filter="vec_id = 0",
+    )
+    append(
+        spark,
+        semantic_purge(
+            emb, centroid_filter="vec_id = 0", cosine_threshold=0.99
+        ),
+        labels_t,
+    )
+    d = _ids(spark, [0, 1]).selectExpr("doc_id AS vec_id")
+    # crash window: member eviction landed, labels rewrite did not
+    td.evict_rows(spark, memb_t, d, "id", "t1:sem_members")
+    # racing ingest re-lands id 1 (same cluster, qualifying cosine) —
+    # an unpinned relabel would resurrect nothing and label 2 and 3
+    # as dup_of 1, contradicting the eviction txn's anchor
+    vn = (1.0 + 0.015**2) ** 0.5
+    append(
+        spark,
+        spark.createDataFrame(
+            [(1, [1.0, 0.015, 0.0, 0.0], vn, 0)],
+            "id bigint, e array<double>, vn double, cid bigint",
+        ),
+        memb_t,
+    )
+    report = td.takedown_semantic(
+        spark, d, labels_t, memb_t, txn_id="t1", cosine_threshold=0.99
+    )
+    rep = {r[0]: r[2] for r in report}
+    assert rep["semantic_resurrected"] == 1
+    got = {
+        r["vec_id"]: (r["dup_of"], r["keep"])
+        for r in read_snapshot(spark, labels_t).collect()
+    }
+    assert got[2] == (None, True)   # resurrected, racer invisible
+    assert got[3] == (2, False)     # next-smallest SURVIVING mate
+    assert got[10] == (None, True)
+
+
+def test_takedown_sink_audits_gram_skip_when_text_missing(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r12: gram_table configured but the deletion batch ships
+    no text column — the decrement is impossible, and the audit must
+    SAY so (an explicit skipped_no_text row) instead of letting the
+    gram index silently retain the deleted docs' counts."""
+    from airflow_crypto_btc_spark.streaming import takedown_stream as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+    gram_t = str(tmp_path / "gram")
+    audit_t = str(tmp_path / "audit")
+
+    batch = docs.select("doc_id").limit(3)  # no text column
+    ts.takedown_sink(
+        query_name="q",
+        bm25=(post, dlen),
+        gram_table=gram_t,
+        report_table=audit_t,
+    )(batch, 0)
+    audit = {
+        (r["artifact"], r["action"]): r["rows_removed"]
+        for r in read_snapshot(spark, audit_t).collect()
+    }
+    assert audit[("gram_index", "skipped_no_text")] == 0
+    assert ("bm25_postings", "evicted") in audit

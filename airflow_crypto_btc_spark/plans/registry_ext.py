@@ -682,6 +682,25 @@ def q_sim_lsh_recall(spark, sf_dir):
     return _ann_recall_report(exact, approx)
 
 
+def q_sim_cosine_topk_fast_recall(spark, sf_dir):
+    """The BLAS (numpy-matmul mapInPandas) cosine top-k twin, hashed
+    as a recall report against the built-in-expression exact operator:
+    both paths rank by (cosine DESC, nid ASC) over the same vectors, so
+    the neighbor SETS are equal by contract even though the float
+    scores differ in the last ulp — recall@10 and precision@10 are
+    exactly 1.0, and the oracle replays exact-vs-exact.  The fast
+    kernel still pays its full cost here (it is the timed subject);
+    tests/test_similarity.py additionally pins set equality per qid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
+        "qid", "nid"
+    )
+    fast = cosine_topk_fast(
+        emb, query_filter="vec_id < 20", k=10
+    ).select("qid", "nid")
+    return _ann_recall_report(exact, fast)
+
+
 def _ann_recall_sql(approx_sql: str) -> str:
     micro = (
         "((2 * CAST(n_both AS BIGINT) * 1000000 + CAST({d} AS BIGINT))"
@@ -1065,9 +1084,17 @@ _SQL_TRAIN_TEST_SPLIT = """
 
 
 def q_approx_distinct_tokens(spark, sf_dir):
-    """HLL sketch surface: approximate distinct-token count per source.
-    Sketch internals differ across engines, so this is a rows-only check;
-    tests/test_text.py bounds the estimate against the exact count."""
+    """HLL sketch surface: approximate distinct-token count per source,
+    ORACLE-BACKED via the bounds technique (round 13).  The estimator
+    stays Spark's production `approx_count_distinct` (HLL++, rsd 5%) —
+    the fixture cardinalities (≈31 tokens/source) sit in exactly the
+    sparse/linear-counting regime where the portable register-replay
+    sketch (operators/sketch.hll_registers) is out of spec by design —
+    so the hashable contract is the estimator's ENVELOPE: the exact
+    per-source counts plus a boolean the hash checks (|approx − exact|
+    ≤ max(1, 5% · exact)).  A broken sketch flips the boolean and the
+    driver's value hash catches it; tests/test_text.py additionally
+    bounds the raw estimate."""
     from airflow_crypto_btc_spark.functions.hashing import tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1075,17 +1102,51 @@ def q_approx_distinct_tokens(spark, sf_dir):
         docs.select("source", F.explode(tokens_expr("text")).alias("token"))
         .groupBy("source")
         .agg(
-            F.approx_count_distinct("token").alias("approx_uniq_tokens"),
-            F.count("*").alias("n_tokens"),
+            F.approx_count_distinct("token").alias("approx"),
+            F.countDistinct("token").cast("long").alias("n_uniq_exact"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_uniq_exact",
+            "n_tokens",
+            (
+                F.abs(F.col("approx") - F.col("n_uniq_exact"))
+                <= F.greatest(
+                    F.lit(1.0), 0.05 * F.col("n_uniq_exact")
+                )
+            ).alias("approx_within_5pct"),
         )
     )
+
+
+_SQL_APPROX_DISTINCT_TOKENS = """
+    SELECT source,
+      CAST(COUNT(DISTINCT token) AS BIGINT) AS n_uniq_exact,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      TRUE AS approx_within_5pct
+    FROM (
+      SELECT source, unnest(tokens) AS token
+      FROM (
+        SELECT source,
+          list_filter(
+            regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+            t -> t <> ''
+          ) AS tokens
+        FROM documents
+      )
+    )
+    GROUP BY source
+"""
 
 
 EXT_REGISTRY: dict[str, QuerySpec] = {
     "curate_training_docs": QuerySpec(
         q_curate_training_docs, _SQL_CURATE_TRAINING_DOCS
     ),
-    "approx_distinct_tokens": QuerySpec(q_approx_distinct_tokens, None),
+    "approx_distinct_tokens": QuerySpec(
+        q_approx_distinct_tokens, _SQL_APPROX_DISTINCT_TOKENS
+    ),
     "train_test_split": QuerySpec(
         q_train_test_split, _SQL_TRAIN_TEST_SPLIT
     ),
@@ -1122,16 +1183,16 @@ EXT_REGISTRY: dict[str, QuerySpec] = {
     "sim_lsh_recall": QuerySpec(
         q_sim_lsh_recall, _ann_recall_sql(_SQL_SIM_LSH_TOPK)
     ),
-    # numpy-matmul twin of sim_cosine_topk: BLAS sum order differs at the
-    # last ulp so no hash oracle; neighbor-set equality with the exact
-    # operator is asserted in tests/test_similarity.py
+    # numpy-matmul twin of sim_cosine_topk: BLAS sum order differs at
+    # the last ulp so the SCORES carry no hash oracle — but the
+    # NEIGHBOR SETS must equal the exact operator's, so the entry is
+    # oracle-backed (round 13) as a recall-vs-exact report (the
+    # sim_lsh_recall technique): the oracle replays exact-vs-exact
+    # (recall/precision exactly 1.0) and any fast-kernel drift drops
+    # the Spark-side recall below 1.0 → value-hash mismatch.
     "sim_cosine_topk_fast": QuerySpec(
-        lambda spark, sf_dir: cosine_topk_fast(
-            load_table(spark, sf_dir, "embeddings"),
-            query_filter="vec_id < 20",
-            k=10,
-        ).select("qid", "nid", "cosine", F.col("rnk").cast("long").alias("rnk")),
-        None,
+        q_sim_cosine_topk_fast_recall,
+        _ann_recall_sql(_SQL_SIM_COSINE_TOPK),
     ),
     "sim_embedding_near_dup": QuerySpec(
         q_sim_embedding_near_dup, _SQL_SIM_EMBEDDING_NEAR_DUP

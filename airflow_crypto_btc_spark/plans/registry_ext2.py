@@ -240,22 +240,48 @@ def q_approx_hll_users_rollup(spark, sf_dir):
     sketch per (event_type, day) partition, then a union-merge per
     event_type — the pattern that makes incremental/rollup distinct counts
     possible at 100 TB (per-partition sketches persist; a new day unions
-    in O(sketch) instead of rescanning history).  Approximate → rows-only
-    driver check; accuracy vs exact is pinned by tests/test_analytics.py."""
+    in O(sketch) instead of rescanning history).  ORACLE-BACKED via the
+    bounds technique (round 13): the Datasketches registers are not
+    DuckDB-replayable and the fixture cardinalities (15–1500 users/type)
+    sit in the sketch's exact sparse regime, so the hashable contract is
+    the rollup's ENVELOPE — exact per-type distinct count, the number of
+    daily sketches merged, and a boolean the hash checks (|merged
+    estimate − exact| ≤ max(1, 5% · exact)).  A union-merge bug flips
+    the boolean; tests/test_analytics.py additionally bounds the raw
+    estimate."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("date"))
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk"))
-            .cast("long")
-            .alias("approx_users"),
-            F.count("*").cast("long").alias("n_days_merged"),
-        )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_users"),
+        F.count("*").cast("long").alias("n_days_merged"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        "n_days_merged",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users_exact"))
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("n_users_exact"))
+        ).alias("approx_within_5pct"),
+    )
+
+
+_SQL_APPROX_HLL_USERS_ROLLUP = """
+    SELECT event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days_merged,
+      TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+"""
 
 
 # --------------------------------------------- declarative DQ expectation suite
@@ -717,7 +743,9 @@ EXT2_REGISTRY: dict[str, QuerySpec] = {
     "sql_text_entrypoint": QuerySpec(
         q_sql_text_entrypoint, _SHARED_SQL_MONTHLY_RANK
     ),
-    "approx_hll_users_rollup": QuerySpec(q_approx_hll_users_rollup, None),
+    "approx_hll_users_rollup": QuerySpec(
+        q_approx_hll_users_rollup, _SQL_APPROX_HLL_USERS_ROLLUP
+    ),
     "scalar_date_battery": QuerySpec(
         q_scalar_date_battery, _SQL_SCALAR_DATE_BATTERY
     ),

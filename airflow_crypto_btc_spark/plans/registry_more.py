@@ -850,21 +850,58 @@ def q_percentile_summary(spark, sf_dir):
 
 def q_percentile_approx_summary(spark, sf_dir):
     """The 100 TB path of `percentile_summary`: `approx_percentile`
-    (bounded-memory sketch, mergeable across partitions — no global sort)
-    over the same grouping.  Sketch outputs are engine-specific, so this
-    is a rows-only entry; tests/test_plans.py bounds each approx quantile
-    inside the exact IQR neighborhood from the exact twin."""
+    (bounded-memory sketch, mergeable across partitions — no global
+    sort) over the same grouping.  ORACLE-BACKED via the bounds
+    technique (round 13): the sketch's raw outputs are engine-specific,
+    so the hashable contract is its RANK-ERROR envelope — accuracy
+    10000 guarantees rank error ≤ 1/10000, and the entry emits one
+    boolean per quantile asserting the approx value sits between the
+    exact interpolated quantiles at p ± 0.01 (100× slack, still ~30
+    rows wide at sf0.01).  A sketch regression walks a quantile out of
+    its bracket, flips the boolean, and fails the driver's value hash;
+    tests/test_plans.py additionally bounds the raw values in the exact
+    IQR neighborhood."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     joined = orders.join(
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
-    return joined.groupBy("c_mktsegment").agg(
+    agg = joined.groupBy("c_mktsegment").agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("approx_q"),
-        F.count("*").alias("n_orders"),
+        ).alias("aq"),
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))"
+        ).alias("eq"),
+        F.count("*").cast("long").alias("n_orders"),
     )
+
+    def _in(i: int, lo: int, hi: int):
+        a = F.col("aq").getItem(i)
+        return (
+            (a >= F.col("eq").getItem(lo))
+            & (a <= F.col("eq").getItem(hi))
+        )
+
+    return agg.select(
+        "c_mktsegment",
+        "n_orders",
+        _in(0, 0, 1).alias("q25_in_bounds"),
+        _in(1, 2, 3).alias("q50_in_bounds"),
+        _in(2, 4, 5).alias("q75_in_bounds"),
+    )
+
+
+_SQL_PERCENTILE_APPROX_SUMMARY = """
+    SELECT c_mktsegment,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      TRUE AS q25_in_bounds,
+      TRUE AS q50_in_bounds,
+      TRUE AS q75_in_bounds
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
 
 
 _SQL_PERCENTILE_SUMMARY = """
@@ -1236,7 +1273,9 @@ _SQL_SRC_DAY_CSV_PRUNED = """
 
 MORE_REGISTRY: dict[str, QuerySpec] = {
     "scalar_functions": QuerySpec(q_scalar_functions, _SQL_SCALAR_FUNCTIONS),
-    "percentile_approx_summary": QuerySpec(q_percentile_approx_summary, None),
+    "percentile_approx_summary": QuerySpec(
+        q_percentile_approx_summary, _SQL_PERCENTILE_APPROX_SUMMARY
+    ),
     "scalar_string_battery": QuerySpec(
         q_scalar_string_battery, _SQL_SCALAR_STRING_BATTERY
     ),

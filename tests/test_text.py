@@ -79,8 +79,8 @@ def test_approx_distinct_tokens_bounds(spark, sf_dir):
     )
     from airflow_crypto_btc_spark.sources.tables import load_table
 
-    approx = {
-        r["source"]: r["approx_uniq_tokens"]
+    got = {
+        r["source"]: r
         for r in q_approx_distinct_tokens(spark, sf_dir).collect()
     }
     docs = load_table(spark, sf_dir, "documents")
@@ -93,9 +93,12 @@ def test_approx_distinct_tokens_bounds(spark, sf_dir):
         .agg(F.countDistinct("token").alias("exact"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for src in exact:
-        assert abs(approx[src] - exact[src]) / exact[src] < 0.05
+        # the entry hashes the envelope boolean; pin it here too, plus
+        # that the exact side the envelope anchors on is truly exact
+        assert got[src]["n_uniq_exact"] == exact[src]
+        assert got[src]["approx_within_5pct"] is True
 
 
 def test_train_test_split_is_stable_and_proportional(spark, sf_dir):

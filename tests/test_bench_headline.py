@@ -67,6 +67,17 @@ def test_rule_2_every_registry_module_has_a_timed_line() -> None:
 
 
 @pytest.mark.smoke
+def test_rule_4_untimed_residue_is_bounded() -> None:
+    """Round 13: the bench may leave at most 40 catalog entries without
+    a timed line (the residue rotates in next round, same cursor
+    discipline as the correctness window)."""
+    untimed = [n for n in ALL_QUERIES if n not in set(bench.HEADLINE)]
+    assert len(untimed) <= 40, (
+        f"{len(untimed)} catalog entries untimed: {untimed}"
+    )
+
+
+@pytest.mark.smoke
 def test_family_module_map_is_complete() -> None:
     """If a new registry module is merged into the catalog but not added
     to _FAMILY_MODULES above, rule 2 silently stops covering it — pin

@@ -93,6 +93,7 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
     append,
     commit,
     current_snapshot,
+    read_parts,
     read_snapshot,
     txn_meta,
     txn_version,
@@ -111,6 +112,50 @@ def _ids_frame(doc_ids: DataFrame, id_col: str) -> DataFrame:
     ).distinct()
 
 
+def _touched_files(
+    spark: SparkSession, snap, ids: DataFrame, id_col: str
+) -> tuple[list[str], list[str]]:
+    """Split a snapshot's files into (touched, carried): a file is
+    TOUCHED when its logged [min, max] range of ``id_col`` can contain
+    a takedown id — the Delta/Iceberg DELETE file-skipping test, run
+    DISTRIBUTED (the broadcast side is the file-range table, which is
+    metadata-sized; D streams past it), so no O(|D|) set ever reaches
+    the driver.  Files without stats for ``id_col`` are conservatively
+    touched.  At 100 TB this is the whole game: a fixed-size takedown
+    rewrites at most |D| files of an id-clustered zone no matter how
+    large the corpus grows."""
+    ranged, no_stats = [], []
+    for f in snap.files:
+        rng = (snap.stats.get(f) or {}).get(id_col)
+        if (
+            rng
+            and isinstance(rng[0], (int, float))
+            and isinstance(rng[1], (int, float))
+        ):
+            ranged.append((f, int(rng[0]), int(rng[1])))
+        else:
+            no_stats.append(f)
+    hits: set[str] = set()
+    if ranged:
+        rdf = spark.createDataFrame(
+            ranged, "f string, lo bigint, hi bigint"
+        )
+        hits = {
+            r["f"]
+            for r in ids.join(
+                F.broadcast(rdf),
+                (F.col("__td_id") >= F.col("lo"))
+                & (F.col("__td_id") <= F.col("hi")),
+            )
+            .select("f")
+            .distinct()
+            .collect()  # bounded by #files, never by |D|
+        }
+    touched = sorted(set(no_stats) | hits)
+    carried = [f for f in snap.files if f not in set(touched)]
+    return touched, carried
+
+
 def evict_rows(
     spark: SparkSession,
     table: str,
@@ -119,11 +164,14 @@ def evict_rows(
     txn_id: str,
 ) -> dict:
     """Copy-on-write eviction of ``doc_ids``'s rows from one snapshot
-    table: read the pinned snapshot, anti-join the broadcast takedown
-    set on ``id_col``, commit the survivors as a CAS overwrite.  The
-    eviction count rides the commit meta, so a crash replay returns
-    the identical audit without recounting.  Returns
-    ``{"rows_removed": n, "replayed": bool}``."""
+    table, NARROWED to the files whose logged id stats overlap the
+    takedown set (round 13 — previously the whole table was rewritten;
+    now ``rows(corpus − D)`` is assembled as carried-over untouched
+    files plus the rewritten survivors of the touched files, exactly
+    Delta/Iceberg DELETE).  The anti-join runs against the broadcast
+    takedown set on ``id_col``; the eviction count rides the commit
+    meta, so a crash replay returns the identical audit without
+    recounting.  Returns ``{"rows_removed": n, "replayed": bool}``."""
     done = txn_version(table, txn_id)
     if done is not None:
         pinned = txn_meta(table, txn_id) or {}
@@ -132,28 +180,58 @@ def evict_rows(
             "replayed": True,
         }
     snap = current_snapshot(table)
-    state = read_snapshot(spark, table, version=snap.version)
     ids = _ids_frame(doc_ids, id_col)
+    touched, carried = _touched_files(spark, snap, ids, id_col)
+    meta = dict(snap.meta)
+    meta.update({"takedown": txn_id})
+    if not touched:
+        # no file's id range can hold a D row: a metadata-only commit
+        # records the txn (replays stay idempotent) and zero bytes move
+        meta["rows_removed"] = 0
+        commit(
+            table,
+            add=[],
+            remove=[],
+            operation="takedown",
+            txn_id=txn_id,
+            meta=meta,
+            expect_version=snap.version,
+        )
+        return {"rows_removed": 0, "replayed": False}
+    state = read_parts(spark, table, touched, schema_files=snap.files)
     kept = state.join(
         F.broadcast(ids),
         state[id_col] == F.col("__td_id"),
         "left_anti",
     )
-    # one semi-join count sized by D's hits (file-prunable by id
-    # stats) instead of two full-table counts — the copy-on-write
-    # write below is the only full scan this eviction pays
-    n_removed = state.join(
-        F.broadcast(ids),
-        state[id_col] == F.col("__td_id"),
-        "left_semi",
-    ).count()
-    parts, stats = _write_parts(kept, table)
-    meta = dict(current_snapshot(table).meta)
-    meta.update({"rows_removed": n_removed, "takedown": txn_id})
+    # one pass over the TOUCHED files for both counts (removed + kept)
+    # — ids is distinct, so the left join is row-preserving
+    row = (
+        state.join(
+            F.broadcast(ids),
+            state[id_col] == F.col("__td_id"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count("__td_id").alias("hits"),
+        )
+        .collect()[0]
+    )
+    n_removed, n_kept = int(row["hits"]), int(row["n"] - row["hits"])
+    # a fully-evicted part simply vanishes — UNLESS it was the last
+    # file: the store keeps schema in part footers, so an emptied
+    # table retains one zero-row part as its schema tombstone
+    parts, stats = (
+        _write_parts(kept, table)
+        if n_kept or not carried
+        else ([], {})
+    )
+    meta["rows_removed"] = n_removed
     commit(
         table,
         add=parts,
-        remove=snap.files,
+        remove=touched,
         operation="takedown",
         txn_id=txn_id,
         stats=stats,

@@ -272,6 +272,40 @@ def read_snapshot(
     return df
 
 
+def read_parts(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    schema_files: list[str] | None = None,
+) -> DataFrame:
+    """Scan an EXPLICIT subset of a snapshot's part files — the
+    copy-on-write rewrite path's reader (a DELETE touches only the
+    files whose stats overlap the deletion set; the survivors of those
+    files are rewritten, every other file carries over by reference).
+    ``schema_files`` (default: the subset) aligns the result to the
+    union schema of a wider file set, the same additive-evolution
+    guard ``read_snapshot`` applies when pruning skips the only parts
+    that carry an evolved column."""
+    if not files:
+        raise ValueError("read_parts needs at least one file")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, _DATA_DIR, f) for f in files]
+    )
+    if schema_files and set(schema_files) - set(files):
+        df = df.unionByName(
+            spark.read.option("mergeSchema", "true")
+            .parquet(
+                *[
+                    os.path.join(table, _DATA_DIR, f)
+                    for f in schema_files
+                ]
+            )
+            .filter("1 = 0"),
+            allowMissingColumns=True,
+        )
+    return df
+
+
 def read_snapshot_or_none(
     spark: SparkSession, table: str
 ) -> DataFrame | None:

@@ -373,3 +373,160 @@ def test_reaped_temp_file_is_a_retryable_commit_miss(
     assert reaped["n"] == 1  # the race actually fired
     assert v == 1  # retried at the SAME version, no gap in the log
     assert st.current_snapshot(table).files == ["p0", "p1"]
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 (round 13): takedown racing a live maintainer + OPTIMIZE + vacuum
+# ---------------------------------------------------------------------------
+
+_TAKEDOWN_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from airflow_crypto_btc_spark.operators import takedown as td
+from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("occ-takedown")
+    .config("spark.driver.memory", "1g")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+table = {table!r}
+for k in range({n_takedowns}):
+    ids = spark.range(k * 100, k * 100 + 50).selectExpr("id AS doc_id")
+    attempts = 0
+    while True:
+        try:
+            r = td.evict_rows(
+                spark, table, ids, "doc_id", f"takedown-{{k}}"
+            )
+            break
+        except st.CommitConflictError:
+            # CAS lost to a racing fold/compact: retry FROM THE READ
+            attempts += 1
+            assert attempts < 1000, "livelock"
+    assert r["rows_removed"] == 50, (k, r)
+spark.stop()
+"""
+
+_DOC_APPEND_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("occ-doc-maintainer")
+    .config("spark.driver.memory", "1g")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+table = {table!r}
+for b in range({n_batches}):
+    df = spark.range({rows}).selectExpr(
+        f"2000 + {{b}} * 100 + id AS doc_id", "id AS val"
+    )
+    v = st.append(spark, df, table, txn_id=f"fold-b{{b}}")
+    assert v >= 0
+spark.stop()
+"""
+
+_COMPACT_WORKER = """
+import sys
+import time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("occ-compactor")
+    .config("spark.driver.memory", "1g")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+table = {table!r}
+for _ in range(2):
+    st.compact(spark, table, target_parts=2, max_retries=200)
+    time.sleep(0.5)
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_multiprocess_takedown_races_maintainer_compact_vacuum(
+    spark, tmp_path
+) -> None:
+    """Round-12 verdict item: the in-process CAS-loses-to-racing-fold
+    takedown test promoted to REAL OS processes — one takedown worker
+    evicting four 50-doc sets, one maintainer appending six batches,
+    one compactor running two mid-stream OPTIMIZEs, and one vacuum
+    racer, all on the same snapshot table.  Serializable outcome: the
+    final table is exactly (seed − evicted) ∪ appended, the version
+    sequence is gapless, every takedown txn landed exactly once with
+    its pinned rows_removed=50 in the commit meta."""
+    table = str(tmp_path / "occ_takedown")
+    n_takedowns, n_batches, rows = 4, 6, 50
+    # seed: docs 0..999 — the takedown sets ([0,50) [100,150) [200,250)
+    # [300,350)) are all inside; the maintainer appends a DISJOINT id
+    # range (2000+) so the final state is deterministic while every
+    # commit still contends on the same CAS log
+    seed = spark.range(1000).selectExpr(
+        "id AS doc_id", "id * 10 AS val"
+    )
+    st.append(spark, seed, table, txn_id="seed")
+
+    _run_workers(
+        [
+            _TAKEDOWN_WORKER.format(
+                repo=_REPO, table=table, n_takedowns=n_takedowns
+            ),
+            _DOC_APPEND_WORKER.format(
+                repo=_REPO,
+                table=table,
+                n_batches=n_batches,
+                rows=rows,
+            ),
+            _COMPACT_WORKER.format(repo=_REPO, table=table),
+            _VACUUM_WORKER.format(
+                repo=_REPO,
+                table=table,
+                stop_at=1 + n_takedowns + n_batches + 2,
+            ),
+        ],
+        timeout=900,
+    )
+
+    entries = _log_entries(table)
+    versions = [e["version"] for e in entries]
+    assert versions == list(range(len(versions))), "version gap/dup"
+    ops = [e["operation"] for e in entries]
+    assert ops.count("takedown") == n_takedowns
+    assert ops.count("append") == 1 + n_batches  # seed + maintainer
+    assert ops.count("compact") == 2
+    txns = [e["txn_id"] for e in entries if e.get("txn_id")]
+    assert len(txns) == len(set(txns))
+
+    # each takedown landed once, rows_removed pinned in its meta
+    for k in range(n_takedowns):
+        meta = st.txn_meta(table, f"takedown-{k}")
+        assert meta is not None, f"takedown-{k} never committed"
+        assert int(meta["rows_removed"]) == 50, (k, meta)
+
+    # serializable final state: (seed − evicted) ∪ appended, exactly
+    evicted = {
+        d for k in range(n_takedowns) for d in range(k * 100, k * 100 + 50)
+    }
+    want = ({d for d in range(1000)} - evicted) | {
+        2000 + b * 100 + s for b in range(n_batches) for s in range(rows)
+    }
+    final = st.read_snapshot(spark, table)
+    got = {r["doc_id"] for r in final.collect()}
+    assert final.count() == len(want)
+    assert got == want

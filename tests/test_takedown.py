@@ -773,3 +773,90 @@ def test_takedown_sink_audits_gram_skip_when_text_missing(
     }
     assert audit[("gram_index", "skipped_no_text")] == 0
     assert ("bm25_postings", "evicted") in audit
+
+
+def test_evict_rows_rewrites_only_stat_overlapping_files(
+    spark, tmp_path
+):
+    """Round 13: the copy-on-write eviction narrows to the files whose
+    logged [min,max] id stats overlap D — an id-clustered table keeps
+    its untouched parts BY REFERENCE (same part names in the new
+    snapshot), a D outside every range commits metadata only, and the
+    final content still equals the full anti-join."""
+    table = str(tmp_path / "narrow")
+    # three id-clustered parts: [0,100) [100,200) [200,300)
+    for lo in (0, 100, 200):
+        append(
+            spark,
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS doc_id", "id * 2 AS val"
+            ),
+            table,
+            txn_id=f"seed-{lo}",
+        )
+    before = current_snapshot(table)
+    assert len(before.files) == 3
+
+    # D inside the middle part only
+    r = td.evict_rows(
+        spark, table, _ids(spark, [110, 150, 199]), "doc_id", "t-mid"
+    )
+    assert r == {"rows_removed": 3, "replayed": False}
+    after = current_snapshot(table)
+    carried = set(before.files) & set(after.files)
+    assert len(carried) == 2, "untouched parts must carry by reference"
+    assert len(after.files) == 3  # 2 carried + 1 rewritten
+    got = {
+        r["doc_id"] for r in read_snapshot(spark, table).collect()
+    }
+    assert got == set(range(300)) - {110, 150, 199}
+
+    # D provably outside every file range: metadata-only commit
+    v = current_snapshot(table).version
+    r2 = td.evict_rows(
+        spark, table, _ids(spark, [9999]), "doc_id", "t-miss"
+    )
+    assert r2 == {"rows_removed": 0, "replayed": False}
+    miss = current_snapshot(table)
+    assert miss.version == v + 1          # txn recorded for replay
+    assert set(miss.files) == set(after.files)  # zero bytes moved
+    from airflow_crypto_btc_spark.sources.snapshot_table import txn_meta
+    assert int(txn_meta(table, "t-miss")["rows_removed"]) == 0
+
+    # evicting EVERY row of a part commits no empty part for it
+    r3 = td.evict_rows(
+        spark,
+        table,
+        spark.range(200, 300).selectExpr("id AS doc_id"),
+        "doc_id",
+        "t-tail",
+    )
+    assert r3["rows_removed"] == 100
+    tail = current_snapshot(table)
+    assert len(tail.files) == 2  # the [200,300) part simply vanished
+    assert {
+        r["doc_id"] for r in read_snapshot(spark, table).collect()
+    } == set(range(200)) - {110, 150, 199}
+
+
+def test_evict_rows_keeps_schema_tombstone_when_table_empties(
+    spark, tmp_path
+):
+    """Evicting EVERY row must leave one zero-row part (the store keeps
+    schema in part footers), so the emptied table stays readable."""
+    table = str(tmp_path / "empty_out")
+    append(
+        spark,
+        spark.range(5).selectExpr("id AS doc_id", "id AS val"),
+        table,
+    )
+    r = td.evict_rows(
+        spark, table, spark.range(5).selectExpr("id AS doc_id"),
+        "doc_id", "t-all",
+    )
+    assert r["rows_removed"] == 5
+    snap = current_snapshot(table)
+    assert len(snap.files) == 1  # the schema tombstone
+    back = read_snapshot(spark, table)
+    assert back.count() == 0
+    assert set(back.columns) == {"doc_id", "val"}

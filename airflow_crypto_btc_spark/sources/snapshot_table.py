@@ -329,6 +329,48 @@ def _write_parts(df: DataFrame, table: str) -> tuple[list[str], dict]:
     return [part], {part: _collect_stats(df_back)}
 
 
+def _write_clustered_parts(
+    clustered: DataFrame, table: str, stat_cols: list[str]
+) -> tuple[list[str], dict]:
+    """Stage every range part of a clustered compact in ONE
+    ``partitionBy`` write job (each task owns exactly one ``__pid``, so
+    each partition dir lands exactly one data file) plus ONE grouped
+    aggregate for all per-part min/max stats.  Replaces the previous
+    one-write-job-PER-part loop — O(target_parts) sequential driver
+    round-trips that took minutes at a few thousand files (found by the
+    round-13 takedown probe's sf1 zone build)."""
+    part = f"part-{uuid.uuid4().hex}"
+    out = os.path.join(table, _DATA_DIR, part)
+    clustered.drop("__z").write.partitionBy("__pid").mode(
+        "error"
+    ).parquet(out)
+    pids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out)
+        if d.startswith("__pid=")
+    )
+    parts = [f"{part}/__pid={pid}" for pid in pids]
+    stats: dict[str, dict] = {p: {} for p in parts}
+    if stat_cols:
+        aggs = []
+        for c in stat_cols:
+            aggs += [
+                F.min(c).alias(f"mn__{c}"),
+                F.max(c).alias(f"mx__{c}"),
+            ]
+        for r in clustered.groupBy("__pid").agg(*aggs).collect():
+            d = r.asDict()
+            stats[f"{part}/__pid={int(d['__pid'])}"] = {
+                c: [
+                    _json_safe(d[f"mn__{c}"]),
+                    _json_safe(d[f"mx__{c}"]),
+                ]
+                for c in stat_cols
+                if d[f"mn__{c}"] is not None
+            }
+    return parts, stats
+
+
 def _try_commit(table: str, version: int, entry: dict) -> bool:
     """put-if-absent of the next log file — the atomic commit point.
 
@@ -549,23 +591,15 @@ def compact(
             # layouts unprunable at the commit-log level — the parquet
             # row-group stats inside a part only help predicates Spark
             # pushes to the scan, which join keys are not
-            pids = sorted(
-                r["__pid"]
-                for r in clustered.select("__pid").distinct().collect()
+            parts, stats = _write_clustered_parts(
+                clustered,
+                table,
+                [
+                    f.name
+                    for f in df.schema.fields
+                    if f.dataType.simpleString() in _STATS_TYPES
+                ],
             )
-            parts, stats = [], {}
-            for pid in pids:
-                # the filtered frame keeps the parent's partitioning
-                # (one non-empty partition + empties) — collapse it so
-                # each range part holds exactly one data file
-                p, s = _write_parts(
-                    clustered.filter(F.col("__pid") == pid)
-                    .drop("__z", "__pid")
-                    .coalesce(1),
-                    table,
-                )
-                parts += p
-                stats.update(s)
         else:
             parts, stats = _write_parts(df.coalesce(target_parts), table)
         entry = {
@@ -625,6 +659,16 @@ def vacuum(table: str, keep_versions: int = 2) -> list[str]:
     for part in doomed:
         shutil.rmtree(os.path.join(table, _DATA_DIR, part),
                       ignore_errors=True)
+        if "/" in part:
+            # a clustered-compact range part ("part-x/__pid=3"):
+            # reap the parent staging dir once its last child goes
+            parent = os.path.join(
+                table, _DATA_DIR, part.rsplit("/", 1)[0]
+            )
+            try:
+                os.rmdir(parent)
+            except OSError:
+                pass  # still has live siblings (or already gone)
     return doomed
 
 

@@ -600,17 +600,17 @@ def test_clustered_compact_retries_on_concurrent_append(
     tbl = str(tmp_path / "tbl")
     append(spark, day_slices("2024-01-01"), tbl)
     late = day_slices("2024-01-02")
-    real_write = st._write_parts
+    real_write = st._write_clustered_parts
     fired = {}
 
-    def racing_write(df, table):
-        parts = real_write(df, table)
-        if "done" not in fired:  # race lands during the FIRST range part
+    def racing_write(clustered, table, stat_cols):
+        parts = real_write(clustered, table, stat_cols)
+        if "done" not in fired:  # race lands while the stage is live
             fired["done"] = True
             st.append(spark, late, table)
         return parts
 
-    monkeypatch.setattr(st, "_write_parts", racing_write)
+    monkeypatch.setattr(st, "_write_clustered_parts", racing_write)
     st.compact(spark, tbl, target_parts=3, cluster_by=["user_id"])
     total = day_slices("2024-01-01").count() + late.count()
     snap = current_snapshot(tbl)

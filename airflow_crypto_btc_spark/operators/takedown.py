@@ -115,45 +115,19 @@ def _ids_frame(doc_ids: DataFrame, id_col: str) -> DataFrame:
 def _touched_files(
     spark: SparkSession, snap, ids: DataFrame, id_col: str
 ) -> tuple[list[str], list[str]]:
-    """Split a snapshot's files into (touched, carried): a file is
-    TOUCHED when its logged [min, max] range of ``id_col`` can contain
-    a takedown id — the Delta/Iceberg DELETE file-skipping test, run
-    DISTRIBUTED (the broadcast side is the file-range table, which is
-    metadata-sized; D streams past it), so no O(|D|) set ever reaches
-    the driver.  Files without stats for ``id_col`` are conservatively
-    touched.  At 100 TB this is the whole game: a fixed-size takedown
+    """Split a snapshot's files into (touched, carried) by the logged
+    [min, max] id stats vs the takedown set — delegates to the store's
+    shared :func:`snapshot_table.files_overlapping_keys` (the same
+    narrowing the upsert MERGE path uses; the broadcast side is the
+    metadata-sized file-range table, so no O(|D|) set ever reaches the
+    driver).  At 100 TB this is the whole game: a fixed-size takedown
     rewrites at most |D| files of an id-clustered zone no matter how
     large the corpus grows."""
-    ranged, no_stats = [], []
-    for f in snap.files:
-        rng = (snap.stats.get(f) or {}).get(id_col)
-        if (
-            rng
-            and isinstance(rng[0], (int, float))
-            and isinstance(rng[1], (int, float))
-        ):
-            ranged.append((f, int(rng[0]), int(rng[1])))
-        else:
-            no_stats.append(f)
-    hits: set[str] = set()
-    if ranged:
-        rdf = spark.createDataFrame(
-            ranged, "f string, lo bigint, hi bigint"
-        )
-        hits = {
-            r["f"]
-            for r in ids.join(
-                F.broadcast(rdf),
-                (F.col("__td_id") >= F.col("lo"))
-                & (F.col("__td_id") <= F.col("hi")),
-            )
-            .select("f")
-            .distinct()
-            .collect()  # bounded by #files, never by |D|
-        }
-    touched = sorted(set(no_stats) | hits)
-    carried = [f for f in snap.files if f not in set(touched)]
-    return touched, carried
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        files_overlapping_keys,
+    )
+
+    return files_overlapping_keys(spark, snap, ids, id_col)
 
 
 def evict_rows(
@@ -162,6 +136,7 @@ def evict_rows(
     doc_ids: DataFrame,
     id_col: str,
     txn_id: str,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Copy-on-write eviction of ``doc_ids``'s rows from one snapshot
     table, NARROWED to the files whose logged id stats overlap the
@@ -184,6 +159,8 @@ def evict_rows(
     touched, carried = _touched_files(spark, snap, ids, id_col)
     meta = dict(snap.meta)
     meta.update({"takedown": txn_id})
+    if extra_meta:
+        meta.update(extra_meta)
     if not touched:
         # no file's id range can hold a D row: a metadata-only commit
         # records the txn (replays stay idempotent) and zero bytes move
@@ -405,6 +382,152 @@ def takedown_gram_index(
         ("gram_index", "decremented", grams_touched),
         ("gram_index_rows", "deleted", grams_deleted),
     ]
+
+
+# ------------------------------------------------ merge-on-read (DV)
+#
+# The round-13 eviction probe (SCALING.md) measured the copy-on-write
+# worst case honestly: a SCATTERED 10% takedown overlaps every file's
+# id range and rewrites the whole zone.  Production stores answer with
+# DELETION VECTORS (Delta DVs, Iceberg positional deletes): takedown
+# time records tombstones (O(|D|) bytes, no data file moves), serve
+# time anti-joins them out, and a later OPTIMIZE applies them
+# physically in ONE rewrite that amortizes every deferred takedown.
+# The trade is explicit: merge-on-read serves pay a broadcast
+# anti-join until the apply lands, and PHYSICAL erasure (the
+# bytes-off-disk guarantee the eager path + vacuum gives) happens at
+# apply time, not takedown time — which is why erasure-deadline
+# deletions should stay on the eager path.
+
+
+def takedown_deferred(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    dv_table: str,
+    id_col: str,
+    txn_id: str,
+) -> dict:
+    """Merge-on-read takedown: record D as tombstones in the artifact's
+    deletion-vector companion table instead of rewriting data files —
+    O(|D|) bytes written regardless of corpus size or deletion shape.
+    Txn-keyed append, so replays are exact no-ops.  Readers serve
+    (state − DV) via :func:`read_snapshot_mor`;
+    :func:`apply_deletion_vectors` is the amortized physical rewrite."""
+    ids = _ids_frame(doc_ids, id_col).selectExpr(
+        f"__td_id AS {id_col}"
+    ).localCheckpoint(eager=False)
+    n = ids.count()
+    v = append(spark, ids, dv_table, txn_id=txn_id)
+    return {"tombstones": n, "replayed": v == -1}
+
+
+def read_snapshot_mor(
+    spark: SparkSession,
+    table: str,
+    dv_table: str,
+    id_col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Merge-on-read serve: the snapshot minus its deletion vectors —
+    one broadcast anti-join on ``id_col``.  The tombstone set is
+    bounded by the takedown volume since the last
+    :func:`apply_deletion_vectors`; a DV set too large to broadcast
+    means the apply is overdue (the compaction-cadence contract all
+    MoR stores carry).  A missing or fully-applied DV table serves the
+    plain snapshot."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot_or_none,
+    )
+
+    state = read_snapshot(spark, table, version=version)
+    dv = (
+        read_snapshot_or_none(spark, dv_table)
+        if current_snapshot(dv_table).files
+        else None
+    )
+    if dv is None:
+        return state
+    tomb = dv.select(
+        F.col(id_col).cast("bigint").alias("__dv_id")
+    ).distinct()
+    return state.join(
+        F.broadcast(tomb),
+        state[id_col] == F.col("__dv_id"),
+        "left_anti",
+    )
+
+
+def apply_deletion_vectors(
+    spark: SparkSession,
+    dv_table: str,
+    targets: list[tuple[str, str]],
+    txn_id: str,
+) -> dict:
+    """OPTIMIZE for the merge-on-read path: physically evict every
+    tombstoned row from each ``(table, id_col)`` target in one
+    file-narrowed rewrite per artifact, then TRUNCATE the applied
+    tombstones — a metadata-only commit that de-references exactly the
+    DV files the apply read (file provenance, not id equality, so
+    tombstones appended AFTER the pinned version survive to the next
+    apply, including a re-deletion of a re-ingested id).
+
+    Exactly-once: the first eviction commit pins the applied DV
+    version in its meta; replays evict by txn id and truncate against
+    the same pinned file set.  After apply + ``vacuum``, the deleted
+    rows' bytes are off disk — deferred takedown reaches the same
+    erasure end-state as the eager path, one OPTIMIZE later."""
+    dv_snap = current_snapshot(dv_table)
+    if not dv_snap.files and txn_version(
+        targets[0][0], f"{txn_id}:apply:{targets[0][0]}"
+    ) is None:
+        return {"rows_removed": 0, "replayed": False, "applied": 0}
+    removed = 0
+    replayed = True
+    dv_v: int | None = None
+    for table, id_col in targets:
+        a_txn = f"{txn_id}:apply:{table}"
+        done = txn_version(table, a_txn)
+        if done is not None:
+            pinned = txn_meta(table, a_txn) or {}
+            removed += int(pinned.get("rows_removed", 0))
+            if pinned.get("dv_version") is not None:
+                dv_v = int(pinned["dv_version"])
+            continue
+        replayed = False
+        if dv_v is None:
+            dv_v = dv_snap.version
+        dv = read_snapshot(spark, dv_table, version=dv_v)
+        r = evict_rows(
+            spark,
+            table,
+            dv.select(F.col(id_col)) if id_col in dv.columns
+            else dv.select(
+                F.col(dv.columns[0]).alias(id_col)
+            ),
+            id_col,
+            a_txn,
+            extra_meta={"dv_version": dv_v},
+        )
+        removed += r["rows_removed"]
+    t_txn = f"{txn_id}:dv_truncate"
+    if dv_v is not None and txn_version(dv_table, t_txn) is None:
+        applied_files = set(
+            current_snapshot(dv_table, version=dv_v).files
+        )
+        cur = current_snapshot(dv_table)
+        commit(
+            dv_table,
+            add=[],
+            remove=[f for f in cur.files if f in applied_files],
+            operation="dv_truncate",
+            txn_id=t_txn,
+            expect_version=cur.version,
+        )
+    return {
+        "rows_removed": removed,
+        "replayed": replayed,
+        "applied": len(targets),
+    }
 
 
 def takedown_semantic(

@@ -749,9 +749,101 @@ def _semantic_takedown_sql() -> str:
     return _semantic_purge_sql(source=_EMB_MINUS_D)
 
 
+# ----------------------------------------- merge-on-read (round 13)
+def _deferred_takedown_zone(spark, sf_dir, apply_dv: bool):
+    from airflow_crypto_btc_spark.operators.search import build_bm25_index
+    from airflow_crypto_btc_spark.operators.takedown import (
+        apply_deletion_vectors,
+        takedown_deferred,
+    )
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+
+    docs = load_table(spark, sf_dir, "documents")
+    source_version = _fingerprint(sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        post = os.path.join(staging, "postings")
+        dlen = os.path.join(staging, "doclen")
+        dv = os.path.join(staging, "dv")
+        build_bm25_index(
+            spark, docs, post, dlen, source_version=source_version
+        )
+        takedown_deferred(
+            spark, _takedown_ids(docs), dv, "doc_id", txn_id="defer"
+        )
+        if apply_dv:
+            apply_deletion_vectors(
+                spark, dv, [(post, "doc_id"), (dlen, "doc_id")],
+                txn_id="optimize",
+            )
+
+    name = "takedown_dv_applied" if apply_dv else "takedown_deferred"
+    return (
+        _landing_zone(sf_dir, "documents", name, _land),
+        source_version,
+    )
+
+
+def q_curate_takedown_deferred(spark, sf_dir):
+    """BM25 served MERGE-ON-READ: the index still physically contains
+    D (takedown wrote only O(|D|) tombstones — the answer to the
+    scattered-deletion full-rewrite worst case the round-13 probe
+    measured), and the serve anti-joins the deletion vectors out of
+    both postings and doc lengths (operators/takedown.read_snapshot_mor).
+    The oracle rebuilds BM25 from scratch on (corpus − D): agreement
+    proves df, N and Σdl all shrink exactly under the DV mask, before
+    any physical rewrite has happened."""
+    from airflow_crypto_btc_spark.operators.search import (
+        bm25_topk_from_parts,
+        default_queries,
+    )
+    from airflow_crypto_btc_spark.operators.takedown import (
+        read_snapshot_mor,
+    )
+
+    zone, _src = _deferred_takedown_zone(spark, sf_dir, apply_dv=False)
+    post = os.path.join(zone, "postings")
+    dlen = os.path.join(zone, "doclen")
+    dv = os.path.join(zone, "dv")
+    remaining = load_table(spark, sf_dir, "documents").filter(_KEEP_PRED)
+    return bm25_topk_from_parts(
+        read_snapshot_mor(spark, post, dv, "doc_id"),
+        read_snapshot_mor(spark, dlen, dv, "doc_id"),
+        default_queries(remaining),
+    )
+
+
+def q_curate_takedown_dv_applied(spark, sf_dir):
+    """The deferred path's OPTIMIZE end-state: the deletion vectors
+    applied physically (one file-narrowed rewrite per artifact, DV
+    table truncated by file provenance) and BM25 served from the plain
+    snapshot — same oracle as the eager eviction, proving deferred +
+    apply converges to the identical state one rewrite later."""
+    from airflow_crypto_btc_spark.operators.search import (
+        bm25_topk_from_index,
+        default_queries,
+    )
+
+    zone, src = _deferred_takedown_zone(spark, sf_dir, apply_dv=True)
+    remaining = load_table(spark, sf_dir, "documents").filter(_KEEP_PRED)
+    return bm25_topk_from_index(
+        spark,
+        os.path.join(zone, "postings"),
+        os.path.join(zone, "doclen"),
+        default_queries(remaining),
+        expect_source=src,
+    )
+
+
 TAKEDOWN_REGISTRY: dict[str, QuerySpec] = {
     "curate_takedown_bm25": QuerySpec(
         q_curate_takedown_bm25, bm25_topk_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_deferred": QuerySpec(
+        q_curate_takedown_deferred, bm25_topk_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_dv_applied": QuerySpec(
+        q_curate_takedown_dv_applied, bm25_topk_sql(_DOCS_MINUS_D)
     ),
     "curate_takedown_pq": QuerySpec(
         q_curate_takedown_pq, _pq_takedown_sql()

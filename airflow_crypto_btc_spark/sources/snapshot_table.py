@@ -272,6 +272,76 @@ def read_snapshot(
     return df
 
 
+#: dtypes files_overlapping_keys can range-test; everything else falls
+#: back to "every file touched" (conservative, never incorrect)
+_RANGE_TEST_TYPES = {
+    "int": "bigint", "bigint": "bigint", "smallint": "bigint",
+    "tinyint": "bigint", "float": "double", "double": "double",
+    "string": "string", "date": "string",
+}
+
+
+def files_overlapping_keys(
+    spark: SparkSession, snap: Snapshot, keys_df: DataFrame, col: str
+) -> tuple[list[str], list[str]]:
+    """Split a snapshot's files into (touched, carried): a file is
+    TOUCHED when its logged [min, max] range of ``col`` can contain one
+    of the probe keys (``keys_df``'s single column) — the Delta/Iceberg
+    file-skipping test behind narrowed DELETE/MERGE rewrites, run
+    DISTRIBUTED: the broadcast side is the metadata-sized file-range
+    table, the key set streams past it, and only #files rows ever reach
+    the driver.  Files without stats for ``col``, and key dtypes
+    without a faithful cross-range comparison (timestamps survive the
+    stats JSON round-trip with a different text shape), conservatively
+    touch everything — narrowing may only ever widen, never miss a
+    matching row.  Integrals compare as bigint (a double cast would
+    lose >2^53 precision and could skip a file that matches)."""
+    probe_col = keys_df.columns[0]  # probe values; ``col`` names the
+    # stats column in the TARGET table (they may differ, e.g. the
+    # takedown set's normalized __td_id probing a doc_id-keyed table)
+    dtype = dict(keys_df.dtypes).get(probe_col)
+    sql_t = _RANGE_TEST_TYPES.get(dtype or "")
+    if sql_t is None:
+        return sorted(snap.files), []
+    if dtype == "date":
+        # stats hold ISO date strings; lexicographic == chronological
+        probe = keys_df.select(
+            F.col(probe_col).cast("string").alias("__k")
+        )
+    else:
+        probe = keys_df.select(
+            F.col(probe_col).cast(sql_t).alias("__k")
+        )
+    coerce = {"bigint": int, "double": float, "string": str}[sql_t]
+    ranged, no_stats = [], []
+    for f in snap.files:
+        rng = (snap.stats.get(f) or {}).get(col)
+        try:
+            ranged.append((f, coerce(rng[0]), coerce(rng[1])))
+        except (TypeError, ValueError, IndexError):
+            no_stats.append(f)  # absent/mistyped stats: keep the file
+    hits: set[str] = set()
+    if ranged:
+        rdf = spark.createDataFrame(
+            ranged, f"f string, lo {sql_t}, hi {sql_t}"
+        )
+        hits = {
+            r["f"]
+            for r in probe.distinct()
+            .join(
+                F.broadcast(rdf),
+                (F.col("__k") >= F.col("lo"))
+                & (F.col("__k") <= F.col("hi")),
+            )
+            .select("f")
+            .distinct()
+            .collect()
+        }
+    touched = sorted(set(no_stats) | hits)
+    carried = [f for f in snap.files if f not in set(touched)]
+    return touched, carried
+
+
 def read_parts(
     spark: SparkSession,
     table: str,
@@ -697,11 +767,29 @@ def upsert(
 
     if txn_id and txn_id in current_snapshot(table).txn_ids:
         return -1
-    existing = read_snapshot(spark, table)
+    snap = current_snapshot(table)
+    # narrow the MERGE rewrite to the files whose logged key ranges can
+    # contain an incoming key (round 13 — previously every fold rewrote
+    # the whole state table): a matching existing row in a carried file
+    # would have to carry a key inside that file's [min,max], which the
+    # range test just excluded, so carried files need no merge and move
+    # zero bytes.  Narrowing is on the FIRST key column (conservative
+    # superset for compound keys); un-range-testable dtypes fall back
+    # to the full rewrite inside files_overlapping_keys.
+    touched, carried = files_overlapping_keys(
+        spark, snap, incoming.select(key_cols[0]), key_cols[0]
+    )
+    if touched:
+        existing = read_parts(
+            spark, table, touched, schema_files=snap.files
+        )
+    else:  # pure insert batch: no file overlaps any incoming key
+        existing = read_snapshot(
+            spark, table, version=snap.version
+        ).filter("1 = 0")
     merged = upsert_by_key(existing, incoming, key_cols, update_cols)
-    old = current_snapshot(table).files
     parts, stats = _write_parts(merged, table)
-    return commit(table, add=parts, remove=old, operation="upsert",
+    return commit(table, add=parts, remove=touched, operation="upsert",
                   txn_id=txn_id, stats=stats,
                   expect_version=expect_version, meta=meta)
 

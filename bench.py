@@ -393,6 +393,10 @@ HEADLINE = [
     "curate_quota_decisions",
     "forecast_baselines",
     "win_stochastic_atr",
+    # round-13: merge-on-read takedown — tombstone serve + the applied
+    # OPTIMIZE end-state (the scattered-deletion answer)
+    "curate_takedown_deferred",
+    "curate_takedown_dv_applied",
 ]
 
 

@@ -621,3 +621,111 @@ def test_clustered_compact_retries_on_concurrent_append(
     assert all(
         "user_id" in (snap.stats.get(f) or {}) for f in snap.files
     )
+
+
+def test_upsert_rewrites_only_key_overlapping_files(spark, tmp_path):
+    """Round 13: the MERGE rewrite narrows to the files whose logged
+    key ranges can contain an incoming key — untouched parts carry by
+    reference, a pure-insert batch removes nothing, and the result
+    always equals the full-table merge."""
+    import airflow_crypto_btc_spark.sources.snapshot_table as st
+    from airflow_crypto_btc_spark.operators.merge import upsert_by_key
+
+    tbl = str(tmp_path / "narrow_upsert")
+    for lo in (0, 100, 200):  # three id-clustered parts
+        append(
+            spark,
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "id * 2 AS v", "id * 3 AS w"
+            ),
+            tbl,
+        )
+    before = current_snapshot(tbl)
+    full_before = read_snapshot(spark, tbl)
+
+    # batch updates the middle range and inserts brand-new keys
+    batch = spark.createDataFrame(
+        [(150, -1), (160, -2), (999, -3)], "k bigint, v bigint"
+    )
+    want = {
+        (r["k"], r["v"], r["w"])
+        for r in upsert_by_key(full_before, batch, ["k"]).collect()
+    }
+    st.upsert(spark, batch, tbl, key_cols=["k"])
+    after = current_snapshot(tbl)
+    carried = set(before.files) & set(after.files)
+    assert len(carried) == 2, "non-overlapping parts must carry over"
+    got = {
+        (r["k"], r["v"], r["w"])
+        for r in read_snapshot(spark, tbl).collect()
+    }
+    assert got == want
+
+    # pure-insert batch: no key range overlaps, zero files removed
+    v = current_snapshot(tbl).version
+    ins = spark.createDataFrame([(5000, 1)], "k bigint, v bigint")
+    st.upsert(spark, ins, tbl, key_cols=["k"])
+    after2 = current_snapshot(tbl)
+    assert set(after.files) <= set(after2.files)
+    assert len(after2.files) == len(after.files) + 1
+    assert after2.version == v + 1
+    assert read_snapshot(spark, tbl).filter("k = 5000").count() == 1
+
+
+def test_upsert_narrowing_string_keys_and_fallback(spark, tmp_path):
+    """String keys range-test lexicographically; a dtype the stats
+    cannot faithfully compare (timestamp survives the JSON round-trip
+    with a different text shape) falls back to the full rewrite — in
+    both cases the merged VALUES equal the full-table merge."""
+    import airflow_crypto_btc_spark.sources.snapshot_table as st
+
+    tbl = str(tmp_path / "str_upsert")
+    append(
+        spark,
+        spark.createDataFrame(
+            [("apple", 1), ("banana", 2)], "k string, v bigint"
+        ),
+        tbl,
+    )
+    append(
+        spark,
+        spark.createDataFrame(
+            [("melon", 3), ("peach", 4)], "k string, v bigint"
+        ),
+        tbl,
+    )
+    before = current_snapshot(tbl)
+    st.upsert(
+        spark,
+        spark.createDataFrame([("banana", 20)], "k string, v bigint"),
+        tbl,
+        key_cols=["k"],
+    )
+    after = current_snapshot(tbl)
+    assert len(set(before.files) & set(after.files)) == 1  # m-p carried
+    got = {
+        (r["k"], r["v"]) for r in read_snapshot(spark, tbl).collect()
+    }
+    assert got == {
+        ("apple", 1), ("banana", 20), ("melon", 3), ("peach", 4)
+    }
+
+    # timestamp key: conservative full rewrite, correct values
+    tbl2 = str(tmp_path / "ts_upsert")
+    append(
+        spark,
+        spark.sql(
+            "SELECT timestamp'2024-01-01 00:00:00' AS k, 1 AS v"
+        ),
+        tbl2,
+    )
+    st.upsert(
+        spark,
+        spark.sql(
+            "SELECT timestamp'2024-01-01 00:00:00' AS k, 9 AS v"
+        ),
+        tbl2,
+        key_cols=["k"],
+    )
+    rows = read_snapshot(spark, tbl2).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 9

@@ -860,3 +860,109 @@ def test_evict_rows_keeps_schema_tombstone_when_table_empties(
     back = read_snapshot(spark, table)
     assert back.count() == 0
     assert set(back.columns) == {"doc_id", "val"}
+
+
+def test_deferred_takedown_mor_serve_and_apply(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Merge-on-read takedown lifecycle: defer writes O(|D|) tombstones
+    (zero data-file moves), the MoR serve equals the eager eviction,
+    apply_deletion_vectors physically evicts and truncates exactly the
+    applied DV files (tombstones landing in the crash window survive to
+    the next apply), and replays change nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    dv = str(tmp_path / "dv")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+    v_post = current_snapshot(post).version
+    v_dlen = current_snapshot(dlen).version
+
+    d1 = docs.filter("doc_id % 10 = 3").select("doc_id")
+    r = td.takedown_deferred(spark, d1, dv, "doc_id", "t1")
+    assert r["replayed"] is False and r["tombstones"] == d1.count()
+    # zero rewrite at takedown time
+    assert current_snapshot(post).version == v_post
+    assert current_snapshot(dlen).version == v_dlen
+    # replay: exact no-op
+    again = td.takedown_deferred(spark, d1, dv, "doc_id", "t1")
+    assert again["replayed"] is True
+    assert current_snapshot(dv).version == 0
+
+    # the MoR serve equals filtering the survivors
+    want = {
+        r["doc_id"]
+        for r in read_snapshot(spark, dlen)
+        .filter("doc_id % 10 != 3")
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in td.read_snapshot_mor(spark, dlen, dv, "doc_id")
+        .collect()
+    }
+    assert got == want
+
+    # crash between the apply's eviction and its DV truncate, with a
+    # NEW tombstone batch landing in the window
+    real_commit = td.commit
+
+    def crashing_commit(table, **kw):
+        if kw.get("operation") == "dv_truncate":
+            raise RuntimeError("simulated crash")
+        return real_commit(table, **kw)
+
+    monkeypatch.setattr(td, "commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        td.apply_deletion_vectors(
+            spark, dv, [(post, "doc_id"), (dlen, "doc_id")], "opt1"
+        )
+    monkeypatch.setattr(td, "commit", real_commit)
+    d2 = docs.filter("doc_id % 10 = 7").select("doc_id")
+    td.takedown_deferred(spark, d2, dv, "doc_id", "t2")
+
+    out = td.apply_deletion_vectors(
+        spark, dv, [(post, "doc_id"), (dlen, "doc_id")], "opt1"
+    )
+    assert out["applied"] == 2
+    # the data now physically excludes d1 ONLY (d2 landed after the
+    # pinned DV version and must survive the truncate as tombstones)
+    assert {
+        r["doc_id"] for r in read_snapshot(spark, dlen).collect()
+    } == want
+    dv_left = {
+        r["doc_id"] for r in read_snapshot(spark, dv).collect()
+    }
+    assert dv_left == {r["doc_id"] for r in d2.collect()}
+    # MoR still hides d2 until the next apply
+    assert {
+        r["doc_id"]
+        for r in td.read_snapshot_mor(spark, dlen, dv, "doc_id")
+        .collect()
+    } == want - dv_left
+
+    # replaying the whole apply changes nothing
+    vs = (current_snapshot(post).version, current_snapshot(dlen).version,
+          current_snapshot(dv).version)
+    rep = td.apply_deletion_vectors(
+        spark, dv, [(post, "doc_id"), (dlen, "doc_id")], "opt1"
+    )
+    assert rep["replayed"] is True
+    assert rep["rows_removed"] == out["rows_removed"]
+    assert vs == (
+        current_snapshot(post).version,
+        current_snapshot(dlen).version,
+        current_snapshot(dv).version,
+    )
+
+    # the second apply drains d2 and empties the DV table
+    td.apply_deletion_vectors(
+        spark, dv, [(post, "doc_id"), (dlen, "doc_id")], "opt2"
+    )
+    assert current_snapshot(dv).files == []
+    assert {
+        r["doc_id"] for r in read_snapshot(spark, dlen).collect()
+    } == want - dv_left
+    # an emptied DV table serves the plain snapshot again
+    assert td.read_snapshot_mor(
+        spark, dlen, dv, "doc_id"
+    ).count() == len(want - dv_left)

@@ -142,10 +142,47 @@ def probe(sf_dir: str) -> list[dict]:
                     "n_docs": n_docs,
                     "D": size,
                     "shape": shape,
+                    "mode": "eager",
                     "wall_s": round(wall, 2),
                     "files_rewritten": files_rewritten,
                     "files_total": f_before,
                     "rows_rewritten": rows_rewritten,
+                    "zone_rows": r_before,
+                })
+                shutil.rmtree(zone, ignore_errors=True)
+
+                # merge-on-read twin: tombstones at takedown time,
+                # anti-join at serve time, zero data files moved
+                zone = tempfile.mkdtemp(dir=base_root)
+                for name in ("post", "dlen"):
+                    shutil.copytree(
+                        os.path.join(master, name),
+                        os.path.join(zone, name),
+                    )
+                post = os.path.join(zone, "post")
+                dlen = os.path.join(zone, "dlen")
+                dv = os.path.join(zone, "dv")
+                t0 = time.time()
+                td.takedown_deferred(
+                    spark, ids, dv, "doc_id",
+                    txn_id=f"defer-{size}-{shape}",
+                )
+                w_defer = time.time() - t0
+                t0 = time.time()
+                served = sum(
+                    td.read_snapshot_mor(spark, t, dv, "doc_id").count()
+                    for t in (post, dlen)
+                )
+                w_serve = time.time() - t0
+                out.append({
+                    "sf_dir": os.path.basename(sf_dir.rstrip("/")),
+                    "n_docs": n_docs,
+                    "D": size,
+                    "shape": shape,
+                    "mode": "deferred",
+                    "wall_defer_s": round(w_defer, 2),
+                    "wall_mor_serve_s": round(w_serve, 2),
+                    "rows_served": served,
                     "zone_rows": r_before,
                 })
                 shutil.rmtree(zone, ignore_errors=True)

@@ -342,6 +342,28 @@ def files_overlapping_keys(
     return touched, carried
 
 
+def files_overlapping_all_keys(
+    spark: SparkSession,
+    snap: Snapshot,
+    incoming: DataFrame,
+    cols: list[str],
+) -> tuple[list[str], list[str]]:
+    """Compound-key narrowing: a file can hold a row matching an
+    incoming key only if it overlaps on EVERY key column, so the
+    touched set is the INTERSECTION of the per-column overlap sets —
+    strictly tighter than any single column and still conservative
+    (each per-column test keeps stat-less or un-comparable files)."""
+    touched: set[str] | None = None
+    for c in cols:
+        t, _ = files_overlapping_keys(
+            spark, snap, incoming.select(c), c
+        )
+        touched = set(t) if touched is None else touched & set(t)
+    final = sorted(touched or set())
+    carried = [f for f in snap.files if f not in set(final)]
+    return final, carried
+
+
 def read_parts(
     spark: SparkSession,
     table: str,
@@ -771,13 +793,13 @@ def upsert(
     # narrow the MERGE rewrite to the files whose logged key ranges can
     # contain an incoming key (round 13 — previously every fold rewrote
     # the whole state table): a matching existing row in a carried file
-    # would have to carry a key inside that file's [min,max], which the
-    # range test just excluded, so carried files need no merge and move
-    # zero bytes.  Narrowing is on the FIRST key column (conservative
-    # superset for compound keys); un-range-testable dtypes fall back
-    # to the full rewrite inside files_overlapping_keys.
-    touched, carried = files_overlapping_keys(
-        spark, snap, incoming.select(key_cols[0]), key_cols[0]
+    # would have to overlap the incoming keys on EVERY key column,
+    # which the per-column intersection just excluded, so carried
+    # files need no merge and move zero bytes.  Un-range-testable
+    # dtypes fall back to "touched" per column — conservative, never
+    # incorrect.
+    touched, carried = files_overlapping_all_keys(
+        spark, snap, incoming, list(key_cols)
     )
     if touched:
         existing = read_parts(

@@ -24,7 +24,9 @@ from collections.abc import Sequence
 
 from airflow_crypto_btc_spark.sources.snapshot_table import (
     append,
-    read_snapshot,
+    current_snapshot,
+    files_overlapping_all_keys,
+    read_parts,
     upsert,
 )
 
@@ -74,17 +76,31 @@ def rollup_maintenance_sink(
 
     def _fold(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        delta_state = ohlc_state(batch_df, ts_col, price_col, key_cols)
+        delta_state = ohlc_state(
+            batch_df, ts_col, price_col, key_cols
+        ).localCheckpoint(eager=False)
         txn = f"{query_name}:{batch_id}"
-        try:
-            old = read_snapshot(spark, state_table)
-        except ValueError:  # first batch bootstraps the state table
+        snap = current_snapshot(state_table)
+        if not snap.files:  # first batch bootstraps the state table
             append(spark, delta_state, state_table, txn_id=txn)
             return
-        old_touched = old.join(delta_state.select(*keys), keys, "left_semi")
-        merged = merge_ohlc_states(
-            old_touched, delta_state, key_cols=key_cols
+        # the prior-state read narrows to the files whose key ranges
+        # overlap the batch (round 13): the fold's read AND its write
+        # (upsert narrows the same way) are both batch-bounded, so a
+        # constant-size batch folds in constant work no matter how
+        # large the accumulated state grows
+        touched, _ = files_overlapping_all_keys(
+            spark, snap, delta_state, keys
         )
+        if touched:
+            old_touched = read_parts(
+                spark, state_table, touched, schema_files=snap.files
+            ).join(delta_state.select(*keys), keys, "left_semi")
+            merged = merge_ohlc_states(
+                old_touched, delta_state, key_cols=key_cols
+            )
+        else:  # every batch key is brand-new: pure insert
+            merged = delta_state
         upsert(spark, merged, state_table, key_cols=keys, txn_id=txn)
 
     return _fold

@@ -70,15 +70,19 @@ pattern) and land identical rows.  Eviction counts ride the commit
 meta so a replayed cascade reports the identical audit rows.
 
 Scale shape: each eviction is one anti-join against a broadcast D and
-a staged rewrite — copy-on-write, exactly Delta/Iceberg DELETE.  At
-100 TB the rewrite narrows to the files whose min/max id stats overlap
-D (the snapshot store's file-level pruning); artifacts keyed by
-something other than doc id (token-keyed postings) rewrite wider, which
-is why production token-keyed stores pair copy-on-write with
-merge-on-read deletion vectors — the exact-equality variant here is
-the verifiable one.  The split recompute touches only the affected
-clusters' members and edges (two key-joins + one bounded component
-run), never the corpus.
+a staged rewrite — copy-on-write, exactly Delta/Iceberg DELETE, and
+(round 13) the rewrite IS narrowed to the files whose min/max id stats
+overlap D (:func:`_touched_files` → the store's shared
+``files_overlapping_keys``); carried files move zero bytes, measured
+flat-in-corpus for clustered deletions in SCALING.md.  Deletions
+SCATTERED across the id space still degenerate to a full rewrite —
+for those this module also ships the production alternative,
+merge-on-read DELETION VECTORS (:func:`takedown_deferred` /
+:func:`read_snapshot_mor` / :func:`apply_deletion_vectors` — O(|D|)
+tombstones at takedown time, one amortized file-narrowed rewrite at
+OPTIMIZE time), oracle-backed like the eager path.  The split
+recompute touches only the affected clusters' members and edges (two
+key-joins + one bounded component run), never the corpus.
 
 No counterpart in the reference (``dags/dag_btc_daily.py`` never
 deletes); completes the SURVEY §2.9 persisted-artifact lifecycle.

@@ -774,11 +774,14 @@ def upsert(
     expect_version: int | None = None,
     meta: dict | None = None,
 ) -> int:
-    """Copy-on-write MERGE (S8 semantics via operators/merge.upsert_by_key):
-    read the current snapshot, merge, stage the merged result, commit as a
-    full swap.  At scale the rewrite narrows to only the files whose key
-    ranges intersect the incoming batch (file-level min/max pruning) — the
-    snapshot mechanics are identical.
+    """Copy-on-write MERGE (S8 semantics via operators/merge.upsert_by_key),
+    NARROWED (round 13, no longer aspirational): only the files whose
+    logged key ranges intersect the incoming batch on every key column
+    are read, merged and rewritten (:func:`files_overlapping_all_keys`);
+    every other file carries into the new snapshot by reference, so a
+    constant-size batch merges in constant work regardless of table
+    size.  A pure-insert batch (no file overlaps) removes nothing and
+    appends one part.
 
     ``txn_id`` makes a re-run idempotent exactly as in :func:`append`:
     if this id is already in the log, nothing is staged or committed and

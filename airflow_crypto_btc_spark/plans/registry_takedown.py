@@ -784,6 +784,69 @@ def _deferred_takedown_zone(spark, sf_dir, apply_dv: bool):
     )
 
 
+def _dv_stream_zone(spark, sf_dir):
+    from airflow_crypto_btc_spark.operators.search import build_bm25_index
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.streaming.takedown_stream import (
+        deferred_takedown_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    source_version = _fingerprint(sf_dir, "documents")
+
+    def _land(staging: str) -> None:
+        post = os.path.join(staging, "postings")
+        dlen = os.path.join(staging, "doclen")
+        dv = os.path.join(staging, "dv")
+        build_bm25_index(
+            spark, docs, post, dlen, source_version=source_version
+        )
+        # the MoR erasure queue: D arrives in two tombstone batches
+        # (together exactly _D_PRED); no apply cadence fires, so the
+        # serve is pure merge-on-read over the queued tombstones
+        sink = deferred_takedown_sink(
+            query_name="dv-queue",
+            dv_table=dv,
+            targets=[(post, "doc_id"), (dlen, "doc_id")],
+            apply_every=None,
+        )
+        sink(docs.filter("doc_id % 20 = 3").select("doc_id"), 0)
+        sink(docs.filter("doc_id % 20 = 13").select("doc_id"), 1)
+
+    return (
+        _landing_zone(sf_dir, "documents", "takedown_dv_stream", _land),
+        source_version,
+    )
+
+
+def q_curate_takedown_dv_from_stream(spark, sf_dir):
+    """BM25 served merge-on-read over a STREAMED tombstone queue: two
+    deletion batches landed as deletion vectors (zero data-file moves,
+    streaming/takedown_stream.deferred_takedown_sink), no OPTIMIZE has
+    run, and the serve anti-joins the queue out of postings and doc
+    lengths.  Same oracle as the eager queue entry — the rebuild on
+    (corpus − D) — proving batch-wise tombstones compose to the one-
+    shot deletion under merge-on-read."""
+    from airflow_crypto_btc_spark.operators.search import (
+        bm25_topk_from_parts,
+        default_queries,
+    )
+    from airflow_crypto_btc_spark.operators.takedown import (
+        read_snapshot_mor,
+    )
+
+    zone, _src = _dv_stream_zone(spark, sf_dir)
+    post = os.path.join(zone, "postings")
+    dlen = os.path.join(zone, "doclen")
+    dv = os.path.join(zone, "dv")
+    remaining = load_table(spark, sf_dir, "documents").filter(_KEEP_PRED)
+    return bm25_topk_from_parts(
+        read_snapshot_mor(spark, post, dv, "doc_id"),
+        read_snapshot_mor(spark, dlen, dv, "doc_id"),
+        default_queries(remaining),
+    )
+
+
 def q_curate_takedown_deferred(spark, sf_dir):
     """BM25 served MERGE-ON-READ: the index still physically contains
     D (takedown wrote only O(|D|) tombstones — the answer to the
@@ -844,6 +907,9 @@ TAKEDOWN_REGISTRY: dict[str, QuerySpec] = {
     ),
     "curate_takedown_dv_applied": QuerySpec(
         q_curate_takedown_dv_applied, bm25_topk_sql(_DOCS_MINUS_D)
+    ),
+    "curate_takedown_dv_from_stream": QuerySpec(
+        q_curate_takedown_dv_from_stream, bm25_topk_sql(_DOCS_MINUS_D)
     ),
     "curate_takedown_pq": QuerySpec(
         q_curate_takedown_pq, _pq_takedown_sql()

@@ -101,3 +101,57 @@ def takedown_sink(
             )
 
     return _fold
+
+
+def deferred_takedown_sink(
+    query_name: str,
+    dv_table: str,
+    targets: list[tuple[str, str]],
+    apply_every: int | None = None,
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` callback for the MERGE-ON-READ erasure queue:
+    each deletion batch lands as O(|batch|) tombstones
+    (operators/takedown.takedown_deferred — zero data files move),
+    readers serve (state − DV) via ``read_snapshot_mor``, and every
+    ``apply_every``-th batch triggers ``apply_deletion_vectors`` — the
+    amortized physical rewrite that drains the queue into the
+    ``targets`` artifacts.  ``apply_every=None`` never applies inline
+    (an external OPTIMIZE owns the cadence).
+
+    Use this queue for contamination/near-dup removals where serve
+    correctness matters immediately but physical erasure can ride the
+    next OPTIMIZE; erasure-DEADLINE deletions (DMCA, user erasure)
+    belong on the eager ``takedown_sink`` — the deadline is about
+    bytes on disk, which only the apply+vacuum removes.
+
+    Exactly-once: the tombstone append is txn-keyed per batch; the
+    apply's per-artifact evictions and the DV truncate are txn-keyed
+    under the triggering batch id, so engine replays of a half-applied
+    batch complete it and change nothing else."""
+    from airflow_crypto_btc_spark.operators.takedown import (
+        apply_deletion_vectors,
+        takedown_deferred,
+    )
+
+    def _fold(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.limit(1).count() == 0:
+            return  # idle tick: no tombstones, no apply
+        txn = f"{query_name}:{batch_id}"
+        try:
+            takedown_deferred(
+                spark,
+                batch_df.select(id_col),
+                dv_table,
+                id_col,
+                txn_id=txn,
+            )
+            if apply_every and (batch_id + 1) % apply_every == 0:
+                apply_deletion_vectors(
+                    spark, dv_table, targets, txn_id=f"{txn}:opt"
+                )
+        except CommitConflictError as exc:
+            raise ConcurrentMaintenanceError(str(exc)) from exc
+
+    return _fold

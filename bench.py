@@ -393,10 +393,12 @@ HEADLINE = [
     "curate_quota_decisions",
     "forecast_baselines",
     "win_stochastic_atr",
-    # round-13: merge-on-read takedown — tombstone serve + the applied
-    # OPTIMIZE end-state (the scattered-deletion answer)
+    # round-13: merge-on-read takedown — tombstone serve, the applied
+    # OPTIMIZE end-state, and the streamed tombstone queue (the
+    # scattered-deletion answer)
     "curate_takedown_deferred",
     "curate_takedown_dv_applied",
+    "curate_takedown_dv_from_stream",
 ]
 
 

@@ -114,3 +114,71 @@ def test_streamed_takedown_crash_replays_clean(
     # the report rows pinned the ORIGINAL eviction counts (commit meta)
     n = {r["artifact"]: r["rows_removed"] for r in rep.collect()}
     assert n["bm25_doclen"] == d.count()
+
+
+def test_deferred_sink_queues_tombstones_and_applies_on_cadence(
+    spark, sf_dir, tmp_path
+):
+    """The merge-on-read erasure queue: every batch is O(|batch|)
+    tombstones (target versions unchanged), MoR serve hides each batch
+    as it lands, and the cadence batch triggers the ONE amortized
+    physical apply that drains the DV table."""
+    from airflow_crypto_btc_spark.operators import takedown as td
+    from airflow_crypto_btc_spark.operators.search import build_bm25_index
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        current_snapshot,
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.sources.tables import load_table
+    from airflow_crypto_btc_spark.streaming import takedown_stream as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    dv = str(tmp_path / "dv")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+    v_post = current_snapshot(post).version
+
+    sink = ts.deferred_takedown_sink(
+        "q", dv, [(post, "doc_id"), (dlen, "doc_id")], apply_every=3
+    )
+    batches = [
+        docs.filter(f"doc_id % 10 = {m}").select("doc_id")
+        for m in (3, 5, 7)
+    ]
+    gone: set = set()
+    for i, b in enumerate(batches[:2]):
+        sink(b, i)
+        gone |= {r["doc_id"] for r in b.collect()}
+        # tombstones only: the targets' data files never moved
+        assert current_snapshot(post).version == v_post
+        served = {
+            r["doc_id"]
+            for r in td.read_snapshot_mor(spark, dlen, dv, "doc_id")
+            .collect()
+        }
+        assert served.isdisjoint(gone)
+
+    sink(batches[2], 2)  # (2+1) % 3 == 0: the apply fires
+    gone |= {r["doc_id"] for r in batches[2].collect()}
+    assert current_snapshot(dv).files == []  # queue drained
+    physical = {
+        r["doc_id"] for r in read_snapshot(spark, dlen).collect()
+    }
+    assert physical.isdisjoint(gone)
+    assert physical == {
+        r["doc_id"]
+        for r in docs.filter(
+            "doc_id % 10 NOT IN (3, 5, 7)"
+        ).collect()
+    }
+
+    # engine replay of the cadence batch: exact no-op
+    vs = (current_snapshot(post).version,
+          current_snapshot(dlen).version,
+          current_snapshot(dv).version)
+    sink(batches[2], 2)
+    assert vs == (
+        current_snapshot(post).version,
+        current_snapshot(dlen).version,
+        current_snapshot(dv).version,
+    )

@@ -58,8 +58,11 @@ def test_emitted_chunk_lines_are_bounded() -> None:
 
 @pytest.mark.smoke
 def test_total_emitted_bytes_fit_a_small_tail_window() -> None:
-    # All chunk lines + the summary line together must stay well under a
-    # conservative guess at the driver's capture window so nothing is cut.
+    # The chunk lines are NON-contractual (the driver keeps only the
+    # last 2000 chars; the medians_z + summary tail is the artifact,
+    # pinned by test_final_block_fits_the_2000_char_tail...) — this
+    # bound only keeps the human-readable output proportional to the
+    # headline size instead of letting per-line spam creep in.
     timings = _fake_timings()
     chunks = bench.chunk_timings(timings)
     total_bytes = sum(
@@ -92,7 +95,9 @@ def test_total_emitted_bytes_fit_a_small_tail_window() -> None:
             separators=(",", ":"),
         )
     )
-    assert total_bytes < 6000, f"bench emits {total_bytes} bytes; tail capture risk"
+    assert total_bytes < 40 * len(bench.HEADLINE), (
+        f"bench emits {total_bytes} bytes for {len(bench.HEADLINE)} lines; per-line output crept up"
+    )
 
 
 def test_chunking_handles_tiny_and_empty_maps() -> None:

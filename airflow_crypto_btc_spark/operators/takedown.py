@@ -481,21 +481,29 @@ def apply_deletion_vectors(
     rows' bytes are off disk — deferred takedown reaches the same
     erasure end-state as the eager path, one OPTIMIZE later."""
     dv_snap = current_snapshot(dv_table)
-    if not dv_snap.files and txn_version(
-        targets[0][0], f"{txn_id}:apply:{targets[0][0]}"
-    ) is None:
+    # recover the pinned DV version from ANY already-applied target
+    # FIRST: a crash replay must evict the not-yet-applied targets
+    # against the SAME tombstone set the landed ones used, regardless
+    # of the targets list's order — pinning lazily inside the loop
+    # would let a reordered replay adopt the CURRENT (possibly newer)
+    # DV version and over-truncate tombstones the crashed run never
+    # applied (round-13 post-chain self-review)
+    dv_v: int | None = None
+    for table, _ in targets:
+        pinned = txn_meta(table, f"{txn_id}:apply:{table}") or {}
+        if pinned.get("dv_version") is not None:
+            dv_v = int(pinned["dv_version"])
+            break
+    if not dv_snap.files and dv_v is None:
         return {"rows_removed": 0, "replayed": False, "applied": 0}
     removed = 0
     replayed = True
-    dv_v: int | None = None
     for table, id_col in targets:
         a_txn = f"{txn_id}:apply:{table}"
         done = txn_version(table, a_txn)
         if done is not None:
             pinned = txn_meta(table, a_txn) or {}
             removed += int(pinned.get("rows_removed", 0))
-            if pinned.get("dv_version") is not None:
-                dv_v = int(pinned["dv_version"])
             continue
         replayed = False
         if dv_v is None:

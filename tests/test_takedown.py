@@ -966,3 +966,58 @@ def test_deferred_takedown_mor_serve_and_apply(
     assert td.read_snapshot_mor(
         spark, dlen, dv, "doc_id"
     ).count() == len(want - dv_left)
+
+
+def test_dv_apply_replay_pins_version_regardless_of_target_order(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-13 post-chain self-review: a crash after applying the
+    FIRST target, a new tombstone batch landing in the window, then a
+    replay with the targets list REVERSED — the replay must evict the
+    not-yet-applied target against the pinned DV version (the set the
+    landed target used) and truncate only those files, leaving the
+    new tombstones queued for the next apply."""
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    dv = str(tmp_path / "dv")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+    d1 = docs.filter("doc_id % 10 = 3").select("doc_id")
+    td.takedown_deferred(spark, d1, dv, "doc_id", "t1")
+
+    real_evict = td.evict_rows
+    calls = {"n": 0}
+
+    def crashing_evict(spark_, table, ids, id_col, a_txn, **kw):
+        r = real_evict(spark_, table, ids, id_col, a_txn, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:  # crash after the first target lands
+            raise RuntimeError("simulated crash")
+        return r
+
+    monkeypatch.setattr(td, "evict_rows", crashing_evict)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        td.apply_deletion_vectors(
+            spark, dv, [(post, "doc_id"), (dlen, "doc_id")], "opt1"
+        )
+    monkeypatch.setattr(td, "evict_rows", real_evict)
+
+    # new tombstones land in the crash window
+    d2 = docs.filter("doc_id % 10 = 7").select("doc_id")
+    td.takedown_deferred(spark, d2, dv, "doc_id", "t2")
+
+    # replay with the targets REVERSED: dlen (not yet applied) first
+    out = td.apply_deletion_vectors(
+        spark, dv, [(dlen, "doc_id"), (post, "doc_id")], "opt1"
+    )
+    assert out["applied"] == 2
+    # both targets evicted exactly d1 — never d2
+    for t in (post, dlen):
+        left = {r["doc_id"] for r in read_snapshot(spark, t)
+                .select("doc_id").distinct().collect()}
+        assert left.isdisjoint(
+            {r["doc_id"] for r in d1.collect()}
+        )
+        assert {r["doc_id"] for r in d2.collect()} <= left
+    # d2's tombstones survived the truncate, queued for the next apply
+    dv_left = {r["doc_id"] for r in read_snapshot(spark, dv).collect()}
+    assert dv_left == {r["doc_id"] for r in d2.collect()}

@@ -1021,3 +1021,89 @@ def test_dv_apply_replay_pins_version_regardless_of_target_order(
     # d2's tombstones survived the truncate, queued for the next apply
     dv_left = {r["doc_id"] for r in read_snapshot(spark, dv).collect()}
     assert dv_left == {r["doc_id"] for r in d2.collect()}
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_dv_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 8)),
+        st.tuples(
+            st.just("defer"),
+            st.sets(st.integers(0, 59), max_size=12),
+        ),
+        st.tuples(st.just("apply"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@given(ops=_dv_ops)
+@hyp_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dv_lifecycle_matches_set_model(spark, tmp_path_factory, ops):
+    """Model-based property: ANY interleaving of appends, deferred
+    takedowns, and applies leaves (physical, merge-on-read, queue)
+    exactly where naive set semantics puts them — physical = appended −
+    applied tombstones, MoR = physical − queued tombstones, queue =
+    tombstones deferred since the last apply.  Tombstones for ids that
+    were never appended (or already evicted) are harmless no-ops."""
+    base = tmp_path_factory.mktemp("dvprop")
+    tbl, dv = str(base / "t"), str(base / "dv")
+    physical = set(range(10))
+    queue: list[set] = []
+    append(
+        spark,
+        spark.createDataFrame(
+            [(i, i) for i in sorted(physical)], "doc_id bigint, val bigint"
+        ),
+        tbl,
+    )
+    next_id = 100
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "append":
+            ids = set(range(next_id, next_id + arg))
+            next_id += arg
+            append(
+                spark,
+                spark.createDataFrame(
+                    [(d, d) for d in sorted(ids)],
+                    "doc_id bigint, val bigint",
+                ),
+                tbl,
+                txn_id=f"a{i}",
+            )
+            physical |= ids
+        elif kind == "defer":
+            td.takedown_deferred(
+                spark,
+                spark.createDataFrame(
+                    [(d,) for d in sorted(arg)] or [(None,)],
+                    "doc_id bigint",
+                ).filter("doc_id IS NOT NULL"),
+                dv,
+                "doc_id",
+                txn_id=f"d{i}",
+            )
+            queue.append(set(arg))
+        else:  # apply
+            td.apply_deletion_vectors(
+                spark, dv, [(tbl, "doc_id")], txn_id=f"o{i}"
+            )
+            physical -= set().union(*queue) if queue else set()
+            queue = []
+    got_phys = {
+        r["doc_id"] for r in read_snapshot(spark, tbl).collect()
+    }
+    assert got_phys == physical
+    queued = set().union(*queue) if queue else set()
+    got_mor = {
+        r["doc_id"]
+        for r in td.read_snapshot_mor(spark, tbl, dv, "doc_id").collect()
+    }
+    assert got_mor == physical - queued

@@ -1107,3 +1107,54 @@ def test_dv_lifecycle_matches_set_model(spark, tmp_path_factory, ops):
         for r in td.read_snapshot_mor(spark, tbl, dv, "doc_id").collect()
     }
     assert got_mor == physical - queued
+
+
+def test_deferred_takedown_reaches_byte_erasure_after_apply_and_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """The deferred path's erasure end-state: tombstones alone leave
+    D's bytes on disk BY DESIGN (and even record D's ids in the DV
+    table), but apply + vacuum on the targets AND the DV table leaves
+    no parquet file containing a deleted doc's rows or its tombstone —
+    deferred converges to the eager path's compliance story, one
+    OPTIMIZE later."""
+    import glob
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import vacuum
+
+    docs = load_table(spark, sf_dir, "documents")
+    post, dlen = str(tmp_path / "post"), str(tmp_path / "dlen")
+    dv = str(tmp_path / "dv")
+    build_bm25_index(spark, docs, post, dlen, source_version="v1")
+    d = docs.filter("doc_id % 10 = 3").select("doc_id")
+    d_ids = {r["doc_id"] for r in d.collect()}
+    td.takedown_deferred(spark, d, dv, "doc_id", "t1")
+
+    # tombstones alone: D's bytes still live in the targets (the
+    # documented trade) and D's ids now ALSO live in the DV table
+    dlen_now = read_snapshot(spark, dlen)
+    assert dlen_now.filter(
+        dlen_now.doc_id.isin(list(d_ids))
+    ).count() > 0
+
+    td.apply_deletion_vectors(
+        spark, dv, [(post, "doc_id"), (dlen, "doc_id")], "opt1"
+    )
+    for table in (post, dlen, dv):
+        vacuum(table, keep_versions=1)
+        part_dirs = glob.glob(os.path.join(table, "data", "part-*"))
+        if table == dv:
+            # the truncated DV table may keep zero data files; any
+            # that remain must not carry a deleted id
+            if not part_dirs:
+                continue
+        else:
+            assert part_dirs, "vacuum deleted the live data"
+        remaining = spark.read.parquet(*part_dirs)
+        assert (
+            remaining.filter(
+                remaining.doc_id.isin(list(d_ids))
+            ).count()
+            == 0
+        ), f"deleted doc bytes survive in {table}"

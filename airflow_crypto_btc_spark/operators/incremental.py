@@ -220,7 +220,8 @@ def maintain_ohlc_rollup(
         CommitConflictError,
         append,
         current_snapshot,
-        read_snapshot,
+        files_overlapping_all_keys,
+        read_parts,
         snapshot_changes,
         upsert,
     )
@@ -250,9 +251,8 @@ def maintain_ohlc_rollup(
                 "contract violated) — retry the run"
             )
 
-    try:
-        old = read_snapshot(spark, state_table)
-    except ValueError:  # state table absent/empty — bootstrap run
+    state_snap = current_snapshot(state_table, version=state_v)
+    if not state_snap.files:  # state table absent/empty — bootstrap run
         _guard()
         try:
             append(
@@ -262,9 +262,23 @@ def maintain_ohlc_rollup(
         except CommitConflictError as exc:
             raise ConcurrentMaintenanceError(str(exc)) from exc
         return head
-    # only groups the delta touches participate in the merge
-    old_touched = old.join(delta_state.select(*keys), keys, "left_semi")
-    merged = merge_ohlc_states(old_touched, delta_state, key_cols=key_cols)
+    # only groups the delta touches participate in the merge, and the
+    # prior-state READ narrows to the files whose key ranges overlap
+    # the delta (round 13) — fold work is bounded by the delta's key
+    # spread, never the accumulated state size
+    delta_state = delta_state.localCheckpoint(eager=False)
+    touched, _ = files_overlapping_all_keys(
+        spark, state_snap, delta_state, keys
+    )
+    if touched:
+        old_touched = read_parts(
+            spark, state_table, touched, schema_files=state_snap.files
+        ).join(delta_state.select(*keys), keys, "left_semi")
+        merged = merge_ohlc_states(
+            old_touched, delta_state, key_cols=key_cols
+        )
+    else:  # every delta key is brand-new: pure insert
+        merged = delta_state
     _guard()  # cheap fast-fail; the CAS below is the guarantee
     try:
         upsert(

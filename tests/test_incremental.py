@@ -309,7 +309,17 @@ def test_maintenance_cas_closes_check_to_commit_window(
     state = str(tmp_path / "ohlc_state")
     st.append(spark, _mk_events(spark, 1, [10.0, 11.0]), base)
     inc.maintain_ohlc_rollup(spark, base, state)
-    st.append(spark, _mk_events(spark, 2, [20.0]), base)
+    # the second span carries a LATE day-1 event so the delta overlaps
+    # existing state and the merge path (the racer's seam) actually
+    # runs — a pure-insert delta would skip the merge entirely under
+    # the round-13 file narrowing
+    st.append(
+        spark,
+        _mk_events(spark, 1, [12.0]).unionByName(
+            _mk_events(spark, 2, [20.0])
+        ),
+        base,
+    )
 
     real_merge = inc.merge_ohlc_states
     fired = {"done": False}

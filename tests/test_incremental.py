@@ -312,12 +312,16 @@ def test_maintenance_cas_closes_check_to_commit_window(
     # the second span carries a LATE day-1 event so the delta overlaps
     # existing state and the merge path (the racer's seam) actually
     # runs — a pure-insert delta would skip the merge entirely under
-    # the round-13 file narrowing
+    # the round-13 file narrowing.  Hour 5: must not collide with the
+    # seeded hours 1-2, or the day's open/close tie-breaks
+    # nondeterministically between merge and recompute.
+    late = spark.createDataFrame(
+        [("purchase", dt.datetime(2024, 1, 1, 5), 12.0)],
+        "event_type string, ts timestamp, value double",
+    )
     st.append(
         spark,
-        _mk_events(spark, 1, [12.0]).unionByName(
-            _mk_events(spark, 2, [20.0])
-        ),
+        late.unionByName(_mk_events(spark, 2, [20.0])),
         base,
     )
 

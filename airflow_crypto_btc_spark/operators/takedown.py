@@ -431,29 +431,46 @@ def read_snapshot_mor(
     dv_table: str,
     id_col: str,
     version: int | None = None,
+    broadcast_cap: int = 5_000_000,
 ) -> DataFrame:
     """Merge-on-read serve: the snapshot minus its deletion vectors —
     one broadcast anti-join on ``id_col``.  The tombstone set is
     bounded by the takedown volume since the last
-    :func:`apply_deletion_vectors`; a DV set too large to broadcast
-    means the apply is overdue (the compaction-cadence contract all
-    MoR stores carry).  A missing or fully-applied DV table serves the
-    plain snapshot."""
+    :func:`apply_deletion_vectors`; a DV set past ``broadcast_cap``
+    means the apply is OVERDUE (the compaction-cadence contract all
+    MoR stores carry) — the serve then warns and falls back to a
+    shuffled anti-join instead of broadcasting gigabytes to every
+    executor or failing.  A missing or fully-applied DV table serves
+    the plain snapshot."""
+    import warnings
+
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         read_snapshot_or_none,
     )
 
     state = read_snapshot(spark, table, version=version)
+    dv_snap = current_snapshot(dv_table)
     dv = (
-        read_snapshot_or_none(spark, dv_table)
-        if current_snapshot(dv_table).files
-        else None
+        read_snapshot_or_none(spark, dv_table) if dv_snap.files else None
     )
     if dv is None:
         return state
     tomb = dv.select(
         F.col(id_col).cast("bigint").alias("__dv_id")
     ).distinct()
+    # the common serve stays metadata-only: one file per deferred
+    # batch, so a queue spanning >64 files is the cheap gate that
+    # justifies ONE count job before deciding the join strategy
+    if len(dv_snap.files) > 64 and dv.count() > broadcast_cap:
+        warnings.warn(
+            f"deletion-vector table {dv_table} holds more than "
+            f"{broadcast_cap} tombstones — apply_deletion_vectors is "
+            "overdue; serving via a shuffled anti-join",
+            stacklevel=2,
+        )
+        return state.join(
+            tomb, state[id_col] == F.col("__dv_id"), "left_anti"
+        )
     return state.join(
         F.broadcast(tomb),
         state[id_col] == F.col("__dv_id"),

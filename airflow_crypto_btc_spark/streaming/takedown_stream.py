@@ -128,7 +128,12 @@ def deferred_takedown_sink(
     Exactly-once: the tombstone append is txn-keyed per batch; the
     apply's per-artifact evictions and the DV truncate are txn-keyed
     under the triggering batch id, so engine replays of a half-applied
-    batch complete it and change nothing else."""
+    batch complete it and change nothing else.  As with every
+    foreachBatch sink in this engine, txn ids are
+    ``{query_name}:{batch_id}`` — RE-POINTING a query to a fresh
+    checkpoint restarts batch ids at 0, so a re-pointed stream MUST
+    use a new ``query_name`` or its early batches collide with the old
+    run's txn ids and skip silently."""
     from airflow_crypto_btc_spark.operators.takedown import (
         apply_deletion_vectors,
         takedown_deferred,

@@ -2030,3 +2030,144 @@ def q_search_bm25_from_stream(spark, sf_dir):
 INCREMENTAL_REGISTRY["search_bm25_from_stream"] = QuerySpec(
     q_search_bm25_from_stream, _SQL_SEARCH_BM25_TOPK
 )
+
+
+# ------------------------------------------- CDC APPLY CHANGES (round 13)
+def _cdc_zone(spark, sf_dir):
+    import os
+
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.plans.registry_takedown import (
+        _fingerprint,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append as snap_append,
+        apply_changes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(F.count("*").cast("long").alias("n_obs"))
+    _ = _fingerprint(sf_dir, "events")  # zone keys on the events file
+
+    def _land(staging: str) -> None:
+        tbl = os.path.join(staging, "state")
+        base = daily.filter(
+            F.col("date") <= F.lit("2024-01-20").cast("date")
+        )
+        snap_append(spark, base, tbl)
+        tag = lambda df, t, s: (  # noqa: E731
+            df.withColumn("_change_type", F.lit(t))
+            .withColumn("seq", F.lit(s).cast("int"))
+        )
+        upd = tag(
+            base.filter(
+                F.col("date").between("2024-01-05", "2024-01-08")
+            ).withColumn("n_obs", F.col("n_obs") + 1000),
+            "update", 1,
+        )
+        dels = tag(
+            base.filter(
+                (F.col("event_type") == "error")
+                & (F.col("date") <= F.lit("2024-01-04").cast("date"))
+            ).withColumn("n_obs", F.lit(0).cast("long")),
+            "delete", 1,
+        )
+        ins = tag(
+            daily.filter(
+                F.col("date").between("2024-01-21", "2024-01-25")
+            ),
+            "insert", 1,
+        )
+        # latest-wins exercises: the seq-2 delete overrides the seq-1
+        # update for ('click', 01-05); the seq-2 update RESURRECTS
+        # ('error', 01-03), which seq 1 deleted
+        late_del = tag(
+            base.filter(
+                (F.col("event_type") == "click")
+                & (F.col("date") == F.lit("2024-01-05").cast("date"))
+            ),
+            "delete", 2,
+        )
+        late_upd = tag(
+            base.filter(
+                (F.col("event_type") == "error")
+                & (F.col("date") == F.lit("2024-01-03").cast("date"))
+            ).withColumn("n_obs", F.lit(777).cast("long")),
+            "update", 2,
+        )
+        changes = (
+            upd.unionByName(dels)
+            .unionByName(ins)
+            .unionByName(late_del)
+            .unionByName(late_upd)
+        )
+        apply_changes(
+            spark, changes, tbl,
+            key_cols=["event_type", "date"],
+            sequence_col="seq",
+            txn_id="cdc-batch",
+        )
+
+    return _landing_zone(sf_dir, "events", "cdc_state", _land)
+
+
+def q_cdc_apply_changes(spark, sf_dir):
+    """APPLY CHANGES INTO served end-to-end: a daily per-type state
+    table folds one CDC changelog batch (updates for days 5-8, deletes
+    for the early 'error' days, inserts for days 21-25, plus a seq-2
+    delete that overrides a seq-1 update and a seq-2 update that
+    RESURRECTS a seq-1 delete) via snapshot_table.apply_changes —
+    keyed latest-wins by sequence, narrowed rewrite, exactly-once txn.
+    The oracle recomputes the end state relationally: base minus the
+    touched keys, union the latest upserts."""
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    zone = _cdc_zone(spark, sf_dir)
+    return read_snapshot(
+        spark, os.path.join(zone, "state")
+    ).select("event_type", "date", "n_obs")
+
+
+_SQL_CDC_APPLY_CHANGES = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS date,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (SELECT * FROM daily WHERE date <= DATE '2024-01-20'),
+    ups AS (
+      SELECT event_type, date, n_obs + 1000 AS n_obs FROM base
+      WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-08'
+        AND NOT (event_type = 'click' AND date = DATE '2024-01-05')
+      UNION ALL
+      SELECT event_type, date, n_obs FROM daily
+      WHERE date BETWEEN DATE '2024-01-21' AND DATE '2024-01-25'
+      UNION ALL
+      SELECT 'error', DATE '2024-01-03', CAST(777 AS BIGINT)
+    ),
+    touched AS (
+      SELECT event_type, date FROM ups
+      UNION
+      SELECT event_type, date FROM base
+      WHERE (event_type = 'error' AND date <= DATE '2024-01-04')
+         OR (event_type = 'click' AND date = DATE '2024-01-05')
+    )
+    SELECT b.event_type, b.date, b.n_obs FROM base b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM touched t
+      WHERE t.event_type = b.event_type AND t.date = b.date
+    )
+    UNION ALL
+    SELECT event_type, date, n_obs FROM ups
+"""
+
+
+INCREMENTAL_REGISTRY["cdc_apply_changes"] = QuerySpec(
+    q_cdc_apply_changes, _SQL_CDC_APPLY_CHANGES
+)

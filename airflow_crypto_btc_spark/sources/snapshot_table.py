@@ -819,6 +819,105 @@ def upsert(
                   expect_version=expect_version, meta=meta)
 
 
+def apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    table: str,
+    key_cols: list[str],
+    sequence_col: str,
+    txn_id: str | None = None,
+    expect_version: int | None = None,
+    change_col: str = "_change_type",
+) -> int:
+    """APPLY CHANGES INTO — fold one CDC changelog batch (rows tagged
+    ``_change_type`` ∈ insert/update/delete, ordered by
+    ``sequence_col``) into a keyed snapshot table exactly-once, the
+    Delta Live Tables / Debezium-consumer verb:
+
+    - per key, the batch's LATEST change by ``sequence_col`` wins
+      (DETERMINISM CONTRACT: (key, sequence) pairs are unique — ties
+      would make the fold order-dependent, so they raise);
+    - latest delete → the key leaves the table; latest insert/update →
+      upsert of that row's values (new keys insert; inserts and
+      updates are deliberately interchangeable, as in DLT);
+    - the rewrite NARROWS to the files whose key ranges overlap the
+      batch (:func:`files_overlapping_all_keys`) — constant-size CDC
+      batches fold in constant work regardless of table size;
+    - ``txn_id`` + ``expect_version`` give the same exactly-once CAS
+      discipline as :func:`upsert` (a replayed batch is a no-op; a
+      racing writer surfaces as :class:`CommitConflictError`).
+
+    Returns the committed version (or -1 for an idempotent skip)."""
+    from pyspark.sql.window import Window
+
+    from airflow_crypto_btc_spark.operators.merge import upsert_by_key
+
+    if txn_id and txn_id in current_snapshot(table).txn_ids:
+        return -1
+    snap = current_snapshot(table)
+    if not snap.files:
+        raise ValueError(
+            f"apply_changes needs an existing snapshot at {table}; "
+            "bootstrap the table with append() first"
+        )
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
+    ranked = changes.withColumn("__rn", F.row_number().over(w))
+    # the determinism contract: a (key, sequence) tie makes "latest"
+    # order-dependent — fail loudly instead of folding arbitrarily
+    dup = (
+        changes.groupBy(*keys, sequence_col)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "apply_changes: duplicate (key, sequence) in the batch — "
+            "latest-wins would be nondeterministic"
+        )
+    latest = ranked.filter("__rn = 1").drop("__rn")
+    latest = latest.localCheckpoint(eager=False)
+    ups = latest.filter(
+        F.col(change_col) != F.lit("delete")
+    ).drop(change_col, sequence_col)
+    dels = latest.filter(
+        F.col(change_col) == F.lit("delete")
+    ).select(*keys)
+
+    touched, carried = files_overlapping_all_keys(
+        spark, snap, latest.select(*keys), keys
+    )
+    if touched:
+        existing = read_parts(
+            spark, table, touched, schema_files=snap.files
+        )
+    else:
+        existing = read_snapshot(
+            spark, table, version=snap.version
+        ).filter("1 = 0")
+    survivors = existing.join(F.broadcast(dels), keys, "left_anti")
+    merged = upsert_by_key(survivors, ups, keys)
+    # a batch that deletes every row of the touched files (and inserts
+    # nothing) must keep a schema tombstone if no file would remain
+    n_merged = merged.count()
+    parts, stats = (
+        _write_parts(merged, table)
+        if n_merged or not carried
+        else ([], {})
+    )
+    return commit(
+        table,
+        add=parts,
+        remove=touched,
+        operation="apply_changes",
+        txn_id=txn_id,
+        stats=stats,
+        expect_version=expect_version,
+    )
+
+
 def snapshot_changes(
     spark: SparkSession,
     table: str,

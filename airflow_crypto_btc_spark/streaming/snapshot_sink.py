@@ -104,3 +104,37 @@ def rollup_maintenance_sink(
         upsert(spark, merged, state_table, key_cols=keys, txn_id=txn)
 
     return _fold
+
+
+def cdc_apply_sink(
+    table: str,
+    query_name: str,
+    key_cols: Sequence[str],
+    sequence_col: str,
+):
+    """``foreachBatch`` callback folding a CDC changelog stream (rows
+    tagged ``_change_type`` insert/update/delete with a
+    ``sequence_col`` order) into a keyed snapshot table —
+    ``snapshot_table.apply_changes`` per micro-batch under the
+    engine-wide ``{query_name}:{batch_id}`` txn discipline, so a
+    replayed batch folds nothing and batches compose to the changelog's
+    latest-wins end state.  The fold's rewrite narrows to the batch's
+    key spread (the upsert machinery), so a constant-rate CDC feed
+    maintains an arbitrarily large table in constant per-batch work."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        apply_changes,
+    )
+
+    def _fold(batch_df, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        apply_changes(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            key_cols=list(key_cols),
+            sequence_col=sequence_col,
+            txn_id=f"{query_name}:{batch_id}",
+        )
+
+    return _fold

@@ -399,6 +399,9 @@ HEADLINE = [
     "curate_takedown_deferred",
     "curate_takedown_dv_applied",
     "curate_takedown_dv_from_stream",
+    # round-13: CDC APPLY CHANGES INTO (keyed latest-wins changelog
+    # fold, narrowed rewrite, exactly-once txn)
+    "cdc_apply_changes",
 ]
 
 

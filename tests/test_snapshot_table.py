@@ -729,3 +729,184 @@ def test_upsert_narrowing_string_keys_and_fallback(spark, tmp_path):
     )
     rows = read_snapshot(spark, tbl2).collect()
     assert len(rows) == 1 and rows[0]["v"] == 9
+
+
+def test_apply_changes_latest_wins_and_narrows(spark, tmp_path):
+    """APPLY CHANGES semantics: per key the batch's latest change by
+    sequence wins (update-then-delete deletes; delete-then-update
+    resurrects), inserts land, untouched id-clustered parts carry by
+    reference, and a (key, sequence) tie raises."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        apply_changes,
+    )
+
+    tbl = str(tmp_path / "cdc")
+    for lo in (0, 100, 200):
+        append(
+            spark,
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ),
+            tbl,
+        )
+    before = current_snapshot(tbl)
+
+    changes = spark.createDataFrame(
+        [
+            # k=150: update then delete -> gone
+            (150, -1, "update", 1),
+            (150, -2, "delete", 2),
+            # k=160: delete then update -> resurrected with new value
+            (160, -3, "delete", 1),
+            (160, -4, "update", 2),
+            # k=170: plain update
+            (170, -5, "update", 1),
+            # k=999: insert (brand-new key)
+            (999, -6, "insert", 1),
+        ],
+        "k bigint, v bigint, _change_type string, seq int",
+    )
+    v = apply_changes(
+        spark, changes, tbl, key_cols=["k"], sequence_col="seq",
+        txn_id="b0",
+    )
+    assert v == before.version + 1
+    after = current_snapshot(tbl)
+    assert len(set(before.files) & set(after.files)) == 2  # carried
+
+    got = {
+        r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
+    }
+    assert 150 not in got
+    assert got[160] == -4 and got[170] == -5 and got[999] == -6
+    assert got[120] == 240  # untouched row in the touched file kept
+    assert got[10] == 20    # carried file untouched
+    assert len(got) == 300  # 300 - 1 deleted + 1 inserted
+
+    # idempotent replay
+    assert apply_changes(
+        spark, changes, tbl, key_cols=["k"], sequence_col="seq",
+        txn_id="b0",
+    ) == -1
+    assert current_snapshot(tbl).version == v
+
+    # (key, sequence) tie: loud failure, nothing committed
+    import pytest as _pytest
+
+    tie = spark.createDataFrame(
+        [(1, -7, "update", 1), (1, -8, "update", 1)],
+        "k bigint, v bigint, _change_type string, seq int",
+    )
+    with _pytest.raises(ValueError, match="nondeterministic"):
+        apply_changes(
+            spark, tie, tbl, key_cols=["k"], sequence_col="seq",
+            txn_id="b1",
+        )
+    assert current_snapshot(tbl).version == v
+
+
+def test_cdc_sink_batches_compose_to_latest_wins(spark, tmp_path):
+    """Sequential CDC micro-batches through the sink equal one-shot
+    latest-wins application of the concatenated changelog."""
+    from airflow_crypto_btc_spark.streaming.snapshot_sink import (
+        cdc_apply_sink,
+    )
+
+    tbl = str(tmp_path / "cdc_stream")
+    append(
+        spark,
+        spark.range(10).selectExpr("id AS k", "id AS v"),
+        tbl,
+    )
+    sink = cdc_apply_sink(tbl, "cdc-q", ["k"], "seq")
+    b0 = spark.createDataFrame(
+        [(3, 30, "update", 1), (4, -1, "delete", 1), (20, 20, "insert", 1)],
+        "k bigint, v bigint, _change_type string, seq int",
+    )
+    b1 = spark.createDataFrame(
+        [(3, -1, "delete", 1), (4, 44, "insert", 1), (20, 21, "update", 1)],
+        "k bigint, v bigint, _change_type string, seq int",
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # engine replay of the same batch: no-op
+    sink(b1, 1)
+    got = {
+        r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
+    }
+    want = {i: i for i in range(10)}
+    want.update({4: 44, 20: 21})
+    del want[3]
+    assert got == want
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_cdc_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(0, 14),                    # key
+            st.integers(-99, 99),                  # value
+            st.sampled_from(["insert", "update", "delete"]),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=_cdc_batches)
+@hyp_settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_apply_changes_matches_dict_model(
+    spark, tmp_path_factory, batches
+):
+    """Model-based property: any sequence of CDC batches (each row
+    getting a unique in-batch sequence number) folds to exactly the
+    dict a naive interpreter produces — per key the batch's latest
+    change wins, deletes of absent keys are no-ops, inserts and
+    updates are interchangeable upserts."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        apply_changes,
+    )
+
+    base = tmp_path_factory.mktemp("cdcprop")
+    tbl = str(base / "t")
+    model = {k: k * 10 for k in range(5)}
+    append(
+        spark,
+        spark.createDataFrame(
+            [(k, v) for k, v in sorted(model.items())],
+            "k bigint, v bigint",
+        ),
+        tbl,
+    )
+    for bi, rows in enumerate(batches):
+        changes = spark.createDataFrame(
+            [
+                (k, v, t, seq)
+                for seq, (k, v, t) in enumerate(rows, start=1)
+            ],
+            "k bigint, v bigint, _change_type string, seq int",
+        )
+        apply_changes(
+            spark, changes, tbl, key_cols=["k"], sequence_col="seq",
+            txn_id=f"b{bi}",
+        )
+        latest = {}
+        for k, v, t in rows:  # later rows carry higher seq: they win
+            latest[k] = (t, v)
+        for k, (t, v) in latest.items():
+            if t == "delete":
+                model.pop(k, None)
+            else:
+                model[k] = v
+    got = {
+        r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
+    }
+    assert got == model

@@ -783,6 +783,14 @@ def upsert(
     size.  A pure-insert batch (no file overlaps) removes nothing and
     appends one part.
 
+    Concurrency: pass ``expect_version`` (the snapshot version your
+    read is based on) whenever another writer could touch the table —
+    a REWRITE commit that silently retried at the next version with a
+    stale remove-set duplicates rows against a racing compact/upsert
+    (racing pure appends are the one case stale-retry handles
+    correctly).  Every maintainer in this engine passes its anchor;
+    omitting it is only safe under a strict single-writer discipline.
+
     ``txn_id`` makes a re-run idempotent exactly as in :func:`append`:
     if this id is already in the log, nothing is staged or committed and
     -1 is returned (the exactly-once hook incremental consumers need —
@@ -843,9 +851,14 @@ def apply_changes(
     - the rewrite NARROWS to the files whose key ranges overlap the
       batch (:func:`files_overlapping_all_keys`) — constant-size CDC
       batches fold in constant work regardless of table size;
-    - ``txn_id`` + ``expect_version`` give the same exactly-once CAS
-      discipline as :func:`upsert` (a replayed batch is a no-op; a
-      racing writer surfaces as :class:`CommitConflictError`).
+    - exactly-once via ``txn_id`` (a replayed batch is a no-op), and
+      ALWAYS CAS-anchored: when ``expect_version`` is not given, the
+      commit anchors on the snapshot version this fold read — a
+      rewrite commit that silently retried at the next version with a
+      stale remove-set would duplicate rows against a racing compact
+      (racing appends are the one case stale-retry handles correctly,
+      and the anchor surfaces them as :class:`CommitConflictError` to
+      be retried from a fresh read instead).
 
     Returns the committed version (or -1 for an idempotent skip)."""
     from pyspark.sql.window import Window
@@ -914,7 +927,9 @@ def apply_changes(
         operation="apply_changes",
         txn_id=txn_id,
         stats=stats,
-        expect_version=expect_version,
+        expect_version=(
+            snap.version if expect_version is None else expect_version
+        ),
     )
 
 

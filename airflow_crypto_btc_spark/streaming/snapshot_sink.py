@@ -101,7 +101,15 @@ def rollup_maintenance_sink(
             )
         else:  # every batch key is brand-new: pure insert
             merged = delta_state
-        upsert(spark, merged, state_table, key_cols=keys, txn_id=txn)
+        # CAS-anchored on the version THIS fold read: a rewrite commit
+        # silently retrying at the next version with a stale remove-set
+        # would duplicate rows against a racing OPTIMIZE; a conflict
+        # instead propagates and Structured Streaming retries the batch
+        # from a fresh read
+        upsert(
+            spark, merged, state_table, key_cols=keys, txn_id=txn,
+            expect_version=snap.version,
+        )
 
     return _fold
 

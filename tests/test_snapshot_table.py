@@ -910,3 +910,51 @@ def test_apply_changes_matches_dict_model(
         r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
     }
     assert got == model
+
+
+def test_apply_changes_cas_refuses_racing_compact(
+    spark, tmp_path, monkeypatch
+):
+    """A compact landing between apply_changes' read and its commit
+    must surface as CommitConflictError — a stale-remove-set retry
+    would leave the compacted copies of the touched rows live next to
+    the merged rewrite (duplicates).  The retried fold converges."""
+    import airflow_crypto_btc_spark.sources.snapshot_table as st
+
+    tbl = str(tmp_path / "cdc_race")
+    for lo in (0, 100):
+        append(
+            spark,
+            spark.range(lo, lo + 100).selectExpr("id AS k", "id AS v"),
+            tbl,
+        )
+    changes = spark.createDataFrame(
+        [(50, -1, "update", 1)],
+        "k bigint, v bigint, _change_type string, seq int",
+    )
+    real_write = st._write_parts
+    fired = {}
+
+    def racing_write(df, table):
+        out = real_write(df, table)
+        if "done" not in fired:
+            fired["done"] = True
+            st.compact(spark, table, target_parts=1)
+        return out
+
+    monkeypatch.setattr(st, "_write_parts", racing_write)
+    with pytest.raises(st.CommitConflictError):
+        st.apply_changes(
+            spark, changes, tbl, key_cols=["k"], sequence_col="seq",
+            txn_id="b0",
+        )
+    monkeypatch.setattr(st, "_write_parts", real_write)
+    # retry from a fresh read: exactly-once, no duplicates
+    st.apply_changes(
+        spark, changes, tbl, key_cols=["k"], sequence_col="seq",
+        txn_id="b0",
+    )
+    rows = read_snapshot(spark, tbl).collect()
+    assert len(rows) == 200
+    got = {r["k"]: r["v"] for r in rows}
+    assert got[50] == -1 and got[51] == 51

@@ -76,10 +76,17 @@ def test_rotation_draws_from_the_backlog_head() -> None:
     drawn = [k for k in pre if k in rotated]
     # the drawn backlog entries must be a PREFIX of the backlog minus
     # the round's new families (which may sit anywhere in the order).
-    # Round 13 ships no new query families — all 47 slots are backlog
-    # head (the two newly-oracled sketch entries joined the backlog
-    # this round and are part of it, not exceptions).
-    new_families: list[str] = []
+    # Round 14's new-families slots are the four round-13-shipped
+    # entries the driver's hash gate has never checked (the MoR
+    # deletion-vector family + CDC APPLY CHANGES) — newer than the
+    # frozen r02..r13 ledger era, so the cursor rule lets them jump
+    # the queue; the other 42 slots are strict backlog head.
+    new_families: list[str] = [
+        "cdc_apply_changes",
+        "curate_takedown_deferred",
+        "curate_takedown_dv_applied",
+        "curate_takedown_dv_from_stream",
+    ]
     backlog_drawn = [k for k in drawn if k not in set(new_families)]
     backlog_order = [k for k in pre if k not in set(new_families)]
     assert backlog_drawn == backlog_order[: len(backlog_drawn)], (
@@ -90,12 +97,12 @@ def test_rotation_draws_from_the_backlog_head() -> None:
 
 
 def test_ever_windowed_count_meets_the_round_target() -> None:
-    """The round-13 'done' bar from the round-12 verdict: ever-windowed
-    >= 190 catalog entries after this round's window ships."""
+    """The round-14 'done' bar from the round-13 verdict: ever-windowed
+    >= 235 catalog entries after this round's window ships."""
     ever = (PREVIOUSLY_WINDOWED | set(_WINDOW_PRIORITY)) & set(
         ALL_QUERIES
     )
-    assert len(ever) >= 190, f"ever-windowed only {len(ever)}"
+    assert len(ever) >= 235, f"ever-windowed only {len(ever)}"
     # and the ledger never references ghosts: every historical window
     # entry still resolves in the catalog (renames must update it)
     assert PREVIOUSLY_WINDOWED <= set(ALL_QUERIES)

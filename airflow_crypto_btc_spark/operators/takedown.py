@@ -109,8 +109,28 @@ NON_DECREMENTABLE = ("cms_sketch", "hll_registers", "bloom_bitmap")
 
 
 def _ids_frame(doc_ids: DataFrame, id_col: str) -> DataFrame:
-    """Normalize the takedown set to one distinct ``__td_id`` column."""
+    """Normalize the takedown set to one distinct ``__td_id`` column
+    (bigint — the engine's doc-id type).  A cast that NULLs a non-null
+    id (e.g. string doc ids) RAISES instead of proceeding: every
+    downstream anti-join would silently remove nothing, serving the
+    supposedly-deleted documents forever (round-14 ADVICE — a
+    safety-relevant silent no-op)."""
     src = doc_ids.columns[0]
+    bad = (
+        doc_ids.select(F.col(src).alias("__raw"))
+        .filter(
+            F.col("__raw").isNotNull()
+            & F.col("__raw").cast("bigint").isNull()
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"takedown ids in column {src!r} are not castable to "
+            "bigint — a silent cast-to-null would remove NOTHING and "
+            "keep serving the deleted documents"
+        )
     return doc_ids.select(
         F.col(src).cast("bigint").alias("__td_id")
     ).distinct()
@@ -440,12 +460,21 @@ def read_snapshot_mor(
     means the apply is OVERDUE (the compaction-cadence contract all
     MoR stores carry) — the serve then warns and falls back to a
     shuffled anti-join instead of broadcasting gigabytes to every
-    executor or failing.  A missing or fully-applied DV table serves
-    the plain snapshot."""
+    executor or failing.  The overdue decision gates on the TOMBSTONE
+    COUNT alone (round-14 ADVICE: the old >64-files pre-gate let a
+    compacted DV table — few files, millions of tombstones — broadcast
+    unbounded), read from the per-part ``__nrows`` stats so the common
+    serve stays metadata-only; only legacy parts without row-count
+    stats pay a ``count()`` job.  The DV id column casts to the STATE
+    id column's type — a cast that NULLs non-null tombstone ids raises
+    instead of serving an unmasked snapshot (an all-null anti-join key
+    removes nothing: a silent safety failure).  A missing or
+    fully-applied DV table serves the plain snapshot."""
     import warnings
 
     from airflow_crypto_btc_spark.sources.snapshot_table import (
         read_snapshot_or_none,
+        snapshot_nrows,
     )
 
     state = read_snapshot(spark, table, version=version)
@@ -455,13 +484,29 @@ def read_snapshot_mor(
     )
     if dv is None:
         return state
+    state_t = dict(state.dtypes)[id_col]
+    if dict(dv.dtypes)[id_col] != state_t:
+        bad = (
+            dv.filter(
+                F.col(id_col).isNotNull()
+                & F.col(id_col).cast(state_t).isNull()
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"deletion-vector ids in {dv_table} do not cast to the "
+                f"state id type {state_t!r} — an all-null tombstone "
+                "set would serve every deleted document"
+            )
     tomb = dv.select(
-        F.col(id_col).cast("bigint").alias("__dv_id")
+        F.col(id_col).cast(state_t).alias("__dv_id")
     ).distinct()
-    # the common serve stays metadata-only: one file per deferred
-    # batch, so a queue spanning >64 files is the cheap gate that
-    # justifies ONE count job before deciding the join strategy
-    if len(dv_snap.files) > 64 and dv.count() > broadcast_cap:
+    n_tomb = snapshot_nrows(dv_snap)
+    if n_tomb is None:  # legacy DV parts without __nrows stats
+        n_tomb = dv.count()
+    if n_tomb > broadcast_cap:
         warnings.warn(
             f"deletion-vector table {dv_table} holds more than "
             f"{broadcast_cap} tombstones — apply_deletion_vectors is "
@@ -768,13 +813,17 @@ def takedown_split(
 
     # surviving edges among the affected members: neither endpoint in D,
     # both endpoints survivors (an edge to an unaffected cluster cannot
-    # exist — it would have merged the clusters already).  On replay the
-    # pairs read is PINNED to the version the rebase commit recorded —
-    # a pairs append landing between crash and replay must not make the
-    # recomputed moves audit differ from the rows the first run landed
-    # (D's own rows are anti-joined out either way, so the pinned
-    # post-eviction version and the first run's pre-eviction read see
-    # the identical surviving edge set)
+    # exist — it would have merged the clusters already).  The pairs
+    # version is captured IMMEDIATELY BEFORE the first read, the read
+    # is pinned AT it, and the rebase commit records that same value
+    # (round-14 ADVICE — recording current_snapshot at COMMIT time let
+    # a pairs append landing between the read and the commit make a
+    # crash replay fold a different edge set than the first run).  The
+    # in-between evictions below only remove D's own rows, which the
+    # anti-joins discard either way, so first run and replay see the
+    # identical surviving edge set.
+    if pinned_pairs_v is None:
+        pinned_pairs_v = current_snapshot(pairs_table).version
     pairs = read_snapshot(spark, pairs_table, version=pinned_pairs_v)
     m_ids = survivors.select("doc_id")
     edges = (
@@ -858,7 +907,7 @@ def takedown_split(
             stats=stats,
             meta={
                 "assign_removed": n_assign_removed,
-                "pairs_version": current_snapshot(pairs_table).version,
+                "pairs_version": pinned_pairs_v,
             },
             expect_version=snap.version,
         )

@@ -2109,8 +2109,44 @@ def _cdc_zone(spark, sf_dir):
             sequence_col="seq",
             txn_id="cdc-batch",
         )
+        # round 14: a LATE OUT-OF-ORDER batch exercising the
+        # cross-batch sequence high-watermark — two stale changes the
+        # watermark must DISCARD (a seq-0 update under the day-5..8
+        # keys' seq-1 watermark, and a seq-1 insert trying to resurrect
+        # ('click', 01-05), which the seq-2 delete tombstoned) plus one
+        # genuinely newer change that must apply (seq-3 update of
+        # ('error', 01-03) from 777 to 888)
+        stale_upd = tag(
+            base.filter(
+                F.col("date").between("2024-01-05", "2024-01-08")
+            ).withColumn("n_obs", F.col("n_obs") + 5555),
+            "update", 0,
+        )
+        stale_res = tag(
+            base.filter(
+                (F.col("event_type") == "click")
+                & (F.col("date") == F.lit("2024-01-05").cast("date"))
+            ).withColumn("n_obs", F.lit(12345).cast("long")),
+            "insert", 1,
+        )
+        fresh_upd = tag(
+            base.filter(
+                (F.col("event_type") == "error")
+                & (F.col("date") == F.lit("2024-01-03").cast("date"))
+            ).withColumn("n_obs", F.lit(888).cast("long")),
+            "update", 3,
+        )
+        late_batch = stale_upd.unionByName(stale_res).unionByName(
+            fresh_upd
+        )
+        apply_changes(
+            spark, late_batch, tbl,
+            key_cols=["event_type", "date"],
+            sequence_col="seq",
+            txn_id="cdc-late-batch",
+        )
 
-    return _landing_zone(sf_dir, "events", "cdc_state", _land)
+    return _landing_zone(sf_dir, "events", "cdc_state2", _land)
 
 
 def q_cdc_apply_changes(spark, sf_dir):
@@ -2119,9 +2155,15 @@ def q_cdc_apply_changes(spark, sf_dir):
     for the early 'error' days, inserts for days 21-25, plus a seq-2
     delete that overrides a seq-1 update and a seq-2 update that
     RESURRECTS a seq-1 delete) via snapshot_table.apply_changes —
-    keyed latest-wins by sequence, narrowed rewrite, exactly-once txn.
-    The oracle recomputes the end state relationally: base minus the
-    touched keys, union the latest upserts."""
+    keyed latest-wins by sequence, narrowed rewrite, exactly-once txn —
+    then a LATE OUT-OF-ORDER batch (round 14, DLT SEQUENCE BY
+    semantics): the cross-batch high-watermark discards a stale seq-0
+    update sweep and a stale seq-1 insert trying to resurrect the
+    seq-2-deleted ('click', 01-05) key (the delete-tombstone case),
+    while the batch's one genuinely newer change (seq-3 update of
+    ('error', 01-03) to 888) applies.  The oracle recomputes the end
+    state relationally: base minus the touched keys, union the
+    surviving upserts."""
     import os
 
     from airflow_crypto_btc_spark.sources.snapshot_table import (
@@ -2149,7 +2191,7 @@ _SQL_CDC_APPLY_CHANGES = """
       SELECT event_type, date, n_obs FROM daily
       WHERE date BETWEEN DATE '2024-01-21' AND DATE '2024-01-25'
       UNION ALL
-      SELECT 'error', DATE '2024-01-03', CAST(777 AS BIGINT)
+      SELECT 'error', DATE '2024-01-03', CAST(888 AS BIGINT)
     ),
     touched AS (
       SELECT event_type, date FROM ups

@@ -158,10 +158,17 @@ def _json_safe(v):
 
 
 def _collect_stats(df: DataFrame) -> dict:
-    """Per-part min/max column stats, computed at staging time (one small
-    aggregate job) and recorded in the commit entry — the data-skipping
-    metadata Delta/Iceberg keep per file.  JSON-safe: temporal values as
-    ISO strings (lexicographic order == chronological order)."""
+    """Per-part min/max column stats plus the part's ROW COUNT (the
+    reserved ``__nrows`` key — column names can't collide, reserved
+    ``__``-prefixed engine columns are never stats-typed by accident
+    here because it is written unconditionally), computed at staging
+    time (one small aggregate job) and recorded in the commit entry —
+    the data-skipping metadata Delta/Iceberg keep per file.  The row
+    count makes "how big is this table" a METADATA question for
+    append-only tables (sum over live parts is exact), which the
+    merge-on-read serve's overdue gate needs (round-14 ADVICE).
+    JSON-safe: temporal values as ISO strings (lexicographic order ==
+    chronological order)."""
     from pyspark.sql import functions as F
 
     cols = [
@@ -169,17 +176,33 @@ def _collect_stats(df: DataFrame) -> dict:
         for f in df.schema.fields
         if f.dataType.simpleString() in _STATS_TYPES
     ]
-    if not cols:
-        return {}
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c in cols:
         aggs += [F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}")]
     row = df.agg(*aggs).collect()[0].asDict()
-    return {
+    out = {
         c: [_json_safe(row[f"mn__{c}"]), _json_safe(row[f"mx__{c}"])]
         for c in cols
         if row[f"mn__{c}"] is not None
     }
+    out["__nrows"] = int(row["__nrows"])
+    return out
+
+
+def snapshot_nrows(snap: Snapshot) -> int | None:
+    """EXACT live row count derived purely from the per-part ``__nrows``
+    stats — no scan job.  Every part's count is computed at staging
+    time and rewrites re-stage their parts, so the sum over the live
+    file set is the table's row count at that snapshot.  Returns
+    ``None`` when any live part predates row-count stats (the caller
+    must fall back to a ``count()`` job)."""
+    total = 0
+    for f in snap.files:
+        n = (snap.stats.get(f) or {}).get("__nrows")
+        if n is None:
+            return None
+        total += int(n)
+    return total
 
 
 def _overlaps(file_stats: dict, col: str, lo, hi) -> bool:
@@ -313,11 +336,31 @@ def files_overlapping_keys(
             F.col(probe_col).cast(sql_t).alias("__k")
         )
     coerce = {"bigint": int, "double": float, "string": str}[sql_t]
+    # the logged stats carry the TARGET column's native JSON type; a
+    # probe whose dtype disagrees with it must not pick the comparison
+    # semantics (round-14 ADVICE: str() on a bigint-keyed table's int
+    # stats compared '100' < '99' lexicographically and could SKIP a
+    # file that contains a matching key — narrowing may only ever
+    # widen).  A faithful cross-type compare exists only within the
+    # numeric family; any other disagreement keeps the file.
+    ok_stat_types = {
+        "bigint": (int,),
+        "double": (int, float),
+        "string": (str,),
+    }[sql_t]
     ranged, no_stats = [], []
     for f in snap.files:
         rng = (snap.stats.get(f) or {}).get(col)
         try:
-            ranged.append((f, coerce(rng[0]), coerce(rng[1])))
+            lo, hi = rng[0], rng[1]
+            if not (
+                isinstance(lo, ok_stat_types)
+                and isinstance(hi, ok_stat_types)
+                and not isinstance(lo, bool)
+                and not isinstance(hi, bool)
+            ):
+                raise TypeError("probe/stats dtype mismatch")
+            ranged.append((f, coerce(lo), coerce(hi)))
         except (TypeError, ValueError, IndexError):
             no_stats.append(f)  # absent/mistyped stats: keep the file
     hits: set[str] = set()
@@ -443,23 +486,24 @@ def _write_clustered_parts(
     )
     parts = [f"{part}/__pid={pid}" for pid in pids]
     stats: dict[str, dict] = {p: {} for p in parts}
-    if stat_cols:
-        aggs = []
-        for c in stat_cols:
-            aggs += [
-                F.min(c).alias(f"mn__{c}"),
-                F.max(c).alias(f"mx__{c}"),
+    aggs = [F.count(F.lit(1)).alias("__nrows")]
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"mn__{c}"),
+            F.max(c).alias(f"mx__{c}"),
+        ]
+    for r in clustered.groupBy("__pid").agg(*aggs).collect():
+        d = r.asDict()
+        part_stats = {
+            c: [
+                _json_safe(d[f"mn__{c}"]),
+                _json_safe(d[f"mx__{c}"]),
             ]
-        for r in clustered.groupBy("__pid").agg(*aggs).collect():
-            d = r.asDict()
-            stats[f"{part}/__pid={int(d['__pid'])}"] = {
-                c: [
-                    _json_safe(d[f"mn__{c}"]),
-                    _json_safe(d[f"mx__{c}"]),
-                ]
-                for c in stat_cols
-                if d[f"mn__{c}"] is not None
-            }
+            for c in stat_cols
+            if d[f"mn__{c}"] is not None
+        }
+        part_stats["__nrows"] = int(d["__nrows"])
+        stats[f"{part}/__pid={int(d['__pid'])}"] = part_stats
     return parts, stats
 
 
@@ -764,6 +808,12 @@ def vacuum(table: str, keep_versions: int = 2) -> list[str]:
     return doomed
 
 
+#: sentinel opting a rewrite commit OUT of its CAS anchor — the unsafe
+#: stale-retry behavior, acceptable only under a strict single-writer
+#: discipline (see :func:`upsert`)
+UNANCHORED = object()
+
+
 def upsert(
     spark: SparkSession,
     incoming: DataFrame,
@@ -771,7 +821,7 @@ def upsert(
     key_cols: list[str],
     update_cols: list[str] | None = None,
     txn_id: str | None = None,
-    expect_version: int | None = None,
+    expect_version: int | None | object = None,
     meta: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE (S8 semantics via operators/merge.upsert_by_key),
@@ -783,13 +833,16 @@ def upsert(
     size.  A pure-insert batch (no file overlaps) removes nothing and
     appends one part.
 
-    Concurrency: pass ``expect_version`` (the snapshot version your
-    read is based on) whenever another writer could touch the table —
-    a REWRITE commit that silently retried at the next version with a
-    stale remove-set duplicates rows against a racing compact/upsert
-    (racing pure appends are the one case stale-retry handles
-    correctly).  Every maintainer in this engine passes its anchor;
-    omitting it is only safe under a strict single-writer discipline.
+    Concurrency: ALWAYS CAS-anchored by default (round-14 ADVICE, the
+    same discipline :func:`apply_changes` adopted in round 13): when
+    ``expect_version`` is not given, the commit anchors on the snapshot
+    version this merge read, so a racing compact/overlapping-upsert
+    surfaces as :class:`CommitConflictError` to be retried from a fresh
+    read — a REWRITE commit that silently retried at the next version
+    with a stale remove-set would duplicate rows.  Pass the module
+    sentinel ``UNANCHORED`` to opt INTO the old stale-retry behavior
+    (safe only for a strict single-writer, where it saves the conflict
+    retry on racing pure appends).
 
     ``txn_id`` makes a re-run idempotent exactly as in :func:`append`:
     if this id is already in the log, nothing is staged or committed and
@@ -801,6 +854,10 @@ def upsert(
     if txn_id and txn_id in current_snapshot(table).txn_ids:
         return -1
     snap = current_snapshot(table)
+    if expect_version is None:
+        expect_version = snap.version
+    elif expect_version is UNANCHORED:
+        expect_version = None
     # narrow the MERGE rewrite to the files whose logged key ranges can
     # contain an incoming key (round 13 — previously every fold rewrote
     # the whole state table): a matching existing row in a carried file
@@ -827,6 +884,67 @@ def upsert(
                   expect_version=expect_version, meta=meta)
 
 
+def cdc_tombstones_table(table: str) -> str:
+    """Path of a CDC table's delete-tombstone companion table — a
+    nested snapshot table (own log, own data dir) holding ``(key…,
+    __seq)`` for every key whose LATEST applied change was a delete.
+    Without it, a late out-of-order insert would resurrect a key a
+    newer sequence already deleted (the data row — and the ``__seq``
+    watermark riding it — is gone).  Lives INSIDE the parent table dir
+    so it travels with the table; the parent's vacuum/compact never
+    see it (they operate on the parent's logged parts only)."""
+    return os.path.join(table, "_cdc_tombstones")
+
+
+def _fold_cdc_tombstones(
+    spark: SparkSession,
+    tomb: str,
+    dels: DataFrame,
+    up_keys: DataFrame,
+    keys: list[str],
+    txn_id: str | None,
+) -> None:
+    """Fold one batch's effective deletes/upserts into the tombstone
+    table: deleted keys upsert their sequence (``greatest`` of old and
+    new — a crash-window replay may present an older effective
+    delete), resurrected keys leave.  Narrowed, txn-idempotent, and
+    CAS-anchored exactly like the data fold.  MUST commit BEFORE the
+    data commit: if a crash lands between the two, the replayed batch
+    re-derives the same effective set from the still-unchanged data
+    watermarks and txn-skips here — whereas data-first would leave no
+    way to recover which deletes still owed their tombstones."""
+    snap = current_snapshot(tomb)
+    if txn_id and txn_id in snap.txn_ids:
+        return  # crash-window replay: tombstones already folded
+    new_dels = dels.groupBy(*keys).agg(F.max("__seq").alias("__seq"))
+    if not snap.files:
+        if dels.limit(1).count() == 0:
+            return  # no tombstone table and nothing to tombstone
+        parts, stats = _write_parts(new_dels, tomb)
+        commit(tomb, add=parts, remove=[], operation="cdc_tombstones",
+               txn_id=txn_id, stats=stats, expect_version=snap.version)
+        return
+    probe = dels.select(*keys).unionByName(up_keys)
+    touched, _ = files_overlapping_all_keys(spark, snap, probe, keys)
+    if not touched and dels.limit(1).count() == 0:
+        return  # no tombstone overlaps this batch at all
+    if touched:
+        exist = read_parts(spark, tomb, touched, schema_files=snap.files)
+        survivors = exist.join(F.broadcast(up_keys), keys, "left_anti")
+        merged = (
+            survivors.select(*keys, "__seq")
+            .unionByName(new_dels)
+            .groupBy(*keys)
+            .agg(F.max("__seq").alias("__seq"))
+        )
+    else:
+        merged = new_dels
+    n = merged.count()
+    parts, stats = (_write_parts(merged, tomb) if n else ([], {}))
+    commit(tomb, add=parts, remove=touched, operation="cdc_tombstones",
+           txn_id=txn_id, stats=stats, expect_version=snap.version)
+
+
 def apply_changes(
     spark: SparkSession,
     changes: DataFrame,
@@ -845,12 +963,29 @@ def apply_changes(
     - per key, the batch's LATEST change by ``sequence_col`` wins
       (DETERMINISM CONTRACT: (key, sequence) pairs are unique — ties
       would make the fold order-dependent, so they raise);
+    - ``sequence_col`` is a GLOBAL ordering (round 14): every applied
+      row carries its sequence as a ``__seq`` column, deleted keys
+      park theirs in the :func:`cdc_tombstones_table` companion, and
+      an incoming change applies only when its sequence is STRICTLY
+      ABOVE the key's stored high-watermark — so a late-arriving batch
+      whose sequences are older than already-applied state folds to a
+      no-op instead of clobbering newer rows, and a late insert cannot
+      resurrect a key a newer sequence deleted (DLT ``APPLY CHANGES …
+      SEQUENCE BY`` out-of-order semantics).  Batches may arrive in
+      ANY order and converge to the global-max-per-key end state;
+      rows that predate CDC (null ``__seq``) accept any sequence.
+      The watermark commits ATOMICALLY with the data it describes
+      (it rides the data rows), so no crash can separate them; the
+      delete tombstones commit FIRST and replay idempotently (see
+      :func:`_fold_cdc_tombstones` for the crash-window argument).
     - latest delete → the key leaves the table; latest insert/update →
       upsert of that row's values (new keys insert; inserts and
       updates are deliberately interchangeable, as in DLT);
     - the rewrite NARROWS to the files whose key ranges overlap the
       batch (:func:`files_overlapping_all_keys`) — constant-size CDC
-      batches fold in constant work regardless of table size;
+      batches fold in constant work regardless of table size, and the
+      rewrite set is re-narrowed to the watermark-SURVIVING keys, so
+      a fully-stale batch moves zero bytes;
     - exactly-once via ``txn_id`` (a replayed batch is a no-op), and
       ALWAYS CAS-anchored: when ``expect_version`` is not given, the
       commit anchors on the snapshot version this fold read — a
@@ -874,6 +1009,11 @@ def apply_changes(
             "bootstrap the table with append() first"
         )
     keys = list(key_cols)
+    if "__seq" in changes.columns and sequence_col != "__seq":
+        raise ValueError(
+            "apply_changes: __seq is the reserved high-watermark "
+            "column; rename it in the changelog"
+        )
     w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
     ranked = changes.withColumn("__rn", F.row_number().over(w))
     # the determinism contract: a (key, sequence) tie makes "latest"
@@ -892,15 +1032,99 @@ def apply_changes(
         )
     latest = ranked.filter("__rn = 1").drop("__rn")
     latest = latest.localCheckpoint(eager=False)
-    ups = latest.filter(
-        F.col(change_col) != F.lit("delete")
-    ).drop(change_col, sequence_col)
-    dels = latest.filter(
-        F.col(change_col) == F.lit("delete")
-    ).select(*keys)
+    batch_keys = latest.select(*keys)
 
+    # ---- phase A: the stored high-watermark per incoming key ----
+    # data watermark = __seq of the key's current row (column-pruned
+    # scan of the stat-overlapping files only); tombstone watermark =
+    # the companion table's __seq for keys whose latest change was a
+    # delete.  A key PRESENT in the data wins over any (stale,
+    # crash-window) tombstone.
+    wm_touched, _ = files_overlapping_all_keys(
+        spark, snap, batch_keys, keys
+    )
+    if wm_touched:
+        wm_src = read_parts(
+            spark, table, wm_touched, schema_files=snap.files
+        )
+    else:
+        wm_src = read_snapshot(
+            spark, table, version=snap.version
+        ).filter("1 = 0")
+    # the table's __seq dtype (pinned by the first CDC fold) governs;
+    # mixed-width sequence dtypes across batches would otherwise break
+    # the parquet schema merge
+    seq_type = dict(wm_src.dtypes).get(
+        "__seq", dict(changes.dtypes)[sequence_col]
+    )
+    if "__seq" not in wm_src.columns:
+        wm_src = wm_src.withColumn("__seq", F.lit(None).cast(seq_type))
+    data_wm = (
+        wm_src.select(*keys, F.col("__seq").alias("__wm_data"))
+        .join(F.broadcast(batch_keys), keys, "left_semi")
+        .withColumn("__row_present", F.lit(True))
+    )
+    tomb = cdc_tombstones_table(table)
+    tomb_snap = current_snapshot(tomb)
+    tomb_wm = None
+    if tomb_snap.files:
+        t_touched, _ = files_overlapping_all_keys(
+            spark, tomb_snap, batch_keys, keys
+        )
+        if t_touched:
+            tomb_wm = (
+                read_parts(
+                    spark, tomb, t_touched,
+                    schema_files=tomb_snap.files,
+                )
+                .select(*keys, F.col("__seq").alias("__wm_tomb"))
+                .join(F.broadcast(batch_keys), keys, "left_semi")
+            )
+    gated = latest.join(F.broadcast(data_wm), keys, "left")
+    if tomb_wm is not None:
+        gated = gated.join(F.broadcast(tomb_wm), keys, "left")
+    else:
+        gated = gated.withColumn(
+            "__wm_tomb", F.lit(None).cast(seq_type)
+        )
+    wm = F.when(
+        F.col("__row_present"), F.col("__wm_data")
+    ).otherwise(F.col("__wm_tomb"))
+    eff = gated.filter(
+        wm.isNull() | (F.col(sequence_col) > wm)
+    ).drop("__wm_data", "__wm_tomb", "__row_present")
+    eff = eff.localCheckpoint(eager=False)
+    if eff.limit(1).count() == 0:
+        # fully-stale batch: move zero bytes, but still record the txn
+        # so the consumer's exactly-once ack holds on replay
+        return commit(
+            table, add=[], remove=[], operation="apply_changes",
+            txn_id=txn_id,
+            expect_version=(
+                snap.version if expect_version is None
+                else expect_version
+            ),
+        )
+
+    ups = (
+        eff.filter(F.col(change_col) != F.lit("delete"))
+        .drop(change_col)
+        .withColumn("__seq", F.col(sequence_col).cast(seq_type))
+        .drop(sequence_col)
+    )
+    dels = eff.filter(F.col(change_col) == F.lit("delete")).select(
+        *keys, F.col(sequence_col).cast(seq_type).alias("__seq")
+    )
+
+    # tombstones FIRST (see _fold_cdc_tombstones for why this order)
+    _fold_cdc_tombstones(
+        spark, tomb, dels, ups.select(*keys), keys, txn_id
+    )
+
+    # ---- phase B: the narrowed rewrite, re-narrowed to the keys that
+    # actually survived the watermark ----
     touched, carried = files_overlapping_all_keys(
-        spark, snap, latest.select(*keys), keys
+        spark, snap, eff.select(*keys), keys
     )
     if touched:
         existing = read_parts(
@@ -910,7 +1134,13 @@ def apply_changes(
         existing = read_snapshot(
             spark, table, version=snap.version
         ).filter("1 = 0")
-    survivors = existing.join(F.broadcast(dels), keys, "left_anti")
+    if "__seq" not in existing.columns:
+        existing = existing.withColumn(
+            "__seq", F.lit(None).cast(seq_type)
+        )
+    survivors = existing.join(
+        F.broadcast(dels.select(*keys)), keys, "left_anti"
+    )
     merged = upsert_by_key(survivors, ups, keys)
     # a batch that deletes every row of the touched files (and inserts
     # nothing) must keep a schema tombstone if no file would remain

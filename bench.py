@@ -60,9 +60,13 @@ from airflow_crypto_btc_spark.session import get_spark  # noqa: E402
 #   4. (round 13) the never-timed residue is BOUNDED: at most 40
 #      catalog entries may lack a timed line, and new lines are drawn
 #      from the HEAD of the never-timed backlog in catalog order (the
-#      correctness window's cursor discipline), so every oracle-backed
-#      entry is timed at least once per two rounds.
-# tests/test_bench_headline.py enforces 1-2 and 4 mechanically; the
+#      correctness window's cursor discipline);
+#   5. (round 14) MAX-STALENESS: an entry may stay untimed for at most
+#      ONE round — this round's residue must be disjoint from last
+#      round's (frozen in tests/test_bench_headline.py), so every
+#      catalog entry gets a timed line at least once per two rounds.
+#      As of round 14 the residue is ZERO: all 268 entries are timed.
+# tests/test_bench_headline.py enforces 1-2 and 4-5 mechanically; the
 # summary line reports n_untimed so the artifact self-describes its
 # coverage.
 HEADLINE = [
@@ -402,6 +406,52 @@ HEADLINE = [
     # round-13: CDC APPLY CHANGES INTO (keyed latest-wins changelog
     # fold, narrowed rewrite, exactly-once txn)
     "cdc_apply_changes",
+    # round-14: rule-4 residue retired IN FULL — the 38 entries that
+    # were untimed in round 13 (its allowed residue) all get a timed
+    # line this round, so the max-staleness invariant (every catalog
+    # entry timed at least once per two rounds,
+    # tests/test_bench_headline.py::test_rule_5) holds with residue 0:
+    # every oracle-backed entry now has a timed line every round.
+    # Covers rule 1 for the round-14 window rotation (TA battery, SQL
+    # surface, incremental dedup, jsonl/orc sources) as a byproduct.
+    "corr_matrix_assets",
+    "win_bollinger",
+    "win_rolling_median",
+    "win_zscore_outliers",
+    "scd2_intervals",
+    "histogram_equiwidth",
+    "sql_recursive_return_index",
+    "sql_filtered_aggregates",
+    "sql_lateral_topk",
+    "sql_window_value_battery",
+    "sql_null_battery",
+    "rollup_incremental_ohlc",
+    "curate_near_dup_purge",
+    "dedup_near_clusters_two_star",
+    "dedup_lsh_pairs_capped",
+    "src_jsonl_documents",
+    "src_orc_documents",
+    "dedup_incremental_pairs",
+    "dedup_pairs_from_persisted_index",
+    "curate_ingest_pipeline",
+    "text_scrub_pii",
+    "sim_lsh_topk_from_index",
+    "text_strip_markup",
+    "text_unigram_logprob",
+    "dedup_novel_documents",
+    "curate_semantic_purge",
+    "dedup_semantic_delta",
+    "text_tfidf_from_model",
+    "dedup_semantic_quality",
+    "dedup_lsh_quality",
+    "mm_block_hash",
+    "phys_salted_aggregate",
+    "phys_salted_join",
+    "curate_shard_summary",
+    "curate_best_rep_purge",
+    "search_bm25_from_stream",
+    "curate_probe_eval",
+    "curate_probe_holdout",
 ]
 
 

@@ -77,6 +77,43 @@ def test_rule_4_untimed_residue_is_bounded() -> None:
     )
 
 
+#: the round-13 bench's untimed residue — FROZEN (computed from the
+#: r13 HEADLINE at commit 9add547).  Update each round to the residue
+#: the round actually shipped, never retroactively.
+_PREV_ROUND_UNTIMED = frozenset({
+    "corr_matrix_assets", "win_bollinger", "win_rolling_median",
+    "win_zscore_outliers", "scd2_intervals", "histogram_equiwidth",
+    "sql_recursive_return_index", "sql_filtered_aggregates",
+    "sql_lateral_topk", "sql_window_value_battery", "sql_null_battery",
+    "rollup_incremental_ohlc", "curate_near_dup_purge",
+    "dedup_near_clusters_two_star", "dedup_lsh_pairs_capped",
+    "src_jsonl_documents", "src_orc_documents",
+    "dedup_incremental_pairs", "dedup_pairs_from_persisted_index",
+    "curate_ingest_pipeline", "text_scrub_pii",
+    "sim_lsh_topk_from_index", "text_strip_markup",
+    "text_unigram_logprob", "dedup_novel_documents",
+    "curate_semantic_purge", "dedup_semantic_delta",
+    "text_tfidf_from_model", "dedup_semantic_quality",
+    "dedup_lsh_quality", "mm_block_hash", "phys_salted_aggregate",
+    "phys_salted_join", "curate_shard_summary",
+    "curate_best_rep_purge", "search_bm25_from_stream",
+    "curate_probe_eval", "curate_probe_holdout",
+})
+
+
+@pytest.mark.smoke
+def test_rule_5_max_staleness_one_round() -> None:
+    """Round 14: an entry may stay untimed for at most ONE round —
+    this round's residue must be disjoint from the previous round's
+    frozen residue, so every catalog entry is timed at least once per
+    two rounds (the round-13 judge's bench-rotation invariant)."""
+    untimed = {n for n in ALL_QUERIES if n not in set(bench.HEADLINE)}
+    stale = untimed & _PREV_ROUND_UNTIMED
+    assert not stale, (
+        f"entries untimed two rounds running: {sorted(stale)}"
+    )
+
+
 @pytest.mark.smoke
 def test_family_module_map_is_complete() -> None:
     """If a new registry module is merged into the catalog but not added

@@ -191,12 +191,109 @@ def probe(sf_dir: str) -> list[dict]:
     return out
 
 
+def probe_mor_cadence(sf_dir: str) -> list[dict]:
+    """Round-14 verdict item 4: the merge-on-read READ TAX and APPLY
+    cost as functions of tombstone volume.  ``read_snapshot_mor``
+    serves (state − DV) on EVERY read until ``apply_deletion_vectors``
+    lands, so the cadence decision needs two measured curves:
+
+    - serve tax(|DV|) = MoR serve wall − plain-snapshot serve wall at
+      tombstone volumes spanning 0 → 50 % of the corpus (scattered ids
+      — the shape DV exists for);
+    - apply cost(|DV|) = one ``apply_deletion_vectors`` rewrite at the
+      same volumes (file-narrowed; scattered is its honest worst case).
+
+    The cadence rule follows: OPTIMIZE when
+    ``reads_since_apply × serve_tax(|DV|) > apply_cost(|DV|)`` — both
+    sides are printed per volume so SCALING.md can state the breakeven
+    read count directly."""
+    import statistics
+
+    spark = get_spark()
+    out = []
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    base_root = tempfile.mkdtemp(prefix="mor_cadence_")
+    try:
+        master = os.path.join(base_root, "master")
+        os.makedirs(master)
+        _build_zone(spark, sf_dir, master)
+        tables = [os.path.join(master, n) for n in ("post", "dlen")]
+
+        def _serve(dv: str | None) -> float:
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                for t in tables:
+                    if dv is None:
+                        st.read_snapshot(spark, t).count()
+                    else:
+                        td.read_snapshot_mor(
+                            spark, t, dv, "doc_id"
+                        ).count()
+                reps.append(time.time() - t0)
+            return statistics.median(reps)
+
+        base_serve = _serve(None)
+        for frac in (0.001, 0.01, 0.10, 0.50):
+            size = max(1, int(n_docs * frac))
+            step = max(1, n_docs // size)
+            ids = (
+                spark.range(n_docs)
+                .filter(f"id % {step} = 0")
+                .limit(size)
+                .selectExpr("id AS doc_id")
+                .localCheckpoint()
+            )
+            dv = os.path.join(base_root, f"dv_{size}")
+            td.takedown_deferred(
+                spark, ids, dv, "doc_id", txn_id=f"mor-{size}"
+            )
+            mor_serve = _serve(dv)
+            # apply on a private zone copy (the apply mutates it)
+            zone = tempfile.mkdtemp(dir=base_root)
+            for name in ("post", "dlen"):
+                shutil.copytree(
+                    os.path.join(master, name),
+                    os.path.join(zone, name),
+                )
+            dv2 = os.path.join(zone, "dv")
+            td.takedown_deferred(
+                spark, ids, dv2, "doc_id", txn_id=f"mor2-{size}"
+            )
+            ztables = [os.path.join(zone, n) for n in ("post", "dlen")]
+            t0 = time.time()
+            td.apply_deletion_vectors(
+                spark, dv2, [(t, "doc_id") for t in ztables],
+                txn_id=f"apply-{size}",
+            )
+            w_apply = time.time() - t0
+            tax = max(0.0, mor_serve - base_serve)
+            out.append({
+                "sf_dir": os.path.basename(sf_dir.rstrip("/")),
+                "n_docs": n_docs,
+                "dv_rows": size,
+                "plain_serve_s": round(base_serve, 3),
+                "mor_serve_s": round(mor_serve, 3),
+                "serve_tax_s": round(tax, 3),
+                "apply_s": round(w_apply, 2),
+                "breakeven_reads": (
+                    round(w_apply / tax, 1) if tax > 0 else None
+                ),
+            })
+            shutil.rmtree(zone, ignore_errors=True)
+    finally:
+        shutil.rmtree(base_root, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     import json
 
-    dirs = sys.argv[1:] or [
+    args = [a for a in sys.argv[1:] if a != "--mor-cadence"]
+    mor = "--mor-cadence" in sys.argv[1:]
+    dirs = args or [
         "/root/testdata/sf0.1", os.path.join(REPO, ".scale", "sf1")
     ]
     for d in dirs:
-        for r in probe(d):
+        for r in (probe_mor_cadence(d) if mor else probe(d)):
             print(json.dumps(r))

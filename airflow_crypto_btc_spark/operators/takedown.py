@@ -469,7 +469,17 @@ def read_snapshot_mor(
     id column's type — a cast that NULLs non-null tombstone ids raises
     instead of serving an unmasked snapshot (an all-null anti-join key
     removes nothing: a silent safety failure).  A missing or
-    fully-applied DV table serves the plain snapshot."""
+    fully-applied DV table serves the plain snapshot.
+
+    CADENCE RULE (measured, SCALING.md round 14): the serve tax is a
+    fixed broadcast overhead until |DV| reaches ~1 % of the zone, then
+    grows sub-linearly, while the file-narrowed apply grows slower
+    still — the breakeven stays around TEN taxed serves across two
+    decades of |DV| and a decade of corpus.  So run
+    :func:`apply_deletion_vectors` once ~10 serves have happened since
+    the last apply, or as soon as |DV| exceeds ~10 % of the zone,
+    whichever first; the ``broadcast_cap`` fallback is the safety net
+    for a MISSED cadence, not the design point."""
     import warnings
 
     from airflow_crypto_btc_spark.sources.snapshot_table import (

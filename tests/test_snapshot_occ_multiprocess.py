@@ -459,6 +459,113 @@ spark.stop()
 """
 
 
+_CDC_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from airflow_crypto_btc_spark.sources import snapshot_table as st
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("occ-cdc")
+    .config("spark.driver.memory", "1g")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+table = {table!r}
+# batches delivered OUT OF LOGICAL ORDER (2, 0, 3, 1): the shared
+# key 5 is touched by every batch, so the cross-batch sequence
+# high-watermark must discard the late-arriving older updates while
+# the per-batch disjoint ranges all land
+for b in {order!r}:
+    base = b * 10
+    rows = [(5, -(base + 1), "update", base + 1)]
+    rows += [
+        (k, -k, "update", base + 2)
+        for k in range(b * 20, b * 20 + 8)
+    ]
+    rows += [
+        (k, 0, "delete", base + 3)
+        for k in range(b * 20 + 8, b * 20 + 12)
+    ]
+    rows += [
+        (1000 + b * 5 + i, 1000 + b * 5 + i, "insert", base + 4)
+        for i in range(5)
+    ]
+    changes = spark.createDataFrame(
+        rows, "k bigint, v bigint, _change_type string, seq int"
+    )
+    attempts = 0
+    while True:
+        try:
+            st.apply_changes(
+                spark, changes, table, key_cols=["k"],
+                sequence_col="seq", txn_id=f"cdc-{{b}}",
+            )
+            break
+        except st.CommitConflictError:
+            attempts += 1
+            assert attempts < 1000, "livelock"
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_multiprocess_cdc_apply_races_compact_vacuum(
+    spark, tmp_path
+) -> None:
+    """Round-13 verdict stretch: the CDC fold promoted to REAL OS
+    processes — one CDC worker applying four changelog batches OUT OF
+    LOGICAL ORDER (the round-14 sequence high-watermark under genuine
+    interleaving), one compactor running two mid-stream OPTIMIZEs, and
+    one vacuum racer, all on the same snapshot table.  Serializable
+    outcome: the final table equals the dict model of all changes
+    folded in GLOBAL sequence order (arrival order cancelled by the
+    watermark), versions gapless, every CDC txn landed exactly once."""
+    table = str(tmp_path / "occ_cdc")
+    order = [2, 0, 3, 1]
+    seed = spark.range(200).selectExpr("id AS k", "id * 10 AS v")
+    st.append(spark, seed, table, txn_id="seed")
+
+    _run_workers(
+        [
+            _CDC_WORKER.format(repo=_REPO, table=table, order=order),
+            _COMPACT_WORKER.format(repo=_REPO, table=table),
+            _VACUUM_WORKER.format(
+                repo=_REPO, table=table, stop_at=1 + 4 + 2
+            ),
+        ],
+        timeout=900,
+    )
+
+    entries = _log_entries(table)
+    versions = [e["version"] for e in entries]
+    assert versions == list(range(len(versions))), "version gap/dup"
+    ops = [e["operation"] for e in entries]
+    assert ops.count("apply_changes") == 4
+    assert ops.count("compact") == 2
+    txns = [e["txn_id"] for e in entries if e.get("txn_id")]
+    assert len(txns) == len(set(txns))
+
+    # dict model folded in GLOBAL sequence order
+    model = {k: k * 10 for k in range(200)}
+    for b in sorted(order):  # global order = logical order
+        base = b * 10
+        model[5] = -(base + 1)
+        for k in range(b * 20, b * 20 + 8):
+            model[k] = -k
+        for k in range(b * 20 + 8, b * 20 + 12):
+            model.pop(k, None)
+        for i in range(5):
+            model[1000 + b * 5 + i] = 1000 + b * 5 + i
+    got = {
+        r["k"]: r["v"]
+        for r in st.read_snapshot(spark, table).collect()
+    }
+    assert got == model
+
+
 @pytest.mark.slow
 def test_multiprocess_takedown_races_maintainer_compact_vacuum(
     spark, tmp_path

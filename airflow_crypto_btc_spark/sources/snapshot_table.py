@@ -945,6 +945,82 @@ def _fold_cdc_tombstones(
            txn_id=txn_id, stats=stats, expect_version=snap.version)
 
 
+def expire_cdc_tombstones(
+    spark: SparkSession,
+    table: str,
+    below_seq,
+    txn_id: str | None = None,
+) -> int:
+    """Retention for the CDC delete-tombstone companion: truncate
+    tombstones whose ``__seq`` is strictly below the consumer's
+    out-of-orderness HORIZON (Debezium's low watermark).  Once the
+    source guarantees no change at-or-below ``below_seq`` can still
+    arrive, those tombstones can never gate anything again — without
+    expiry the companion grows O(all keys ever deleted) forever.
+
+    File-narrowed via the logged ``__seq`` stats, so steady-state
+    expiry is METADATA-ONLY: a file whose max __seq < horizon
+    de-references whole (zero bytes move), a file entirely at-or-above
+    carries, and only straddling files rewrite their survivors.
+    CAS-anchored and txn-idempotent like every rewrite.  Returns the
+    number of tombstones expired (0 for a replay or a missing table).
+
+    SAFETY: expiring below a horizon the source has NOT sealed
+    re-opens the resurrection window :func:`apply_changes` closed — a
+    sub-horizon insert for an expired key would land.  The horizon is
+    the caller's contract with its source, exactly as in DLT/Debezium."""
+    tomb = cdc_tombstones_table(table)
+    snap = current_snapshot(tomb)
+    if txn_id and txn_id in snap.txn_ids:
+        return 0
+    if not snap.files:
+        return 0
+    drop, carry, straddle = [], [], []
+    for f in snap.files:
+        rng = (snap.stats.get(f) or {}).get("__seq")
+        if not rng:
+            straddle.append(f)  # no stats: must inspect rows
+            continue
+        if rng[1] < below_seq:
+            # whole-file drop needs the exact count: legacy parts
+            # without __nrows stats fall through to the row-inspecting
+            # path so the return value stays exact
+            if (snap.stats.get(f) or {}).get("__nrows") is None:
+                straddle.append(f)
+            else:
+                drop.append(f)
+        elif rng[0] >= below_seq:
+            carry.append(f)
+        else:
+            straddle.append(f)
+    if not drop and not straddle:
+        return 0
+    expired = sum(
+        int(snap.stats[f]["__nrows"]) for f in drop
+    )
+    add: list[str] = []
+    stats: dict = {}
+    if straddle:
+        rows = read_parts(spark, tomb, straddle,
+                          schema_files=snap.files)
+        survivors = rows.filter(F.col("__seq") >= F.lit(below_seq))
+        n_before = rows.count()
+        n_after = survivors.count()
+        expired += n_before - n_after
+        if n_after or not carry:
+            add, stats = _write_parts(survivors, tomb)
+    commit(
+        tomb,
+        add=add,
+        remove=drop + straddle,
+        operation="expire_tombstones",
+        txn_id=txn_id,
+        stats=stats,
+        expect_version=snap.version,
+    )
+    return expired
+
+
 def apply_changes(
     spark: SparkSession,
     changes: DataFrame,

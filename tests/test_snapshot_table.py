@@ -1011,6 +1011,90 @@ def test_apply_changes_out_of_order_batches_converge(spark, tmp_path):
     assert got[2] == 22  # the seq-12 delete is below the seq-13 row
 
 
+def test_expire_cdc_tombstones_is_metadata_only_when_clustered(
+    spark, tmp_path
+):
+    """Tombstone retention (Debezium low watermark): tombstones below
+    the sealed horizon truncate — whole files below it de-reference
+    with ZERO bytes moved (metadata-only, via the logged __seq stats),
+    straddling files rewrite survivors, at-or-above files carry.
+    Replay is a no-op; after expiry a sub-horizon insert CAN land
+    (the documented contract: the horizon asserts none will arrive)."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        apply_changes,
+        cdc_tombstones_table,
+        expire_cdc_tombstones,
+        read_parts,
+    )
+
+    tbl = str(tmp_path / "cdc_ttl")
+    append(
+        spark,
+        spark.range(100).selectExpr("id AS k", "id AS v"),
+        tbl,
+    )
+    # three delete batches -> three seq-clustered tombstone files:
+    # seqs 1..10, 11..20, 21..30
+    for b in range(3):
+        rows = [
+            (10 * b + i, -1, "delete", 10 * b + i + 1)
+            for i in range(10)
+        ]
+        apply_changes(
+            spark,
+            spark.createDataFrame(
+                rows, "k bigint, v bigint, _change_type string, seq int"
+            ),
+            tbl, key_cols=["k"], sequence_col="seq", txn_id=f"d{b}",
+        )
+    tomb = cdc_tombstones_table(tbl)
+    before = current_snapshot(tomb)
+    assert len(before.files) == 3
+
+    # horizon 15: file 1 (seqs 1-10) drops whole by METADATA, file 2
+    # (11-20) straddles and rewrites 16..20, file 3 (21-30) carries
+    n = expire_cdc_tombstones(spark, tbl, 15, txn_id="ttl-1")
+    assert n == 14  # seqs 1..14
+    after = current_snapshot(tomb)
+    carried = set(before.files) & set(after.files)
+    assert len(carried) == 1  # the 21..30 file moved zero bytes
+    live = read_parts(spark, tomb, after.files).collect()
+    assert sorted(r["__seq"] for r in live) == list(range(15, 31))
+
+    # replay: no-op
+    assert expire_cdc_tombstones(spark, tbl, 15, txn_id="ttl-1") == 0
+    assert current_snapshot(tomb).version == after.version
+
+    # the contract flip-side: a SUB-horizon insert for an expired key
+    # now lands (its tombstone is gone — the horizon asserted this
+    # cannot happen, so the engine no longer defends against it)
+    apply_changes(
+        spark,
+        spark.createDataFrame(
+            [(3, 333, "insert", 4)],
+            "k bigint, v bigint, _change_type string, seq int",
+        ),
+        tbl, key_cols=["k"], sequence_col="seq", txn_id="late-sub",
+    )
+    got = {
+        r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
+    }
+    assert got[3] == 333
+    # ...while a key whose tombstone SURVIVED the horizon still blocks
+    apply_changes(
+        spark,
+        spark.createDataFrame(
+            [(25, 555, "insert", 20)],
+            "k bigint, v bigint, _change_type string, seq int",
+        ),
+        tbl, key_cols=["k"], sequence_col="seq", txn_id="late-kept",
+    )
+    got = {
+        r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
+    }
+    assert 25 not in got  # tombstone seq 26 still gates
+
+
 from hypothesis import HealthCheck, given, settings as hyp_settings
 from hypothesis import strategies as st
 

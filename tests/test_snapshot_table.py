@@ -1011,6 +1011,99 @@ def test_apply_changes_out_of_order_batches_converge(spark, tmp_path):
     assert got[2] == 22  # the seq-12 delete is below the seq-13 row
 
 
+def test_apply_changes_data_row_presence_shadows_stale_tombstone(
+    spark, tmp_path
+):
+    """The crash-window resolution rule, pinned: a CAS-conflicted fold
+    can land a tombstone whose data delete then never applies (the
+    batch was superseded by a newer change before the retry) — leaving
+    a tombstone NEXT TO a live data row.  The watermark lookup must
+    let the DATA ROW's __seq govern (presence wins): changes above the
+    row's sequence apply even when the stale tombstone's sequence is
+    higher, and the stale tombstone is harmless garbage (a later real
+    delete max-merges over it)."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append as snap_append,
+        apply_changes,
+        cdc_tombstones_table,
+    )
+
+    tbl = str(tmp_path / "cdc_stale_tomb")
+    append(
+        spark,
+        spark.range(10).selectExpr("id AS k", "id AS v"),
+        tbl,
+    )
+    # establish __seq on the row: update k=4 at seq 12
+    apply_changes(
+        spark,
+        spark.createDataFrame(
+            [(4, 44, "update", 12)],
+            "k bigint, v bigint, _change_type string, seq int",
+        ),
+        tbl, key_cols=["k"], sequence_col="seq", txn_id="b-est",
+    )
+    # simulate the crash-window artifact: a tombstone for k=4 at a
+    # HIGHER sequence than the live row, with no matching data delete
+    snap_append(
+        spark,
+        spark.createDataFrame([(4, 20)], "k bigint, __seq int"),
+        cdc_tombstones_table(tbl),
+        txn_id="crashed-batch",
+    )
+    # presence wins: seq 15 > the row's 12 applies, despite the
+    # stale tombstone's 20
+    apply_changes(
+        spark,
+        spark.createDataFrame(
+            [(4, 55, "update", 15)],
+            "k bigint, v bigint, _change_type string, seq int",
+        ),
+        tbl, key_cols=["k"], sequence_col="seq", txn_id="b-fresh",
+    )
+    got = {
+        r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
+    }
+    assert got[4] == 55
+    # ...and a change at-or-below the ROW's watermark still rejects
+    apply_changes(
+        spark,
+        spark.createDataFrame(
+            [(4, 66, "update", 11)],
+            "k bigint, v bigint, _change_type string, seq int",
+        ),
+        tbl, key_cols=["k"], sequence_col="seq", txn_id="b-stale",
+    )
+    got = {
+        r["k"]: r["v"] for r in read_snapshot(spark, tbl).collect()
+    }
+    assert got[4] == 55
+    # a later REAL delete max-merges over the garbage tombstone
+    apply_changes(
+        spark,
+        spark.createDataFrame(
+            [(4, 0, "delete", 25)],
+            "k bigint, v bigint, _change_type string, seq int",
+        ),
+        tbl, key_cols=["k"], sequence_col="seq", txn_id="b-del",
+    )
+    assert 4 not in {
+        r["k"] for r in read_snapshot(spark, tbl).collect()
+    }
+    # and a sub-25 insert cannot resurrect
+    apply_changes(
+        spark,
+        spark.createDataFrame(
+            [(4, 77, "insert", 21)],
+            "k bigint, v bigint, _change_type string, seq int",
+        ),
+        tbl, key_cols=["k"], sequence_col="seq", txn_id="b-res",
+    )
+    assert 4 not in {
+        r["k"] for r in read_snapshot(spark, tbl).collect()
+    }
+
+
 def test_expire_cdc_tombstones_is_metadata_only_when_clustered(
     spark, tmp_path
 ):

@@ -2033,6 +2033,98 @@ INCREMENTAL_REGISTRY["search_bm25_from_stream"] = QuerySpec(
 
 
 # ------------------------------------------- CDC APPLY CHANGES (round 13)
+def _cdc_changelog(daily, base):
+    """The CDC fixture changelog shared by the one-shot and streamed
+    zones (ONE source of truth against the shared oracle SQL).  Every
+    per-key sequence MAXIMUM is unique across the whole changelog, so
+    under the round-14 cross-batch high-watermark ANY delivery order
+    converges to the same end state — which is exactly what the
+    streamed twin demonstrates.  Returns the named change frames."""
+    tag = lambda df, t, s: (  # noqa: E731
+        df.withColumn("_change_type", F.lit(t))
+        .withColumn("seq", F.lit(s).cast("int"))
+    )
+    upd = tag(
+        base.filter(
+            F.col("date").between("2024-01-05", "2024-01-08")
+        ).withColumn("n_obs", F.col("n_obs") + 1000),
+        "update", 1,
+    )
+    dels = tag(
+        base.filter(
+            (F.col("event_type") == "error")
+            & (F.col("date") <= F.lit("2024-01-04").cast("date"))
+        ).withColumn("n_obs", F.lit(0).cast("long")),
+        "delete", 1,
+    )
+    ins = tag(
+        daily.filter(
+            F.col("date").between("2024-01-21", "2024-01-25")
+        ),
+        "insert", 1,
+    )
+    # latest-wins exercises: the seq-2 delete overrides the seq-1
+    # update for ('click', 01-05); the seq-2 update RESURRECTS
+    # ('error', 01-03), which seq 1 deleted
+    late_del = tag(
+        base.filter(
+            (F.col("event_type") == "click")
+            & (F.col("date") == F.lit("2024-01-05").cast("date"))
+        ),
+        "delete", 2,
+    )
+    late_upd = tag(
+        base.filter(
+            (F.col("event_type") == "error")
+            & (F.col("date") == F.lit("2024-01-03").cast("date"))
+        ).withColumn("n_obs", F.lit(777).cast("long")),
+        "update", 2,
+    )
+    # the LATE OUT-OF-ORDER batch (round 14): two stale changes the
+    # high-watermark must DISCARD (a seq-0 update under the day-5..8
+    # keys' seq-1 watermark, and a seq-1 insert trying to resurrect
+    # ('click', 01-05), which the seq-2 delete tombstoned) plus one
+    # genuinely newer change that must apply (seq-3 update of
+    # ('error', 01-03) from 777 to 888)
+    stale_upd = tag(
+        base.filter(
+            F.col("date").between("2024-01-05", "2024-01-08")
+        ).withColumn("n_obs", F.col("n_obs") + 5555),
+        "update", 0,
+    )
+    stale_res = tag(
+        base.filter(
+            (F.col("event_type") == "click")
+            & (F.col("date") == F.lit("2024-01-05").cast("date"))
+        ).withColumn("n_obs", F.lit(12345).cast("long")),
+        "insert", 1,
+    )
+    fresh_upd = tag(
+        base.filter(
+            (F.col("event_type") == "error")
+            & (F.col("date") == F.lit("2024-01-03").cast("date"))
+        ).withColumn("n_obs", F.lit(888).cast("long")),
+        "update", 3,
+    )
+    return {
+        "upd": upd, "dels": dels, "ins": ins,
+        "late_del": late_del, "late_upd": late_upd,
+        "stale_upd": stale_upd, "stale_res": stale_res,
+        "fresh_upd": fresh_upd,
+    }
+
+
+def _cdc_daily_base(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(F.count("*").cast("long").alias("n_obs"))
+    base = daily.filter(
+        F.col("date") <= F.lit("2024-01-20").cast("date")
+    )
+    return daily, base
+
+
 def _cdc_zone(spark, sf_dir):
     import os
 
@@ -2045,63 +2137,18 @@ def _cdc_zone(spark, sf_dir):
         apply_changes,
     )
 
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("date")
-    ).agg(F.count("*").cast("long").alias("n_obs"))
+    daily, base = _cdc_daily_base(spark, sf_dir)
     _ = _fingerprint(sf_dir, "events")  # zone keys on the events file
 
     def _land(staging: str) -> None:
         tbl = os.path.join(staging, "state")
-        base = daily.filter(
-            F.col("date") <= F.lit("2024-01-20").cast("date")
-        )
         snap_append(spark, base, tbl)
-        tag = lambda df, t, s: (  # noqa: E731
-            df.withColumn("_change_type", F.lit(t))
-            .withColumn("seq", F.lit(s).cast("int"))
-        )
-        upd = tag(
-            base.filter(
-                F.col("date").between("2024-01-05", "2024-01-08")
-            ).withColumn("n_obs", F.col("n_obs") + 1000),
-            "update", 1,
-        )
-        dels = tag(
-            base.filter(
-                (F.col("event_type") == "error")
-                & (F.col("date") <= F.lit("2024-01-04").cast("date"))
-            ).withColumn("n_obs", F.lit(0).cast("long")),
-            "delete", 1,
-        )
-        ins = tag(
-            daily.filter(
-                F.col("date").between("2024-01-21", "2024-01-25")
-            ),
-            "insert", 1,
-        )
-        # latest-wins exercises: the seq-2 delete overrides the seq-1
-        # update for ('click', 01-05); the seq-2 update RESURRECTS
-        # ('error', 01-03), which seq 1 deleted
-        late_del = tag(
-            base.filter(
-                (F.col("event_type") == "click")
-                & (F.col("date") == F.lit("2024-01-05").cast("date"))
-            ),
-            "delete", 2,
-        )
-        late_upd = tag(
-            base.filter(
-                (F.col("event_type") == "error")
-                & (F.col("date") == F.lit("2024-01-03").cast("date"))
-            ).withColumn("n_obs", F.lit(777).cast("long")),
-            "update", 2,
-        )
+        c = _cdc_changelog(daily, base)
         changes = (
-            upd.unionByName(dels)
-            .unionByName(ins)
-            .unionByName(late_del)
-            .unionByName(late_upd)
+            c["upd"].unionByName(c["dels"])
+            .unionByName(c["ins"])
+            .unionByName(c["late_del"])
+            .unionByName(c["late_upd"])
         )
         apply_changes(
             spark, changes, tbl,
@@ -2109,35 +2156,9 @@ def _cdc_zone(spark, sf_dir):
             sequence_col="seq",
             txn_id="cdc-batch",
         )
-        # round 14: a LATE OUT-OF-ORDER batch exercising the
-        # cross-batch sequence high-watermark — two stale changes the
-        # watermark must DISCARD (a seq-0 update under the day-5..8
-        # keys' seq-1 watermark, and a seq-1 insert trying to resurrect
-        # ('click', 01-05), which the seq-2 delete tombstoned) plus one
-        # genuinely newer change that must apply (seq-3 update of
-        # ('error', 01-03) from 777 to 888)
-        stale_upd = tag(
-            base.filter(
-                F.col("date").between("2024-01-05", "2024-01-08")
-            ).withColumn("n_obs", F.col("n_obs") + 5555),
-            "update", 0,
-        )
-        stale_res = tag(
-            base.filter(
-                (F.col("event_type") == "click")
-                & (F.col("date") == F.lit("2024-01-05").cast("date"))
-            ).withColumn("n_obs", F.lit(12345).cast("long")),
-            "insert", 1,
-        )
-        fresh_upd = tag(
-            base.filter(
-                (F.col("event_type") == "error")
-                & (F.col("date") == F.lit("2024-01-03").cast("date"))
-            ).withColumn("n_obs", F.lit(888).cast("long")),
-            "update", 3,
-        )
-        late_batch = stale_upd.unionByName(stale_res).unionByName(
-            fresh_upd
+        late_batch = (
+            c["stale_upd"].unionByName(c["stale_res"])
+            .unionByName(c["fresh_upd"])
         )
         apply_changes(
             spark, late_batch, tbl,
@@ -2212,4 +2233,80 @@ _SQL_CDC_APPLY_CHANGES = """
 
 INCREMENTAL_REGISTRY["cdc_apply_changes"] = QuerySpec(
     q_cdc_apply_changes, _SQL_CDC_APPLY_CHANGES
+)
+
+
+def _cdc_stream_zone(spark, sf_dir):
+    import os
+
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.plans.registry_takedown import (
+        _fingerprint,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        append as snap_append,
+    )
+    from airflow_crypto_btc_spark.streaming.snapshot_sink import (
+        cdc_apply_sink,
+    )
+
+    daily, base = _cdc_daily_base(spark, sf_dir)
+    _ = _fingerprint(sf_dir, "events")  # zone keys on the events file
+
+    def _land(staging: str) -> None:
+        tbl = os.path.join(staging, "state")
+        snap_append(spark, base, tbl)
+        c = _cdc_changelog(daily, base)
+        # the SAME changelog as the one-shot zone, but delivered as
+        # three micro-batches in SHUFFLED arrival order (the late
+        # out-of-order batch FIRST) through the streaming sink — the
+        # cross-batch high-watermark makes every delivery order fold
+        # to the identical end state, so the oracle is shared verbatim
+        # with `cdc_apply_changes`
+        b_late = (
+            c["stale_upd"].unionByName(c["stale_res"])
+            .unionByName(c["fresh_upd"])
+        )
+        b1b = (
+            c["ins"].unionByName(c["late_del"])
+            .unionByName(c["late_upd"])
+        )
+        b1a = c["upd"].unionByName(c["dels"])
+        sink = cdc_apply_sink(
+            tbl, "cdc-stream-q", ["event_type", "date"], "seq"
+        )
+        sink(b_late, 0)
+        sink(b_late, 0)  # engine replay of a delivered batch: no-op
+        sink(b1b, 1)
+        sink(b1a, 2)
+
+    return _landing_zone(sf_dir, "events", "cdc_stream_state", _land)
+
+
+def q_cdc_apply_from_stream(spark, sf_dir):
+    """APPLY CHANGES INTO as a STREAM: the same CDC changelog as
+    `cdc_apply_changes`, delivered through the foreachBatch sink
+    (streaming/snapshot_sink.cdc_apply_sink) as three micro-batches in
+    SHUFFLED arrival order — the late out-of-order batch lands FIRST,
+    then the original batch split in two, plus one engine-style replay
+    of a delivered batch (exactly-once no-op).  The round-14
+    cross-batch sequence high-watermark guarantees every delivery
+    order converges to the global-max-per-key end state (each per-key
+    sequence maximum in the fixture changelog is unique), so the
+    oracle is the SAME relational end state the one-shot entry hashes
+    — proving arrival order is cancelled, not merely tolerated."""
+    import os
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    zone = _cdc_stream_zone(spark, sf_dir)
+    return read_snapshot(
+        spark, os.path.join(zone, "state")
+    ).select("event_type", "date", "n_obs")
+
+
+INCREMENTAL_REGISTRY["cdc_apply_from_stream"] = QuerySpec(
+    q_cdc_apply_from_stream, _SQL_CDC_APPLY_CHANGES
 )

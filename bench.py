@@ -452,6 +452,10 @@ HEADLINE = [
     "search_bm25_from_stream",
     "curate_probe_eval",
     "curate_probe_holdout",
+    # round-14 late add: the streamed APPLY CHANGES twin (shuffled
+    # micro-batch delivery through cdc_apply_sink; same oracle as the
+    # one-shot fold) — timed immediately so the residue stays 0
+    "cdc_apply_from_stream",
 ]
 
 

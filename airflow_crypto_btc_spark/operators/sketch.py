@@ -326,3 +326,181 @@ def qhist_from_table(
         .groupBy("bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# --------------------------------------------- KMV / theta sketch
+
+#: the 32-bit hash space KMV samples from — ``h32`` is uniform in
+#: [0, KMV_SPACE) by construction (md5 prefix), so a sketch's k-th
+#: minimum is an order statistic of a uniform sample
+KMV_SPACE = 1 << 32
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_expr: str,
+    group_cols: list[str],
+    k: int = 32,
+    fanout: int = 32,
+) -> DataFrame:
+    """K-minimum-values (theta) sketch per group: the ``k`` smallest
+    32-bit md5 hashes over the DISTINCT keys — the FOURTH register
+    sketch beside CM (counts), HLL (cardinality), and the quantile
+    histogram, and the only one of the four whose sketches support SET
+    OPERATIONS (Beyer et al. 2007; the Datasketches theta family):
+    union = k smallest of the concatenated sketches, and intersection
+    estimates fall out of :func:`kmv_theta_ops` — HLL registers cannot
+    intersect without inclusion–exclusion blowup.
+
+    Scale shape: one map-side-combined ``distinct`` over (group, h32),
+    then TWO bounded window passes — the first partitions by (group,
+    h32 % fanout) so no single task ever sorts a whole group's distinct
+    hash set (the per-group k-min is a skew hazard: 'one giant group'
+    is the common case for a global sketch), the second ranks the
+    ≤ fanout·k survivors per group.  Output is ≤ k rows per group:
+    (group…, pos, h32), pos = 1-based rank.  Deterministic and
+    engine-portable: distinct h32 values order totally, md5 agrees
+    bit-for-bit across engines (functions/hashing.py).
+
+    No counterpart in the reference (dags/dag_btc_daily.py has no
+    sketch surface); extends the approx family per the brief's
+    training-pipeline mandate (shard-mergeable audience overlap)."""
+    h = hex8_to_bigint_sql(f"md5({key_expr})")
+    g = list(group_cols)
+    d = df.select(
+        *g, F.expr(h).cast("long").alias("h32")
+    ).distinct()
+    w1 = Window.partitionBy(*g, "__salt").orderBy("h32")
+    cand = (
+        d.withColumn("__salt", F.expr(f"h32 % {fanout}"))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )
+    w2 = Window.partitionBy(*g).orderBy("h32")
+    return (
+        cand.withColumn(
+            "pos", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("pos") <= k)
+        .select(*g, "pos", "h32")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: the unbiased
+    (k−1)/U_(k) estimator on the k-th minimum as a uniform order
+    statistic — ``est = (k−1) · 2^32 / h_(k)``.  A group with fewer
+    than ``k`` distinct hashes IS its own sketch, so the estimate is
+    the exact count.  One aggregation over ≤ k rows per group; returns
+    (group…, n_sketch, kth, est) with the round-6 double convention."""
+    g = list(group_cols)
+    return sketch.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("h32").alias("kth"),
+    ).select(
+        *g,
+        "n_sketch",
+        "kth",
+        F.when(
+            F.col("n_sketch") < k,
+            F.col("n_sketch").cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1) * float(KMV_SPACE))
+                / F.col("kth"),
+                6,
+            )
+        )
+        .alias("est"),
+    )
+
+
+def kmv_theta_ops(
+    sketch: DataFrame,
+    k: int,
+    side_col: str = "side",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Theta-sketch SET OPERATIONS over a two-sided KMV sketch frame
+    (``side_col`` ∈ {a, b}): θ = min over sides of (k-th minimum, or
+    2^32 for a side whose whole set fit in the sketch); every retained
+    hash below θ is a uniform sample of the key space at rate θ/2^32,
+    so ``est = |candidates| · 2^32 / θ`` for both the intersection
+    (hashes in BOTH sketches) and the union.  When both sides fit in
+    their sketches, θ = 2^32 and both estimates are EXACT — the sketch
+    degrades gracefully into the true set (test-pinned).
+
+    Everything downstream of the sketches touches ≤ 2k rows: one
+    conditional aggregate for the per-side stats, a semi-join and a
+    distinct-union for the candidates, one crossJoin of single-row
+    frames.  The sketch is localCheckpoint'd first — stats, sides, and
+    candidates all branch from it, and without the cut each branch
+    would re-run the base-data distinct+k-min lineage (the expensive
+    part) once more.  Returns one row: (n_a, n_b, theta, n_cand,
+    n_union_cand, est_inter, est_union)."""
+    sketch = sketch.localCheckpoint(eager=False)
+    sa = sketch.filter(F.col(side_col) == a).select("h32")
+    sb = sketch.filter(F.col(side_col) == b).select("h32")
+    stats = sketch.agg(
+        F.count(F.when(F.col(side_col) == a, True))
+        .cast("long")
+        .alias("n_a"),
+        F.count(F.when(F.col(side_col) == b, True))
+        .cast("long")
+        .alias("n_b"),
+        F.max(F.when(F.col(side_col) == a, F.col("h32"))).alias(
+            "mx_a"
+        ),
+        F.max(F.when(F.col(side_col) == b, F.col("h32"))).alias(
+            "mx_b"
+        ),
+    ).select(
+        "n_a",
+        "n_b",
+        F.least(
+            F.when(F.col("n_a") < k, F.lit(KMV_SPACE)).otherwise(
+                F.col("mx_a")
+            ),
+            F.when(F.col("n_b") < k, F.lit(KMV_SPACE)).otherwise(
+                F.col("mx_b")
+            ),
+        ).alias("theta"),
+    )
+    ix = sa.join(sb, "h32", "left_semi")
+    un = sa.unionByName(sb).distinct()
+    n_cand = (
+        ix.crossJoin(F.broadcast(stats.select("theta")))
+        .filter(F.col("h32") < F.col("theta"))
+        .agg(F.count("*").cast("long").alias("n_cand"))
+    )
+    n_union = (
+        un.crossJoin(F.broadcast(stats.select("theta")))
+        .filter(F.col("h32") < F.col("theta"))
+        .agg(F.count("*").cast("long").alias("n_union_cand"))
+    )
+    return (
+        stats.crossJoin(n_cand)
+        .crossJoin(n_union)
+        .select(
+            "n_a",
+            "n_b",
+            "theta",
+            "n_cand",
+            "n_union_cand",
+            F.round(
+                F.col("n_cand") * F.lit(float(KMV_SPACE))
+                / F.col("theta"),
+                6,
+            ).alias("est_inter"),
+            F.round(
+                F.col("n_union_cand") * F.lit(float(KMV_SPACE))
+                / F.col("theta"),
+                6,
+            ).alias("est_union"),
+        )
+    )

@@ -2714,3 +2714,248 @@ _SQL_TEXT_VOCAB_COVERAGE = f"""
 EXT_REGISTRY["text_vocab_coverage"] = QuerySpec(
     q_text_vocab_coverage, _SQL_TEXT_VOCAB_COVERAGE
 )
+
+
+# ------------------------------------ KMV / theta sketch (round 14)
+#
+# The fourth portable register sketch (after CM, HLL, and the quantile
+# histogram) and the only one whose sketches support SET OPERATIONS —
+# the "how many users do shards A and B SHARE" question a 100 TB
+# audience/dedup pipeline cannot answer with HLL alone.  Same
+# oracle-parity strategy as the others: every hash is a 32-bit md5
+# prefix both engines compute bit-identically, so the sketch — while
+# approximate w.r.t. truth — is EXACT-value checkable w.r.t. itself,
+# and the truth-error columns carry measured envelopes.
+
+_KMV_H32 = "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def q_approx_kmv_registers(spark, sf_dir):
+    """The per-group KMV sketch itself: the k=32 smallest 32-bit md5
+    hashes over each order priority's DISTINCT customers — ≤ 32 rows
+    per group, mergeable by re-taking the k smallest of a union (the
+    theta-sketch union; test-pinned in tests/test_sketch.py).  See
+    operators/sketch.kmv_sketch for the two-phase skew-safe k-min."""
+    from airflow_crypto_btc_spark.operators.sketch import kmv_sketch
+
+    return kmv_sketch(
+        load_table(spark, sf_dir, "orders"),
+        "cast(o_custkey as string)",
+        ["o_orderpriority"],
+        k=32,
+    )
+
+
+_SQL_APPROX_KMV_REGISTERS = f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority, {_KMV_H32} AS h32 FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, h32,
+        row_number() OVER (
+          PARTITION BY o_orderpriority ORDER BY h32) AS pos
+      FROM h
+    )
+    SELECT o_orderpriority, CAST(pos AS BIGINT) AS pos, h32
+    FROM r WHERE pos <= 32
+"""
+
+
+def q_approx_kmv_estimate(spark, sf_dir):
+    """Distinct-customer estimates per order priority from the k=32 KMV
+    sketch — the (k−1)/U_(k) order-statistic estimator — joined with
+    the exact counts and the measured-envelope flag (worst observed
+    ratio across the three fixtures is 1.23; the pinned bound is 35%).
+    Both engines compute the identical estimate, so the hash checks the
+    COMPUTATION; the flag documents its accuracy."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = kmv_sketch(
+        orders, "cast(o_custkey as string)", ["o_orderpriority"], k=32
+    )
+    est = kmv_estimate(sk, ["o_orderpriority"], k=32)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        "n_sketch",
+        "kth",
+        "est",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.35 * F.col("n_exact")
+        ).alias("within_35pct"),
+    )
+
+
+_SQL_APPROX_KMV_ESTIMATE = f"""
+    WITH sk AS ({_SQL_APPROX_KMV_REGISTERS}),
+    s AS (
+      SELECT o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n_sketch,
+        max(h32) AS kth
+      FROM sk GROUP BY o_orderpriority
+    ),
+    e AS (
+      SELECT o_orderpriority,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY o_orderpriority
+    ),
+    j AS (
+      SELECT s.o_orderpriority, n_exact, n_sketch, kth,
+        CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+             ELSE round(31.0 * 4294967296.0 / kth, 6) END AS est
+      FROM s JOIN e USING (o_orderpriority)
+    )
+    SELECT o_orderpriority, n_exact, n_sketch, kth, est,
+      abs(est - n_exact) <= 0.35 * n_exact AS within_35pct
+    FROM j
+"""
+
+
+def q_approx_kmv_intersection(spark, sf_dir):
+    """Theta-sketch SET OPERATIONS: how many customers ordered in BOTH
+    1996 and 1997, estimated from two k=64 KMV sketches that never see
+    each other's base data (the cross-shard audience-overlap question
+    HLL cannot answer).  θ = min of the two k-th minima; retained
+    hashes below θ sample the key space at rate θ/2^32, so candidate
+    counts scale up by 2^32/θ — intersection AND union from the same
+    two ≤64-row sketches.  Exact counts + measured-envelope flags ride
+    along (worst observed ratio 1.18 across fixtures; pinned at 30%).
+    See operators/sketch.kmv_theta_ops."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        kmv_sketch,
+        kmv_theta_ops,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.filter(
+        F.expr("year(o_orderdate) IN (1996, 1997)")
+    ).select(
+        F.when(F.expr("year(o_orderdate) = 1996"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+        "o_custkey",
+    )
+    sk = kmv_sketch(
+        tagged, "cast(o_custkey as string)", ["side"], k=64
+    )
+    ops = kmv_theta_ops(sk, k=64)
+    ex_i = (
+        tagged.filter("side = 'a'")
+        .select("o_custkey")
+        .join(
+            tagged.filter("side = 'b'").select("o_custkey"),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.countDistinct("o_custkey").cast("long").alias(
+            "n_exact_inter"
+        ))
+    )
+    ex_u = tagged.agg(
+        F.countDistinct("o_custkey").cast("long").alias(
+            "n_exact_union"
+        )
+    )
+    return (
+        ops.crossJoin(ex_i)
+        .crossJoin(ex_u)
+        .select(
+            "n_a",
+            "n_b",
+            "theta",
+            "n_cand",
+            "n_union_cand",
+            "est_inter",
+            "est_union",
+            "n_exact_inter",
+            "n_exact_union",
+            (
+                F.abs(F.col("est_inter") - F.col("n_exact_inter"))
+                <= 0.3 * F.col("n_exact_inter")
+            ).alias("inter_within_30pct"),
+            (
+                F.abs(F.col("est_union") - F.col("n_exact_union"))
+                <= 0.3 * F.col("n_exact_union")
+            ).alias("union_within_30pct"),
+        )
+    )
+
+
+_SQL_APPROX_KMV_INTERSECTION = f"""
+    WITH ha AS (
+      SELECT DISTINCT {_KMV_H32} AS h32 FROM orders
+      WHERE year(o_orderdate) = 1996
+    ),
+    hb AS (
+      SELECT DISTINCT {_KMV_H32} AS h32 FROM orders
+      WHERE year(o_orderdate) = 1997
+    ),
+    sa AS (SELECT h32 FROM ha ORDER BY h32 LIMIT 64),
+    sb AS (SELECT h32 FROM hb ORDER BY h32 LIMIT 64),
+    pa AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_a,
+        CAST(CASE WHEN count(*) < 64 THEN 4294967296
+             ELSE max(h32) END AS BIGINT) AS theta_a
+      FROM sa
+    ),
+    pb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_b,
+        CAST(CASE WHEN count(*) < 64 THEN 4294967296
+             ELSE max(h32) END AS BIGINT) AS theta_b
+      FROM sb
+    ),
+    th AS (SELECT least(theta_a, theta_b) AS theta FROM pa, pb),
+    nc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cand
+      FROM (SELECT h32 FROM sa INTERSECT SELECT h32 FROM sb), th
+      WHERE h32 < theta
+    ),
+    nu AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_union_cand
+      FROM (SELECT h32 FROM sa UNION SELECT h32 FROM sb), th
+      WHERE h32 < theta
+    ),
+    exi AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_inter FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    ),
+    exu AS (
+      SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact_union
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    j AS (
+      SELECT n_a, n_b, theta, n_cand, n_union_cand,
+        round(n_cand * 4294967296.0 / theta, 6) AS est_inter,
+        round(n_union_cand * 4294967296.0 / theta, 6) AS est_union,
+        n_exact_inter, n_exact_union
+      FROM pa, pb, th, nc, nu, exi, exu
+    )
+    SELECT n_a, n_b, theta, n_cand, n_union_cand, est_inter, est_union,
+      n_exact_inter, n_exact_union,
+      abs(est_inter - n_exact_inter) <= 0.3 * n_exact_inter
+        AS inter_within_30pct,
+      abs(est_union - n_exact_union) <= 0.3 * n_exact_union
+        AS union_within_30pct
+    FROM j
+"""
+
+
+EXT_REGISTRY["approx_kmv_registers"] = QuerySpec(
+    q_approx_kmv_registers, _SQL_APPROX_KMV_REGISTERS
+)
+EXT_REGISTRY["approx_kmv_estimate"] = QuerySpec(
+    q_approx_kmv_estimate, _SQL_APPROX_KMV_ESTIMATE
+)
+EXT_REGISTRY["approx_kmv_intersection"] = QuerySpec(
+    q_approx_kmv_intersection, _SQL_APPROX_KMV_INTERSECTION
+)

@@ -65,7 +65,7 @@ from airflow_crypto_btc_spark.session import get_spark  # noqa: E402
 #      ONE round — this round's residue must be disjoint from last
 #      round's (frozen in tests/test_bench_headline.py), so every
 #      catalog entry gets a timed line at least once per two rounds.
-#      As of round 14 the residue is ZERO: all 268 entries are timed.
+#      As of round 14 the residue is ZERO: all 272 entries are timed.
 # tests/test_bench_headline.py enforces 1-2 and 4-5 mechanically; the
 # summary line reports n_untimed so the artifact self-describes its
 # coverage.
@@ -456,6 +456,11 @@ HEADLINE = [
     # micro-batch delivery through cdc_apply_sink; same oracle as the
     # one-shot fold) — timed immediately so the residue stays 0
     "cdc_apply_from_stream",
+    # round-14 late add: the KMV/theta sketch family (set-operation
+    # sketches — intersections HLL cannot do) — timed immediately
+    "approx_kmv_registers",
+    "approx_kmv_estimate",
+    "approx_kmv_intersection",
 ]
 
 

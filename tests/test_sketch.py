@@ -239,3 +239,107 @@ def test_qhist_streaming_additive_exactly_once_and_merge(spark, tmp_path):
         for r in qhist_registers(_vals(spark, b0 + b1)).collect()
     }
     assert merged == oneshot
+
+
+# --------------------------------------------- KMV / theta sketch
+
+
+def _kmv(spark, ids, side="a", k=4):
+    from airflow_crypto_btc_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(side, i) for i in ids], "side string, key long"
+    )
+    return kmv_sketch(df, "cast(key as string)", ["side"], k=k)
+
+
+def _h32(v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def test_kmv_sketch_is_the_k_smallest_distinct_hashes(spark):
+    import random
+
+    rng = random.Random(7)
+    ids = [rng.randrange(10**6) for _ in range(60)]
+    rows = _kmv(spark, ids, k=8).collect()
+    want = sorted({_h32(i) for i in ids})[:8]
+    assert [r["h32"] for r in sorted(rows, key=lambda r: r["pos"])] == want
+    assert [r["pos"] for r in sorted(rows, key=lambda r: r["pos"])] == list(
+        range(1, 9)
+    )
+
+
+def test_kmv_union_merge_is_sketch_of_union(spark):
+    """The theta-sketch union law: k smallest of (sketch_A ∪ sketch_B)
+    == the sketch of (A ∪ B) — what makes per-shard sketches foldable
+    without revisiting base data."""
+    import random
+
+    from airflow_crypto_btc_spark.operators.sketch import kmv_sketch
+
+    rng = random.Random(13)
+    a = [rng.randrange(10**6) for _ in range(40)]
+    b = [rng.randrange(10**6) for _ in range(40)]
+    k = 6
+    sk_a = {r["h32"] for r in _kmv(spark, a, k=k).collect()}
+    sk_b = {r["h32"] for r in _kmv(spark, b, k=k).collect()}
+    merged = sorted(sk_a | sk_b)[:k]
+    direct = _kmv(spark, a + b, k=k).collect()
+    assert [r["h32"] for r in sorted(direct, key=lambda r: r["pos"])] == merged
+
+
+def test_kmv_estimate_is_exact_below_k(spark):
+    from airflow_crypto_btc_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)], "side string, key long"
+    )
+    sk = kmv_sketch(df, "cast(key as string)", ["side"], k=32)
+    row = kmv_estimate(sk, ["side"], k=32).collect()[0]
+    assert row["n_sketch"] == 5 and row["est"] == 5.0
+
+
+def test_theta_ops_exact_when_both_sides_fit(spark):
+    """Both sides below k → θ = 2^32 → the 'estimates' are the exact
+    distinct-hash intersection/union counts (graceful degradation)."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        kmv_sketch,
+        kmv_theta_ops,
+    )
+
+    a = list(range(10))
+    b = list(range(5, 15))
+    rows = [("a", i) for i in a] + [("b", i) for i in b]
+    df = spark.createDataFrame(rows, "side string, key long")
+    sk = kmv_sketch(df, "cast(key as string)", ["side"], k=64)
+    r = kmv_theta_ops(sk, k=64).collect()[0]
+    assert r["theta"] == 1 << 32
+    assert r["n_cand"] == 5 and r["est_inter"] == 5.0
+    assert r["n_union_cand"] == 15 and r["est_union"] == 15.0
+
+
+def test_theta_ops_estimates_track_truth_on_overlap(spark):
+    """k=128 sketches over two 500-element sets sharing 250 members:
+    both estimates land within 20% (measured on this deterministic
+    fixture: inter 269.37/250 = 1.08, union 866.48/750 = 1.16 — the
+    same fixture at k=64 sits 33% high on the intersection, the
+    1/√k variance law in action)."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        kmv_sketch,
+        kmv_theta_ops,
+    )
+
+    a = list(range(500))
+    b = list(range(250, 750))
+    rows = [("a", i) for i in a] + [("b", i) for i in b]
+    df = spark.createDataFrame(rows, "side string, key long")
+    sk = kmv_sketch(df, "cast(key as string)", ["side"], k=128)
+    r = kmv_theta_ops(sk, k=128).collect()[0]
+    assert abs(r["est_inter"] - 250) <= 0.2 * 250
+    assert abs(r["est_union"] - 750) <= 0.2 * 750

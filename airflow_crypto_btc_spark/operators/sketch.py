@@ -504,3 +504,37 @@ def kmv_theta_ops(
             ).alias("est_union"),
         )
     )
+
+
+def kmv_from_table(
+    spark: SparkSession,
+    sketch_table: str,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Serve the merged KMV sketch from its snapshot table: the theta
+    UNION — distinct (group, h32) over every committed per-batch
+    partial sketch, then the k smallest again (k-min of a union of
+    k-mins equals the k-min of the union; test-pinned in
+    tests/test_sketch.py).  The history is ≤ k rows per (group, batch)
+    — bounded and skinny — so one window pass per group suffices on
+    the serve path; the salted two-phase lives in :func:`kmv_sketch`
+    where the base data is unbounded."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+
+    g = list(group_cols)
+    hist = (
+        read_snapshot(spark, sketch_table)
+        .select(*g, "h32")
+        .distinct()
+    )
+    w = Window.partitionBy(*g).orderBy("h32")
+    return (
+        hist.withColumn(
+            "pos", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("pos") <= k)
+        .select(*g, "pos", "h32")
+    )

@@ -105,7 +105,14 @@ from airflow_crypto_btc_spark.sources.snapshot_table import (
 )
 
 #: sketch families the cascade cannot decrement — policy rows only
-NON_DECREMENTABLE = ("cms_sketch", "hll_registers", "bloom_bitmap")
+NON_DECREMENTABLE = (
+    "cms_sketch",
+    "hll_registers",
+    "bloom_bitmap",
+    # KMV minima can't decrement even in principle: an evicted key may
+    # have displaced other minima that are gone for good (round 14)
+    "kmv_minima",
+)
 
 
 def _ids_frame(doc_ids: DataFrame, id_col: str) -> DataFrame:

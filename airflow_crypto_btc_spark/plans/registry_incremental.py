@@ -2310,3 +2310,69 @@ def q_cdc_apply_from_stream(spark, sf_dir):
 INCREMENTAL_REGISTRY["cdc_apply_from_stream"] = QuerySpec(
     q_cdc_apply_from_stream, _SQL_CDC_APPLY_CHANGES
 )
+
+
+# ----------------------------------- KMV sketch maintainer (round 14)
+
+
+def q_approx_kmv_from_stream(spark, sf_dir):
+    """The per-lang KMV document sketch served from a table the
+    STREAMING maintainer built: the landing zone folds the corpus
+    through ``sketch_stream.kmv_sink`` in three micro-batches
+    (doc_id % 3) with one engine-style replay (exactly-once no-op) and
+    one mid-stream ``kmv_merge`` — then serves the k=16 smallest
+    normalized-content-digest hashes per lang via ``kmv_from_table``.
+    The oracle is the ONE-SHOT k-min SQL: passing proves the theta
+    union law end-to-end through the commit log (batch-by-batch
+    minima == all-at-once minima), the same twin discipline as
+    ``search_bm25_from_stream``."""
+    import os
+
+    from airflow_crypto_btc_spark.operators.dedup import NORMALIZED_TEXT
+    from airflow_crypto_btc_spark.operators.sketch import kmv_from_table
+    from airflow_crypto_btc_spark.plans.registry_more import _landing_zone
+    from airflow_crypto_btc_spark.streaming.sketch_stream import kmv_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = f"md5({NORMALIZED_TEXT.format(col='text')})"
+
+    def _land(staging: str) -> None:
+        sink = kmv_sink(
+            os.path.join(staging, "minima"),
+            query_name="kmv-zone",
+            key_expr=key,
+            group_cols=["lang"],
+            k=16,
+            merge_every=2,
+        )
+        sink(docs.filter("doc_id % 3 = 0"), 0)
+        sink(docs.filter("doc_id % 3 = 0"), 0)  # replay: no-op
+        sink(docs.filter("doc_id % 3 = 1"), 1)  # triggers the merge
+        sink(docs.filter("doc_id % 3 = 2"), 2)
+
+    zone = _landing_zone(sf_dir, "documents", "kmv_sketch_stream", _land)
+    return kmv_from_table(
+        spark, os.path.join(zone, "minima"), ["lang"], k=16
+    )
+
+
+_SQL_APPROX_KMV_FROM_STREAM = """
+    WITH h AS (
+      SELECT DISTINCT lang,
+        ('0x' || substr(md5(md5(lower(trim(regexp_replace(text,
+          '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))), 1, 8))::BIGINT AS h32
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, h32,
+        row_number() OVER (PARTITION BY lang ORDER BY h32) AS pos
+      FROM h
+    )
+    SELECT lang, CAST(pos AS BIGINT) AS pos, h32
+    FROM r WHERE pos <= 16
+"""
+
+
+INCREMENTAL_REGISTRY["approx_kmv_from_stream"] = QuerySpec(
+    q_approx_kmv_from_stream, _SQL_APPROX_KMV_FROM_STREAM
+)

@@ -717,6 +717,7 @@ _SQL_TAKEDOWN_REPORT = f"""
     UNION ALL SELECT 'cms_sketch', 'rebuild_required', 0
     UNION ALL SELECT 'hll_registers', 'rebuild_required', 0
     UNION ALL SELECT 'bloom_bitmap', 'rebuild_required', 0
+    UNION ALL SELECT 'kmv_minima', 'rebuild_required', 0
 """
 
 

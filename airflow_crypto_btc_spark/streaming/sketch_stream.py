@@ -146,3 +146,57 @@ def qhist_sink(
             vacuum(registers_table)
 
     return _fold
+
+
+def kmv_merge(
+    spark: SparkSession,
+    sketch_table: str,
+    group_cols: list[str],
+    k: int = 32,
+) -> None:
+    """Collapse the per-batch KMV history to the merged ≤ k rows per
+    group (one overwrite commit).  The theta union law (k smallest of
+    the unioned sketches == sketch of the union) means no estimate
+    changes — same maintenance doctrine as :func:`cms_merge`."""
+    from airflow_crypto_btc_spark.operators.sketch import kmv_from_table
+
+    overwrite(
+        spark, kmv_from_table(spark, sketch_table, group_cols, k=k),
+        sketch_table,
+    )
+    vacuum(sketch_table)
+
+
+def kmv_sink(
+    sketch_table: str,
+    query_name: str,
+    key_expr: str,
+    group_cols: list[str],
+    k: int = 32,
+    merge_every: int | None = None,
+):
+    """``foreachBatch`` callback folding each batch's partial KMV
+    sketch into the table — the same no-read-modify-write shape as
+    :func:`cms_sink`: the hot path appends the batch's own ≤ k rows
+    per group (txn-id idempotent; a crash-replayed batch folds
+    nothing), and serving (``operators/sketch.kmv_from_table``) takes
+    the k smallest of the unioned history.  KMV is the one register
+    sketch here that is NOT decrementable even in principle (an
+    evicted key may have displaced other minima that are gone for
+    good), so takedown policy lists ``kmv_minima`` as
+    rebuild_required (operators/takedown.NON_DECREMENTABLE)."""
+    from airflow_crypto_btc_spark.operators.sketch import kmv_sketch
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = kmv_sketch(batch_df, key_expr, group_cols, k=k)
+        committed = append(
+            spark, part, sketch_table,
+            txn_id=f"{query_name}:{batch_id}",
+        )
+        if committed == -1:
+            return  # crash-replay: fold nothing, merge nothing
+        if merge_every and (batch_id + 1) % merge_every == 0:
+            kmv_merge(spark, sketch_table, group_cols, k=k)
+
+    return _fold

@@ -65,7 +65,7 @@ from airflow_crypto_btc_spark.session import get_spark  # noqa: E402
 #      ONE round — this round's residue must be disjoint from last
 #      round's (frozen in tests/test_bench_headline.py), so every
 #      catalog entry gets a timed line at least once per two rounds.
-#      As of round 14 the residue is ZERO: all 272 entries are timed.
+#      As of round 14 the residue is ZERO: all 273 entries are timed.
 # tests/test_bench_headline.py enforces 1-2 and 4-5 mechanically; the
 # summary line reports n_untimed so the artifact self-describes its
 # coverage.
@@ -461,6 +461,7 @@ HEADLINE = [
     "approx_kmv_registers",
     "approx_kmv_estimate",
     "approx_kmv_intersection",
+    "approx_kmv_from_stream",
 ]
 
 

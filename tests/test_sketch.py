@@ -343,3 +343,56 @@ def test_theta_ops_estimates_track_truth_on_overlap(spark):
     r = kmv_theta_ops(sk, k=128).collect()[0]
     assert abs(r["est_inter"] - 250) <= 0.2 * 250
     assert abs(r["est_union"] - 750) <= 0.2 * 750
+
+
+def test_kmv_streaming_union_exactly_once_and_merge(spark, tmp_path):
+    """The kmv_sink twin of the CMS sink test: three batches fold to
+    the one-shot sketch (theta union law through the commit log), a
+    crash-replayed batch id folds nothing, and kmv_merge collapses the
+    history without changing a single minimum."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        kmv_from_table,
+        kmv_sketch,
+    )
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        read_snapshot,
+    )
+    from airflow_crypto_btc_spark.streaming.sketch_stream import (
+        kmv_merge,
+        kmv_sink,
+    )
+
+    t = str(tmp_path / "kmv")
+    sink = kmv_sink(
+        t, query_name="kmv", key_expr="cast(key as string)",
+        group_cols=["side"], k=5,
+    )
+
+    def _frame(ids):
+        return spark.createDataFrame(
+            [("a", i) for i in ids], "side string, key long"
+        )
+
+    sink(_frame(range(0, 30)), 0)
+    sink(_frame(range(20, 60)), 1)
+    v = current_snapshot(t).version
+    sink(_frame(range(20, 60)), 1)  # crash-replay: no-op
+    assert current_snapshot(t).version == v
+    sink(_frame(range(50, 90)), 2)
+
+    def _rows(df):
+        return [
+            (r["side"], r["pos"], r["h32"])
+            for r in sorted(df.collect(), key=lambda r: r["pos"])
+        ]
+
+    oneshot = _rows(
+        kmv_sketch(
+            _frame(range(0, 90)), "cast(key as string)", ["side"], k=5
+        )
+    )
+    assert _rows(kmv_from_table(spark, t, ["side"], k=5)) == oneshot
+    kmv_merge(spark, t, ["side"], k=5)
+    assert _rows(kmv_from_table(spark, t, ["side"], k=5)) == oneshot
+    # the merge collapsed the history to exactly the sketch rows
+    assert read_snapshot(spark, t).count() == 5

@@ -269,8 +269,8 @@ def test_evict_rows_cas_refuses_stale_anchor(spark, tmp_path, monkeypatch):
 
 
 def test_cascade_report_includes_sketch_policy_rows(spark, tmp_path):
-    """CMS/HLL/bloom are non-decrementable: the cascade's report says
-    so explicitly instead of pretending to evict."""
+    """CMS/HLL/bloom/KMV are non-decrementable: the cascade's report
+    says so explicitly instead of pretending to evict."""
     report = td.cascade_takedown(
         spark, _ids(spark, [1]), txn_id="t1"
     ).collect()
@@ -279,6 +279,7 @@ def test_cascade_report_includes_sketch_policy_rows(spark, tmp_path):
         ("cms_sketch", "rebuild_required"),
         ("hll_registers", "rebuild_required"),
         ("bloom_bitmap", "rebuild_required"),
+        ("kmv_minima", "rebuild_required"),
     }
 
 

@@ -148,9 +148,42 @@ def _probe_bm25(spark, sf_dir: str, workdir: str) -> list[float]:
     return times
 
 
+def _probe_kmv(spark, sf_dir: str, workdir: str) -> list[float]:
+    from airflow_crypto_btc_spark.operators.dedup import NORMALIZED_TEXT
+    from airflow_crypto_btc_spark.streaming.sketch_stream import kmv_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe_ids = [
+        r["doc_id"]
+        for r in docs.filter("doc_id % 16 = 0")
+        .orderBy("doc_id")
+        .limit(BATCHES * BATCH_SIZE)
+        .collect()
+    ]
+    sink = kmv_sink(
+        os.path.join(workdir, "minima"),
+        query_name="ingest-probe",
+        key_expr=f"md5({NORMALIZED_TEXT.format(col='text')})",
+        group_cols=["lang"],
+        k=16,
+    )
+    bulk = docs.filter(~F.col("doc_id").isin(probe_ids))
+    sink(bulk, 0)
+
+    times = []
+    for k in range(BATCHES):
+        ids = probe_ids[k * BATCH_SIZE:(k + 1) * BATCH_SIZE]
+        batch = docs.filter(F.col("doc_id").isin(ids))
+        t0 = time.perf_counter()
+        sink(batch, k + 1)
+        times.append(round(time.perf_counter() - t0, 4))
+    return times
+
+
 PROBES = {
     "bm25_index_sink": _probe_bm25,
     "leakage_split_sink": _probe_split,
+    "kmv_sink": _probe_kmv,
 }
 
 

@@ -367,9 +367,16 @@ def kmv_sketch(
     training-pipeline mandate (shard-mergeable audience overlap)."""
     h = hex8_to_bigint_sql(f"md5({key_expr})")
     g = list(group_cols)
-    d = df.select(
-        *g, F.expr(h).cast("long").alias("h32")
-    ).distinct()
+    d = (
+        df.select(*g, F.expr(h).cast("long").alias("h32"))
+        # a NULL key hashes to NULL, which Spark's ascending sort
+        # places FIRST (pos 1, evicting a true minimum) while DuckDB
+        # sorts it LAST — exclude NULL keys from the sketch outright
+        # (cardinality of NULL is not a meaningful question here), and
+        # the oracle SQLs carry the same h32 IS NOT NULL guard
+        .filter(F.col("h32").isNotNull())
+        .distinct()
+    )
     w1 = Window.partitionBy(*g, "__salt").orderBy("h32")
     cand = (
         d.withColumn("__salt", F.expr(f"h32 % {fanout}"))

@@ -524,6 +524,17 @@ def read_snapshot_mor(
     if n_tomb is None:  # legacy DV parts without __nrows stats
         n_tomb = dv.count()
     if n_tomb > broadcast_cap:
+        # the raw row count includes duplicate tombstones (re-deleting
+        # already-deferred ids appends blindly by design) but the
+        # broadcast side is the DISTINCT set — confirm with ONE count
+        # job before declaring the apply overdue, so overlapping
+        # takedown batches can't force every serve onto the shuffled
+        # fallback while the real payload is still small (round-14
+        # self-review).  The common under-cap serve stays
+        # metadata-only: this job runs only when the raw count has
+        # already crossed the cap.
+        n_tomb = tomb.count()
+    if n_tomb > broadcast_cap:
         warnings.warn(
             f"deletion-vector table {dv_table} holds more than "
             f"{broadcast_cap} tombstones — apply_deletion_vectors is "

@@ -2749,6 +2749,7 @@ def q_approx_kmv_registers(spark, sf_dir):
 _SQL_APPROX_KMV_REGISTERS = f"""
     WITH h AS (
       SELECT DISTINCT o_orderpriority, {_KMV_H32} AS h32 FROM orders
+      WHERE o_custkey IS NOT NULL
     ),
     r AS (
       SELECT o_orderpriority, h32,
@@ -2892,11 +2893,11 @@ def q_approx_kmv_intersection(spark, sf_dir):
 _SQL_APPROX_KMV_INTERSECTION = f"""
     WITH ha AS (
       SELECT DISTINCT {_KMV_H32} AS h32 FROM orders
-      WHERE year(o_orderdate) = 1996
+      WHERE year(o_orderdate) = 1996 AND o_custkey IS NOT NULL
     ),
     hb AS (
       SELECT DISTINCT {_KMV_H32} AS h32 FROM orders
-      WHERE year(o_orderdate) = 1997
+      WHERE year(o_orderdate) = 1997 AND o_custkey IS NOT NULL
     ),
     sa AS (SELECT h32 FROM ha ORDER BY h32 LIMIT 64),
     sb AS (SELECT h32 FROM hb ORDER BY h32 LIMIT 64),

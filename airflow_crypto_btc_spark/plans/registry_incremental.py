@@ -2362,6 +2362,7 @@ _SQL_APPROX_KMV_FROM_STREAM = """
         ('0x' || substr(md5(md5(lower(trim(regexp_replace(text,
           '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))), 1, 8))::BIGINT AS h32
       FROM documents
+      WHERE text IS NOT NULL
     ),
     r AS (
       SELECT lang, h32,

@@ -1116,7 +1116,7 @@ def apply_changes(
     # the companion table's __seq for keys whose latest change was a
     # delete.  A key PRESENT in the data wins over any (stale,
     # crash-window) tombstone.
-    wm_touched, _ = files_overlapping_all_keys(
+    wm_touched, wm_carried = files_overlapping_all_keys(
         spark, snap, batch_keys, keys
     )
     if wm_touched:
@@ -1170,6 +1170,15 @@ def apply_changes(
         wm.isNull() | (F.col(sequence_col) > wm)
     ).drop("__wm_data", "__wm_tomb", "__row_present")
     eff = eff.localCheckpoint(eager=False)
+    # did the watermark gate anything?  One limit(1) probe on the
+    # bounded gated frame; decides whether phase B may reuse phase A's
+    # file narrowing (eff keys == batch keys when nothing was gated)
+    stale_any = (
+        gated.filter(
+            ~(wm.isNull() | (F.col(sequence_col) > wm))
+        ).limit(1).count()
+        > 0
+    )
     if eff.limit(1).count() == 0:
         # fully-stale batch: move zero bytes, but still record the txn
         # so the consumer's exactly-once ack holds on replay
@@ -1186,8 +1195,15 @@ def apply_changes(
         eff.filter(F.col(change_col) != F.lit("delete"))
         .drop(change_col)
         .withColumn("__seq", F.col(sequence_col).cast(seq_type))
-        .drop(sequence_col)
     )
+    if sequence_col != "__seq":
+        # when the changelog's sequence column IS "__seq" (re-applying
+        # rows read from a CDC-maintained table), the withColumn above
+        # already replaced it in place — dropping it would strip the
+        # watermark from every upserted row and stale-gate later
+        # batches against the PREVIOUS row's sequence (round-14
+        # self-review)
+        ups = ups.drop(sequence_col)
     dels = eff.filter(F.col(change_col) == F.lit("delete")).select(
         *keys, F.col(sequence_col).cast(seq_type).alias("__seq")
     )
@@ -1199,9 +1215,16 @@ def apply_changes(
 
     # ---- phase B: the narrowed rewrite, re-narrowed to the keys that
     # actually survived the watermark ----
-    touched, carried = files_overlapping_all_keys(
-        spark, snap, eff.select(*keys), keys
-    )
+    if stale_any:
+        touched, carried = files_overlapping_all_keys(
+            spark, snap, eff.select(*keys), keys
+        )
+    else:
+        # nothing was gated: eff's keys are exactly the batch keys
+        # phase A already probed — reuse that narrowing instead of
+        # paying the per-key-column range probe twice on the hot path
+        # (round-14 self-review; stale batches are the rare case)
+        touched, carried = wm_touched, wm_carried
     if touched:
         existing = read_parts(
             spark, table, touched, schema_files=snap.files

@@ -396,3 +396,25 @@ def test_kmv_streaming_union_exactly_once_and_merge(spark, tmp_path):
     assert _rows(kmv_from_table(spark, t, ["side"], k=5)) == oneshot
     # the merge collapsed the history to exactly the sketch rows
     assert read_snapshot(spark, t).count() == 5
+
+
+def test_kmv_sketch_excludes_null_keys(spark):
+    """A NULL key hashes to NULL, which Spark's ascending sort would
+    place FIRST (stealing pos 1) while DuckDB sorts it LAST — the
+    sketch excludes NULL keys outright, matching the oracle SQLs'
+    h32 IS NOT NULL guard (round-14 self-review)."""
+    from airflow_crypto_btc_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("a", str(i)) for i in range(10)] + [("a", None)] * 3
+    df = spark.createDataFrame(rows, "side string, key string")
+    sk = kmv_sketch(df, "key", ["side"], k=4)
+    got = sk.collect()
+    assert all(r["h32"] is not None for r in got)
+    want = sorted(_h32(i) for i in range(10))[:4]
+    assert sorted(r["h32"] for r in got) == want
+    # and the estimator sees a consistent (n_sketch, kth) pair
+    est = kmv_estimate(sk, ["side"], k=4).collect()[0]
+    assert est["n_sketch"] == 4 and est["kth"] == want[-1]

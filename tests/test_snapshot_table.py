@@ -1371,3 +1371,47 @@ def test_apply_changes_cas_refuses_racing_compact(
     assert len(rows) == 200
     got = {r["k"]: r["v"] for r in rows}
     assert got[50] == -1 and got[51] == 51
+
+
+def test_apply_changes_sequence_col_named_seq_keeps_watermark(
+    spark, tmp_path
+):
+    """sequence_col="__seq" is the one permitted way for __seq to
+    appear in a changelog (re-applying rows read from a CDC-maintained
+    table).  Round-14 self-review: the upsert path used to drop the
+    watermark column in this case, backfilling stale per-row sequences
+    — a later lower-seq batch then passed the gate and clobbered the
+    newer value."""
+    from airflow_crypto_btc_spark.sources.snapshot_table import (
+        apply_changes,
+        read_snapshot,
+    )
+
+    tbl = str(tmp_path / "cdc_seqname")
+    append(
+        spark,
+        spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"),
+        tbl,
+    )
+    b_new = spark.createDataFrame(
+        [(3, 333, "update", 7)],
+        "k bigint, v bigint, _change_type string, __seq int",
+    )
+    apply_changes(
+        spark, b_new, tbl, key_cols=["k"], sequence_col="__seq",
+        txn_id="b-new",
+    )
+    # the applied row must CARRY seq 7 so this older change is gated
+    b_old = spark.createDataFrame(
+        [(3, -1, "update", 5)],
+        "k bigint, v bigint, _change_type string, __seq int",
+    )
+    apply_changes(
+        spark, b_old, tbl, key_cols=["k"], sequence_col="__seq",
+        txn_id="b-old",
+    )
+    rows = {
+        r["k"]: r["v"]
+        for r in read_snapshot(spark, tbl).select("k", "v").collect()
+    }
+    assert rows[3] == 333  # seq-5 change gated by the stored seq-7

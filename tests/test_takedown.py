@@ -1159,3 +1159,46 @@ def test_deferred_takedown_reaches_byte_erasure_after_apply_and_vacuum(
             ).count()
             == 0
         ), f"deleted doc bytes survive in {table}"
+
+
+def test_mor_overdue_gate_counts_distinct_tombstones(spark, tmp_path):
+    """Round-14 self-review: deferred takedowns of OVERLAPPING id sets
+    append duplicate tombstone rows by design, but the broadcast side
+    is the distinct set — the overdue gate must confirm with a
+    distinct count before declaring the apply overdue, not warn on the
+    raw row count."""
+    import warnings
+
+    from airflow_crypto_btc_spark.sources.snapshot_table import append
+
+    state = str(tmp_path / "state")
+    dv = str(tmp_path / "dv")
+    append(
+        spark,
+        spark.range(0, 40).selectExpr("id AS doc_id", "id * 2 AS v"),
+        state,
+    )
+    ids = spark.range(0, 6).selectExpr("id AS doc_id")
+    td.takedown_deferred(spark, ids, dv, "doc_id", "t1")
+    td.takedown_deferred(spark, ids, dv, "doc_id", "t2")  # duplicates
+    # raw rows = 12 > cap = 8 > distinct = 6: must stay on broadcast
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {
+            r["doc_id"]
+            for r in td.read_snapshot_mor(
+                spark, state, dv, "doc_id", broadcast_cap=8
+            ).collect()
+        }
+    assert got == set(range(6, 40))
+    # and a genuinely-overdue queue (distinct > cap) still warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got2 = {
+            r["doc_id"]
+            for r in td.read_snapshot_mor(
+                spark, state, dv, "doc_id", broadcast_cap=3
+            ).collect()
+        }
+    assert got2 == got
+    assert any("overdue" in str(x.message) for x in w)

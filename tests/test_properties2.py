@@ -371,3 +371,63 @@ def test_unigram_train_matches_python_em(spark, texts):
         wc, size=12, seed_size=24, maxl=3, em_rounds=2, permille=10
     )
     assert got == want
+
+
+# --------------------------------------------- KMV fold order-invariance
+
+_kmv_keys = st.lists(
+    st.integers(min_value=0, max_value=200),
+    min_size=1,
+    max_size=40,
+)
+_kmv_cut = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=1, max_size=40
+)
+
+
+@given(keys=_kmv_keys, assign=_kmv_cut)
+@settings(**SETTINGS)
+def test_kmv_fold_is_batch_partition_invariant(
+    spark, tmp_path_factory, keys, assign
+):
+    """Partition an arbitrary key multiset into up to 4 batches in an
+    arbitrary way and fold them through kmv_sink: the served sketch
+    must equal the pure-Python k smallest distinct md5 hashes of the
+    whole set — batching, duplicates-across-batches, and arrival order
+    all cancel (the theta union law), matching the CDC fold's
+    arrival-order doctrine."""
+    import hashlib
+
+    from airflow_crypto_btc_spark.operators.sketch import kmv_from_table
+    from airflow_crypto_btc_spark.streaming.sketch_stream import kmv_sink
+
+    k = 6
+    t = str(tmp_path_factory.mktemp("kmvp") / "kmv")
+    sink = kmv_sink(
+        t, query_name="kmvp", key_expr="cast(key as string)",
+        group_cols=["g"], k=k,
+    )
+    batches: dict[int, list[int]] = {}
+    for i, key in enumerate(keys):
+        batches.setdefault(assign[i % len(assign)], []).append(key)
+    for bid, vals in sorted(batches.items()):
+        sink(
+            spark.createDataFrame(
+                [("g1", v) for v in vals], "g string, key long"
+            ),
+            bid,
+        )
+    got = [
+        (r["pos"], r["h32"])
+        for r in sorted(
+            kmv_from_table(spark, t, ["g"], k=k).collect(),
+            key=lambda r: r["pos"],
+        )
+    ]
+    want_hashes = sorted(
+        {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            for v in keys
+        }
+    )[:k]
+    assert got == list(enumerate(want_hashes, start=1))

@@ -372,8 +372,9 @@ def kmv_sketch(
         # a NULL key hashes to NULL, which Spark's ascending sort
         # places FIRST (pos 1, evicting a true minimum) while DuckDB
         # sorts it LAST — exclude NULL keys from the sketch outright
-        # (cardinality of NULL is not a meaningful question here), and
-        # the oracle SQLs carry the same h32 IS NOT NULL guard
+        # (cardinality of NULL is not a meaningful question here); the
+        # oracle SQLs carry the equivalent pre-hash key-null guard
+        # (key IS NOT NULL ⇔ h32 IS NOT NULL: md5 nulls only on NULL)
         .filter(F.col("h32").isNotNull())
         .distinct()
     )
@@ -535,6 +536,11 @@ def kmv_from_table(
     hist = (
         read_snapshot(spark, sketch_table)
         .select(*g, "h32")
+        # self-healing: a sketch table written before kmv_sketch's
+        # NULL-key exclusion may still hold a (group, NULL) row, which
+        # would sort to pos 1 and evict a true minimum — enforce the
+        # no-NULL invariant on the serve path too
+        .filter(F.col("h32").isNotNull())
         .distinct()
     )
     w = Window.partitionBy(*g).orderBy("h32")

@@ -1166,19 +1166,14 @@ def apply_changes(
     wm = F.when(
         F.col("__row_present"), F.col("__wm_data")
     ).otherwise(F.col("__wm_tomb"))
-    eff = gated.filter(
-        wm.isNull() | (F.col(sequence_col) > wm)
-    ).drop("__wm_data", "__wm_tomb", "__row_present")
-    eff = eff.localCheckpoint(eager=False)
-    # did the watermark gate anything?  One limit(1) probe on the
-    # bounded gated frame; decides whether phase B may reuse phase A's
-    # file narrowing (eff keys == batch keys when nothing was gated)
-    stale_any = (
-        gated.filter(
-            ~(wm.isNull() | (F.col(sequence_col) > wm))
-        ).limit(1).count()
-        > 0
+    # ONE binding for the keep-predicate: eff and the stale_any probe
+    # below must negate each other exactly, or phase B reuses a
+    # narrowing computed for the wrong key set
+    keep = wm.isNull() | (F.col(sequence_col) > wm)
+    eff = gated.filter(keep).drop(
+        "__wm_data", "__wm_tomb", "__row_present"
     )
+    eff = eff.localCheckpoint(eager=False)
     if eff.limit(1).count() == 0:
         # fully-stale batch: move zero bytes, but still record the txn
         # so the consumer's exactly-once ack holds on replay
@@ -1190,6 +1185,12 @@ def apply_changes(
                 else expect_version
             ),
         )
+    # did the watermark gate anything?  One limit(1) probe on the
+    # bounded gated frame; decides whether phase B may reuse phase A's
+    # file narrowing (eff keys == batch keys when nothing was gated).
+    # Runs AFTER the fully-stale early return — that path never reads
+    # the answer and must not pay the probe job.
+    stale_any = gated.filter(~keep).limit(1).count() > 0
 
     ups = (
         eff.filter(F.col(change_col) != F.lit("delete"))

@@ -1427,7 +1427,13 @@ def ivf_topk(
         centroids = vectors.filter(centroid_filter).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
         )
-    cent = centroids.withColumn("cn", F.sqrt(nrm2("ce")))
+    # cent broadcasts into BOTH _nearest calls (assignment + probe);
+    # without a lineage cut the centroid subplan executes once per
+    # broadcast build — for a TRAINED quantizer that re-runs the whole
+    # final Lloyd assign→mean chain.  cent is |C| rows by construction.
+    cent = centroids.withColumn(
+        "cn", F.sqrt(nrm2("ce"))
+    ).localCheckpoint(eager=False)
 
     def _nearest(df, id_out, vec_alias, keep, rank_col="__r"):
         return _nearest_centroids(

@@ -394,8 +394,12 @@ def dup_span_scrub(
             ),
         )
         .dropDuplicates(["doc_id", "pos"])
-    )
-    affected_ids = covered.select("doc_id").distinct()
+        .localCheckpoint(eager=False)
+    )  # feeds affected_ids AND the anti-join: without the cut the
+    # census join + position explode execute once per consumer
+    affected_ids = covered.select("doc_id").distinct().localCheckpoint(
+        eager=False
+    )  # three consumers (semi ×2, anti ×1); O(affected docs) rows
     kept = (
         tok.join(affected_ids, "doc_id", "left_semi")
         .select("doc_id", F.posexplode("tokens").alias("pos", "tk"))

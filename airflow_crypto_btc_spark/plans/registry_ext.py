@@ -618,9 +618,17 @@ def _ann_recall_report(exact, approx):
     """One-row (n_exact, n_approx, n_both, precision_ann, recall_ann)
     report over (qid, nid) top-k sets — integer counts + exact
     micro-unit ratios, the same cross-engine discipline as
-    ``dedup_lsh_quality``."""
+    ``dedup_lsh_quality``.
+
+    Both inputs are lazily checkpointed: each feeds TWO consumers (its
+    count and the intersection semi-join) and Spark has no
+    cross-consumer subplan reuse, so without the cut the full exact and
+    approximate search pipelines execute twice per report (r14 opt
+    guide §1.2/§2.4 — both frames are |queries|·k rows, kilobytes)."""
     from airflow_crypto_btc_spark.functions.hashing import ratio_micro
 
+    exact = exact.localCheckpoint(eager=False)
+    approx = approx.localCheckpoint(eager=False)
     e = exact.agg(F.count("*").alias("n_exact"))
     a = approx.agg(F.count("*").alias("n_approx"))
     # approx is |queries|·k rows by construction — broadcast-safe
@@ -1880,20 +1888,24 @@ def q_sim_rrf_recall(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # every side below feeds ≥2 consumers (its _hits semi-join + either
+    # the n_exact count or the RRF fusion) — cut each pipeline's lineage
+    # once so three searches run three times, not seven (all four frames
+    # are |queries|·k rows)
     exact = cosine_topk(emb, query_filter="vec_id < 20", k=10).select(
         "qid", "nid"
-    )
+    ).localCheckpoint(eager=False)
     ivf = ivf_topk(
         emb,
         centroid_filter="vec_id % 25 = 7",
         query_filter="vec_id < 20",
         n_probe=4,
         k=10,
-    )
+    ).localCheckpoint(eager=False)
     lsh = lsh_topk(
         emb, planes=4, query_filter="vec_id < 20", k=10, max_hamming=1
-    )
-    fused = rrf_topk([ivf, lsh], k=10)
+    ).localCheckpoint(eager=False)
+    fused = rrf_topk([ivf, lsh], k=10).localCheckpoint(eager=False)
 
     def _hits(approx, name):
         return exact.join(

@@ -843,7 +843,10 @@ def banded_hamming_pairs(
     """
     n_bands = max_hamming + 1
     band_width = bits // n_bands
-    # feeds banding AND both verify sides — cut lineage once
+    # fp must be STORED before the band explode: Generate inlines a
+    # lazy fp expression (the simhash nested-aggregate HOF for the
+    # text path) and re-evaluates it per exploded band row — the same
+    # explode-inlining cliff measured at 12× on the shingle path
     fps = fps.localCheckpoint(eager=False)
 
     band_arr = F.expr(
@@ -852,34 +855,38 @@ def banded_hamming_pairs(
         f"(fp div cast(pow(2, b * {band_width}) as bigint)) "
         f"% cast(pow(2, {band_width}) as bigint) AS band_bits))"
     )
+    # the fingerprint RIDES the band rows (8 bytes/row) so the verify is
+    # computed inside the bucket join itself — previously candidates
+    # were projected to bare id pairs and the fingerprints re-attached
+    # through TWO more joins against fps, i.e. two extra exchanges of
+    # the fingerprint table per call (r14 opt: §2.4/§3 — same pair set,
+    # same hamming values, two joins and one lineage cut removed; the
+    # ≤ max_hamming filter now also runs BEFORE the distinct, shrinking
+    # its exchange to the true-positive pairs)
     banded = (
         fps.withColumn("band", F.explode(band_arr))
-        .select("id", "band.band_idx", "band.band_bits")
+        .select("id", "fp", "band.band_idx", "band.band_bits")
     )
     if max_bucket_size is not None:
         banded = _cap_buckets(
             banded, max_bucket_size, keys=("band_idx", "band_bits")
         )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    ha = fps.select(F.col("id").alias("id_a"), F.col("fp").alias("sa"))
-    hb = fps.select(F.col("id").alias("id_b"), F.col("fp").alias("sb"))
-    hamming = F.bit_count(F.expr("sa ^ sb"))
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .withColumn("hamming", hamming.cast("long"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -899,7 +906,13 @@ def ngram_jaccard_pairs(
     """
     base = with_shingle_sets(df, text_col, k_shingle).select(
         F.col(id_col).alias("id"), "shingle_set", "set_size"
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the array column MUST be materialized before the explode:
+    # Generate inlines a lazy array expression and re-evaluates the
+    # whole tokenize→shingle→distinct HOF chain PER EXPLODED ELEMENT —
+    # measured 19.4 s for the explode vs 1.6 s for the shingle pass
+    # itself at sf0.1 (r14 opt).  From stored arrays the explode is
+    # 0.4 s.  Same rule as _minhash_sets_and_bands' `sets` checkpoint.
     ex = base.select(
         "id", "set_size", F.explode("shingle_set").alias("s")
     ).localCheckpoint(eager=False)  # reused by both sides of the self-join

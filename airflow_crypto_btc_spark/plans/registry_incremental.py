@@ -348,31 +348,43 @@ def q_dedup_semantic_quality(spark, sf_dir):
     clustering retains.  The exact baseline is all-pairs (the
     small-corpus verification shape); catalog-only accounting, not a
     headline query."""
-    from airflow_crypto_btc_spark.functions.hashing import (
-        dot_expr,
-        norm2_expr,
-    )
     from airflow_crypto_btc_spark.operators.similarity import (
+        _vector_kernels,
         semantic_purge,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # unrolled codegen'd dot/norm kernels (value-identical to the HOF
+    # folds — left-associated adds): the |v|²/2 pair stream is exactly
+    # where interpreted-lambda dispatch dominates (r14 opt: this entry's
+    # exact baseline measured 25 s of HOF evaluation at sf0.1)
+    dot, nrm2, _dim = _vector_kernels(emb, "embedding")
     a = emb.select(
         F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
-    ).withColumn("na", F.sqrt(norm2_expr("ea")))
+    ).withColumn("na", F.sqrt(nrm2("ea")))
     b = emb.select(
         F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
-    ).withColumn("nb", F.sqrt(norm2_expr("eb")))
+    ).withColumn("nb", F.sqrt(nrm2("eb")))
     cos = F.when(
         F.col("na") * F.col("nb") != 0,
-        F.round(dot_expr("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+        F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
     )
+    # LEFT SEMI with the threshold in the join condition: "has ANY
+    # smaller-id neighbor ≥ t" is an EXISTS — the nested-loop probe
+    # short-circuits at the first qualifying neighbor instead of
+    # materializing all |v|²/2 cosines and distinct-ing afterwards.
+    # Same set by construction (emb ids are unique, so semi-out rows
+    # are already distinct ida).  Each drop set still feeds two
+    # consumers (its count + the intersection semi-join), so the
+    # lineage is cut once per side.
     exact_drops = (
-        a.join(b, F.col("ida") > F.col("idb"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.3)
+        a.join(
+            b,
+            (F.col("ida") > F.col("idb")) & (cos >= 0.3),
+            "left_semi",
+        )
         .select(F.col("ida").alias("vec_id"))
-        .distinct()
+        .localCheckpoint(eager=False)
     )
     purge_drops = (
         semantic_purge(
@@ -380,6 +392,7 @@ def q_dedup_semantic_quality(spark, sf_dir):
         )
         .filter(~F.col("keep"))
         .select("vec_id")
+        .localCheckpoint(eager=False)
     )
     e = exact_drops.agg(F.count("*").alias("n_exact"))
     p = purge_drops.agg(F.count("*").alias("n_purge"))
@@ -450,12 +463,16 @@ def q_dedup_lsh_quality(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # each pair set feeds two consumers (its count + the intersection
+    # semi-join); without the lineage cut the exact all-pairs baseline —
+    # the catalog's single most expensive subplan — and the full LSH
+    # pipeline BOTH execute twice (both outputs are bounded pair lists)
     exact = ngram_jaccard_pairs(docs, threshold=0.5).select(
         "id_a", "id_b"
-    )
+    ).localCheckpoint(eager=False)
     lsh = minhash_lsh_pairs(
         docs, num_hashes=12, bands=4, jaccard_threshold=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     e = exact.agg(F.count("*").alias("n_exact"))
     l_ = lsh.agg(F.count("*").alias("n_lsh"))
     b = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(

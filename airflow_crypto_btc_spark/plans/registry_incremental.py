@@ -139,7 +139,9 @@ def q_curate_semantic_purge(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"),
         centroid_filter="vec_id % 25 = 7",
         cosine_threshold=0.3,
-    )
+    ).localCheckpoint(eager=False)
+    # ^ two consumers (per-cluster purge counts + the survivors join):
+    # without the cut the purge's pair join executes twice
     per_cluster = labeling.groupBy("cid").agg(
         F.count(F.when(~F.col("keep"), F.lit(1))).alias(
             "n_purged_in_cluster"
@@ -1057,7 +1059,9 @@ def q_curate_ingest_pipeline(spark, sf_dir):
         .join(reps, "doc_id")
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
         .select("doc_id", "text")
-    )
+        .localCheckpoint(eager=False)
+    )  # three consumers (LSH prep, cluster spine, survivors join):
+    # without the cut the gate's lang/quality/dedup joins execute 3×
     pairs = minhash_lsh_pairs(
         kept, num_hashes=12, bands=4, jaccard_threshold=0.5
     )

@@ -1423,17 +1423,21 @@ def ivf_topk(
     # assignment join evaluates |vectors|·|centroids| cosines, exactly
     # where interpreted HOF dispatch costs (value-identical either way)
     dot, nrm2, _dim = _vector_kernels(vectors, vec_col)
+    # cent broadcasts into BOTH _nearest calls (assignment + probe), so
+    # its subplan executes once per broadcast build.  For a TRAINED
+    # quantizer that re-runs the final Lloyd assign→mean chain — cut
+    # the lineage once (cent is |C| rows).  For the seed-filter path
+    # the subplan is a trivial scan+filter: re-evaluating it is cheaper
+    # than the two extra barrier jobs a checkpoint costs (measured both
+    # ways at sf0.1, r14 opt).
     if centroids is None:
-        centroids = vectors.filter(centroid_filter).select(
+        cent = vectors.filter(centroid_filter).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
-        )
-    # cent broadcasts into BOTH _nearest calls (assignment + probe);
-    # without a lineage cut the centroid subplan executes once per
-    # broadcast build — for a TRAINED quantizer that re-runs the whole
-    # final Lloyd assign→mean chain.  cent is |C| rows by construction.
-    cent = centroids.withColumn(
-        "cn", F.sqrt(nrm2("ce"))
-    ).localCheckpoint(eager=False)
+        ).withColumn("cn", F.sqrt(nrm2("ce")))
+    else:
+        cent = centroids.withColumn(
+            "cn", F.sqrt(nrm2("ce"))
+        ).localCheckpoint(eager=False)
 
     def _nearest(df, id_out, vec_alias, keep, rank_col="__r"):
         return _nearest_centroids(

@@ -596,3 +596,24 @@ def test_index_rebuild_replaces_previous_generation(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_banded_hamming_pairs_single_row_per_pair(spark):
+    """r14 optimization pin: the hamming verify now rides the band join
+    (fp carried through the band rows, verify computed in-join, distinct
+    AFTER the <= max_hamming filter) — a pair that agrees on MULTIPLE
+    bands must still emit exactly one row, with the true distance."""
+    from airflow_crypto_btc_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    # 1 vs 2: identical fp -> all 3 bands agree (3 raw join hits);
+    # 1 vs 3: xor = 0b10000 -> hamming 1, bands 1 and 2 agree (2 hits)
+    fps = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 21)], "id long, fp long"
+    )
+    rows = banded_hamming_pairs(fps, bits=16, max_hamming=2).collect()
+    assert sorted(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in rows
+    ) == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
+    assert len(rows) == 3  # no multi-band duplicate rows

@@ -229,3 +229,29 @@ def test_medians_z_cold_flags_roundtrip() -> None:
     }
     plain = bench.medians_z_line(timings, budget=bench.TAIL_BUDGET)
     assert bench.decode_cold_z(plain) == []
+
+
+@pytest.mark.smoke
+def test_medians_file_schema_roundtrips(tmp_path) -> None:
+    """Round-15 bench contract: the COMPLETE plain-name medians land at
+    a fixed committed path (bench.MEDIANS_PATH) every run, so
+    cross-round PERF comparison never depends on decoding the
+    compressed tail line against a drifted HEADLINE list."""
+    timings = _fake_timings()
+    path = str(tmp_path / "BENCH_MEDIANS.json")
+    bench.write_medians_file(
+        timings, 0.1, cpus=32, reps=3,
+        cold=["sim_pq_topk", "text_bpe_merges"], path=path,
+    )
+    with open(path) as fh:
+        payload = json.load(fh)
+    assert payload["metric"] == "headline_queries_medians"
+    assert payload["sf"] == 0.1
+    assert payload["cpus"] == 32
+    assert payload["reps"] == 3
+    assert payload["n"] == len(timings)
+    assert payload["medians"] == {k: timings[k] for k in sorted(timings)}
+    assert payload["cold"] == ["sim_pq_topk", "text_bpe_merges"]
+    assert payload["total"] == round(sum(timings.values()), 4)
+    # plain names, no codec: every headline entry appears verbatim
+    assert set(payload["medians"]) == set(bench.HEADLINE)

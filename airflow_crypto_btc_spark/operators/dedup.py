@@ -774,9 +774,33 @@ def simhash_fingerprints(
     """(id, simhash): sign-aggregated token-hash fingerprint; near-dups
     differ in few bits (compare via hamming distance on the bigint).
 
-    Token md5s are hoisted into their own projection so each token is
-    digested once, not once per bit — same fingerprints, 16× less hashing.
-    """
+    Round-15: delegates to the Arrow kernel
+    (``dedup_fast.simhash_fingerprints_fast``) — bit-identical by
+    construction (md5 is md5; the ±1 parity sums are exact integers)
+    and already frame-equality-pinned in tests/test_properties.py.
+    The HOF expression form measured ~10 s combined on the two simhash
+    bench lines at sf0.1, all of it interpreted lambda dispatch over
+    16×|tokens| hex-digit probes (a packed-parity rewrite of the BODY
+    lost — dispatch, not body, dominates; r14 opt record), which is
+    exactly the §4 boundary the Arrow twin removes.
+    ``simhash_fingerprints_hof`` below is the parity reference."""
+    from airflow_crypto_btc_spark.operators.dedup_fast import (
+        simhash_fingerprints_fast,
+    )
+
+    return simhash_fingerprints_fast(df, id_col, text_col, bits)
+
+
+def simhash_fingerprints_hof(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """The original pure-expression SimHash (kept as the Arrow twin's
+    parity reference).  Token md5s are hoisted into their own projection
+    so each token is digested once, not once per bit — same
+    fingerprints, 16× less hashing."""
     return (
         df.withColumn("tokens", tokens_expr(text_col))
         .withColumn("tok_md5", F.expr("transform(tokens, t -> md5(t))"))

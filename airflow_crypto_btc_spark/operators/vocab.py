@@ -575,6 +575,30 @@ def bpe_encode_counts(
     text_col: str = "text",
 ) -> DataFrame:
     """Encode every document with a trained merge list and report
+    (id, n_words, n_bpe_tokens).
+
+    Round-15: delegates to the Arrow kernel
+    (``tokenize_fast.bpe_counts_fast``), which replicates the
+    marker-string replace chain string-op for string-op but evaluates
+    it once per DISTINCT word per batch instead of once per word
+    instance per document (the expression form below re-derived the
+    whole merge chain for every token of every row).
+    ``bpe_encode_counts_hof`` is the original expression form, kept as
+    the parity reference (tests/test_tokenize_fast.py)."""
+    from airflow_crypto_btc_spark.operators.tokenize_fast import (
+        bpe_counts_fast,
+    )
+
+    return bpe_counts_fast(docs, merges, id_col=id_col, text_col=text_col)
+
+
+def bpe_encode_counts_hof(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document with a trained merge list and report
     (id, n_words, n_bpe_tokens) — the sequence-length accounting a
     training-batch planner reads (subword counts, not whitespace
     counts, decide packing budgets).

@@ -132,6 +132,9 @@ def test_fast_twins_match_hof_operators(spark, sf_dir):
     on the real documents fixture (CJK whitespace included)."""
     from pyspark.sql import functions as F
 
+    from airflow_crypto_btc_spark.operators.dedup import (
+        simhash_fingerprints_hof,
+    )
     from airflow_crypto_btc_spark.operators.dedup_fast import (
         minhash_signatures_fast,
         simhash_fingerprints_fast,
@@ -159,8 +162,10 @@ def test_fast_twins_match_hof_operators(spark, sf_dir):
     )
     assert hof_mh.equals(fast_mh)
 
+    # round-15: dedup.simhash_fingerprints DELEGATES to the fast
+    # kernel, so the parity pin runs against the retained HOF form
     hof_sh = (
-        simhash_fingerprints(docs)
+        simhash_fingerprints_hof(docs)
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

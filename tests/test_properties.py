@@ -436,7 +436,7 @@ def test_minhash_kernels_agree_on_arbitrary_text(spark, texts):
 @settings(**_SETTINGS)
 def test_simhash_twin_agrees_on_arbitrary_text(spark, texts):
     from airflow_crypto_btc_spark.operators.dedup import (
-        simhash_fingerprints,
+        simhash_fingerprints_hof,
     )
     from airflow_crypto_btc_spark.operators.dedup_fast import (
         simhash_fingerprints_fast,
@@ -445,8 +445,10 @@ def test_simhash_twin_agrees_on_arbitrary_text(spark, texts):
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
     )
+    # round-15: dedup.simhash_fingerprints now DELEGATES to the fast
+    # kernel, so the parity pin runs against the retained HOF form
     lhs = {r["doc_id"]: r["simhash"]
-           for r in simhash_fingerprints(df).collect()}
+           for r in simhash_fingerprints_hof(df).collect()}
     rhs = {r["doc_id"]: r["simhash"]
            for r in simhash_fingerprints_fast(df).collect()}
     assert lhs == rhs
